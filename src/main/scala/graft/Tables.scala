@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -20,7 +22,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 reads only as a
+    * raw nanos long (`spark.sql.legacy.parquet.nanosAsLong` — set by
+    * [[graft.GraftSession]]). Normalize here: `ts` becomes a us-precision
+    * TIMESTAMP_NTZ, and the raw nanos stay available as `ts_ns`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV: ns -> us must not round-trip through double
+        // (2024 epoch-nanos ≈ 1.7e18 > 2^53)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))
+            .cast("timestamp_ntz"))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
