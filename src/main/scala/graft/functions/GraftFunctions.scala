@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+/** User-facing Column API over the graft expression library — the Spark
+  * equivalent of the reference mapping DSL's value producers (SURVEY.md §2B).
+  */
+object GraftFunctions {
+
+  // ------------------------------------------------------------ wire codecs
+  /** Mincode event-parameter payload → JSON string; null if malformed. */
+  def mincodeToJson(c: Column): Column = column(MincodeToJson(expression(c)))
+
+  /** Guava-compatible murmur3_32 over the string's UTF-8 bytes. */
+  def murmur3Utf8(c: Column): Column = column(Murmur3Utf8(expression(c)))
+
+  /** Reference tryParse base-36 semantics: null on malformed/overflow. */
+  def base36ToLong(c: Column): Column = column(Base36ToLong(expression(c)))
+  def base36ToInt(c: Column): Column = column(Base36ToInt(expression(c)))
+
+  /** Embedded epoch-millis of a DivolteIdentifier (`0:<base36 ms>:<random>`). */
+  def divolteIdTimestamp(c: Column): Column = column(DivolteIdTimestamp(expression(c)))
+
+  /** Query string → map<string, array<string>> (multi-value, url-decoded). */
+  def parseQueryString(c: Column): Column = column(ParseQueryString(expression(c)))
+
+  /** RFC-7230 header value → array<string>. */
+  def splitHeaderValue(c: Column): Column = column(SplitHeaderValue(expression(c)))
+
+  // ------------------------------------------------------------ digests
+  /** Ordered digest of string pieces; absent (null) pieces are skipped —
+    * reference `Digester.java:61-78`. */
+  def digest(algorithm: String, pieces: Column*): Column =
+    column(DigestPieces(algorithm, None, pieces.map(expression)))
+
+  /** Seeded HMAC digest (PBKDF2-derived key) — reference `Digester.java:145-192`. */
+  def digestSeeded(algorithm: String, seed: String, pieces: Column*): Column =
+    column(DigestPieces(algorithm, Some(seed), pieces.map(expression)))
+
+  // ------------------------------------------------------------ checksum
+  /** The reference's canonical checksum string over sorted query parameters
+    * (`ClientSideCookieEventHandler.java:241-261`): for each key except the
+    * checksum param `x`, in lexicographic key order: `key=` + each value +
+    * `,`, then `;`. Computed over the parsed multi-value map column. */
+  def checksumCanonicalString(paramsMap: Column): Column = {
+    val entries = map_entries(paramsMap) // array<struct<key,value:array<string>>>
+    val sortedE = array_sort(entries)    // struct sort: by first field (key)
+    val nonChecksum = filter(sortedE, e => e.getField("key") =!= "x")
+    val rendered = transform(nonChecksum, e =>
+      concat(e.getField("key"), lit("="),
+        array_join(transform(e.getField("value"), v => concat(v, lit(","))), ""),
+        lit(";")))
+    array_join(rendered, "")
+  }
+
+  /** Corruption flag: true when the base36 checksum param `x` does not match
+    * the murmur3_32 of the canonical parameter string — or is absent/invalid.
+    * (`ClientSideCookieEventHandler.java:206-239`; absent checksum ⇒ corrupt.) */
+  def checksumMismatch(paramsMap: Column): Column = {
+    val expected = base36ToLong(element_at(element_at(paramsMap, "x"), 1))
+    val actual = murmur3Utf8(checksumCanonicalString(paramsMap)).cast("long")
+    !(expected <=> actual)
+  }
+
+  // ------------------------------------------------------ absent-semantics
+  /** Reference `and`: absent if *either* side is absent — NOT SQL 3VL
+    * (`DslRecordMapping.java:1154-1176`; SURVEY.md §7.4). */
+  def absentAnd(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(null).cast("boolean")).otherwise(l && r)
+
+  /** Reference `or`: absent if either side is absent. */
+  def absentOr(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(null).cast("boolean")).otherwise(l || r)
+
+  /** Reference `equalTo`: two absents are equal; absent vs present is false
+    * (`DslRecordMapping.java:1047-1051` — Optional.equals). */
+  def equalTo(l: Column, r: Column): Column = l <=> r
+
+  /** Reference `toBoolean`: Boolean.parseBoolean — never null, non-"true" is
+    * false (`DslRecordMapping.java:232-238`). */
+  def toBooleanLenient(c: Column): Column = coalesce(lower(c) === "true", lit(false))
+
+  /** Full-string regex capture group with null (not "") on no-match —
+    * `regexp_extract` returns "" for misses (`SURVEY.md` §2B regex caveat). */
+  def matchGroup(c: Column, pattern: String, group: Int): Column = {
+    val anchored = s"^(?:$pattern)$$"
+    when(c.rlike(anchored), nullif(regexp_extract(c, anchored, group), lit("")))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+/** Decoder for the reference's "mincode" compact wire format for event
+  * parameters (spec: reference `src/main/resources/divolte.js:893-917`;
+  * server-side parser `mincode/MincodeParser.java`). Re-implemented from the
+  * documented format, emitting a JSON string for downstream `from_json` /
+  * `get_json_object`.
+  *
+  * Record grammar:
+  *  - type char, then (inside an object) the `!`-terminated escaped property
+  *    name, then a record-specific payload;
+  *  - `s` string (escaped, `!`-terminated)  `t`/`f` true/false  `n` null
+  *  - `d` base36 long (`!`-terminated)      `j` raw JSON number (`!`-terminated)
+  *  - `(` … `)` object                      `a` … `.` array
+  *  - escaping within strings/names: `~` prefixes a literal `!` or `~`.
+  *
+  * Malformed input yields `null` (the reference's corrupt-tolerant stance:
+  * bad event parameters must not kill the pipeline).
+  */
+object Mincode {
+
+  def toJson(code: String): String = {
+    if (code == null) return null
+    try {
+      val p = new Parser(code)
+      val sb = new java.lang.StringBuilder(code.length * 2)
+      p.parseValue(p.readType(), sb)
+      if (!p.atEnd) null else sb.toString
+    } catch { case _: MincodeError => null }
+  }
+
+  private final class MincodeError extends RuntimeException(null, null, false, false)
+
+  private final class Parser(in: String) {
+    private var pos = 0
+    def atEnd: Boolean = pos >= in.length
+    private def fail(): Nothing = throw new MincodeError
+
+    def readType(): Char = {
+      if (atEnd) fail()
+      val c = in.charAt(pos); pos += 1; c
+    }
+
+    /** Read an escaped, '!'-terminated text segment (string value or name). */
+    private def readText(): String = {
+      val sb = new java.lang.StringBuilder()
+      while (true) {
+        if (atEnd) fail()
+        val c = in.charAt(pos); pos += 1
+        c match {
+          case '!' => return sb.toString
+          case '~' =>
+            if (atEnd) fail()
+            val esc = in.charAt(pos); pos += 1
+            if (esc != '!' && esc != '~') fail()
+            sb.append(esc)
+          case other => sb.append(other)
+        }
+      }
+      throw new IllegalStateException
+    }
+
+    /** Raw '!'-terminated segment with no escapes (numbers). */
+    private def readRaw(): String = {
+      val end = in.indexOf('!', pos)
+      if (end < 0) fail()
+      val s = in.substring(pos, end)
+      pos = end + 1
+      s
+    }
+
+    def parseValue(recordType: Char, out: java.lang.StringBuilder): Unit = recordType match {
+      case 's' => writeJsonString(readText(), out)
+      case 't' => out.append("true")
+      case 'f' => out.append("false")
+      case 'n' => out.append("null")
+      case 'd' =>
+        val raw = readRaw()
+        try out.append(java.lang.Long.parseLong(raw, 36))
+        catch { case _: NumberFormatException => fail() }
+      case 'j' =>
+        val raw = readRaw()
+        if (!raw.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?""")) fail()
+        out.append(raw)
+      case '(' => parseObject(out)
+      case 'a' => parseArray(out)
+      case _   => fail()
+    }
+
+    private def parseObject(out: java.lang.StringBuilder): Unit = {
+      out.append('{')
+      var first = true
+      while (true) {
+        val t = readType()
+        if (t == ')') { out.append('}'); return }
+        if (!first) out.append(',')
+        first = false
+        writeJsonString(readText(), out) // property name precedes the payload
+        out.append(':')
+        parseValue(t, out)
+      }
+    }
+
+    private def parseArray(out: java.lang.StringBuilder): Unit = {
+      out.append('[')
+      var first = true
+      while (true) {
+        val t = readType()
+        if (t == '.') { out.append(']'); return }
+        if (!first) out.append(',')
+        first = false
+        parseValue(t, out)
+      }
+    }
+  }
+
+  private def writeJsonString(s: String, out: java.lang.StringBuilder): Unit = {
+    out.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => out.append("\\\"")
+        case '\\' => out.append("\\\\")
+        case '\b' => out.append("\\b")
+        case '\f' => out.append("\\f")
+        case '\n' => out.append("\\n")
+        case '\r' => out.append("\\r")
+        case '\t' => out.append("\\t")
+        case ctrl if ctrl < ' ' => out.append(f"\\u${ctrl.toInt}%04x")
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.append('"')
+  }
+}

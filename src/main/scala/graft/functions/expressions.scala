@@ -1,0 +1,179 @@
+package graft.functions
+
+import graft.model.DivolteId
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the reference's non-built-in functions
+  * (SURVEY.md §4 "custom Catalyst work actually required").
+  *
+  * The per-row hot-path functions (murmur3 checksum, base36, mincode,
+  * identifier parsing) implement `doGenCode` as a static call into the pure
+  * Scala implementations, so they stay inside whole-stage codegen — the
+  * generated code is a single JVM static invoke, no UDF serialization
+  * boundary. The construction-time-heavy ops (digests, query-string/header
+  * parsing producing nested types) use `CodegenFallback`: their cost is
+  * dominated by crypto/allocation, not dispatch.
+  */
+private[graft] trait StaticCallUnary extends UnaryExpression {
+  /** Fully-qualified static method reference, e.g.
+    * `"graft.functions.Mincode.toJson"`. The method must accept a String
+    * (null-free: nullSafeCodeGen guards) and return a boxed result or null. */
+  def staticCall: String
+  def resultJavaType: String
+  def boxToCatalyst(resultVar: String): String
+  def evalImpl(input: String): Any
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = evalImpl(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("res")
+      s"""
+         |$resultJavaType $tmp = $staticCall($c.toString());
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${boxToCatalyst(tmp)};
+         |}
+       """.stripMargin
+    })
+}
+
+/** Mincode → JSON string (reference `mincode/MincodeParser.java`; spec
+  * `resources/divolte.js:893-917`). Malformed input → null. */
+case class MincodeToJson(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = StringType
+  override def staticCall: String = "graft.functions.Mincode.toJson"
+  override def resultJavaType: String = "String"
+  override def boxToCatalyst(v: String): String =
+    s"org.apache.spark.unsafe.types.UTF8String.fromString($v)"
+  override def evalImpl(s: String): Any = {
+    val r = Mincode.toJson(s)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def withNewChildInternal(c: Expression): MincodeToJson = copy(c)
+  override def prettyName: String = "mincode_to_json"
+}
+
+/** Guava-compatible murmur3_32 of a string's UTF-8 bytes (reference checksum,
+  * `ClientSideCookieEventHandler.java:206-216`). */
+case class Murmur3Utf8(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = IntegerType
+  override def staticCall: String = "graft.functions.Murmur3.hashStringUtf8"
+  override def resultJavaType: String = "java.lang.Integer"
+  override def boxToCatalyst(v: String): String = s"$v.intValue()"
+  override def evalImpl(s: String): Any = Murmur3.hashStringUtf8(s)
+  override protected def withNewChildInternal(c: Expression): Murmur3Utf8 = copy(c)
+  override def prettyName: String = "murmur3_utf8"
+}
+
+/** Base-36 long parse with the reference's tryParse semantics — null (not an
+  * error, not wraparound) on any malformed or overflowing input
+  * (`ClientSideCookieEventHandler.java:263-277`). */
+case class Base36ToLong(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = LongType
+  override def staticCall: String = "graft.model.DivolteId.tryParseBase36Long"
+  override def resultJavaType: String = "java.lang.Long"
+  override def boxToCatalyst(v: String): String = s"$v.longValue()"
+  override def evalImpl(s: String): Any = DivolteId.tryParseBase36Long(s)
+  override protected def withNewChildInternal(c: Expression): Base36ToLong = copy(c)
+  override def prettyName: String = "base36_to_long"
+}
+
+case class Base36ToInt(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = IntegerType
+  override def staticCall: String = "graft.model.DivolteId.tryParseBase36Int"
+  override def resultJavaType: String = "java.lang.Integer"
+  override def boxToCatalyst(v: String): String = s"$v.intValue()"
+  override def evalImpl(s: String): Any = DivolteId.tryParseBase36Int(s)
+  override protected def withNewChildInternal(c: Expression): Base36ToInt = copy(c)
+  override def prettyName: String = "base36_to_int"
+}
+
+/** Embedded creation timestamp of a DivolteIdentifier
+  * (`DivolteIdentifier.java:55-61,94-102`); null if malformed. */
+case class DivolteIdTimestamp(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = LongType
+  override def staticCall: String = "graft.model.DivolteId.timestampOf"
+  override def resultJavaType: String = "java.lang.Long"
+  override def boxToCatalyst(v: String): String = s"$v.longValue()"
+  override def evalImpl(s: String): Any = DivolteId.timestampOf(s)
+  override protected def withNewChildInternal(c: Expression): DivolteIdTimestamp = copy(c)
+  override def prettyName: String = "divolte_id_timestamp"
+}
+
+/** Query string → map<string, array<string>> with the reference's
+  * multi-value, valueless-key and percent-decode semantics
+  * (`recordmapping/QueryStringParser.java:37-89`). */
+case class ParseQueryString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    MapType(StringType, ArrayType(StringType, containsNull = false), valueContainsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val parsed = QueryStrings.parse(input.toString)
+    val keys = new Array[Any](parsed.size)
+    val values = new Array[Any](parsed.size)
+    var i = 0
+    parsed.foreach { case (k, vs) =>
+      keys(i) = UTF8String.fromString(k)
+      values(i) = new GenericArrayData(vs.map(UTF8String.fromString).toArray[Any])
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+  }
+  override protected def withNewChildInternal(c: Expression): ParseQueryString = copy(c)
+  override def prettyName: String = "parse_query_string"
+}
+
+/** RFC-7230 header-value splitting (reference
+  * `recordmapping/HeaderValueParser.java`): comma-split, quote/escape-aware,
+  * whitespace-normalized. */
+case class SplitHeaderValue(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HeaderValues.split(input.toString).map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildInternal(c: Expression): SplitHeaderValue = copy(c)
+  override def prettyName: String = "split_header_value"
+}
+
+/** Ordered multi-piece digest (reference `recordmapping/Digester.java`):
+  * null pieces contribute no bytes; result is always present (non-null)
+  * when the expression itself evaluates. Seeded form is HMAC with the
+  * reference's PBKDF2 key derivation. */
+case class DigestPieces(
+    algorithm: String,
+    seed: Option[String],
+    children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  // Pre-derive the HMAC key at plan time (100k PBKDF2 iterations — reference
+  // does this once at mapping-compile time, Digester.java:151-156).
+  seed.foreach(s => Digests.deriveKey(algorithm, s))
+  override def eval(input: InternalRow): Any = {
+    val pieces = new Array[String](children.length)
+    var i = 0
+    while (i < pieces.length) {
+      val v = children(i).eval(input)
+      pieces(i) = if (v == null) null else v.toString
+      i += 1
+    }
+    seed match {
+      case Some(s) => Digests.hmacDigest(algorithm, s, pieces)
+      case None    => Digests.digest(algorithm, pieces)
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DigestPieces =
+    copy(children = cs)
+  override def prettyName: String = "digest_pieces"
+}

@@ -1,0 +1,119 @@
+package graft.sources
+
+import com.google.common.hash.Hashing
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** End-to-end source decode tests, mirroring the reference's canonical
+  * browser request (`DslRecordMapperTest.java:62-87`) and JSON container
+  * (`JsonEventHandler.java:104-127`). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  @annotation.nowarn("cat=deprecation")
+  private def checksum(params: Map[String, String]): String = {
+    // buildNormalizedChecksumString: sorted keys, k=, each value + ',', then ';'
+    val canonical = params.toSeq.filter(_._1 != "x").sortBy(_._1)
+      .map { case (k, v) => s"$k=$v," + ";" }.mkString
+    val h = Hashing.murmur3_32().hashString(canonical, StandardCharsets.UTF_8).asInt()
+    java.lang.Long.toString(h.toLong, 36)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private val partyTs = System.currentTimeMillis()
+  private val params = Map(
+    "p" -> s"0:${java.lang.Long.toString(partyTs, 36)}:partyIdPayload",
+    "s" -> s"0:${java.lang.Long.toString(partyTs, 36)}:sessionIdPayload",
+    "v" -> "pv0001",
+    "e" -> "pv0001:0",
+    "c" -> "i0rjfnxd",
+    "n" -> "f",
+    "f" -> "t",
+    "l" -> "http://example.com/path?q=1",
+    "r" -> "https://ref.example.org/",
+    "w" -> "m8", "h" -> "go",   // 800 x 600 in base36
+    "i" -> "zik0zj",            // Int.MaxValue in base36
+    "j" -> "go",
+    "k" -> "2",
+    "t" -> "pageView",
+    "u" -> "(sfoo!bar!dcount!16!)")
+
+  private def queryString(ps: Map[String, String]): String =
+    ps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+
+  test("canonical browser request decodes fully") {
+    val qs = queryString(params + ("x" -> checksum(params)))
+    val df = BrowserSource.decode(Seq(qs).toDF("qs"), "qs")
+    val row = df.collect()(0)
+    assert(!row.getAs[Boolean]("corrupt"))
+    assert(row.getAs[String]("partyId") === params("p"))
+    assert(row.getAs[String]("sessionId") === params("s"))
+    assert(row.getAs[String]("eventId") === "pv0001:0")
+    assert(row.getAs[String]("eventType") === "pageView")
+    assert(row.getAs[Boolean]("firstInSession"))
+    assert(!row.getAs[Boolean]("newPartyId"))
+    assert(row.getAs[Long]("clientTime") === java.lang.Long.parseLong("i0rjfnxd", 36))
+    assert(row.getAs[Long]("partyIdTime") === partyTs)
+    assert(row.getAs[String]("eventParameters") === """{"foo":"bar","count":42}""")
+    val browser = row.getAs[Row]("browser")
+    assert(browser.getAs[String]("pageViewId") === "pv0001")
+    assert(browser.getAs[String]("location") === "http://example.com/path?q=1")
+    assert(browser.getAs[Int]("viewportPixelWidth") === 800)
+    assert(browser.getAs[Int]("viewportPixelHeight") === 600)
+    assert(browser.getAs[Int]("screenPixelWidth") === Int.MaxValue)
+    assert(browser.getAs[Int]("devicePixelRatio") === 2)
+  }
+
+  test("tampered request is flagged corrupt, not dropped") {
+    val good = queryString(params + ("x" -> checksum(params)))
+    val tampered = good.replace("pageView", "pageVieX")
+    val missing = queryString(params) // no checksum at all
+    val df = BrowserSource.decode(
+      Seq(good, tampered, missing).toDF("qs"), "qs")
+    val flags = df.select("corrupt").as[Boolean].collect()
+    assert(flags === Array(false, true, true))
+    // rows survive with fields decoded (flag-not-filter, reference semantics)
+    assert(df.filter(col("corrupt")).select("partyId").as[String].collect()
+      .forall(_ == params("p")))
+  }
+
+  test("decode stays a single narrow stage (no shuffle)") {
+    val qs = queryString(params + ("x" -> checksum(params)))
+    val plan = BrowserSource.decode(Seq(qs).toDF("qs"), "qs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("json container decodes") {
+    val body =
+      """{"event_type":"custom","session_id":"0:i0rjfnxd:sess","event_id":"ev1",
+        |"is_new_party":true,"is_new_session":false,
+        |"client_timestamp_iso":"2026-08-12T10:00:00.000+02:00",
+        |"parameters":{"a":[1,2],"b":"x"}}""".stripMargin.replace("\n", "")
+    val df = JsonSource.decode(
+      Seq(("0:i0rjfnxd:party", body)).toDF("pid", "body"), "body", "pid")
+    val row = df.collect()(0)
+    assert(!row.getAs[Boolean]("corrupt"))
+    assert(row.getAs[String]("sessionId") === "0:i0rjfnxd:sess")
+    assert(row.getAs[String]("eventType") === "custom")
+    assert(row.getAs[Boolean]("newPartyId"))
+    assert(!row.getAs[Boolean]("firstInSession"))
+    // 2026-08-12T10:00+02:00 == 08:00Z
+    assert(row.getAs[Long]("clientTime") === 1786521600000L)
+    assert(row.getAs[String]("eventParameters") === """{"a":[1,2],"b":"x"}""")
+  }
+
+  test("expression functions work through SQL plans") {
+    val df = Seq("d16!", "sx!", "bogus").toDF("code")
+      .select(mincodeToJson(col("code")).as("json"))
+    assert(df.as[String].collect() === Array("42", "\"x\"", null))
+    val b36 = Seq("zz", "-1", "!bad").toDF("s")
+      .select(base36ToLong(col("s")).as("v")).as[java.lang.Long].collect()
+    assert(b36 === Array(1295L, -1L, null))
+  }
+}
