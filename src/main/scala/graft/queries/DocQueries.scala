@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.GraftFunctions.murmur3Utf8
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near deduplication (shingle-Jaccard, MinHash+LSH, SimHash), text quality
+  * scoring, language-ID heuristics, token statistics, and content
+  * fingerprinting.
+  *
+  * Scale design:
+  *  - tokenize/shingle/signature work is per-row array math inside one
+  *    narrow codegen stage — no explode unless a join needs it;
+  *  - the exact near-dup path prunes candidates by shingle co-occurrence
+  *    BEFORE computing Jaccard (the shingle join carries only
+  *    (shingle, doc_id) pairs, and partial aggregation collapses counts
+  *    map-side) — at 100 TB this is the standard inverted-index block join;
+  *  - MinHash/LSH replaces the quadratic candidate step with band-bucket
+  *    joins: cost is O(docs x bands), independent of pair count.
+  */
+object DocQueries {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingles(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens) - 2),
+        i => concat_ws(" ",
+          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact duplicate grouping by content hash (hash-groupBy dedup): one
+    * shuffle on md5(text); canonical id is the smallest doc_id. */
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+           count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- fingerprint
+  /** Content-defined fingerprint: md5 over the normalized text (lowercase,
+    * whitespace collapsed). Robust to formatting-only variants. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- token stats
+  /** Token counting: whitespace tokens, distinct types, type/token ratio,
+    * mean token length. Pure narrow stage. */
+  def tokenStats(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    documents(spark, d).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+        .as("mean_token_len"))
+  }
+
+  val tokenStatsSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      |  len(list_distinct(tk)) AS n_types,
+      |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+      |  CAST(list_sum(list_transform(tk, x -> strlen(x))) AS DOUBLE) / len(tk)
+      |    AS mean_token_len
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------- quality
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: length agreement (claimed n_chars vs actual), stopword
+    * ratio, type/token ratio — combined into a [0,1]-ish score. Mirrors the
+    * shape of standard web-corpus quality filters. */
+  def quality(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sw = filter(t, x => x.isInCollection(stopwords))
+    documents(spark, d).select(
+      col("doc_id"), col("lang"),
+      length(trim(col("text"))).as("len_actual"),
+      (size(sw).cast("double") / size(t)).as("stopword_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+      .withColumn("quality_score",
+        round((col("stopword_ratio") * 2 + col("ttr")) / 3, 6))
+  }
+
+  val qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, lang, trim(text) AS tx,
+       |            string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+       |SELECT doc_id, lang, strlen(tx) AS len_actual,
+       |  CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |    / len(tk) AS stopword_ratio,
+       |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+       |  ROUND((CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(tk) * 2
+       |         + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) / 3, 6) AS quality_score
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------- language id
+  /** N-gram/stopword language heuristic: English-marker token share drives
+    * the call; emits prediction + agreement with the labeled lang. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val enHits = size(filter(t, x => x.isInCollection(stopwords)))
+    documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        (enHits.cast("double") / size(t)).as("en_marker_ratio"))
+      .withColumn("predicted_lang",
+        when(col("en_marker_ratio") >= 0.04, "en").otherwise("unk"))
+      .withColumn("agrees", col("predicted_lang") === col("lang"))
+  }
+
+  val langIdSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |            string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+       |SELECT doc_id, lang,
+       |  CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |    / len(tk) AS en_marker_ratio,
+       |  CASE WHEN CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(tk) >= 0.04
+       |       THEN 'en' ELSE 'unk' END AS predicted_lang,
+       |  (CASE WHEN CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(tk) >= 0.04
+       |        THEN 'en' ELSE 'unk' END) = lang AS agrees
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------- exact near-dup
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted-index blocking:
+    * explode distinct shingles, self-join on shingle (map-side combinable),
+    * intersection counts -> Jaccard, threshold 0.3. Join carries only
+    * (shingle, doc_id); Jaccard math is int-exact so the oracle hash-matches
+    * bit-for-bit. */
+  def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+  }
+
+  val neardupJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | g AS (SELECT DISTINCT doc_id,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+      |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+      |       WHERE i + 2 <= len(tk)),
+      | sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+      | pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, inter,
+      |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+      |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.3""".stripMargin
+
+  // ---------------------------------------------------------- minhash + LSH
+  private val MinhashK = 64    // signature length
+  private val BandRows = 4     // rows per band -> 16 bands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature as per-row array math (no explode): shingle ->
+    * murmur3 -> k permutations h_i(x) = (a_i*x + b_i) mod p, min per i. */
+  private def minhashSig(shingleHashes: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)), i => {
+      val a = i * 2 + 1          // small odd multipliers: no long overflow
+      val b = i * 40503 + 2531011
+      array_min(transform(shingleHashes,
+        h => (h.bitwiseAND(lit(0xffffffffL)) * a + b) % MersennePrime))
+    })
+
+  /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
+    * Jaccard verifies. Non-SQL-expressible (murmur3 permutations) — checked
+    * by recall tests against the exact path (DocPipelineSpec). */
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(transform(col("sh"), murmur3Utf8 _)))
+    val bands = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+          b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+    withSets.select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  // ---------------------------------------------------------- simhash
+  /** 64-bit SimHash per document from token-frequency-weighted xxhash64
+    * bits, plus banded Hamming-neighbor pairs (4x16-bit chunks: pairs at
+    * Hamming distance <= 3 must share a chunk). */
+  def simhash(spark: SparkSession, d: String): DataFrame = {
+    val tf = documents(spark, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    // bit j contribution: +tf if bit set else -tf; sign of the sum -> bit
+    val bitCols = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, col("tf")).otherwise(-col("tf")))
+        .as(s"b$j")
+    }
+    val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash neighbor pairs within Hamming distance 3 via 16-bit chunk
+    * blocking. */
+  def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val sh = simhash(spark, d)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact"     -> (dedupExact _),
+    "doc_fingerprint"     -> (fingerprint _),
+    "doc_token_stats"     -> (tokenStats _),
+    "doc_quality"         -> (quality _),
+    "doc_langid"          -> (langId _),
+    "doc_neardup_jaccard" -> (neardupJaccard _),
+    "doc_minhash_lsh"     -> (minhashLsh _),
+    "doc_simhash_pairs"   -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "doc_dedup_exact"     -> dedupExactSql,
+    "doc_fingerprint"     -> fingerprintSql,
+    "doc_token_stats"     -> tokenStatsSql,
+    "doc_quality"         -> qualitySql,
+    "doc_langid"          -> langIdSql,
+    "doc_neardup_jaccard" -> neardupJaccardSql)
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the exact baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, and per-label centroids.
+  *
+  * Scale design: the query set is tiny and broadcast; the scan side streams
+  * once. Dot products are per-row array math (`zip_with`/`aggregate`) inside
+  * codegen. For the oracle-checked variant the arithmetic runs in DECIMAL so
+  * the result is bit-stable across engines (float-sum order sensitivity
+  * would otherwise flake the hash compare). LSH replaces the full scan with
+  * bucket-join candidates: cost O(n_buckets + candidates), the standard ANN
+  * trade at 100 TB.
+  */
+object EmbeddingQueries {
+
+  private val Dim = 64
+  private val NQueries = 10 // vec_id < 10 are the query vectors
+  private val TopK = 5
+
+  /** Floats as scaled integers: floor(x * 1e7) as long. Float→double is an
+    * exact widening and floor of an identical double is engine-independent —
+    * unlike float→decimal casts, where Spark rounds the exact binary
+    * expansion but DuckDB goes through the shortest float repr (observed
+    * ~1e-8 mismatches). Integer sums are then order-independent and exact. */
+  private def scaled(arr: Column): Column =
+    transform(arr, x => floor(x.cast("double") * 1e7).cast("long"))
+
+  /** Exact dot product of two scaled-integer arrays (fits long: 1e14/elem,
+    * 64 elems). */
+  private def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  // ------------------------------------------------------------ brute kNN
+  /** Brute-force cosine top-k: decimal-exact dot/norms, cosine rounded to 6
+    * decimals (then ranked with a vec_id tie-break) so Spark and DuckDB rank
+    * identically. Queries are broadcast; one pass over the corpus. */
+  def knnBrute(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm2").as("q_norm2"))
+    val corpus = e.filter(col("vec_id") >= NQueries)
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, SUM(emb[i] * emb[i]) AS norm2 FROM e, idx GROUP BY 1),
+       | q AS (SELECT e.vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2
+       |       FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id < $NQueries),
+       | c AS (SELECT e.vec_id, emb, norm2
+       |       FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id >= $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id,
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM c CROSS JOIN q)
+       |SELECT q_id, vec_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
+  // ------------------------------------------------------------ centroids
+  /** Per-label centroid vectors, exploded to (label, dim, mean) rows with
+    * decimal-exact sums. */
+  def centroids(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("label"), posexplode(scaled(col("embedding"))))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg((sum(col("col")).cast("double") / 1e7 / count(lit(1))).as("mean_val"))
+
+  val centroidsSql: String =
+    s"""SELECT label, i AS dim,
+       |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+       |    / 10000000 / COUNT(*) AS mean_val
+       |FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ LSH ANN
+  private val NPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a fixed integer mix (no RNG — reproducible across runs/engines). */
+  private def planeComponent(p: Int, i: Column): Column = {
+    val mixed = pmod(hash(lit(p * 7919) + i * 104729), lit(2001)) - 1000
+    mixed.cast("double") / 1000.0
+  }
+
+  /** Sign-random-projection bucket key: bit p = sign(v . plane_p). */
+  private def lshKey(emb: Column): Column =
+    (0 until NPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val dot = aggregate(
+        zip_with(emb, transform(sequence(lit(0), lit(Dim - 1)), i => planeComponent(p, i)),
+          (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** ANN via LSH bucketing: candidates are corpus vectors in the same (or
+    * 1-bit-adjacent) bucket as the query, then exact cosine on candidates
+    * only. Recall vs the brute-force baseline is asserted in tests. */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"),
+        lshKey(transform(col("embedding"), _.cast("double"))).as("bucket"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    // multi-probe LSH: exact bucket plus all 1-bit and 2-bit flips
+    // (37 of 256 buckets) — trades probe fan-out for recall on corpora with
+    // weak angular structure; at scale the probe join is still
+    // O(queries x probes), independent of corpus size.
+    val masks: Seq[Long] = 0L +:
+      (0 until NPlanes).map(p => 1L << p) ++:
+      (for (p <- 0 until NPlanes; r <- p + 1 until NPlanes)
+        yield (1L << p) | (1L << r))
+    val probes = q.select(col("q_id"), col("q_emb"),
+      explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cands = e.filter(col("vec_id") >= NQueries)
+      .join(broadcast(probes), "bucket")
+    val dot = aggregate(zip_with(col("embedding"), col("q_emb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+    val norm = (c: Column) => sqrt(aggregate(zip_with(c, c,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x))
+    val scored = cands.withColumn("cosine",
+      round(dot / (norm(col("embedding")) * norm(col("q_emb"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_brute" -> (knnBrute _),
+    "emb_centroids" -> (centroids _),
+    "emb_ann_lsh"   -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_knn_brute" -> knnBruteSql,
+    "emb_centroids" -> centroidsSql)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Validation of the non-SQL-expressible pipeline ops against exact
+  * baselines on the sf0.001 test tables, plus planted-duplicate checks of
+  * the algorithmic machinery (the synthetic corpora have weak similarity
+  * structure, so mechanism correctness is asserted on planted cases). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recovers the exact near-dup pairs (recall vs jaccard)") {
+    val exact = DocQueries.neardupJaccard(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = DocQueries.minhashLsh(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain near-duplicate pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low; exact=$exact lsh=$lsh")
+    // no false positives below the verification threshold: every reported
+    // pair was jaccard-verified, so lsh ⊆ exact
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs do not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "spark query engine shuffles partitions across the cluster machines")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = DocQueries.simhashPairs(spark, tmp)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 <= 3)
+  }
+
+  test("ann LSH finds planted near-neighbors") {
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+    val queries = (0 until 5).map(_ => vec())
+    // corpus: for each query a planted neighbor (ids 10..14) + 200 random
+    val rows =
+      queries.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      queries.zipWithIndex.map { case (v, i) => (10L + i, perturb(v)) } ++
+      (0 until 200).map(i => (100L + i, vec()))
+    val tmp = java.nio.file.Files.createTempDirectory("ann").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top = EmbeddingQueries.annLsh(spark, tmp)
+      .filter(col("rk") === 1).select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    // every query's nearest hit must be its planted neighbor
+    (0 until 5).foreach { i =>
+      assert(top.get(i.toLong).contains(10L + i),
+        s"query $i: expected planted neighbor ${10 + i}, got ${top.get(i.toLong)}")
+    }
+  }
+
+  test("ann LSH cosines agree with brute force on shared pairs") {
+    val brute = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = EmbeddingQueries.annLsh(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    val shared = lsh.filter(r => brute.contains((r._1, r._2)))
+    shared.foreach { case (q, v, c) =>
+      assert(math.abs(brute((q, v)) - c) < 1e-4, s"cosine mismatch for ($q,$v)")
+    }
+  }
+}
