@@ -1,0 +1,58 @@
+package graft
+
+import graft.dsl.DefaultMapping
+import graft.queries.DslQueries
+import graft.sinks.{AvroFileSink, TopicSinks}
+import graft.state.DuplicateMemory
+import graft.topology.{MappingSpec, SinkSpec, Topology}
+import org.apache.spark.sql.functions._
+
+/** End-to-end demonstration of the full reference spine on real test data:
+  * wire-format decode → duplicate flagging → default mapping → topology
+  * fan-out → Avro file sink + Kafka frame encoding, with read-back
+  * verification. Usage: `runMain graft.Pipeline <sfDir> <outDir>`.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-pipeline")
+
+    // 1. decode browser wire events (synthesized from the events table) and
+    //    flag duplicates with the slot memory
+    val decoded = DslQueries.defaultMapping(spark, sfDir) // uses BrowserSource + DefaultMapping
+    val mappedInput = decoded // already mapped; topology shows fan-out below
+
+    // 2. topology: one source, two mappings (all events / purchases only),
+    //    two sinks (avro files share a schema; kafka gets the full feed)
+    val topo = new Topology(
+      mappings = Seq(
+        MappingSpec("all", Seq("browser"), identity, "default"),
+        MappingSpec("purchases", Seq("browser"),
+          _.filter(col("event_type") === "purchase"), "default")),
+      sinks = Seq(SinkSpec("files", Seq("all", "purchases")), SinkSpec("kafka", Seq("all"))))
+    val routed = topo(Map("browser" -> mappedInput))
+
+    // 3. avro file sink + read-back
+    val dir = s"$outDir/avro"
+    AvroFileSink.write(routed("files"), dir, tag = "pipeline")
+    val files = AvroFileSink.readBack(spark, dir)
+    val written = files.map(_._2).sum
+    println(s"[pipeline] avro files=${files.size} records=$written " +
+      s"expected=${routed("files").count()}")
+
+    // 4. kafka framing (naked + confluent) — decode spot check happens in
+    //    the sink spec; here we show the frame is produced at scale
+    val frames = TopicSinks.kafkaFrameConfluent(routed("kafka"), "party_id", 42)
+    val n = frames.count()
+    val sample = frames.select(length(col("value")).as("len")).agg(min("len"), max("len")).collect()(0)
+    println(s"[pipeline] kafka frames=$n valueLen=[${sample.get(0)}, ${sample.get(1)}]")
+
+    // 5. duplicate memory on the decoded feed
+    val dupes = DuplicateMemory.flagDuplicates(
+      mappedInput.select("party_id", "session_id", "event_type", "ts_ms"),
+      Seq("party_id", "session_id", "ts_ms"), "party_id", "ts_ms")
+      .filter(col("duplicate")).count()
+    println(s"[pipeline] duplicate-flagged=$dupes")
+    spark.stop()
+  }
+}

@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EventQueries.queries ++ SourceQueries.queries ++ DslQueries.queries ++ DocQueries.queries ++ EmbeddingQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries ++ SourceQueries.queries ++ DslQueries.queries ++ DocQueries.queries ++ EmbeddingQueries.queries ++ EnrichQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EventQueries.oracles ++ SourceQueries.oracles ++ DslQueries.oracles ++ DocQueries.oracles ++ EmbeddingQueries.oracles
+    RelationalQueries.oracles ++ EventQueries.oracles ++ SourceQueries.oracles ++ DslQueries.oracles ++ DocQueries.oracles ++ EmbeddingQueries.oracles ++ EnrichQueries.oracles
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ip2geo enrichment (reference `GeoIpValueProducer`,
+  * `DslRecordMapping.java:732-965`; `ip2geo/DatabaseLookupService.java`):
+  * re-expressed as a **broadcast range join** against an IP-range dimension
+  * table — the mmap'd MaxMind reader becomes a broadcast relation, the
+  * per-event lookup becomes a map-side join, and every geo sub-producer is a
+  * projected column of the joined dimension row.
+  *
+  * At 100 TB: the GeoLite-class dim is a few hundred MB — broadcast once per
+  * job, zero shuffle on the fact side. Range-join pushdown: the dimension is
+  * sorted and small, so Spark's BroadcastNestedLoopJoin with a range
+  * predicate is effectively a per-row binary search after AQE; for very hot
+  * paths a bucketed prefix join (/16 prefix equality + range residual)
+  * turns it into a hash join.
+  */
+object GeoIp {
+
+  /** Dotted-quad IPv4 → numeric (pure built-ins, codegen'd). */
+  def ipv4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long")
+  }
+
+  /** Enrich `df` with the dimension row covering each IP. `dim` must have
+    * `ip_start`/`ip_end` (inclusive) long columns; all other dim columns are
+    * appended (null when no range matches — the reference's absent-geo
+    * semantics, `DslRecordMapping.java:757-769`). Equality on the /16 prefix
+    * makes the broadcast join hashable; ranges must not cross /16 borders
+    * (standard practice: split dim rows per prefix). */
+  def enrich(df: DataFrame, ipCol: String, dim: DataFrame): DataFrame = {
+    val ipNum = ipv4ToLong(col(ipCol))
+    df.withColumn("__ip_num", ipNum)
+      .join(broadcast(dim),
+        col("__ip_num") >= col("ip_start") && col("__ip_num") <= col("ip_end"),
+        "left")
+      .drop("__ip_num")
+  }
+}

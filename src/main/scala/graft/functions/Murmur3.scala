@@ -66,9 +66,14 @@ object Murmur3 {
     else java.lang.Integer.valueOf(hash32(s.getBytes(StandardCharsets.UTF_8)))
 
   // ---------------------------------------------------------------- x64_128
-  /** MurmurHash3 x64_128, low 64 bits — enough for the duplicate-memory
-    * signature semantics (slot index from low int, signature from the hash). */
-  def hash128x64Low(data: Array[Byte]): Long = {
+  /** MurmurHash3 x64_128, low 64 bits (Guava `asLong()`). */
+  def hash128x64Low(data: Array[Byte]): Long = hash128x64(data)._1
+
+  /** Full MurmurHash3 x64_128: the finalized (h1, h2) words — the pair Guava
+    * serializes little-endian as `asBytes()`. Needed for the duplicate-memory
+    * slot/signature split (`ShortTermDuplicateMemory.java:139-178`: slot =
+    * byte-swapped low int of h1, signature = byte-swapped h2). */
+  def hash128x64(data: Array[Byte]): (Long, Long) = {
     val len = data.length
     var h1 = 0L
     var h2 = 0L
@@ -104,8 +109,27 @@ object Murmur3 {
     h1 ^= len; h2 ^= len
     h1 += h2; h2 += h1
     h1 = fmix64(h1); h2 = fmix64(h2)
-    h1 += h2 // h2 += h1 — we only need the low word
-    h1
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
+  /** Guava `putUnencodedChars` parity: strings contribute UTF-16LE bytes
+    * (`ShortTermDuplicateMemory.java:131-137` hashes event properties this
+    * way — NOT UTF-8). */
+  def hash128x64Utf16(properties: Seq[String]): (Long, Long) = {
+    val totalChars = properties.iterator.map(_.length).sum
+    val bytes = new Array[Byte](totalChars * 2)
+    var o = 0
+    properties.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        bytes(o) = (c & 0xff).toByte
+        bytes(o + 1) = ((c >> 8) & 0xff).toByte
+        o += 2; i += 1
+      }
+    }
+    hash128x64(bytes)
   }
 
   private def fmix64(in: Long): Long = {

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.GeoIp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Enrichment + multimodal-column queries.
+  *
+  * geo_enrich drives the ip2geo broadcast range join with a dimension table
+  * derived from `nation` (25 rows standing in for a MaxMind-style range db)
+  * against per-event synthetic IPs; the oracle recomputes the join in SQL.
+  *
+  * media_* treat text bytes as an opaque BINARY media column with typed
+  * metadata — the decode step is a clearly-marked deterministic STUB (no
+  * image/audio libs in this container) while the Spark-side plumbing
+  * (binary column, schema, per-partition batch shape, explode of sampled
+  * frames) is real and oracle-checked.
+  */
+object EnrichQueries {
+
+  // --------------------------------------------------------------- geo
+  /** Per-nation IP range: nation k owns [BASE + k*2600, BASE + (k+1)*2600).
+    * IPs land via user_id; ids mapping outside any range stay null. */
+  private val IpBase = 10L * 16777216L // 10.0.0.0
+
+  def geoEnrich(spark: SparkSession, d: String): DataFrame = {
+    val dim = nation(spark, d).select(
+      col("n_name"),
+      (lit(IpBase) + col("n_nationkey") * 2600L).as("ip_start"),
+      (lit(IpBase) + (col("n_nationkey") + 1) * 2600L - 1L).as("ip_end"))
+    val ev = events(spark, d).select(
+      col("event_id"),
+      concat(lit("10.0."),
+        (col("user_id") % 256).cast("string"), lit("."),
+        ((col("user_id") * 7) % 256).cast("string")).as("ip"))
+    GeoIp.enrich(ev, "ip", dim)
+      .select(col("event_id"), col("ip"), col("n_name").as("geo_name"))
+  }
+
+  val geoEnrichSql: String =
+    s"""WITH ev AS (SELECT event_id,
+       |    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+       |      CAST((user_id * 7) % 256 AS VARCHAR) AS ip,
+       |    $IpBase + (user_id % 256) * 256 + (user_id * 7) % 256 AS ip_num
+       |  FROM events),
+       | dim AS (SELECT n_name,
+       |    $IpBase + n_nationkey * 2600 AS ip_start,
+       |    $IpBase + (n_nationkey + 1) * 2600 - 1 AS ip_end
+       |  FROM nation)
+       |SELECT event_id, ip, n_name AS geo_name
+       |FROM ev LEFT JOIN dim ON ip_num BETWEEN ip_start AND ip_end""".stripMargin
+
+  // --------------------------------------------------------------- media
+  /** The documents table as an opaque media-blob frame: BINARY payload +
+    * typed metadata — the §multimodal column model. */
+  private def media(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+
+  /** STUB decode: a real decoder would parse the container header here
+    * (image/audio libs are absent); the stub derives deterministic metadata
+    * from the blob bytes so the full plumbing — binary column in, metadata
+    * struct out, one narrow stage — is exercised and oracle-checked. */
+  def mediaDecode(spark: SparkSession, d: String): DataFrame =
+    media(spark, d).select(
+      col("doc_id"), col("format"),
+      length(col("blob")).as("n_bytes"),
+      (lit(64) + (length(col("blob")) * 7) % 1856).as("width"),
+      (lit(64) + (length(col("blob")) * 13) % 1016).as("height"))
+
+  val mediaDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  strlen(text) AS n_bytes,
+      |  64 + (strlen(text) * 7) % 1856 AS width,
+      |  64 + (strlen(text) * 13) % 1016 AS height
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: every 4th frame of the stub-decoded clip — the explode
+    * pattern used for video frame extraction (rows scale with frames, work
+    * stays partition-local). */
+  def mediaFrames(spark: SparkSession, d: String): DataFrame =
+    mediaDecode(spark, d)
+      .withColumn("n_frames", col("height") % 24 + 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+
+  val mediaFramesSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    (64 + (strlen(text) * 13) % 1016) % 24 + 1 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, i AS frame_idx
+      |FROM m, (SELECT unnest(generate_series(0, 23, 4)) AS i)
+      |WHERE i < n_frames""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_enrich"   -> (geoEnrich _),
+    "media_decode" -> (mediaDecode _),
+    "media_frames" -> (mediaFrames _))
+
+  val oracles: Map[String, String] = Map(
+    "geo_enrich"   -> geoEnrichSql,
+    "media_decode" -> mediaDecodeSql,
+    "media_frames" -> mediaFramesSql)
+}

@@ -1,0 +1,107 @@
+package graft.state
+
+import com.google.common.hash.Hashing
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class DuplicateMemorySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slot/signature split is bit-parity with the reference's Guava use") {
+    val props = Seq("0:1:party", "0:1:session", "ev42")
+    val hasher = Hashing.murmur3_128().newHasher()
+    props.foreach(hasher.putUnencodedChars)
+    val bytes = hasher.hash().asBytes()
+    val expectedSlotSel =
+      ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+        ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    var expectedSig = 0L
+    (8 until 16).foreach(i => expectedSig = (expectedSig << 8) | (bytes(i) & 0xffL))
+    val slots = 1 << 20
+    val (slot, sig) = DuplicateMemory.slotAndSignature(slots, props: _*)
+    assert(slot === (expectedSlotSel & Int.MaxValue) % slots)
+    assert(sig === expectedSig)
+  }
+
+  test("repeated event keys are flagged, first occurrence is not") {
+    val df = Seq(
+      ("p1", "s1", "e1", 1L), ("p1", "s1", "e2", 2L),
+      ("p1", "s1", "e1", 3L), // duplicate of the first
+      ("p2", "s2", "e1", 4L)  // same eventId, different party -> distinct
+    ).toDF("partyId", "sessionId", "eventId", "ts")
+    val flagged = DuplicateMemory
+      .flagDuplicates(df, Seq("partyId", "sessionId", "eventId"), "partyId", "ts")
+      .orderBy("ts").select("eventId", "duplicate").as[(String, Boolean)].collect()
+    assert(flagged === Array(("e1", false), ("e2", false), ("e1", true), ("e1", false)))
+  }
+
+  test("distinct keys stay unflagged at realistic fill rates") {
+    val df = (1 to 5000).map(i => (s"p${i % 50}", s"s$i", s"e$i", i.toLong))
+      .toDF("partyId", "sessionId", "eventId", "ts")
+    val dupes = DuplicateMemory
+      .flagDuplicates(df, Seq("partyId", "sessionId", "eventId"), "partyId", "ts")
+      .filter(col("duplicate")).count()
+    assert(dupes === 0) // 5k distinct keys in 1M slots: collisions ~0
+  }
+}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sessionization closes sessions at the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val q = Streams.sessionize(
+        input.toDF.toDF("partyId", "ts"), "partyId", "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // two sessions for p1 (gap > 30min), one for p2; a late final event
+    // advances the watermark past both session ends
+    input.addData(("p1", ts(0)), ("p1", ts(10)), ("p2", ts(5)))
+    q.processAllAvailable()
+    input.addData(("p1", ts(50)))
+    q.processAllAvailable()
+    input.addData(("p1", ts(59))) // still within p1's second session
+    q.processAllAvailable()
+    val done = spark.table("sessions")
+      .select("partyId", "n_events").as[(String, Long)].collect().toSet
+    q.stop()
+    // sessions closed so far: p1's first (2 events) and p2's (1 event)
+    assert(done.contains(("p1", 2L)))
+    assert(done.contains(("p2", 1L)))
+  }
+
+  test("streaming dedup removes within-watermark repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    def ts(s: Int) = new java.sql.Timestamp(1704100000000L + s * 1000L)
+    val q = Streams.dropDuplicates(
+        input.toDF.toDF("partyId", "eventId", "ts"), "ts", Seq("partyId", "eventId"))
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    input.addData(("p1", "e1", ts(0)), ("p1", "e1", ts(1)), ("p1", "e2", ts(2)))
+    q.processAllAvailable()
+    val rows = spark.table("deduped").select("eventId").as[String].collect().sorted
+    q.stop()
+    assert(rows === Array("e1", "e2"))
+  }
+
+  test("windowed counts aggregate per tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int, s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$s%02d")
+    val q = Streams.windowedCounts(
+        input.toDF.toDF("event_type", "ts"), "ts", "event_type", "5 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("counts").outputMode("append").start()
+    input.addData(("view", ts(0, 10)), ("view", ts(1, 20)), ("click", ts(2, 0)))
+    q.processAllAvailable()
+    input.addData(("view", ts(20, 0))) // advance watermark, close first window
+    q.processAllAvailable()
+    val rows = spark.table("counts")
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains(("view", 2L)))
+    assert(rows.contains(("click", 1L)))
+  }
+}
