@@ -53,6 +53,34 @@ object Pipeline {
       Seq("party_id", "session_id", "ts_ms"), "party_id", "ts_ms")
       .filter(col("duplicate")).count()
     println(s"[pipeline] duplicate-flagged=$dupes")
+
+    // 6. streaming leg: file-stream the raw events table -> windowed rollup
+    //    -> Avro file sink, one roll per micro-batch (AvailableNow drains
+    //    the backlog then stops — the batch-parity mode).
+    //    (file-stream sources watch a directory; stage the table into one)
+    val srcDir = java.nio.file.Paths.get(s"$outDir/stream-src")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamIn = spark.readStream
+      .schema(rawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp"))
+    val streamOut = graft.streaming.Streams.windowedCounts(streamIn, "ts", "event_type", "1 hour")
+    val sq = streamOut.writeStream
+      .option("checkpointLocation", s"$outDir/stream-cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) graft.sinks.AvroFileSink.write(
+          b.withColumn("window_start", unix_millis(col("window_start"))),
+          s"$outDir/stream-avro", s"roll-b$id"); ()
+      }.start()
+    sq.awaitTermination()
+    val rolled = graft.sinks.AvroFileSink.readBack(spark, s"$outDir/stream-avro")
+    println(s"[pipeline] stream-avro files=${rolled.size} rows=${rolled.map(_._2).sum}")
     spark.stop()
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.dsl.DefaultMapping
+import graft.sources.BrowserSource
+import org.apache.spark.sql.functions._
+
+/** Per-core decode+map throughput vs the reference's
+  * 15k events/s/thread (`docs/introduction.rst:111-113`). */
+object Throughput {
+  def main(args: Array[String]): Unit = {
+    val cores = 32
+    val spark = GraftSession.build(cores, "throughput")
+    val d = "/root/testdata/sf0.1"
+    // materialize 1M wire-format rows first so we time ONLY decode+map
+    val ev = Tables.events(spark, d)
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+    val b36ts = lower(conv(col("ts_ms").cast("string"), 10, 36))
+    val qs = concat_ws("&",
+      concat(lit("p=0%3A"), b36ts, lit("%3Auser"), col("user_id")),
+      concat(lit("s=0%3A"), b36ts, lit("%3Asess"), col("user_id")),
+      concat(lit("v=pv"), col("event_id")),
+      concat(lit("e=pv"), col("event_id"), lit("%3A0")),
+      concat(lit("c="), b36ts),
+      lit("n=f"), lit("f=t"),
+      concat(lit("l=http%3A%2F%2Fshop.example%2Fp%2F"), col("user_id")),
+      concat(lit("w="), lower(conv(floor(col("value")).cast("long").cast("string"), 10, 36))),
+      concat(lit("t="), col("event_type")),
+      concat(lit("u=(dk!"), lower(conv(get_json_object(col("props"), "$.k").cast("long").cast("string"), 10, 36)), lit("!)")))
+    val wire = (1 to 10).map(_ => ev.withColumn("qs", qs)
+        .withColumn("userAgentString", lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"))
+        .withColumn("remoteHost", lit("10.0.0.1"))
+        .withColumn("requestTimestamp", col("ts_ms"))
+        .withColumn("duplicate", lit(false))
+        .select("qs", "userAgentString", "remoteHost", "requestTimestamp", "duplicate"))
+      .reduce(_ union _).repartition(cores).cache()
+    val n = wire.count()
+    // timed: full browser decode + default mapping (26 fields, UA enrich)
+    val t0 = System.nanoTime()
+    val out = DefaultMapping(BrowserSource.decode(wire, "qs"))
+    val cnt = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[thpt] rows=$cnt sec=$sec%.2f total=${cnt / sec}%.0f/s percore=${cnt / sec / cores}%.0f/s")
+    // decode only
+    val t1 = System.nanoTime()
+    val c2 = BrowserSource.decode(wire, "qs").count()
+    println(f"[thpt] decode-only ${c2 / ((System.nanoTime() - t1) / 1e9) / cores}%.0f/s/core")
+    spark.stop()
+  }
+}

@@ -88,4 +88,27 @@ object GraftFunctions {
     val anchored = s"^(?:$pattern)$$"
     when(c.rlike(anchored), nullif(regexp_extract(c, anchored, group), lit("")))
   }
+
+  // ------------------------------------------------------------ transport
+  /** Client address from an X-Forwarded-For chain: the proxy-adjacent
+    * (last) entry — reference `ProxyAdjacentPeerAddressHandler`
+    * (`Server.java:135-138`): only the value appended by the trusted
+    * adjacent proxy is believable. */
+  def xForwardedForClient(header: Column): Column =
+    try_element_at(splitHeaderValue(header), lit(-1))
+
+  /** Cookie value by name from a Cookie request header
+    * (`DslRecordMapping.java:566-570` cookie(name) producer). */
+  def cookieValue(cookieHeader: Column, name: String): Column =
+    element_at(str_to_map(cookieHeader, lit(";\\s*"), lit("=")), name)
+
+  /** Event-parameter JSONPath access over the decoded parameters JSON —
+    * `eventParameters().path(expr)` (`DslRecordMapping.java:575-632`);
+    * supports the `get_json_object` JSONPath subset ($.a.b[0], [*] etc). */
+  def eventParamPath(paramsJson: Column, jsonPath: String): Column =
+    get_json_object(paramsJson, jsonPath)
+
+  /** `eventParameters().value(name)` — first-level string value. */
+  def eventParamValue(paramsJson: Column, name: String): Column =
+    get_json_object(paramsJson, s"$$.$name")
 }
