@@ -172,7 +172,25 @@ object EventQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ sketches
+  /** Approximate rollup — the 100 TB form of evt_daily_rollup: HLL distinct
+    * users (mergeable, constant memory per group vs exact COUNT DISTINCT's
+    * second shuffle) and approximate value percentiles. Non-oracled (sketch
+    * outputs are engine-specific); accuracy vs exact is asserted in
+    * SketchSpec. */
+  def dailyRollupApprox(spark: SparkSession, d: String): DataFrame =
+    ev(spark, d)
+      .groupBy(
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
     "evt_sessionize"   -> (sessionize _),
     "evt_dedup_exact"  -> (dedupExact _),
