@@ -287,7 +287,69 @@ object DocQueries {
       .filter(col("hamming") <= 3)
   }
 
+  // ------------------------------------------------- tokenizer (BPE-ish)
+  /** Sub-word-style token counting with a BPE-ish regex (letter runs,
+    * digit runs, single punctuation — the pre-tokenization split GPT-style
+    * tokenizers apply before merges), alongside whitespace tokens. */
+  def tokenCounts(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("bpeish_tokens"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- winnowing fingerprint
+  /** Rolling-hash winnowing fingerprints (the MOSS scheme): k-gram rolling
+    * hashes, minimum per sliding window — robust local fingerprints for
+    * partial-overlap detection. JVM UDF (rolling-hash loops don't map to
+    * SQL); validated on shared-substring docs in PipelineSpec. */
+  private val winnowUdf = udf((text: String) => {
+    val k = 8; val window = 4
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) Array.empty[Long]
+    else {
+      val B = 257L; val M = (1L << 31) - 1
+      // after `h = h*B + c_new`, the departing char's coefficient is B^k
+      var pow = 1L; (1 to k).foreach(_ => pow = pow * B % M)
+      val hashes = new Array[Long](s.length - k + 1)
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        h = (h * B + s.charAt(i)) % M
+        if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * M) % M
+        if (i >= k - 1) hashes(i - k + 1) = h
+        i += 1
+      }
+      // winnow: min hash of each window, deduped on (value, position) moves
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var w = 0
+      while (w + window <= hashes.length) {
+        var mn = Long.MaxValue
+        var j = w
+        while (j < w + window) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+        out += mn
+        w += 1
+      }
+      out.toArray
+    }
+  })
+
+  def winnowFingerprints(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      winnowUdf(col("text")).as("fingerprints"))
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
+        col("fingerprints"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_token_counts" -> (tokenCounts _),
+    "doc_winnow"       -> (winnowFingerprints _),
     "doc_dedup_exact"     -> (dedupExact _),
     "doc_fingerprint"     -> (fingerprint _),
     "doc_token_stats"     -> (tokenStats _),
@@ -298,6 +360,7 @@ object DocQueries {
     "doc_simhash_pairs"   -> (simhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "doc_token_counts"    -> tokenCountsSql,
     "doc_dedup_exact"     -> dedupExactSql,
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,

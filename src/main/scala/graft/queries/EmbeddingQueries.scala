@@ -147,12 +147,102 @@ object EmbeddingQueries {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  // ------------------------------------------------------- cosine near-dup
+  /** Embedding-cosine near-duplicate pairs across the whole corpus:
+    * all-pairs exact cosine with a threshold. Quadratic by nature — the
+    * scale path is [[annLsh]]/[[annIvf]]; this is the exact baseline the
+    * approximate variants are measured against. Scaled-integer math keeps
+    * the oracle bit-stable. */
+  def neardupCosine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // Dense all-pairs dot products: broadcast the (small) scaled matrix and
+    // loop in JVM per partition — a crossJoin with per-pair zip_with/
+    // aggregate expressions runs interpreted per element and was 22s for
+    // 2M pairs; the tight loop is <1s. At warehouse scale this generalizes
+    // to block-matrix multiply: partition both sides into row blocks,
+    // broadcast one block at a time.
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .as[(Long, Array[Long])]
+    val all = spark.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) =>
+        (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+      })
+    val out = e.mapPartitions { rows =>
+      val corpus = all.value
+      rows.flatMap { case (id, v) =>
+        val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+        corpus.iterator.filter(_._1 > id).flatMap { case (id2, v2, nb) =>
+          var dot = 0L
+          var i = 0
+          while (i < v.length) { dot += v(i) * v2(i); i += 1 }
+          val cos = BigDecimal(dot.toDouble / (na * nb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= 0.4) Some((id, id2, cos)) else None
+        }
+      }
+    }.toDF("v1", "v2", "cosine")
+    out
+  }
+
+  val neardupCosineSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, emb, (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2 FROM e)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  ROUND(CAST((SELECT SUM(a.emb[i] * b.emb[i]) FROM idx) AS DOUBLE)
+       |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cosine
+       |FROM f a JOIN f b ON a.vec_id < b.vec_id
+       |WHERE ROUND(CAST((SELECT SUM(a.emb[i] * b.emb[i]) FROM idx) AS DOUBLE)
+       |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) >= 0.4""".stripMargin
+
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF-style ANN: coarse cells from the per-label centroids, queries probe
+    * their nearest `NProbe` cells, exact cosine within the probed cells. At
+    * scale the cell assignment is a broadcast join against k centroids and
+    * the search space shrinks by ~k/NProbe. Cell quality is data-dependent
+    * (validated on planted neighbors in PipelineSpec). */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    val NProbe = 3
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val cents = centroids(spark, d) // (label, dim, mean_val)
+      .groupBy(col("label").as("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("cell"), transform(col("cs"), _.getField("mean_val")).as("cemb"))
+    val dotD = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val normD = (c: Column) => sqrt(dotD(c, c))
+    // assign every vector to its nearest cell; queries keep top-NProbe cells
+    val scoredCells = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dotD(col("emb"), col("cemb")) / (normD(col("emb")) * normD(col("cemb"))))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = scoredCells.withColumn("rk", row_number().over(wv))
+    val corpusCells = assigned.filter(col("rk") === 1 && col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val queryCells = assigned.filter(col("rk") <= NProbe && col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
+      .withColumn("cosine", round(
+        dotD(col("emb"), col("q_emb")) / (normD(col("emb")) * normD(col("q_emb"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_knn_brute" -> (knnBrute _),
-    "emb_centroids" -> (centroids _),
-    "emb_ann_lsh"   -> (annLsh _))
+    "emb_knn_brute"      -> (knnBrute _),
+    "emb_centroids"      -> (centroids _),
+    "emb_ann_lsh"        -> (annLsh _),
+    "emb_ann_ivf"        -> (annIvf _),
+    "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
-    "emb_knn_brute" -> knnBruteSql,
-    "emb_centroids" -> centroidsSql)
+    "emb_knn_brute"      -> knnBruteSql,
+    "emb_centroids"      -> centroidsSql,
+    "emb_neardup_cosine" -> neardupCosineSql)
 }

@@ -62,6 +62,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann IVF cosines agree with brute force on shared pairs") {
+    val brute = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = EmbeddingQueries.annIvf(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.filter(r => brute.contains((r._1, r._2))).foreach { case (q, v, c) =>
+      assert(math.abs(brute((q, v)) - c) < 1e-4, s"cosine mismatch for ($q,$v)")
+    }
+  }
+
+  test("winnowing fingerprints overlap for docs sharing a long substring") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique prefix one $shared unique suffix one"),
+      (2L, s"different opening here $shared and a different close"),
+      (3L, "completely unrelated content with no common run at all here")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = DocQueries.winnowFingerprints(spark, tmp)
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2.toSet).toMap
+    val overlap12 = (fps(1L) & fps(2L)).size.toDouble / math.min(fps(1L).size, fps(2L).size)
+    val overlap13 = (fps(1L) & fps(3L)).size.toDouble / math.min(fps(1L).size, fps(3L).size)
+    assert(overlap12 > 0.3, s"shared-substring docs should share fingerprints: $overlap12")
+    assert(overlap13 < overlap12 / 2, s"unrelated doc too similar: $overlap13 vs $overlap12")
+  }
+
   test("ann LSH cosines agree with brute force on shared pairs") {
     val brute = EmbeddingQueries.knnBrute(spark, sf)
       .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
