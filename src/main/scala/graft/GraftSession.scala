@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as raw long (see Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed (bucketed) tables land outside the repo
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,38 @@
+package graft.storage
+
+import graft.{SparkSpec, Tables}
+
+class BucketingSpec extends SparkSpec {
+
+  test("same-bucketed tables join without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // clear any orphaned location from a previously failed run
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-warehouse", t)
+      if (java.nio.file.Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    Bucketing.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(Tables.lineitem(spark, sf), "b_lineitem", "l_orderkey", 8)
+    // force the sort-merge path (tiny test tables would broadcast, hiding
+    // the bucketing effect this test is about)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val joined = Bucketing.colocatedJoin(spark, "b_lineitem", "b_orders",
+      "l_orderkey", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it is still a correct join
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val expected = li.join(or, li("l_orderkey") === or("o_orderkey")).count()
+    assert(joined.count() === expected)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
