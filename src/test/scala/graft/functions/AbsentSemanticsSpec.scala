@@ -1,0 +1,69 @@
+package graft.functions
+
+import com.google.common.hash.Hashing
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+
+/** The reference's absent-value logic, tested directly (SURVEY.md §7.4
+  * "hard parts"): these deliberately DIFFER from SQL three-valued logic. */
+class AbsentSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T: java.lang.Boolean = true
+  private val F: java.lang.Boolean = false
+  private val N: java.lang.Boolean = null
+
+  private def table = Seq(
+    (T, T), (T, F), (F, F), (T, N), (F, N), (N, N)
+  ).toDF("l", "r")
+
+  test("and: absent if either side absent (NOT SQL: false AND null = false)") {
+    val got = table.select(absentAnd(col("l"), col("r"))).as[Option[Boolean]].collect()
+    assert(got === Array(Some(true), Some(false), Some(false), None, None, None))
+    // contrast: SQL 3VL would give Some(false) for (F, N)
+    val sql3vl = table.select(col("l") && col("r")).as[Option[Boolean]].collect()
+    assert(sql3vl(4) === Some(false))
+  }
+
+  test("or: absent if either side absent (NOT SQL: true OR null = true)") {
+    val got = table.select(absentOr(col("l"), col("r"))).as[Option[Boolean]].collect()
+    assert(got === Array(Some(true), Some(true), Some(false), None, None, None))
+  }
+
+  test("equalTo: two absents are equal; absent vs present is false") {
+    val df = Seq[(String, String)](("a", "a"), ("a", "b"), (null, null), ("a", null))
+      .toDF("l", "r")
+    assert(df.select(equalTo(col("l"), col("r"))).as[Boolean].collect() ===
+      Array(true, false, true, false))
+  }
+
+  test("toBoolean never null: only 'true' (case-insensitive) is true") {
+    val df = Seq("true", "TRUE", "false", "yes", "1", null).toDF("s")
+    assert(df.select(toBooleanLenient(col("s"))).as[Boolean].collect() ===
+      Array(true, true, false, false, false, false))
+  }
+
+  test("matchGroup: full-string anchor, null (not empty) on miss") {
+    val df = Seq("item-42", "item-42-suffix", "other").toDF("s")
+    val got = df.select(matchGroup(col("s"), "item-(\\d+)", 1)).as[Option[String]].collect()
+    assert(got === Array(Some("42"), None, None)) // partial match is a miss
+  }
+
+  test("checksum canonicalization: repeated keys keep value order") {
+    // reference buildNormalizedChecksumString: sorted keys; each value
+    // followed by ','; ';' after each key group
+    val qs = "b=2&a=first&a=second&x=ignored"
+    val canonical = "a=first,second,;b=2,;"
+    val expected: Int = {
+      @annotation.nowarn("cat=deprecation")
+      def h = Hashing.murmur3_32().hashString(canonical, StandardCharsets.UTF_8).asInt()
+      h
+    }
+    val got = Seq(qs).toDF("qs")
+      .select(murmur3Utf8(checksumCanonicalString(parseQueryString(col("qs")))))
+      .as[Int].collect()(0)
+    assert(got === expected)
+  }
+}
