@@ -46,6 +46,11 @@ object Pipeline {
     val n = frames.count()
     val sample = frames.select(length(col("value")).as("len")).agg(min("len"), max("len")).collect()(0)
     println(s"[pipeline] kafka frames=$n valueLen=[${sample.get(0)}, ${sample.get(1)}]")
+    // consume side: decode the frames straight back (broker-less loop)
+    val consumed = graft.sources.TopicSources.decodeKafkaFrame(
+      frames, routed("kafka").schema, confluent = true)
+    println(s"[pipeline] kafka consumed=${consumed.count()} " +
+      s"schemaId=${consumed.select("schemaId").distinct().collect()(0).getInt(0)}")
 
     // 5. duplicate memory on the decoded feed
     val dupes = DuplicateMemory.flagDuplicates(
