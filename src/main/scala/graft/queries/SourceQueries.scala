@@ -105,11 +105,53 @@ object SourceQueries {
       |  FALSE AS corrupt
       |FROM events""".stripMargin
 
+  // --------------------------------------------------------------- uri
+  /** The URI producer family (`UriValueProducer`,
+    * `DslRecordMapping.java:449-530`): synthesize a URL per event, run it
+    * through `parse_url` (+ the multi-value query map for `.query()`
+    * semantics), emit every component the reference's producers expose. */
+  def uriParse(spark: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://shop.example:8443/cat/"), col("user_id"),
+      lit("/item?color=red&color=blue&size="), col("user_id") % 5,
+      lit("#frag"), col("user_id"))
+    events(spark, d).select(col("event_id"), col("user_id"))
+      .withColumn("url", url)
+      .select(
+        col("event_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("scheme"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        regexp_extract(parse_url(col("url"), lit("AUTHORITY")), ":(\\d+)$", 1)
+          .cast("int").as("port"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query_string"),
+        parse_url(col("url"), lit("REF")).as("fragment"),
+        parse_url(col("url"), lit("QUERY"), lit("size")).as("size_value"),
+        // .query().valueList('color') — multi-value map semantics
+        array_join(element_at(
+          graft.functions.GraftFunctions.parseQueryString(
+            parse_url(col("url"), lit("QUERY"))), "color"), ",").as("color_values"))
+  }
+
+  val uriParseSql: String =
+    """SELECT event_id,
+      |  'https' AS scheme,
+      |  'shop.example' AS host,
+      |  8443 AS port,
+      |  '/cat/' || CAST(user_id AS VARCHAR) || '/item' AS path,
+      |  'color=red&color=blue&size=' || CAST(user_id % 5 AS VARCHAR) AS query_string,
+      |  'frag' || CAST(user_id AS VARCHAR) AS fragment,
+      |  CAST(user_id % 5 AS VARCHAR) AS size_value,
+      |  'red,blue' AS color_values
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_browser_roundtrip" -> (browserRoundtrip _),
-    "src_json_roundtrip"    -> (jsonRoundtrip _))
+    "src_json_roundtrip"    -> (jsonRoundtrip _),
+    "uri_parse"             -> (uriParse _))
 
   val oracles: Map[String, String] = Map(
     "src_browser_roundtrip" -> browserRoundtripSql,
-    "src_json_roundtrip"    -> jsonRoundtripSql)
+    "src_json_roundtrip"    -> jsonRoundtripSql,
+    "uri_parse"             -> uriParseSql)
 }
