@@ -27,6 +27,11 @@ object MappingDevTool {
       else args.drop(1).mkString(" ")
     val spark = GraftSession.build(2, "graft-mapping-dev")
     import spark.implicits._
+    if (mode == "encode") {
+      // JSON -> mincode (the wire payload the browser tag would send as u=)
+      println("[mapping-dev] " + graft.functions.Mincode.fromJson(payload))
+      return
+    }
     val decoded = mode match {
       case "json" =>
         JsonSource.decode(

@@ -31,6 +31,53 @@ object Mincode {
 
   private final class MincodeError extends RuntimeException(null, null, false, false)
 
+  // ------------------------------------------------------------- encoder
+  /** JSON → mincode (the client-side direction, `divolte.js:918-1040`):
+    * lets the engine mint reference-compatible wire payloads and enables
+    * roundtrip testing of the decoder. Integral numbers that fit a long use
+    * the compact base36 `d` record; everything else numeric uses the raw
+    * JSON `j` record. */
+  def fromJson(json: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val sb = new java.lang.StringBuilder
+    encodeValue(node, sb)
+    sb.toString
+  }
+
+  private def escape(s: String): String =
+    s.replace("~", "~~").replace("!", "~!")
+
+  private def encodeValue(n: com.fasterxml.jackson.databind.JsonNode,
+                          sb: java.lang.StringBuilder): Unit = {
+    import com.fasterxml.jackson.databind.JsonNode
+    n match {
+      case _ if n.isNull => sb.append('n')
+      case _ if n.isBoolean => sb.append(if (n.asBoolean) 't' else 'f')
+      case _ if n.isIntegralNumber && n.canConvertToLong =>
+        sb.append('d').append(java.lang.Long.toString(n.asLong, 36)).append('!')
+      case _ if n.isNumber =>
+        sb.append('j').append(n.asText).append('!')
+      case _ if n.isTextual =>
+        sb.append('s').append(escape(n.asText)).append('!')
+      case _ if n.isArray =>
+        sb.append('a')
+        n.elements.forEachRemaining((e: JsonNode) => encodeValue(e, sb))
+        sb.append('.')
+      case _ if n.isObject =>
+        sb.append('(')
+        n.properties().forEach { e =>
+          // record type char precedes the field name
+          val before = sb.length
+          encodeValue(e.getValue, sb)
+          // splice the escaped name right after the type char
+          sb.insert(before + 1, escape(e.getKey) + "!")
+        }
+        sb.append(')')
+      case other => throw new IllegalArgumentException(s"unencodable node: $other")
+    }
+  }
+
   private final class Parser(in: String) {
     private var pos = 0
     def atEnd: Boolean = pos >= in.length

@@ -55,3 +55,50 @@ class MincodeSpec extends AnyFunSuite {
     assert(json("squote\"backslash\\!") === "\"quote\\\"backslash\\\\\"")
   }
 }
+
+/** Encoder + decoder roundtrip over randomized JSON documents. */
+class MincodeRoundtripSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val rng = new scala.util.Random(2026)
+
+  private def randomScalar(): String = rng.nextInt(6) match {
+    case 0 => "null"
+    case 1 => rng.nextBoolean().toString
+    case 2 => rng.nextLong().toString
+    case 3 => (rng.nextDouble() * 1000 - 500).toString
+    case 4 => mapper.writeValueAsString(
+      String.valueOf(Array.fill(rng.nextInt(12))((32 + rng.nextInt(95)).toChar)))
+    case 5 => mapper.writeValueAsString("esc~!" + rng.nextInt(10))
+  }
+
+  private def randomJson(depth: Int): String =
+    if (depth == 0) randomScalar()
+    else rng.nextInt(3) match {
+      case 0 => randomScalar()
+      case 1 => (0 until rng.nextInt(4)).map(_ => randomJson(depth - 1))
+        .mkString("[", ",", "]")
+      case 2 => (0 until rng.nextInt(4)).map(i =>
+        mapper.writeValueAsString(s"k$i${if (rng.nextBoolean()) "~!" else ""}") +
+          ":" + randomJson(depth - 1)).mkString("{", ",", "}")
+    }
+
+  test("encoder spec examples match the sample corpus") {
+    assert(Mincode.fromJson("\"a string\"") === "sa string!")
+    assert(Mincode.fromJson("42") === "d16!")
+    assert(Mincode.fromJson("10.3") === "j10.3!")
+    assert(Mincode.fromJson("""{"name":"John Doe","age":42,"children":["Mary","Bill"]}""")
+      === "(sname!John Doe!dage!16!achildren!sMary!sBill!.)")
+    assert(Mincode.fromJson("\"Hello~World!\"") === "sHello~~World~!!")
+  }
+
+  test("500 random documents roundtrip encode -> decode -> identical JSON") {
+    (1 to 500).foreach { _ =>
+      val doc = randomJson(3)
+      val code = Mincode.fromJson(doc)
+      val back = Mincode.toJson(code)
+      assert(back != null, s"decode failed for doc=$doc code=$code")
+      assert(mapper.readTree(back) === mapper.readTree(doc),
+        s"roundtrip mismatch: doc=$doc code=$code back=$back")
+    }
+  }
+}
