@@ -37,12 +37,14 @@ object Throughput {
     // timed: full browser decode + default mapping (26 fields, UA enrich)
     val t0 = System.nanoTime()
     val out = DefaultMapping(BrowserSource.decode(wire, "qs"))
-    val cnt = out.count()
+    // toRdd.count() materializes every mapped column (plain count() would
+    // let Catalyst prune the entire mapping and time an empty scan)
+    val cnt = out.queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[thpt] rows=$cnt sec=$sec%.2f total=${cnt / sec}%.0f/s percore=${cnt / sec / cores}%.0f/s")
     // decode only
     val t1 = System.nanoTime()
-    val c2 = BrowserSource.decode(wire, "qs").count()
+    val c2 = BrowserSource.decode(wire, "qs").queryExecution.toRdd.count()
     println(f"[thpt] decode-only ${c2 / ((System.nanoTime() - t1) / 1e9) / cores}%.0f/s/core")
     spark.stop()
   }

@@ -45,7 +45,13 @@ object DefaultMapping {
     StructField("userAgentOsVersion", StringType),
     StructField("userAgentOsVendor", StringType)))
 
-  private val uaParse = udf(UserAgents.parse _)
+  // Native expression: one InternalRow per parse (per-thread LRU inside),
+  // no reflective serializer. Still pinned to evaluate once via a dedicated
+  // projection below.
+  private def uaParse(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.UaParse(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Map a decoded event frame (BrowserSource/JsonSource output; transport
     * columns `requestTimestamp`/`remoteHost`/`userAgentString`/`duplicate`

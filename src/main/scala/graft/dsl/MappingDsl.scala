@@ -88,19 +88,33 @@ object MappingDsl {
   final class CompiledMapping private[MappingDsl] (
       target: StructType,
       defaults: Map[String, Option[Any]],
-      assignments: Seq[(String, Column, Column)]) extends (DataFrame => DataFrame) {
+      assignments: Seq[(String, Column, Column)],
+      /** true when the whole script is straight-line `map` actions. */
+      private[MappingDsl] val trivialGuards: Boolean) extends (DataFrame => DataFrame) {
 
-    /** One `select`: every target field folded from its guarded assignments. */
+    /** One `select`: every target field folded from its guarded assignments.
+      * Control-flow-free mappings (the common case — e.g. the default
+      * mapping) skip the guard CASEs entirely: a single unconditional
+      * assignment to a null-default field IS the value (absent ⇒ null ⇒
+      * default, so the isNotNull fallback is an identity). */
     def apply(df: DataFrame): DataFrame = {
       val byField = assignments.groupBy(_._1)
       val cols = target.fields.map { f =>
-        val base: Column = defaults.get(f.name).flatten match {
-          case Some(null) | None => lit(null).cast(f.dataType)
-          case Some(v)           => lit(v).cast(f.dataType)
-        }
-        val folded = byField.getOrElse(f.name, Nil).foldLeft(base) {
-          case (acc, (_, value, guard)) =>
-            when(truthy(guard) && value.isNotNull, value.cast(f.dataType)).otherwise(acc)
+        val fieldAssigns = byField.getOrElse(f.name, Nil)
+        val default = defaults.get(f.name).flatten
+        val folded = fieldAssigns match {
+          case Seq((_, value, guard))
+              if trivialGuards && (default.isEmpty || default.contains(null)) =>
+            value.cast(f.dataType)
+          case _ =>
+            val base: Column = default match {
+              case Some(null) | None => lit(null).cast(f.dataType)
+              case Some(v)           => lit(v).cast(f.dataType)
+            }
+            fieldAssigns.foldLeft(base) {
+              case (acc, (_, value, guard)) =>
+                when(truthy(guard) && value.isNotNull, value.cast(f.dataType)).otherwise(acc)
+            }
         }
         folded.as(f.name)
       }
@@ -172,6 +186,7 @@ object MappingDsl {
       }
 
     walk(nodes, lit(true), Nil)
-    new CompiledMapping(target, defaults, out.toSeq)
+    val trivial = nodes.forall(_.isInstanceOf[Assign])
+    new CompiledMapping(target, defaults, out.toSeq, trivial)
   }
 }

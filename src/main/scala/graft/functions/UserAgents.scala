@@ -18,32 +18,85 @@ object UserAgents {
       version: String, deviceCategory: String,
       osFamily: String, osVersion: String, osVendor: String)
 
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: StructType = StructType(Seq(
+    "name", "family", "vendor", "uaType", "version", "deviceCategory",
+    "osFamily", "osVersion", "osVendor").map(StructField(_, StringType)))
+
+  /** Hot path: parse straight to an InternalRow (cached per thread) —
+    * avoids the reflective case-class serializer per row. */
+  def parseInternal(ua: UTF8String): InternalRow = {
+    val i = parse(if (ua == null) null else ua.toString)
+    def s(v: String): AnyRef = if (v == null) null else UTF8String.fromString(v)
+    new GenericInternalRow(Array[Any](
+      s(i.name), s(i.family), s(i.vendor), s(i.uaType), s(i.version),
+      s(i.deviceCategory), s(i.osFamily), s(i.osVersion), s(i.osVendor)))
+  }
+
+  // Patterns compile ONCE per JVM — `.r` inside the per-row parse path
+  // would recompile every pattern per event (measured: dominated the
+  // default-mapping stage).
   private val Bot = """(?i).*(bot|crawler|spider|slurp|archiver|fetch|scan).*""".r
+  private val ReEdge = """Edg(?:e|A|iOS)?/([\d.]+)""".r
+  private val ReOpera = """OPR/([\d.]+)""".r
+  private val ReFirefox = """Firefox/([\d.]+)""".r
+  private val ReChrome = """Chrome/([\d.]+)""".r
+  private val ReSafari = """Version/([\d.]+).*Safari""".r
+  private val ReMsie = """MSIE ([\d.]+)""".r
+  private val ReTrident = """rv:([\d.]+)\) like Gecko""".r
+  private val ReWindows = """Windows NT ([\d.]+)""".r
+  private val ReAndroid = """Android ([\d.]+)""".r
+  private val ReIos = """(?:iPhone|CPU) OS ([\d_]+)""".r
+  private val ReMac = """Mac OS X ([\d_.]+)""".r
 
   private def firstGroup(re: scala.util.matching.Regex, s: String): Option[String] =
     re.findFirstMatchIn(s).map(_.group(1))
 
+  /** Per-thread LRU over parse results — the reference's 1000-entry cache
+    * (`UserAgentParserAndCache.java:76-87`, `reference.conf:94-102`): UA
+    * strings repeat heavily, so most rows become a map hit. ThreadLocal
+    * mirrors the reference's per-mapper-thread cache (no contention). */
+  private val CacheSize = 1000
+  private val cache = ThreadLocal.withInitial[java.util.LinkedHashMap[String, UaInfo]](() =>
+    new java.util.LinkedHashMap[String, UaInfo](CacheSize * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, UaInfo]): Boolean =
+        size() > CacheSize
+    })
+
   def parse(ua: String): UaInfo = {
     if (ua == null) return UaInfo(null, null, null, null, null, null, null, null, null)
+    val c = cache.get()
+    val hit = c.get(ua)
+    if (hit != null) return hit
+    val computed = parseUncached(ua)
+    c.put(ua, computed)
+    computed
+  }
+
+  private def parseUncached(ua: String): UaInfo = {
 
     val isBot = Bot.pattern.matcher(ua).matches()
 
     // Order matters: Edge/Opera/Chrome embed each other's tokens.
     val (name, vendor, version) =
-      firstGroup("""Edg(?:e|A|iOS)?/([\d.]+)""".r, ua).map(v => ("Edge", "Microsoft Corporation", v))
-        .orElse(firstGroup("""OPR/([\d.]+)""".r, ua).map(v => ("Opera", "Opera Software ASA", v)))
-        .orElse(firstGroup("""Firefox/([\d.]+)""".r, ua).map(v => ("Firefox", "Mozilla Foundation", v)))
-        .orElse(firstGroup("""Chrome/([\d.]+)""".r, ua).map(v => ("Chrome", "Google Inc.", v)))
-        .orElse(firstGroup("""Version/([\d.]+).*Safari""".r, ua).map(v => ("Safari", "Apple Inc.", v)))
-        .orElse(firstGroup("""MSIE ([\d.]+)""".r, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
-        .orElse(firstGroup("""rv:([\d.]+)\) like Gecko""".r, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
+      firstGroup(ReEdge, ua).map(v => ("Edge", "Microsoft Corporation", v))
+        .orElse(firstGroup(ReOpera, ua).map(v => ("Opera", "Opera Software ASA", v)))
+        .orElse(firstGroup(ReFirefox, ua).map(v => ("Firefox", "Mozilla Foundation", v)))
+        .orElse(firstGroup(ReChrome, ua).map(v => ("Chrome", "Google Inc.", v)))
+        .orElse(firstGroup(ReSafari, ua).map(v => ("Safari", "Apple Inc.", v)))
+        .orElse(firstGroup(ReMsie, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
+        .orElse(firstGroup(ReTrident, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
         .getOrElse((null, null, null))
 
     val (osFamily, osVersion, osVendor) =
-      firstGroup("""Windows NT ([\d.]+)""".r, ua).map(v => ("Windows", v, "Microsoft Corporation"))
-        .orElse(firstGroup("""Android ([\d.]+)""".r, ua).map(v => ("Android", v, "Google Inc.")))
-        .orElse(firstGroup("""(?:iPhone|CPU) OS ([\d_]+)""".r, ua).map(v => ("iOS", v.replace('_', '.'), "Apple Inc.")))
-        .orElse(firstGroup("""Mac OS X ([\d_.]+)""".r, ua).map(v => ("OS X", v.replace('_', '.'), "Apple Inc.")))
+      firstGroup(ReWindows, ua).map(v => ("Windows", v, "Microsoft Corporation"))
+        .orElse(firstGroup(ReAndroid, ua).map(v => ("Android", v, "Google Inc.")))
+        .orElse(firstGroup(ReIos, ua).map(v => ("iOS", v.replace('_', '.'), "Apple Inc.")))
+        .orElse(firstGroup(ReMac, ua).map(v => ("OS X", v.replace('_', '.'), "Apple Inc.")))
         .orElse(if (ua.contains("Linux")) Some(("Linux", null, null)) else None)
         .getOrElse((null, null, null))
 

@@ -109,6 +109,47 @@ case class DivolteIdTimestamp(child: Expression) extends StaticCallUnary {
   override def prettyName: String = "divolte_id_timestamp"
 }
 
+/** One-pass browser wire decode (query-string parse + checksum + base36 +
+  * mincode) into a struct — see [[BrowserWire]]. Builds the InternalRow
+  * directly; doGenCode is a single static call so the surrounding
+  * projection stays in whole-stage codegen. */
+case class BrowserDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BrowserWire.schema
+  override def nullable: Boolean = false
+  override def nullSafeEval(input: Any): Any =
+    BrowserWire.decodeInternal(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.BrowserWire.decodeInternal($c);")
+  override protected def withNewChildInternal(c: Expression): BrowserDecode = copy(c)
+  override def prettyName: String = "browser_decode"
+}
+
+/** User-agent classification struct (see [[UserAgents]]) — direct
+  * InternalRow construction with a per-thread LRU behind it. Tolerates null
+  * input (null UA → all-null struct, reference absent semantics). */
+case class UaParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = UserAgents.schema
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    UserAgents.parseInternal(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val row = ctx.freshName("uaRow")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |InternalRow $row = graft.functions.UserAgents.parseInternal(
+        |  ${c.isNull} ? null : ${c.value});
+        """.stripMargin,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(row, dataType))
+  }
+  override protected def withNewChildInternal(c: Expression): UaParse = copy(c)
+  override def prettyName: String = "ua_parse"
+}
+
 /** Query string → map<string, array<string>> with the reference's
   * multi-value, valueless-key and percent-decode semantics
   * (`recordmapping/QueryStringParser.java:37-89`). */
