@@ -86,6 +86,26 @@ object Pipeline {
     sq.awaitTermination()
     val rolled = graft.sinks.AvroFileSink.readBack(spark, s"$outDir/stream-avro")
     println(s"[pipeline] stream-avro files=${rolled.size} rows=${rolled.map(_._2).sum}")
+
+    // 7. streaming slot-memory duplicate flagging over the same feed
+    //    (every event is distinct here, so flagged must be 0 — parity with
+    //    the batch slot memory)
+    import spark.implicits._
+    val keyed = streamIn.select(
+        concat(lit("p"), col("user_id")).as("partyId"),
+        lit("s0").as("sessionId"),
+        concat(lit("e"), col("event_id")).as("eventId"),
+        unix_millis(col("ts").cast("timestamp")).as("ts"))
+      .as[(String, String, String, Long)]
+    val dupq = graft.streaming.Streams.flagDuplicatesStream(keyed)
+      .toDF("partyId", "sessionId", "eventId", "ts", "duplicate")
+      .writeStream.format("memory").queryName("pipe_dups")
+      .option("checkpointLocation", s"$outDir/dup-cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    dupq.awaitTermination()
+    val streamed = spark.table("pipe_dups")
+    println(s"[pipeline] stream-dedup rows=${streamed.count()} " +
+      s"flagged=${streamed.filter(col("duplicate")).count()}")
     spark.stop()
   }
 }

@@ -37,6 +37,42 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming duplicate FLAGGING with the reference's slot-memory
+    * semantics (`ShortTermDuplicateMemory.java:139-178`): each event's
+    * murmur3_128 maps to a slot and a 64-bit signature; an event is a
+    * probable duplicate iff its slot currently holds its signature, and it
+    * then overwrites the slot. Keyed state per slot (compare-and-overwrite
+    * of one long) scales horizontally with the state-store shuffle —
+    * the streaming counterpart of the batch
+    * [[graft.state.DuplicateMemory.flagDuplicates]].
+    *
+    * Input: (partyId, sessionId, eventId, tsMillis). Output adds
+    * `duplicate`. Flag-not-filter, exactly like the reference. */
+  def flagDuplicatesStream(
+      events: org.apache.spark.sql.Dataset[(String, String, String, Long)],
+      slotCount: Int = 1 << 20): org.apache.spark.sql.Dataset[(String, String, String, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .map { case (p, s, e, ts) =>
+        val (slot, sig) = graft.state.DuplicateMemory.slotAndSignature(slotCount, p, s, e)
+        (slot, sig, p, s, e, ts)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[(Int, Long, String, String, String, Long)],
+         state: GroupState[Long]) => {
+          var current = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._6, r._5)).map { case (_, sig, p, s, e, ts) =>
+            val dup = current == sig
+            current = sig
+            (p, s, e, ts, dup)
+          }
+          state.update(current)
+          out.iterator
+        })
+  }
+
   /** Windowed event-rate rollup (the monitoring aggregate the reference
     * delegates downstream): tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

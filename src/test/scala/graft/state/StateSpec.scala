@@ -87,6 +87,23 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Array("e1", "e2"))
   }
 
+  test("streaming slot-memory flags repeats across batches, first occurrence clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String, Long)]
+    val q = Streams.flagDuplicatesStream(input.toDS())
+      .toDF("partyId", "sessionId", "eventId", "ts", "duplicate")
+      .writeStream.format("memory").queryName("slotdup").outputMode("append").start()
+    input.addData(("p1", "s1", "e1", 1L), ("p1", "s1", "e2", 2L))
+    q.processAllAvailable()
+    input.addData(("p1", "s1", "e1", 3L)) // resend of e1 in a later batch
+    q.processAllAvailable()
+    val rows = spark.table("slotdup")
+      .select("eventId", "ts", "duplicate").as[(String, Long, Boolean)]
+      .collect().sortBy(_._2)
+    q.stop()
+    assert(rows === Array(("e1", 1L, false), ("e2", 2L, false), ("e1", 3L, true)))
+  }
+
   test("windowed counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
