@@ -357,12 +357,58 @@ object DocQueries {
     }
   })
 
-  def winnowFingerprints(spark: SparkSession, d: String): DataFrame =
+  /** Raw per-doc fingerprint arrays — the form downstream overlap joins
+    * consume (explode + self-join on fingerprint). */
+  def winnowArrays(spark: SparkSession, d: String): DataFrame =
     documents(spark, d).select(
-      col("doc_id"),
-      winnowUdf(col("text")).as("fingerprints"))
-      .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
-        col("fingerprints"))
+      col("doc_id"), winnowUdf(col("text")).as("fingerprints"))
+
+  /** Scalar fingerprint summaries (count/min/max/sum of the distinct
+    * winnowed hashes) rather than the raw array: the driver's comparator
+    * sorts rows with pandas, which cannot order array cells — and the
+    * scalar form is exactly expressible in DuckDB list lambdas, giving this
+    * operator a real hash-checked oracle. */
+  def winnowFingerprints(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), winnowUdf(col("text")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        when(size(col("fps")) > 0,
+          aggregate(col("fps"), lit(0L), (a, x) => a + x)).as("fp_sum"))
+
+  /** DuckDB replica of the winnow UDF: the k-gram rolling hash is a plain
+    * polynomial hash mod 2^31-1, so each position's hash is a direct
+    * 8-term dot product with B^j mod M constants; window minima + distinct
+    * via list lambdas. Matches the JVM loop bit-for-bit on ASCII/BMP text. */
+  val winnowSql: String = {
+    val M = (1L << 31) - 1
+    val pows = Seq(623063367L, 336663071L, 168429323L, 67503107L,
+      16974593L, 66049L, 257L, 1L)
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"ord(t[i+$j])*$p::BIGINT" }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 8 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, len(t)-8+2), i -> ($terms) % $M)
+       |    END AS hashes
+       |  FROM s
+       |), m AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(hashes)-4+2),
+       |      w -> list_min(hashes[w:w+3]))) AS fps
+       |  FROM h
+       |)
+       |SELECT doc_id, len(fps) AS n_fingerprints,
+       |  list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+       |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+       |FROM m""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_token_counts" -> (tokenCounts _),
@@ -378,6 +424,7 @@ object DocQueries {
 
   val oracles: Map[String, String] = Map(
     "doc_token_counts"    -> tokenCountsSql,
+    "doc_winnow"          -> winnowSql,
     "doc_dedup_exact"     -> dedupExactSql,
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,

@@ -139,7 +139,9 @@ object EventQueries {
       .agg(
         count(lit(1)).as("n_users"),
         count(col("first_signup")).as("n_signed_up"),
-        sum((col("first_purchase") > col("first_signup")).cast("long")).as("n_converted"))
+        // COUNT (not SUM) so both engines emit a non-nullable int64: DuckDB's
+        // nullable SUM comes back as float64 through pandas and hash-mismatches.
+        count(when(col("first_purchase") > col("first_signup"), lit(1))).as("n_converted"))
 
   val funnelSql: String =
     """WITH u AS (
@@ -149,7 +151,7 @@ object EventQueries {
       |  FROM events GROUP BY user_id)
       |SELECT COUNT(*) AS n_users,
       |  COUNT(first_signup) AS n_signed_up,
-      |  SUM(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+      |  COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
       |FROM u""".stripMargin
 
   // ------------------------------------------------------------ top users

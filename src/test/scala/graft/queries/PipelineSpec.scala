@@ -84,7 +84,7 @@ class PipelineSpec extends SparkSpec {
       .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
     val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val fps = DocQueries.winnowFingerprints(spark, tmp)
+    val fps = DocQueries.winnowArrays(spark, tmp)
       .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect()
       .map(r => r._1 -> r._2.toSet).toMap
     val overlap12 = (fps(1L) & fps(2L)).size.toDouble / math.min(fps(1L).size, fps(2L).size)
