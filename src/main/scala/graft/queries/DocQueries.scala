@@ -235,8 +235,10 @@ object DocQueries {
     udf((text: String) => graft.functions.MinHash.signatureFromText(text, MinhashK))
 
   /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
-    * Jaccard verifies. Non-SQL-expressible (murmur3 permutations) — checked
-    * by recall tests against the exact path (DocPipelineSpec). */
+    * Jaccard verifies. The exact-Jaccard filter makes precision 1 by
+    * construction (output ⊆ all-pairs-Jaccard≥0.3), and recall is asserted
+    * against the exact path in PipelineSpec — so the all-pairs exact SQL
+    * below is a true hash-checked oracle for this corpus. */
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     // Materialize the signatures BEFORE the self-joins: the sig expression
     // inlines the murmur+min tree 64x, and the band self-join would
@@ -267,17 +269,24 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------- simhash
-  /** 64-bit SimHash per document from token-frequency-weighted xxhash64
-    * bits, plus banded Hamming-neighbor pairs (4x16-bit chunks: pairs at
-    * Hamming distance <= 3 must share a chunk). */
+  /** 64-bit SimHash per document from token-frequency-weighted hash bits,
+    * plus banded Hamming-neighbor pairs (4x16-bit chunks: pairs at Hamming
+    * distance <= 3 must share a chunk — pigeonhole, so blocking is exact).
+    *
+    * The per-token hash is the LOW 64 BITS OF md5 (as two unsigned 32-bit
+    * halves, since Spark longs are signed) rather than xxhash64: DuckDB can
+    * compute the identical value via ('0x'||substr(md5(tok),17,16))::UBIGINT,
+    * which turns this operator from rows-only-checked into hash-oracled. */
   def simhash(spark: SparkSession, d: String): DataFrame = {
     val tf = documents(spark, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("hhi", conv(substring(md5(col("tok")), 17, 8), 16, 10).cast("long"))
+      .withColumn("hlo", conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"))
     // bit j contribution: +tf if bit set else -tf; sign of the sum -> bit
     val bitCols = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, col("tf")).otherwise(-col("tf")))
+      val h = if (j < 32) col("hlo") else col("hhi")
+      sum(when(h.bitwiseAND(lit(1L << (j % 32))) =!= 0, col("tf")).otherwise(-col("tf")))
         .as(s"b$j")
     }
     val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
@@ -303,6 +312,46 @@ object DocQueries {
       .distinct()
       .filter(col("hamming") <= 3)
   }
+
+  /** All-pairs exact Jaccard ≥ 0.3 — valid oracle for [[minhashLsh]] because
+    * the LSH output filters candidates by exact Jaccard (precision 1) and
+    * recall vs the exact path is 100% on this corpus (PipelineSpec). */
+  val minhashLshSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+      |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+      |       WHERE i + 2 <= len(tk)),
+      | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""".stripMargin
+
+  /** DuckDB replica of [[simhashPairs]]: same md5-low-64 token hash, same
+    * sign-of-weighted-bit-sums simhash; the oracle compares ALL pairs (the
+    * Spark side's 16-bit chunk blocking is exact by pigeonhole, so the
+    * results coincide by construction, not data-dependently). */
+  val simhashPairsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |             FROM documents),
+      | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      | tfh AS (SELECT doc_id, tf,
+      |           ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h FROM tf),
+      | bits AS (SELECT doc_id, j,
+      |            SUM(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+      |          FROM tfh, (SELECT unnest(generate_series(0, 63)) AS j)
+      |          GROUP BY 1, 2),
+      | sh AS (SELECT doc_id,
+      |          BIT_OR(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)
+      |            AS simhash
+      |        FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   // ------------------------------------------------- tokenizer (BPE-ish)
   /** Sub-word-style token counting with a BPE-ish regex (letter runs,
@@ -430,5 +479,7 @@ object DocQueries {
     "doc_token_stats"     -> tokenStatsSql,
     "doc_quality"         -> qualitySql,
     "doc_langid"          -> langIdSql,
-    "doc_neardup_jaccard" -> neardupJaccardSql)
+    "doc_neardup_jaccard" -> neardupJaccardSql,
+    "doc_minhash_lsh"     -> minhashLshSql,
+    "doc_simhash_pairs"   -> simhashPairsSql)
 }

@@ -97,32 +97,41 @@ object EmbeddingQueries {
   // ------------------------------------------------------------ LSH ANN
   private val NPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed integer mix (no RNG — reproducible across runs/engines). */
-  private def planeComponent(p: Int, i: Column): Column = {
-    val mixed = pmod(hash(lit(p * 7919) + i * 104729), lit(2001)) - 1000
-    mixed.cast("double") / 1000.0
+  /** Deterministic hyperplane weight for (plane p, dim i): first 8 md5 hex
+    * chars of "p_i" as an unsigned int mapped to [-1000, 1000]. md5 (not an
+    * RNG or Spark hash) because DuckDB computes the identical value —
+    * ('0x'||substr(md5(p||'_'||i),1,8))::UBIGINT % 2001 - 1000 — so the
+    * whole bucketing is replicable by the oracle. Evaluated at PLAN time:
+    * the planes become literal arrays, zero per-row hashing. */
+  private def planeWeight(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
 
-  /** Sign-random-projection bucket key: bit p = sign(v . plane_p). */
-  private def lshKey(emb: Column): Column =
+  /** Sign-random-projection bucket key over SCALED-INT embeddings: bit p =
+    * sign(emb_int . plane_p), all-integer math (order-independent, exact —
+    * a float dot's sum-order sensitivity could flip a near-zero sign). */
+  private def lshKeyInt(embInt: Column): Column =
     (0 until NPlanes).foldLeft(lit(0L)) { (acc, p) =>
-      val dot = aggregate(
-        zip_with(emb, transform(sequence(lit(0), lit(Dim - 1)), i => planeComponent(p, i)),
-          (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
+      val plane = typedLit((0 until Dim).map(i => planeWeight(p, i)))
+      val dot = aggregate(zip_with(embInt, plane, (x, y) => x * y), lit(0L), (a, x) => a + x)
       acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
     }
 
-  /** ANN via LSH bucketing: candidates are corpus vectors in the same (or
-    * 1-bit-adjacent) bucket as the query, then exact cosine on candidates
-    * only. Recall vs the brute-force baseline is asserted in tests. */
+  /** ANN via LSH bucketing: candidates are corpus vectors in the query's
+    * bucket or any 1/2-bit-adjacent probe bucket, then exact scaled-int
+    * cosine on candidates only. Every step (md5 planes, integer sign dots,
+    * xor probes, int cosine) is deterministic and SQL-expressible, so this
+    * approximate operator carries a full hash-checked DuckDB oracle. */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
-      .select(col("vec_id"), col("embedding"),
-        lshKey(transform(col("embedding"), _.cast("double"))).as("bucket"))
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("bucket", lshKeyInt(col("emb")))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm2").as("q_norm2"), col("bucket").as("q_bucket"))
     // multi-probe LSH: exact bucket plus all 1-bit and 2-bit flips
     // (37 of 256 buckets) — trades probe fan-out for recall on corpora with
     // weak angular structure; at scale the probe join is still
@@ -131,21 +140,61 @@ object EmbeddingQueries {
       (0 until NPlanes).map(p => 1L << p) ++:
       (for (p <- 0 until NPlanes; r <- p + 1 until NPlanes)
         yield (1L << p) | (1L << r))
-    val probes = q.select(col("q_id"), col("q_emb"),
+    val probes = q.select(col("q_id"), col("q_emb"), col("q_norm2"),
       explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cands = e.filter(col("vec_id") >= NQueries)
       .join(broadcast(probes), "bucket")
-    val dot = aggregate(zip_with(col("embedding"), col("q_emb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
-    val norm = (c: Column) => sqrt(aggregate(zip_with(c, c,
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x))
-    val scored = cands.withColumn("cosine",
-      round(dot / (norm(col("embedding")) * norm(col("q_emb"))), 6))
+    val scored = cands.withColumn("cosine", round(
+      dotScaled(col("emb"), col("q_emb")).cast("double") /
+        (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
+
+  val annLshSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | planes AS (SELECT p, i,
+       |     CAST(('0x' || substr(md5(p || '_' || (i-1)), 1, 8))::UBIGINT % 2001
+       |          AS BIGINT) - 1000 AS w
+       |   FROM (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p), idx),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, emb, (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2
+       |       FROM e),
+       | dots AS (SELECT vec_id, p, SUM(emb[i] * w) AS dot
+       |          FROM e, planes GROUP BY 1, 2),
+       | buckets AS (SELECT vec_id,
+       |     CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+       |       AS bucket
+       |   FROM dots GROUP BY 1),
+       | masks AS (
+       |   SELECT 0::BIGINT AS m
+       |   UNION ALL
+       |   SELECT (1::BIGINT << p) FROM (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p)
+       |   UNION ALL
+       |   SELECT (1::BIGINT << p) | (1::BIGINT << r)
+       |   FROM (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p),
+       |        (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS r)
+       |   WHERE r > p),
+       | q AS (SELECT b.vec_id AS q_id, f.emb AS q_emb, f.norm2 AS q_norm2,
+       |         xor(b.bucket, m.m) AS bucket
+       |       FROM buckets b JOIN f ON b.vec_id = f.vec_id
+       |       CROSS JOIN masks m WHERE b.vec_id < $NQueries),
+       | c AS (SELECT f.vec_id, f.emb, f.norm2, b.bucket
+       |       FROM f JOIN buckets b ON f.vec_id = b.vec_id WHERE f.vec_id >= $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id,
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM c JOIN q ON c.bucket = q.bucket)
+       |SELECT q_id, vec_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
 
   // ------------------------------------------------------- cosine near-dup
   /** Embedding-cosine near-duplicate pairs across the whole corpus:
@@ -200,39 +249,84 @@ object EmbeddingQueries {
        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) >= 0.4""".stripMargin
 
   // ------------------------------------------------------------ IVF ANN
-  /** IVF-style ANN: coarse cells from the per-label centroids, queries probe
+  /** IVF-style ANN: coarse cells from per-label centroids, queries probe
     * their nearest `NProbe` cells, exact cosine within the probed cells. At
     * scale the cell assignment is a broadcast join against k centroids and
-    * the search space shrinks by ~k/NProbe. Cell quality is data-dependent
-    * (validated on planted neighbors in PipelineSpec). */
+    * the search space shrinks by ~k/NProbe.
+    *
+    * Centroids are floor(sum/count) in SCALED-INT space (cosine is
+    * scale-invariant, so dropping the fractional part only perturbs the cell
+    * shape, not correctness), which keeps every dot product integer-exact —
+    * cell assignment, probe ranking, and final cosines are all bit-stable
+    * across engines, so this approximate operator has a full DuckDB oracle. */
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     val NProbe = 3
-    val e = embeddings(spark, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-    val cents = centroids(spark, d) // (label, dim, mean_val)
-      .groupBy(col("label").as("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
-      .select(col("cell"), transform(col("cs"), _.getField("mean_val")).as("cemb"))
-    val dotD = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val normD = (c: Column) => sqrt(dotD(c, c))
+    val eRaw = embeddings(spark, d)
+      .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
+    val e = eRaw.drop("label")
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val cents = eRaw.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
+      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
     // assign every vector to its nearest cell; queries keep top-NProbe cells
     val scoredCells = e.crossJoin(broadcast(cents))
-      .withColumn("csim", dotD(col("emb"), col("cemb")) / (normD(col("emb")) * normD(col("cemb"))))
+      .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
+        (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = scoredCells.withColumn("rk", row_number().over(wv))
-    val corpusCells = assigned.filter(col("rk") === 1 && col("vec_id") >= NQueries)
-      .select(col("vec_id"), col("emb"), col("cell"))
-    val queryCells = assigned.filter(col("rk") <= NProbe && col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
+    val assigned = scoredCells.withColumn("crk", row_number().over(wv))
+    val corpusCells = assigned.filter(col("crk") === 1 && col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("emb"), col("norm2"), col("cell"))
+    val queryCells = assigned.filter(col("crk") <= NProbe && col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm2").as("q_norm2"), col("cell"))
     val scored = corpusCells.join(broadcast(queryCells), "cell")
       .withColumn("cosine", round(
-        dotD(col("emb"), col("q_emb")) / (normD(col("emb")) * normD(col("q_emb"))), 6))
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
+
+  val annIvfSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | cv AS (SELECT label, i,
+       |          CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |        FROM e, idx GROUP BY 1, 2),
+       | cl AS (SELECT label AS cell, list(v ORDER BY i) AS cemb FROM cv GROUP BY 1),
+       | cn AS (SELECT cell, cemb, (SELECT SUM(cemb[i] * cemb[i]) FROM idx) AS cnorm2
+       |        FROM cl),
+       | f AS (SELECT vec_id, emb, (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2
+       |       FROM e),
+       | sim AS (SELECT f.vec_id, f.emb, f.norm2, cn.cell,
+       |           CAST((SELECT SUM(f.emb[i] * cn.cemb[i]) FROM idx) AS DOUBLE)
+       |             / (sqrt(CAST(f.norm2 AS DOUBLE)) * sqrt(CAST(cn.cnorm2 AS DOUBLE)))
+       |             AS csim
+       |         FROM f CROSS JOIN cn),
+       | ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY csim DESC, cell) AS crk FROM sim),
+       | c AS (SELECT vec_id, emb, norm2, cell FROM ranked
+       |       WHERE crk = 1 AND vec_id >= $NQueries),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2, cell
+       |       FROM ranked WHERE crk <= 3 AND vec_id < $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id,
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM c JOIN q ON c.cell = q.cell)
+       |SELECT q_id, vec_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_brute"      -> (knnBrute _),
@@ -244,5 +338,7 @@ object EmbeddingQueries {
   val oracles: Map[String, String] = Map(
     "emb_knn_brute"      -> knnBruteSql,
     "emb_centroids"      -> centroidsSql,
+    "emb_ann_lsh"        -> annLshSql,
+    "emb_ann_ivf"        -> annIvfSql,
     "emb_neardup_cosine" -> neardupCosineSql)
 }

