@@ -102,11 +102,23 @@ object GraftFunctions {
   def cookieValue(cookieHeader: Column, name: String): Column =
     element_at(str_to_map(cookieHeader, lit(";\\s*"), lit("=")), name)
 
+  /** Paths fully handled by Spark's codegen'd `get_json_object`: definite
+    * dotted names and non-negative indexes only. */
+  private val SimpleJsonPath = "^\\$(\\.[A-Za-z_][A-Za-z0-9_]*|\\[[0-9]+\\])*$".r
+
+  /** Full goessner/jayway JSONPath over a JSON string column (recursive
+    * descent, slices, unions, filters — see [[JsonPaths]]). Simple definite
+    * paths route to the built-in `get_json_object` (same semantics, native
+    * codegen); everything else runs the [[JsonPathQuery]] expression. */
+  def jsonPath(json: Column, path: String): Column =
+    if (SimpleJsonPath.matches(path)) get_json_object(json, path)
+    else column(JsonPathQuery(expression(json), path))
+
   /** Event-parameter JSONPath access over the decoded parameters JSON —
     * `eventParameters().path(expr)` (`DslRecordMapping.java:575-632`);
-    * supports the `get_json_object` JSONPath subset ($.a.b[0], [*] etc). */
+    * full jayway dialect via [[jsonPath]]. */
   def eventParamPath(paramsJson: Column, jsonPath: String): Column =
-    get_json_object(paramsJson, jsonPath)
+    this.jsonPath(paramsJson, jsonPath)
 
   /** `eventParameters().value(name)` — first-level string value. */
   def eventParamValue(paramsJson: Column, name: String): Column =

@@ -150,6 +150,35 @@ case class UaParse(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ua_parse"
 }
 
+/** Full goessner/jayway JSONPath over a JSON string column — the complete
+  * dialect the reference's `eventParameters().path(expr)` accepts
+  * (`DslRecordMapping.java:587-594`), beyond `get_json_object`'s subset
+  * (recursive descent, slices, unions, filters). The path compiles ONCE at
+  * expression construction (plan time) — malformed paths fail analysis like
+  * the reference's mapping-compile-time `JsonPath.compile` — and codegen
+  * passes the compiled object through a reference obj, so evaluation is a
+  * single static call inside whole-stage codegen. */
+case class JsonPathQuery(child: Expression, path: String) extends UnaryExpression {
+  private val compiled: JsonPaths.Compiled = JsonPaths.compile(path)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    JsonPaths.evalToJsonUtf8(input.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonPathCompiled", compiled, "java.lang.Object")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("jp")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $tmp =
+         |  graft.functions.JsonPaths.evalToJsonUtf8($c, $ref);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): JsonPathQuery = copy(child = c)
+  override def prettyName: String = "json_path_query"
+}
+
 /** Query string → map<string, array<string>> with the reference's
   * multi-value, valueless-key and percent-decode semantics
   * (`recordmapping/QueryStringParser.java:37-89`). */

@@ -191,7 +191,35 @@ object EventQueries {
         approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_value"),
         approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_value"))
 
+  // ------------------------------------------------------------ jsonpath
+  /** The full JSONPath dialect of `eventParameters().path(expr)` over the
+    * event props (`DslRecordMapping.java:587-594` — jayway json-path 2.4):
+    * a simple definite path (routes to codegen'd get_json_object), a
+    * recursive descent, and a filter predicate, each mirrored exactly by
+    * DuckDB json functions / reconstruction in the oracle. */
+  def paramPath(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.jsonPath
+    events(spark, d).select(
+      col("event_id"),
+      jsonPath(col("props"), "$.k").cast("long").as("k_simple"),
+      jsonPath(col("props"), "$..k").as("k_descend"),
+      jsonPath(concat(lit("["), col("props"), lit("]")), "$[?(@.k > 50)]")
+        .as("k_filtered"),
+      jsonPath(col("props"), "$.missing").as("k_missing"))
+  }
+
+  val paramPathSql: String =
+    """SELECT event_id,
+      |  json_extract(props, '$.k')::BIGINT AS k_simple,
+      |  '[' || json_extract(props, '$.k') || ']' AS k_descend,
+      |  CASE WHEN json_extract(props, '$.k')::BIGINT > 50
+      |       THEN '[{"k":' || json_extract(props, '$.k') || '}]'
+      |       ELSE '[]' END AS k_filtered,
+      |  NULL::VARCHAR AS k_missing
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
     "evt_sessionize"   -> (sessionize _),
@@ -201,6 +229,7 @@ object EventQueries {
     "evt_top_users"    -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,
     "evt_sessionize"   -> sessionizeSql,
     "evt_dedup_exact"  -> dedupExactSql,
