@@ -5,9 +5,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.build(cpus, "graft-bench")
-    // Warm the JVM/session once so the first timed query isn't charged
-    // for codegen + executor startup.
+    // experiment knob: measure AQE's per-query replan overhead on tiny data
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
+    // Warm the JVM/session once so the first timed query isn't charged for
+    // infra startup: a parquet scan (FileIndex/footer machinery), a shuffle
+    // + window + join (exchange and sort JIT), and a first whole-stage
+    // codegen compile (janino classloader warm). Measured ~2.5s charged to
+    // whichever query happened to run first without this.
     spark.range(1000).selectExpr("sum(id)").collect()
+    val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("r_regionkey", "r_name")
+    warm.join(warm.selectExpr("r_regionkey").limit(2), "r_regionkey")
+      .groupBy("r_name").count()
+      .selectExpr("r_name", "count",
+        "row_number() over (partition by r_name order by count) rk")
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column — a plain count()

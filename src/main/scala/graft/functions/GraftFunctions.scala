@@ -20,6 +20,9 @@ object GraftFunctions {
   def base36ToLong(c: Column): Column = column(Base36ToLong(expression(c)))
   def base36ToInt(c: Column): Column = column(Base36ToInt(expression(c)))
 
+  /** 64-bit SimHash of a text (md5-low-64 token hash, tf-weighted votes). */
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
   /** Embedded epoch-millis of a DivolteIdentifier (`0:<base36 ms>:<random>`). */
   def divolteIdTimestamp(c: Column): Column = column(DivolteIdTimestamp(expression(c)))
 

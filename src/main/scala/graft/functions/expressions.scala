@@ -97,6 +97,18 @@ case class Base36ToInt(child: Expression) extends StaticCallUnary {
   override def prettyName: String = "base36_to_int"
 }
 
+/** 64-bit SimHash of a document's text (md5-low-64 token hash, tf-weighted
+  * bit votes) — see [[SimHash]] for the bit-parity contract. */
+case class SimHash64(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = LongType
+  override def staticCall: String = "graft.functions.SimHash.simhash64"
+  override def resultJavaType: String = "java.lang.Long"
+  override def boxToCatalyst(v: String): String = s"$v.longValue()"
+  override def evalImpl(s: String): Any = SimHash.simhash64(s)
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
 /** Embedded creation timestamp of a DivolteIdentifier
   * (`DivolteIdentifier.java:55-61,94-102`); null if malformed. */
 case class DivolteIdTimestamp(child: Expression) extends StaticCallUnary {

@@ -156,20 +156,21 @@ object DocQueries {
     udf((text: String) => graft.functions.MinHash.shingles3(text))
 
   def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
-    // JVM-side shingling + caches: the inverted index (ex) is scanned three
-    // times (df counts + both join sides); at cluster scale these are
-    // persisted intermediate tables.
     val docs = documents(spark, d)
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
       .cache()
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
-    // candidate pairs: share >= 1 rare (df <= cap) shingle
-    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("s")
-    val exRare = ex.join(rare, "s")
-    val candidates = exRare.as("a").join(exRare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Candidate pairs from ONE shuffle: group the inverted index by shingle
+    // into posting lists, keep the rare ones (2..DfCap docs), emit all
+    // in-posting pairs. Replaces the df-count + two-sided join formulation
+    // (three shuffles over the 1M-row index; measured 2.6s → 1.1s warm at
+    // sf0.1) — and at cluster scale posting-list pair emission bounds the
+    // blow-up to df² ≤ 100 rows per shingle by construction.
+    val candidates = ex.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
       .distinct()
     // exact Jaccard on the FULL shingle sets of each candidate pair, via a
     // broadcast sorted-shingle map and a merge-walk intersection in JVM —
@@ -273,28 +274,20 @@ object DocQueries {
     * plus banded Hamming-neighbor pairs (4x16-bit chunks: pairs at Hamming
     * distance <= 3 must share a chunk — pigeonhole, so blocking is exact).
     *
-    * The per-token hash is the LOW 64 BITS OF md5 (as two unsigned 32-bit
-    * halves, since Spark longs are signed) rather than xxhash64: DuckDB can
-    * compute the identical value via ('0x'||substr(md5(tok),17,16))::UBIGINT,
-    * which turns this operator from rows-only-checked into hash-oracled. */
-  def simhash(spark: SparkSession, d: String): DataFrame = {
-    val tf = documents(spark, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("hhi", conv(substring(md5(col("tok")), 17, 8), 16, 10).cast("long"))
-      .withColumn("hlo", conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"))
-    // bit j contribution: +tf if bit set else -tf; sign of the sum -> bit
-    val bitCols = (0 until 64).map { j =>
-      val h = if (j < 32) col("hlo") else col("hhi")
-      sum(when(h.bitwiseAND(lit(1L << (j % 32))) =!= 0, col("tf")).otherwise(-col("tf")))
-        .as(s"b$j")
-    }
-    val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    }
-    sums.select(col("doc_id"), sim.as("simhash"))
-  }
+    * The per-token hash is the LOW 64 BITS OF md5 rather than xxhash64:
+    * DuckDB computes the identical value via
+    * ('0x'||substr(md5(tok),17,16))::UBIGINT, which turns this operator from
+    * rows-only-checked into hash-oracled. Computed by the [[graft.functions
+    * .SimHash]] native expression — one narrow pass per document, no
+    * explode/shuffle (the 64-wide aggregate formulation cost two shuffles
+    * and seconds of codegen). */
+  def simhash(spark: SparkSession, d: String): DataFrame =
+    // repartition BEFORE the hash expression: the test parquet is a single
+    // row group (single-threaded scan), and in production many-split scans
+    // give the same post-exchange parallelism for the md5 loops
+    documents(spark, d).repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
   /** SimHash neighbor pairs within Hamming distance 3 via 16-bit chunk
     * blocking. */

@@ -276,11 +276,21 @@ object EmbeddingQueries {
     val scoredCells = e.crossJoin(broadcast(cents))
       .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
         (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+    // corpus argmax via max(struct) aggregation — same (csim desc, cell asc)
+    // rule as a rank-1 window (negcell breaks csim ties toward the smaller
+    // cell) but with map-side partial aggregation instead of a full sort
+    // shuffle of every (vector, cell) pair; the window only runs over the
+    // NQueries query vectors.
+    val corpusCells = scoredCells.filter(col("vec_id") >= NQueries)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("negcell"),
+        col("cell"), col("emb"), col("norm2"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("emb"),
+        col("m.norm2").as("norm2"), col("m.cell").as("cell"))
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = scoredCells.withColumn("crk", row_number().over(wv))
-    val corpusCells = assigned.filter(col("crk") === 1 && col("vec_id") >= NQueries)
-      .select(col("vec_id"), col("emb"), col("norm2"), col("cell"))
-    val queryCells = assigned.filter(col("crk") <= NProbe && col("vec_id") < NQueries)
+    val queryCells = scoredCells.filter(col("vec_id") < NQueries)
+      .withColumn("crk", row_number().over(wv))
+      .filter(col("crk") <= NProbe)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm2").as("q_norm2"), col("cell"))
     val scored = corpusCells.join(broadcast(queryCells), "cell")
