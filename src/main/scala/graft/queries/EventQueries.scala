@@ -175,21 +175,110 @@ object EventQueries {
       |GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------------ sketches
+  private val HllM = 1024 // 2^10 registers
+  /** alpha_m · m² · 2^52 — embedded as the SAME double literal in the
+    * oracle SQL, so both engines divide identical numbers. */
+  private val HllScale = (0.7213 / (1 + 1.079 / HllM)) * HllM * HllM * math.pow(2, 52)
+
   /** Approximate rollup — the 100 TB form of evt_daily_rollup: HLL distinct
-    * users (mergeable, constant memory per group vs exact COUNT DISTINCT's
-    * second shuffle) and approximate value percentiles. Non-oracled (sketch
-    * outputs are engine-specific); accuracy vs exact is asserted in
-    * SketchSpec. */
-  def dailyRollupApprox(spark: SparkSession, d: String): DataFrame =
-    ev(spark, d)
-      .groupBy(
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
-        col("event_type"))
+    * users (mergeable registers, constant memory per group vs exact COUNT
+    * DISTINCT's second shuffle) and sampled value percentiles.
+    *
+    * Unlike `approx_count_distinct`/`approx_percentile` (engine-internal
+    * sketches, unverifiable), these sketches are DETERMINISTIC and
+    * engine-portable, so the whole query hash-checks against a DuckDB
+    * replica:
+    *  - HLL on the md5-low-64 of user_id: register = low 10 bits, and the
+    *    register value is stored as 2^(rho-1) = lowest-set-bit of the
+    *    remaining 54 bits (max of powers of two ≡ max rho). The harmonic
+    *    sum Σ2^-rho is computed in EXACT integer math scaled by 2^52
+    *    (registers beyond rho 52 truncate to 0 identically in both
+    *    engines), leaving one double division — bit-stable everywhere.
+    *    Standard linear-counting small-range correction.
+    *  - percentiles: exact interpolated percentile over a deterministic
+    *    20% Bernoulli sample keyed on md5(event_id) — sampling replaces
+    *    the sketch, determinism replaces the RNG.
+    * Accuracy vs the exact rollup is asserted in SketchSpec. */
+  def dailyRollupApprox(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"), col("value"), col("event_id"))
+    val keys = Seq("day", "event_type")
+    val uidMd5 = md5(col("user_id").cast("string"))
+    val lo = conv(substring(uidMd5, 25, 8), 16, 10).cast("long")
+    val hi = conv(substring(uidMd5, 17, 8), 16, 10).cast("long")
+    val w = hi * lit(1L << 22) + shiftrightunsigned(lo, 10)
+    val r = when(w === 0, lit(1L << 54)).otherwise(w.bitwiseAND(-w))
+    val regs = base
+      .withColumn("bucket", lo.bitwiseAND(lit((HllM - 1).toLong)))
+      .withColumn("r", r)
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("rmax"))
+    val users = regs.groupBy(keys.map(col): _*)
       .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        sum(floor(lit((1L << 51).toDouble) / col("rmax")).cast("long")).as("s_present"),
+        count(lit(1)).as("nregs"))
+      .select(col("day"), col("event_type"),
+        (col("s_present") + (lit(HllM.toLong) - col("nregs")) * lit(1L << 52))
+          .cast("double").as("s"),
+        (lit(HllM.toLong) - col("nregs")).as("zeros"))
+      .select(col("day"), col("event_type"),
+        round(when(lit(HllScale) / col("s") <= lit(2.5 * HllM) && col("zeros") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(lit(HllScale) / col("s")), 3).as("approx_users"))
+    val sampleKey = conv(substring(md5(concat(lit("v"), col("event_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long")
+    val pcts = base.filter(sampleKey % 5 === 0)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50_value"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95_value"))
+    val counts = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_events"))
+    counts.join(users, keys).join(pcts, keys, "left")
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("approx_users"), col("p50_value"), col("p95_value"))
+  }
+
+  val dailyRollupApproxSql: String = {
+    val c = HllScale.toString
+    s"""WITH base AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id, value,
+       |         event_id
+       |  FROM events),
+       | h AS (SELECT day, event_type,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 25, 8))::UBIGINT AS lo,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 17, 8))::UBIGINT AS hi
+       |       FROM base),
+       | hw AS (SELECT day, event_type,
+       |          CAST(lo & 1023 AS BIGINT) AS bucket,
+       |          CAST(hi AS BIGINT) * 4194304 + CAST(lo >> 10 AS BIGINT) AS w
+       |        FROM h),
+       | regs AS (SELECT day, event_type, bucket,
+       |            MAX(CASE WHEN w = 0 THEN 18014398509481984
+       |                     ELSE w & (-w) END) AS rmax
+       |          FROM hw GROUP BY 1, 2, 3),
+       | hll AS (SELECT day, event_type,
+       |           SUM(CAST(FLOOR(2251799813685248.0 / rmax) AS BIGINT)) AS s_present,
+       |           COUNT(*) AS nregs
+       |         FROM regs GROUP BY 1, 2),
+       | users AS (SELECT day, event_type,
+       |             ROUND(CASE WHEN $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE) <= 2560.0
+       |                         AND 1024 - nregs > 0
+       |                   THEN 1024.0 * ln(1024.0 / CAST(1024 - nregs AS DOUBLE))
+       |                   ELSE $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE)
+       |                   END, 3) AS approx_users
+       |           FROM hll),
+       | samp AS (SELECT day, event_type,
+       |            ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+       |            ROUND(quantile_cont(value, 0.95), 6) AS p95_value
+       |          FROM base
+       |          WHERE ('0x' || substr(md5('v' || event_id::VARCHAR), 25, 8))::UBIGINT % 5 = 0
+       |          GROUP BY 1, 2),
+       | cnt AS (SELECT day, event_type, COUNT(*) AS n_events FROM base GROUP BY 1, 2)
+       |SELECT cnt.day, cnt.event_type, n_events, approx_users, p50_value, p95_value
+       |FROM cnt JOIN users USING (day, event_type)
+       |LEFT JOIN samp USING (day, event_type)""".stripMargin
+  }
 
   // ------------------------------------------------------------ jsonpath
   /** The full JSONPath dialect of `eventParameters().path(expr)` over the
@@ -229,6 +318,7 @@ object EventQueries {
     "evt_top_users"    -> (topUsers _))
 
   val oracles: Map[String, String] = Map(
+    "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,
     "evt_sessionize"   -> sessionizeSql,

@@ -14,12 +14,15 @@ class SketchSpec extends SparkSpec {
       .select("day", "event_type", "n_users").as[(String, String, Long)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     val approx = EventQueries.dailyRollupApprox(spark, sf)
-      .select("day", "event_type", "approx_users").as[(String, String, Long)]
+      .select("day", "event_type", "approx_users").as[(String, String, Double)]
       .collect()
     assert(approx.nonEmpty)
     approx.foreach { case (day, et, a) =>
       val e = exact((day, et))
-      assert(math.abs(a - e).toDouble / e <= 0.15, s"($day,$et): approx=$a exact=$e")
+      // 15% relative, with an absolute floor of 2 for tiny groups (a single
+      // register collision at n=4 is a 25% relative error by arithmetic)
+      assert(math.abs(a - e) <= math.max(0.15 * e, 2.0),
+        s"($day,$et): approx=$a exact=$e")
     }
   }
 
