@@ -40,4 +40,35 @@ class PlanSpec extends SparkSpec {
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("ann LSH: probe side broadcasts; no sort-merge join on the corpus") {
+    val p = plan(graft.queries.EmbeddingQueries.queries("emb_ann_lsh")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "corpus must never shuffle-sort against probes")
+  }
+
+  test("ann IVF: centroids and query cells broadcast; corpus assignment " +
+      "partial-aggregates map-side") {
+    val p = plan(graft.queries.EmbeddingQueries.queries("emb_ann_ivf")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    // max(struct(...)) assignment must be a two-phase hash aggregate
+    // (partial before the exchange), not a window sort over every pair
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("source decode paths are exchange-free narrow pipelines") {
+    val pb = plan(graft.queries.SourceQueries.queries("src_browser_roundtrip")(spark, sf))
+    assert(!pb.contains("Exchange"), "browser decode must not shuffle")
+    val pj = plan(graft.queries.SourceQueries.queries("src_json_roundtrip")(spark, sf))
+    assert(!pj.contains("Exchange"), "json decode must not shuffle")
+  }
+
+  test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
+    val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
+    // two-level (register, then group) aggregation: both levels hash
+    // aggregates with map-side partials — mergeable-sketch scale shape
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
