@@ -92,6 +92,42 @@ object GraftFunctions {
     when(c.rlike(anchored), nullif(regexp_extract(c, anchored, group), lit("")))
   }
 
+  /** Named-group variant — the reference's `match(...).group("name")`
+    * producer (`DslRecordMapping.java` matcher group(String)). Spark's
+    * `regexp_extract` is index-only, so the name resolves to its capture
+    * index at plan time; an unknown name fails analysis like the
+    * reference's mapping-compile check. */
+  def matchGroup(c: Column, pattern: String, name: String): Column =
+    matchGroup(c, pattern, namedGroupIndex(pattern, name))
+
+  /** Capture-group index of `(?<name>...)` in `pattern`: counts capturing
+    * groups left-to-right, skipping escapes, character classes, and
+    * non-capturing `(?...)` constructs (named groups DO count). */
+  private[functions] def namedGroupIndex(pattern: String, name: String): Int = {
+    var i = 0
+    var count = 0
+    var inClass = false
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\'               => i += 1
+        case '[' if !inClass    => inClass = true
+        case ']' if inClass     => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 < pattern.length && pattern.charAt(i + 1) == '?') {
+            if (i + 3 < pattern.length && pattern.charAt(i + 2) == '<' &&
+                pattern.charAt(i + 3) != '=' && pattern.charAt(i + 3) != '!') {
+              count += 1
+              val end = pattern.indexOf('>', i + 3)
+              if (end > 0 && pattern.substring(i + 3, end) == name) return count
+            }
+          } else count += 1
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"no named group <$name> in regex: $pattern")
+  }
+
   // ------------------------------------------------------------ transport
   /** Client address from an X-Forwarded-For chain: the proxy-adjacent
     * (last) entry — reference `ProxyAdjacentPeerAddressHandler`

@@ -51,6 +51,19 @@ class AbsentSemanticsSpec extends SparkSpec {
     assert(got === Array(Some("42"), None, None)) // partial match is a miss
   }
 
+  test("matchGroup by NAME resolves to the right capture index at plan time") {
+    val df = Seq("v2.7-beta", "nope").toDF("s")
+    val pat = "v(?<major>\\d+)\\.(?<minor>\\d+)-(?:rc|beta)"
+    assert(df.select(matchGroup(col("s"), pat, "major")).as[Option[String]].collect()
+      === Array(Some("2"), None))
+    assert(df.select(matchGroup(col("s"), pat, "minor")).as[Option[String]].collect()
+      === Array(Some("7"), None))
+    // mixed numbered + named + non-capturing + class with a bracket
+    val mixed = "(a+)[(]?(?<x>b+)(?:c)(d)"
+    assert(GraftFunctions.namedGroupIndex(mixed, "x") === 2)
+    intercept[IllegalArgumentException](matchGroup(col("s"), pat, "nosuch"))
+  }
+
   test("checksum canonicalization: repeated keys keep value order") {
     // reference buildNormalizedChecksumString: sorted keys; each value
     // followed by ','; ';' after each key group

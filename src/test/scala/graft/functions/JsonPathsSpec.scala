@@ -80,6 +80,25 @@ class JsonPathsSpec extends SparkSpec {
     assert(eval("$.store.book[?(@.isbn == '0-553-21311-3')].title") === """["Moby Dick"]""")
   }
 
+  test("path functions and script indexes") {
+    assert(eval("$.store.book.length()") === "4")
+    assert(eval("$..book.length()") === "[4]")
+    assert(eval("$.store.book[(@.length-1)].title") === "The Lord of the Rings")
+    assert(eval("$.store.book[(@.length-4)].title") === "Sayings of the Century")
+    assert(eval("$.store.keys()") === """["book","bicycle"]""")
+    assert(eval("$.store.book.first().author") === "Nigel Rees")
+    assert(eval("$.store.book.last().author") === "J. R. R. Tolkien")
+    val nums = """{"n":[3,1,2]}"""
+    def evalOn(json: String, p: String) = JsonPaths.evalToJson(json, JsonPaths.compile(p))
+    assert(evalOn(nums, "$.n.min()") === "1.0")
+    assert(evalOn(nums, "$.n.max()") === "3.0")
+    assert(evalOn(nums, "$.n.sum()") === "6.0")
+    assert(evalOn(nums, "$.n.avg()") === "2.0")
+    assert(evalOn(nums, "$.n.length()") === "3")
+    // functions on the wrong node type are a miss, not an error
+    assert(evalOn(nums, "$.n.keys()") === null)
+  }
+
   test("indefinite paths with no matches yield an empty array, not null") {
     assert(eval("$..nosuchfield") === "[]")
     assert(eval("$.store.book[?(@.price > 100)]") === "[]")
