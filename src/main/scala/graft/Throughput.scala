@@ -34,18 +34,27 @@ object Throughput {
         .select("qs", "userAgentString", "remoteHost", "requestTimestamp", "duplicate"))
       .reduce(_ union _).repartition(cores).cache()
     val n = wire.count()
-    // timed: full browser decode + default mapping (26 fields, UA enrich)
-    val t0 = System.nanoTime()
-    val out = DefaultMapping(BrowserSource.decode(wire, "qs"))
+    // timed: full browser decode + default mapping (26 fields, UA enrich).
+    // Two runs each — run1 pays the one-time whole-stage codegen + JIT (a
+    // single cold run under-reported the sustained rate ~10x); run2 is the
+    // steady state a long-lived collector job sees.
     // toRdd.count() materializes every mapped column (plain count() would
-    // let Catalyst prune the entire mapping and time an empty scan)
-    val cnt = out.queryExecution.toRdd.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[thpt] rows=$cnt sec=$sec%.2f total=${cnt / sec}%.0f/s percore=${cnt / sec / cores}%.0f/s")
-    // decode only
-    val t1 = System.nanoTime()
-    val c2 = BrowserSource.decode(wire, "qs").queryExecution.toRdd.count()
-    println(f"[thpt] decode-only ${c2 / ((System.nanoTime() - t1) / 1e9) / cores}%.0f/s/core")
+    // let Catalyst prune the entire mapping and time an empty scan).
+    val out = DefaultMapping(BrowserSource.decode(wire, "qs"))
+    (1 to 2).foreach { run =>
+      val t0 = System.nanoTime()
+      val cnt = out.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[thpt] map run$run rows=$cnt sec=$sec%.2f " +
+        f"total=${cnt / sec}%.0f/s percore=${cnt / sec / cores}%.0f/s")
+    }
+    val dec = BrowserSource.decode(wire, "qs")
+    (1 to 2).foreach { run =>
+      val t1 = System.nanoTime()
+      val c2 = dec.queryExecution.toRdd.count()
+      println(f"[thpt] decode-only run$run " +
+        f"${c2 / ((System.nanoTime() - t1) / 1e9) / cores}%.0f/s/core")
+    }
     spark.stop()
   }
 }
