@@ -220,6 +220,71 @@ object DocQueries {
        |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
        |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3""".stripMargin
 
+  // ------------------------------------------------- near-dup clustering
+  /** Resolve near-duplicate PAIRS into clusters and pick one canonical
+    * document per cluster (the component-minimum doc_id) — the step an
+    * actual dedup pipeline ships: drop every row whose canonical is not
+    * itself.
+    *
+    * Scale: the pair graph is the OUTPUT of near-dup detection, bounded
+    * tiny relative to the corpus by construction, so connected components
+    * run as driver-side union-find over the collected pairs and the label
+    * table broadcasts back over the corpus — one narrow assignment pass.
+    * (If a corpus ever produced a pair set beyond driver memory, the
+    * drop-in distributed form is iterative min-label propagation — each
+    * round one join + map-side-combinable min agg until fixpoint; same
+    * deterministic component-minimum labels.) */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pairs = neardupJaccard(spark, d)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labelDf = parent.keys.toSeq.map(n => n -> find(n)).toDF("node", "label")
+    documents(spark, d).select(col("doc_id"))
+      .join(broadcast(labelDf), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_doc_id"),
+        (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("is_duplicate"))
+  }
+
+  /** DuckDB replica: same pair graph (the neardup CTE chain), components
+    * via a recursive transitive-closure walk, label = MIN reachable id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |       FROM documents),
+       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
+       | gr AS (SELECT g.* FROM g JOIN rare USING (s)),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM gr a JOIN gr b ON a.s = b.s AND a.doc_id < b.doc_id),
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1),
+       | pairs AS (SELECT d1, d2
+       |   FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
+       |   WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |     (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3),
+       | edges AS (SELECT d1, d2 FROM pairs
+       |           UNION ALL SELECT d2, d1 FROM pairs),
+       | walk(node, lab) AS (
+       |   SELECT DISTINCT d1, d1 FROM edges
+       |   UNION
+       |   SELECT e.d1, w.lab FROM edges e JOIN walk w ON e.d2 = w.node),
+       | labels AS (SELECT node, MIN(lab) AS label FROM walk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(l.label, d.doc_id) AS canonical_doc_id,
+       |  COALESCE(l.label, d.doc_id) <> d.doc_id AS is_duplicate
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
+
   // ---------------------------------------------------------- minhash + LSH
   private val MinhashK = 64    // signature length
   // 8 rows x 8 bands: the LSH S-curve midpoint sits at (1/8)^(1/8) ≈ 0.77 —
@@ -461,6 +526,7 @@ object DocQueries {
     "doc_quality"         -> (quality _),
     "doc_langid"          -> (langId _),
     "doc_neardup_jaccard" -> (neardupJaccard _),
+    "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
     "doc_simhash_pairs"   -> (simhashPairs _))
 
@@ -473,6 +539,7 @@ object DocQueries {
     "doc_quality"         -> qualitySql,
     "doc_langid"          -> langIdSql,
     "doc_neardup_jaccard" -> neardupJaccardSql,
+    "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
     "doc_simhash_pairs"   -> simhashPairsSql)
 }

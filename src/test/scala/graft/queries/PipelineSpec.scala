@@ -25,6 +25,28 @@ class PipelineSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("dedup clusters: transitive chains collapse to the min doc id") {
+    // a~b and b~c near-dups but a~c weaker: the component must still unite
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, base + " one two three"),
+      (20L, base + " one two four"),       // ~ 10
+      (30L, base + " one five four"),      // ~ 20, farther from 10
+      (99L, "completely different content nothing shared here at all " +
+        "not even slightly similar to the others in any way whatsoever")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("clusters").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.dedupClusters(spark, tmp)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(10L) === (10L, false))
+    assert(got(20L) === (10L, true))
+    assert(got(30L) === (10L, true)) // via 20, transitively
+    assert(got(99L) === (99L, false))
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
