@@ -20,6 +20,10 @@ object GraftFunctions {
   def base36ToLong(c: Column): Column = column(Base36ToLong(expression(c)))
   def base36ToInt(c: Column): Column = column(Base36ToInt(expression(c)))
 
+  /** Parse-once URI component struct (reference parseUri memoization) —
+    * scheme/host/port/path/rawPath/query/rawQuery/fragment/rawFragment. */
+  def parseUri(c: Column): Column = column(UriParse(expression(c)))
+
   /** 64-bit SimHash of a text (md5-low-64 token hash, tf-weighted votes). */
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 

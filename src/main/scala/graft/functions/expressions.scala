@@ -191,6 +191,32 @@ case class JsonPathQuery(child: Expression, path: String) extends UnaryExpressio
   override def prettyName: String = "json_path_query"
 }
 
+/** Parse-once URI component struct (see [[Uris]]) — single java.net.URI
+  * parse per row; doGenCode is one static call so the projection stays in
+  * whole-stage codegen. Null/malformed input → all-null fields. */
+case class UriParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Uris.schema
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    Uris.parseInternal(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val row = ctx.freshName("uriRow")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |InternalRow $row = graft.functions.Uris.parseInternal(
+        |  ${c.isNull} ? null : ${c.value});
+        """.stripMargin,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(row, dataType))
+  }
+  override protected def withNewChildInternal(c: Expression): UriParse = copy(c)
+  override def prettyName: String = "uri_parse"
+}
+
 /** Query string → map<string, array<string>> with the reference's
   * multi-value, valueless-key and percent-decode semantics
   * (`recordmapping/QueryStringParser.java:37-89`). */

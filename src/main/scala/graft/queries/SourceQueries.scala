@@ -107,9 +107,11 @@ object SourceQueries {
 
   // --------------------------------------------------------------- uri
   /** The URI producer family (`UriValueProducer`,
-    * `DslRecordMapping.java:449-530`): synthesize a URL per event, run it
-    * through `parse_url` (+ the multi-value query map for `.query()`
-    * semantics), emit every component the reference's producers expose. */
+    * `DslRecordMapping.java:449-530`): synthesize a URL per event, parse it
+    * ONCE into the component struct ([[graft.functions.Uris]] — the
+    * reference memoizes parseUri the same way), emit every component the
+    * reference's producers expose (+ the multi-value query map for
+    * `.query()` semantics). */
   def uriParse(spark: SparkSession, d: String): DataFrame = {
     val url = concat(
       lit("https://shop.example:8443/cat/"), col("user_id"),
@@ -117,20 +119,22 @@ object SourceQueries {
       lit("#frag"), col("user_id"))
     events(spark, d).select(col("event_id"), col("user_id"))
       .withColumn("url", url)
+      .withColumn("u", graft.functions.GraftFunctions.parseUri(col("url")))
       .select(
         col("event_id"),
-        parse_url(col("url"), lit("PROTOCOL")).as("scheme"),
-        parse_url(col("url"), lit("HOST")).as("host"),
-        regexp_extract(parse_url(col("url"), lit("AUTHORITY")), ":(\\d+)$", 1)
-          .cast("int").as("port"),
-        parse_url(col("url"), lit("PATH")).as("path"),
-        parse_url(col("url"), lit("QUERY")).as("query_string"),
-        parse_url(col("url"), lit("REF")).as("fragment"),
-        parse_url(col("url"), lit("QUERY"), lit("size")).as("size_value"),
+        col("u.scheme").as("scheme"),
+        col("u.host").as("host"),
+        col("u.port").as("port"),
+        col("u.rawPath").as("path"),
+        col("u.rawQuery").as("query_string"),
+        col("u.rawFragment").as("fragment"),
+        element_at(element_at(
+          graft.functions.GraftFunctions.parseQueryString(col("u.rawQuery")),
+          "size"), 1).as("size_value"),
         // .query().valueList('color') — multi-value map semantics
         array_join(element_at(
-          graft.functions.GraftFunctions.parseQueryString(
-            parse_url(col("url"), lit("QUERY"))), "color"), ",").as("color_values"))
+          graft.functions.GraftFunctions.parseQueryString(col("u.rawQuery")),
+          "color"), ",").as("color_values"))
   }
 
   val uriParseSql: String =
