@@ -166,6 +166,10 @@ object DocQueries {
     // (three shuffles over the 1M-row index; measured 2.6s → 1.1s warm at
     // sf0.1) — and at cluster scale posting-list pair emission bounds the
     // blow-up to df² ≤ 100 rows per shingle by construction.
+    // distinct BEFORE the merge-walk: near-dup pairs share ~40 rare
+    // shingles each, so the raw pair stream carries ~40x duplicates of
+    // exactly the pairs whose merge-walk is longest — measured, deduping
+    // early beats walking duplicates (2.7s vs 3.0s warm at sf0.1)
     val candidates = ex.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
       .select(explode(col("ids")).as("d1"), col("ids"))

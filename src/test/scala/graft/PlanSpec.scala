@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
     assert(!pj.contains("Exchange"), "json decode must not shuffle")
   }
 
+  test("sessionize: exactly one exchange (user key), session merge is native") {
+    val p = plan(graft.queries.EventQueries.queries("evt_sessionize")(spark, sf))
+    assert("Exchange".r.findAllIn(p).length <= 2, // key shuffle (+AQE read)
+      "sessionization must shuffle once on the session key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("geo enrichment: the IP-range dimension joins as a broadcast") {
+    val p = plan(graft.queries.EnrichQueries.queries("geo_enrich")(spark, sf))
+    assert(p.contains("Broadcast"), "range dim must broadcast, never shuffle the events")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash
