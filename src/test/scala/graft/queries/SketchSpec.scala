@@ -26,6 +26,48 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Hll typed aggregator agrees bit-for-bit with the SQL-replica rollup") {
+    val approx = EventQueries.dailyRollupApprox(spark, sf)
+      .select("day", "event_type", "approx_users").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val viaAgg = graft.Tables.events(spark, sf)
+      .select(
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("user_id"))
+      .groupBy("day", "event_type")
+      .agg(round(graft.functions.Hll.approxDistinct(col("user_id")), 3).as("a"))
+      .as[(String, String, Double)].collect()
+    assert(viaAgg.nonEmpty)
+    viaAgg.foreach { case (day, et, a) =>
+      assert(a === approx((day, et)), s"($day,$et)")
+    }
+  }
+
+  test("Hll aggregator works in a streaming windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("uid", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.Hll.approxDistinct(col("uid")).as("approx_users"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 200 distinct users in one window, sent across two batches (registers
+    // must MERGE across micro-batches, the property that makes this a
+    // streaming-safe sketch)
+    input.addData((0 until 120).map(i => (s"user$i", t0)): _*)
+    q.processAllAvailable()
+    input.addData((80 until 200).map(i => (s"user$i", t0)): _*)
+    q.processAllAvailable()
+    val est = spark.table("hll_stream")
+      .orderBy(col("window.start").desc).select("approx_users")
+      .as[Double].head()
+    q.stop()
+    assert(math.abs(est - 200) / 200.0 <= 0.15, s"estimate $est vs 200")
+  }
+
   test("salted join equals plain join") {
     val fact = graft.Tables.events(spark, sf)
       .select(col("user_id").as("k"), col("value"))
