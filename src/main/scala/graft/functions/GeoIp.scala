@@ -42,4 +42,26 @@ object GeoIp {
         "left")
       .drop("__ip_num")
   }
+
+  /** Hash-joinable variant: each dim range is exploded into the /prefixBits
+    * blocks it spans, the event side keys on its block, and the range check
+    * becomes a residual filter — Spark plans a BroadcastHashJoin (per-row
+    * hash probe) instead of a BroadcastNestedLoopJoin (per-row scan of the
+    * whole dim). With GeoLite-scale dims (~3M ranges) the NLJ is O(dim) per
+    * event and untenable; this is the standard prefix-split. Ranges must
+    * not overlap (MaxMind ranges don't), else duplicate matches. */
+  def enrichPrefix(df: DataFrame, ipCol: String, dim: DataFrame,
+      prefixBits: Int = 24): DataFrame = {
+    val shift = 32 - prefixBits
+    val expanded = dim.withColumn("__pd",
+      explode(sequence(shiftrightunsigned(col("ip_start"), shift),
+        shiftrightunsigned(col("ip_end"), shift))))
+    df.withColumn("__ip_num", ipv4ToLong(col(ipCol)))
+      .withColumn("__p", shiftrightunsigned(col("__ip_num"), shift))
+      .join(broadcast(expanded),
+        col("__p") === col("__pd") &&
+          col("__ip_num") >= col("ip_start") && col("__ip_num") <= col("ip_end"),
+        "left")
+      .drop("__ip_num", "__p", "__pd")
+  }
 }

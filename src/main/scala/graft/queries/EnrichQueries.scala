@@ -34,7 +34,7 @@ object EnrichQueries {
       concat(lit("10.0."),
         (col("user_id") % 256).cast("string"), lit("."),
         ((col("user_id") * 7) % 256).cast("string")).as("ip"))
-    GeoIp.enrich(ev, "ip", dim)
+    GeoIp.enrichPrefix(ev, "ip", dim)
       .select(col("event_id"), col("ip"), col("n_name").as("geo_name"))
   }
 

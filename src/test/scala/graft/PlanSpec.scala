@@ -71,9 +71,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("geo enrichment: the IP-range dimension joins as a broadcast") {
+  test("geo enrichment: prefix-split range join plans as a broadcast HASH join") {
     val p = plan(graft.queries.EnrichQueries.queries("geo_enrich")(spark, sf))
-    assert(p.contains("Broadcast"), "range dim must broadcast, never shuffle the events")
+    // the prefix-equality key makes the range join hashable — a
+    // BroadcastNestedLoopJoin here would be O(dim) per event at scale
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
 
