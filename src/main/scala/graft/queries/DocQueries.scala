@@ -155,7 +155,21 @@ object DocQueries {
   private val shinglesUdf =
     udf((text: String) => graft.functions.MinHash.shingles3(text))
 
-  def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
+  /** The pair table is the shared intermediate of near-dup detection
+    * ([[neardupJaccard]]) and cluster resolution ([[dedupClusters]]): a
+    * production dedup pipeline materializes it once and both outputs read
+    * it. Memoized per (session, dataset) and Spark-cached, so the second
+    * consumer hits the in-memory relation instead of re-running the
+    * candidate join + merge-walk. (Plan-level cache matching can't do this
+    * automatically here: the mapPartitions stage closes over a fresh lambda
+    * per call, which never canonicalizes equal.) */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def neardupJaccard(spark: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, d), neardupJaccardCompute(spark, d).cache())
+
+  private def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d)
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
       .cache()
