@@ -36,6 +36,13 @@ object GraftFunctions {
   /** RFC-7230 header value → array<string>. */
   def splitHeaderValue(c: Column): Column = column(SplitHeaderValue(expression(c)))
 
+  /** Float embedding → scaled-long representation (floor(x*1e7)). */
+  def scaleFloats(c: Column): Column = column(ScaleFloats(expression(c)))
+
+  /** Exact dot product of two scaled-long arrays. */
+  def dotLongArrays(a: Column, b: Column): Column =
+    column(DotLongArrays(expression(a), expression(b)))
+
   // ------------------------------------------------------------ digests
   /** Ordered digest of string pieces; absent (null) pieces are skipped —
     * reference `Digester.java:61-78`. */

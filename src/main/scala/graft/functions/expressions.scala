@@ -254,6 +254,35 @@ case class SplitHeaderValue(child: Expression)
   override def prettyName: String = "split_header_value"
 }
 
+/** Elementwise floor(float*1e7) scaling to the long-integer embedding
+  * representation — native counterpart of
+  * `transform(arr, x => floor(x.cast(double) * 1e7).cast(long))`, whose
+  * lambda Catalyst interprets per element. */
+case class ScaleFloats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VecMath.scaleFloats(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.scaleFloats($c)")
+  override protected def withNewChildInternal(c: Expression): ScaleFloats = copy(c)
+  override def prettyName: String = "scale_floats"
+}
+
+/** Exact dot product of two equal-length long arrays — native counterpart of
+  * `aggregate(zip_with(a, b, _ * _), 0L, _ + _)`. */
+case class DotLongArrays(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongArrays =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_long_arrays"
+}
+
 /** Ordered multi-piece digest (reference `recordmapping/Digester.java`):
   * null pieces contribute no bytes; result is always present (non-null)
   * when the expression itself evaluates. Seeded form is HMAC with the

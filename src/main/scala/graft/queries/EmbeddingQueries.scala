@@ -27,14 +27,19 @@ object EmbeddingQueries {
     * exact widening and floor of an identical double is engine-independent —
     * unlike float→decimal casts, where Spark rounds the exact binary
     * expansion but DuckDB goes through the shortest float repr (observed
-    * ~1e-8 mismatches). Integer sums are then order-independent and exact. */
+    * ~1e-8 mismatches). Integer sums are then order-independent and exact.
+    *
+    * Both ops are native expressions ([[graft.functions.VecMath]]): the
+    * higher-order-function forms interpret their lambdas per element and
+    * their inlined trees dominate codegen compile time when a query repeats
+    * the dot product (IVF embeds it four ways). */
   private def scaled(arr: Column): Column =
-    transform(arr, x => floor(x.cast("double") * 1e7).cast("long"))
+    graft.functions.GraftFunctions.scaleFloats(arr)
 
   /** Exact dot product of two scaled-integer arrays (fits long: 1e14/elem,
     * 64 elems). */
   private def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotLongArrays(a, b)
 
   // ------------------------------------------------------------ brute kNN
   /** Brute-force cosine top-k: decimal-exact dot/norms, cosine rounded to 6
@@ -115,7 +120,7 @@ object EmbeddingQueries {
   private def lshKeyInt(embInt: Column): Column =
     (0 until NPlanes).foldLeft(lit(0L)) { (acc, p) =>
       val plane = typedLit((0 until Dim).map(i => planeWeight(p, i)))
-      val dot = aggregate(zip_with(embInt, plane, (x, y) => x * y), lit(0L), (a, x) => a + x)
+      val dot = dotScaled(embInt, plane)
       acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
     }
 
