@@ -446,6 +446,78 @@ object DocQueries {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- PII scrubbing
+  /** PII scrubbing — the redaction pass a training-data pipeline runs before
+    * anything else: find/replace emails and phone numbers, count what was
+    * redacted. The regexes are deliberately RE2-safe (no lookaround) so the
+    * oracle runs them verbatim. Test data carries no PII, so the query
+    * synthesizes a deterministic email+phone per row (same pattern as the
+    * source-roundtrip queries) and the oracle replays the synthesis. Narrow
+    * single-stage scan: at 100 TB this is a pure map, no shuffle. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    documents(spark, d).select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+  }
+
+  val piiScrubSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------- HTML stripping
+  /** HTML boilerplate stripping — tag removal + whitespace normalization,
+    * the first stage of web-corpus text extraction. Markup is synthesized
+    * deterministically per row (test docs are plain text); the tag regex is
+    * the same in Java and RE2 so the oracle replays it. Narrow single-stage
+    * scan. */
+  def htmlStrip(spark: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p><a href=\"http://site.example/d/"), col("doc_id"),
+      lit("\">link</a></body></html>"))
+    val clean = trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
+    documents(spark, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(html, lit("<[^>]+>"), lit(0))).as("n_tags"),
+      length(clean).as("clean_len"),
+      md5(clean).as("clean_md5"))
+  }
+
+  val htmlStripSql: String =
+    """WITH s AS (SELECT doc_id,
+      |  '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |  '</p><a href="http://site.example/d/' || CAST(doc_id AS VARCHAR) ||
+      |  '">link</a></body></html>' AS html
+      |  FROM documents),
+      | c AS (SELECT doc_id, html,
+      |   trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+      |     '\s+', ' ', 'g')) AS clean
+      |  FROM s)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+      |  strlen(clean) AS clean_len,
+      |  md5(clean) AS clean_md5
+      |FROM c""".stripMargin
+
   // ------------------------------------------------- winnowing fingerprint
   /** Rolling-hash winnowing fingerprints (the MOSS scheme): k-gram rolling
     * hashes, minimum per sliding window — robust local fingerprints for
@@ -538,6 +610,8 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_token_counts" -> (tokenCounts _),
     "doc_winnow"       -> (winnowFingerprints _),
+    "doc_pii_scrub"    -> (piiScrub _),
+    "doc_html_strip"   -> (htmlStrip _),
     "doc_dedup_exact"     -> (dedupExact _),
     "doc_fingerprint"     -> (fingerprint _),
     "doc_token_stats"     -> (tokenStats _),
@@ -551,6 +625,8 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "doc_token_counts"    -> tokenCountsSql,
     "doc_winnow"          -> winnowSql,
+    "doc_pii_scrub"       -> piiScrubSql,
+    "doc_html_strip"      -> htmlStripSql,
     "doc_dedup_exact"     -> dedupExactSql,
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,
