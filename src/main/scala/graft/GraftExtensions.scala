@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+/** SQL surface for the graft expression library: registers every custom
+  * Catalyst expression as a SQL function via `SparkSessionExtensions`, so
+  * `spark.sql("SELECT mincode_to_json(u) ...")` works the same as the
+  * Column API in [[graft.functions.GraftFunctions]].
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` (done by
+  * [[GraftSession]]) — the standard deployment path for a Spark library's
+  * engine extensions (SURVEY.md §2's "registered via SparkSessionExtensions"
+  * note for custom operators).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** A plan-time string literal argument (e.g. a JSONPath or digest
+    * algorithm) — mirrors the reference's mapping-compile-time validation:
+    * a non-literal fails analysis, not execution. */
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$what must be a string literal")
+    String.valueOf(e.eval(null))
+  }
+
+  private def fn(name: String, usage: String)(b: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", null, name, usage, ""),
+      b)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("mincode_to_json", "mincode_to_json(str) - decode a mincode payload to a JSON string (null if malformed)") {
+      args => MincodeToJson(args.head) },
+    fn("murmur3_utf8", "murmur3_utf8(str) - Guava-compatible murmur3_32 of the string's UTF-8 bytes") {
+      args => Murmur3Utf8(args.head) },
+    fn("base36_to_long", "base36_to_long(str) - base-36 parse, null on malformed/overflow") {
+      args => Base36ToLong(args.head) },
+    fn("base36_to_int", "base36_to_int(str) - base-36 parse, null on malformed/overflow") {
+      args => Base36ToInt(args.head) },
+    fn("simhash64", "simhash64(text) - 64-bit tf-weighted SimHash (md5-low-64 token hash)") {
+      args => SimHash64(args.head) },
+    fn("divolte_id_timestamp", "divolte_id_timestamp(id) - embedded epoch-millis of a divolte identifier") {
+      args => DivolteIdTimestamp(args.head) },
+    fn("uri_parse", "uri_parse(str) - parse-once URI component struct") {
+      args => UriParse(args.head) },
+    fn("browser_decode", "browser_decode(query_string) - one-pass browser wire decode struct") {
+      args => BrowserDecode(args.head) },
+    fn("ua_parse", "ua_parse(user_agent) - user-agent classification struct") {
+      args => UaParse(args.head) },
+    fn("parse_query_string", "parse_query_string(str) - multi-value query-string map") {
+      args => ParseQueryString(args.head) },
+    fn("split_header_value", "split_header_value(str) - RFC-7230 header value split") {
+      args => SplitHeaderValue(args.head) },
+    fn("json_path_query", "json_path_query(json, 'path') - full JSONPath over a JSON string; path is a plan-time literal") {
+      args => JsonPathQuery(args(0), litStr(args(1), "json_path_query path")) },
+    fn("scale_floats", "scale_floats(array<float>) - floor(x*1e7) scaled-long embedding representation") {
+      args => ScaleFloats(args.head) },
+    fn("dot_long_arrays", "dot_long_arrays(a, b) - exact dot product of two long arrays") {
+      args => DotLongArrays(args(0), args(1)) },
+    fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
+      args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
+    fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {
+      args => DigestPieces(litStr(args.head, "digest algorithm"),
+        Some(litStr(args(1), "digest seed")), args.drop(2)) })
+}

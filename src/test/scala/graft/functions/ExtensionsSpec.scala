@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL registration surface (GraftExtensions): every custom expression
+  * is callable by name from `spark.sql`, and SQL results agree with the
+  * Column API. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("scalar codecs are SQL-callable and agree with the Column API") {
+    assert(spark.sql("SELECT base36_to_long('z') v").head.getLong(0) === 35L)
+    assert(spark.sql("SELECT base36_to_int('10') v").head.getInt(0) === 36)
+    assert(spark.sql("SELECT base36_to_long('not base36!') v").head.isNullAt(0))
+
+    val viaSql = spark.sql("SELECT murmur3_utf8('divolte') v").head.getInt(0)
+    val viaCol = spark.range(1)
+      .select(GraftFunctions.murmur3Utf8(lit("divolte")).as("v")).head.getInt(0)
+    assert(viaSql === viaCol)
+
+    val sh = spark.sql("SELECT simhash64('a b a c') v").head.getLong(0)
+    val shCol = spark.range(1)
+      .select(GraftFunctions.simhash64(lit("a b a c")).as("v")).head.getLong(0)
+    assert(sh === shCol)
+  }
+
+  test("struct producers: uri_parse / parse_query_string / mincode from SQL") {
+    val row = spark.sql(
+      "SELECT uri_parse('https://shop.example:8443/a/b?x=1&x=2#f') u").select(
+      col("u.scheme"), col("u.host"), col("u.port"), col("u.rawQuery")).head
+    assert(row.getString(0) === "https")
+    assert(row.getString(1) === "shop.example")
+    assert(row.getInt(2) === 8443)
+    assert(row.getString(3) === "x=1&x=2")
+
+    val qs = spark.sql(
+      "SELECT element_at(parse_query_string('a=1&a=2&b'), 'a') v").head.getSeq[String](0)
+    assert(qs === Seq("1", "2"))
+
+    val mc = spark.sql("SELECT mincode_to_json('(dk!2s!)') v").head.getString(0)
+    val mcCol = spark.range(1)
+      .select(GraftFunctions.mincodeToJson(lit("(dk!2s!)")).as("v")).head.getString(0)
+    assert(mc === mcCol)
+  }
+
+  test("json_path_query takes a plan-time literal path; non-literal fails analysis") {
+    assert(spark.sql(
+      """SELECT json_path_query('{"a":{"b":[1,2,3]}}', '$.a.b[-1]') v""")
+      .head.getString(0) === "3")
+    val err = intercept[Exception] {
+      spark.sql("SELECT json_path_query('{}', concat('$', rand())) v").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("vector math and digests from SQL") {
+    assert(spark.sql(
+      "SELECT dot_long_arrays(array(1L, 2L, 3L), array(4L, 5L, 6L)) v")
+      .head.getLong(0) === 32L)
+    assert(spark.sql(
+      "SELECT scale_floats(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) v")
+      .head.getSeq[Long](0) === Seq(5000000L, -2500000L))
+
+    val viaSql = spark.sql("SELECT digest_pieces('SHA-256', 'a', NULL, 'b') v")
+      .head.getAs[Array[Byte]](0)
+    val viaCol = spark.range(1)
+      .select(GraftFunctions.digest("SHA-256", lit("a"), lit(null), lit("b")).as("v"))
+      .head.getAs[Array[Byte]](0)
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+}
