@@ -99,6 +99,21 @@ class JsonPathsSpec extends SparkSpec {
     assert(evalOn(nums, "$.n.keys()") === null)
   }
 
+  test("parameterized functions: stddev, concat, append (jayway set)") {
+    def evalOn(json: String, p: String) = JsonPaths.evalToJson(json, JsonPaths.compile(p))
+    val nums = """{"n":[3,1,2]}"""
+    // population stddev of 1,2,3: sqrt(2/3)
+    assert(math.abs(evalOn(nums, "$.n.stddev()").toDouble -
+      math.sqrt(2.0 / 3.0)) < 1e-12)
+    assert(evalOn(nums, "$.n.append(4, 5).length()") === "5")
+    assert(evalOn(nums, "$.n.append(4).sum()") === "10.0")
+    assert(evalOn("""{"s":"ab"}""", "$.s.concat('-', 'cd')") === "ab-cd")
+    assert(evalOn("""{"a":["x","y"]}""", "$.a.concat('!')") === "xy!")
+    // append on a non-array is a miss, not an error
+    assert(evalOn("""{"s":"ab"}""", "$.s.append(1)") === null)
+    intercept[IllegalArgumentException](JsonPaths.compile("$.n.append(4,")) // unterminated args
+  }
+
   test("indefinite paths with no matches yield an empty array, not null") {
     assert(eval("$..nosuchfield") === "[]")
     assert(eval("$.store.book[?(@.price > 100)]") === "[]")
