@@ -80,6 +80,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("text cleaning (pii scrub / html strip) are exchange-free narrow scans") {
+    val pp = plan(graft.queries.DocQueries.queries("doc_pii_scrub")(spark, sf))
+    assert(!pp.contains("Exchange"), "pii scrub must be a pure map stage")
+    val ph = plan(graft.queries.DocQueries.queries("doc_html_strip")(spark, sf))
+    assert(!ph.contains("Exchange"), "html strip must be a pure map stage")
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash
