@@ -249,9 +249,10 @@ object DocQueries {
     * run as driver-side union-find over the collected pairs and the label
     * table broadcasts back over the corpus — one narrow assignment pass.
     * (If a corpus ever produced a pair set beyond driver memory, the
-    * drop-in distributed form is iterative min-label propagation — each
-    * round one join + map-side-combinable min agg until fixpoint; same
-    * deterministic component-minimum labels.) */
+    * drop-in distributed form is [[graft.functions.Components.components]]
+    * — iterative min-label propagation, each round one join +
+    * map-side-combinable min agg until fixpoint; ComponentsSpec asserts it
+    * yields the same deterministic component-minimum labels.) */
   def dedupClusters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = neardupJaccard(spark, d)
