@@ -519,6 +519,89 @@ object DocQueries {
       |  md5(clean) AS clean_md5
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- deterministic sampling
+  /** Deterministic (seeded) sampling — the split/eval-subset primitive of a
+    * training pipeline: an md5-derived uniform key makes membership a pure
+    * function of (seed, doc_id), so the sample is reproducible across runs,
+    * engines, and repartitioning — no RNG state, no order dependence.
+    * Integer modulus on the 32-bit key avoids float thresholds entirely
+    * (bit-stable oracle). Narrow scan: at 100 TB this is a pushed-down-ish
+    * filter, no shuffle. Keeps ~1/5 of rows per stratum. */
+  def sampleDeterministic(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("sample_key",
+        conv(substring(md5(concat(lit("smpl"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("sample_key") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("sample_key"))
+
+  val sampleDeterministicSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |       AS UBIGINT)::BIGINT AS sample_key
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |       AS UBIGINT) % 5 = 0""".stripMargin
+
+  // ------------------------------------------------- decontamination
+  /** Benchmark decontamination — flag training documents whose normalized
+    * fingerprint collides with a held-out/benchmark set (here: every 97th
+    * doc stands in for the benchmark). The benchmark fingerprint set is
+    * tiny relative to the corpus, so it broadcasts and the corpus streams
+    * through a hash-probe left join — no corpus shuffle at any scale. */
+  /** Generic form: flag rows of `train` whose `fpCol` value appears in
+    * `bench` (broadcast hash probe; no shuffle of the training corpus).
+    * The corpus here has no planted duplicates, so the query's flag column
+    * is validated structurally by the oracle and the true-positive path by
+    * PipelineSpec's planted-contamination test. */
+  def flagContaminated(train: DataFrame, bench: DataFrame, fpCol: String): DataFrame =
+    train.join(
+        broadcast(bench.select(col(fpCol).as("bench_fp")).distinct()),
+        col(fpCol) === col("bench_fp"), "left")
+      .withColumn("contaminated", col("bench_fp").isNotNull)
+      .drop("bench_fp")
+
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val docs = documents(spark, d).select(col("doc_id"), fp.as("fingerprint"))
+    flagContaminated(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "fingerprint")
+  }
+
+  val decontaminateSql: String =
+    """WITH fp AS (SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents),
+      | bench AS (SELECT DISTINCT fingerprint AS bench_fp FROM fp
+      |           WHERE doc_id % 97 = 0)
+      |SELECT f.doc_id, f.fingerprint, b.bench_fp IS NOT NULL AS contaminated
+      |FROM fp f LEFT JOIN bench b ON f.fingerprint = b.bench_fp
+      |WHERE f.doc_id % 97 <> 0""".stripMargin
+
+  // ------------------------------------------------- vocabulary
+  /** Corpus vocabulary top-k: token frequencies with a deterministic
+    * (count desc, token asc) total order. The explode→count aggregation
+    * partially combines map-side and the top-k is a TakeOrdered, not a
+    * global sort — the standard vocab-build shape at corpus scale. */
+  def vocabTopK(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n_docs_x_tf").desc, col("token"))
+    documents(spark, d)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_docs_x_tf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+  }
+
+  val vocabTopKSql: String =
+    """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |           FROM documents),
+      | c AS (SELECT token, COUNT(*) AS n_docs_x_tf FROM t GROUP BY 1)
+      |SELECT token, n_docs_x_tf, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs_x_tf DESC, token) AS rank
+      |  FROM c)
+      |WHERE rank <= 20""".stripMargin
+
   // ------------------------------------------------- winnowing fingerprint
   /** Rolling-hash winnowing fingerprints (the MOSS scheme): k-gram rolling
     * hashes, minimum per sliding window — robust local fingerprints for
@@ -613,6 +696,9 @@ object DocQueries {
     "doc_winnow"       -> (winnowFingerprints _),
     "doc_pii_scrub"    -> (piiScrub _),
     "doc_html_strip"   -> (htmlStrip _),
+    "doc_sample"       -> (sampleDeterministic _),
+    "doc_decontaminate" -> (decontaminate _),
+    "doc_vocab_topk"   -> (vocabTopK _),
     "doc_dedup_exact"     -> (dedupExact _),
     "doc_fingerprint"     -> (fingerprint _),
     "doc_token_stats"     -> (tokenStats _),
@@ -628,6 +714,9 @@ object DocQueries {
     "doc_winnow"          -> winnowSql,
     "doc_pii_scrub"       -> piiScrubSql,
     "doc_html_strip"      -> htmlStripSql,
+    "doc_sample"          -> sampleDeterministicSql,
+    "doc_decontaminate"   -> decontaminateSql,
+    "doc_vocab_topk"      -> vocabTopKSql,
     "doc_dedup_exact"     -> dedupExactSql,
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,

@@ -25,6 +25,20 @@ class PipelineSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("decontamination flags planted benchmark collisions, spares the rest") {
+    val train = Seq(
+      (1L, "the quick brown fox"),   // planted: same text as bench doc 100
+      (2L, "a totally clean doc"),
+      (3L, "The  Quick   Brown FOX") // formatting variant -> same fingerprint
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("fingerprint",
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val out = DocQueries.flagContaminated(fp(train), fp(bench), "fingerprint")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L) && !out(2L))
+  }
+
   test("dedup clusters: transitive chains collapse to the min doc id") {
     // a~b and b~c near-dups but a~c weaker: the component must still unite
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
