@@ -174,6 +174,61 @@ object EventQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ transitions
+  /** Event-type transition (page-flow) counts: per-user next-event via a
+    * lead window with a unique tie-break, then a count per (from, to) pair.
+    * One shuffle on user_id for the window, one map-side-combinable count —
+    * the standard clickstream path analysis at any scale. */
+  def transitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  val transitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY epoch_ms(ts), event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, COUNT(*) AS n_transitions
+      |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ retention
+  /** Day-over-day retention: users active on day D who return on D+1.
+    * Distinct (day, user) pairs self-join on (user, day+1) — both sides
+    * shuffle on user_id once; counts partial-aggregate map-side. */
+  def retention(spark: SparkSession, d: String): DataFrame = {
+    val days = ev(spark, d)
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .distinct()
+    val returned = days.as("a")
+      .join(days.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_retained"))
+    days.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      .join(returned, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+  }
+
+  val retentionSql: String =
+    """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      | ret AS (SELECT a.day, COUNT(*) AS n_retained
+      |         FROM du a JOIN du b
+      |           ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |         GROUP BY 1)
+      |SELECT strftime(du.day, '%Y-%m-%d') AS day, COUNT(*) AS n_active,
+      |  COALESCE(ANY_VALUE(ret.n_retained), 0) AS n_retained
+      |FROM du LEFT JOIN ret ON du.day = ret.day
+      |GROUP BY du.day""".stripMargin
+
   // ------------------------------------------------------------ sketches
   private val HllM = 1024 // 2^10 registers
   /** alpha_m · m² · 2^52 — embedded as the SAME double literal in the
@@ -315,7 +370,9 @@ object EventQueries {
     "evt_dedup_exact"  -> (dedupExact _),
     "evt_daily_rollup" -> (dailyRollup _),
     "evt_funnel"       -> (funnel _),
-    "evt_top_users"    -> (topUsers _))
+    "evt_top_users"    -> (topUsers _),
+    "evt_transitions"  -> (transitions _),
+    "evt_retention"    -> (retention _))
 
   val oracles: Map[String, String] = Map(
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
@@ -325,5 +382,7 @@ object EventQueries {
     "evt_dedup_exact"  -> dedupExactSql,
     "evt_daily_rollup" -> dailyRollupSql,
     "evt_funnel"       -> funnelSql,
-    "evt_top_users"    -> topUsersSql)
+    "evt_top_users"    -> topUsersSql,
+    "evt_transitions"  -> transitionsSql,
+    "evt_retention"    -> retentionSql)
 }
