@@ -1,0 +1,108 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.model.DivolteId
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the pure codec layer — the coverage SURVEY.md
+  * §5 notes the reference lacks (its tests are example-based): roundtrips
+  * and never-throw guarantees over generated input. */
+class PropertySpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def check(prop: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  // --------------------------------------------------------------- base36
+  test("base36 long/int roundtrip for every in-range value") {
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
+      DivolteId.tryParseBase36Long(java.lang.Long.toString(n, 36)) == n
+    })
+    check(Prop.forAll(Gen.chooseNum(0, Int.MaxValue)) { n =>
+      DivolteId.tryParseBase36Int(java.lang.Integer.toString(n, 36)) == n
+    })
+  }
+
+  test("base36 parse never throws, and out-of-range/malformed is null") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      DivolteId.tryParseBase36Long(s); DivolteId.tryParseBase36Int(s); true
+    })
+    // anything beyond Int range through the Int parser is null, not wrapped
+    check(Prop.forAll(Gen.chooseNum(Int.MaxValue.toLong + 1, Long.MaxValue)) { n =>
+      DivolteId.tryParseBase36Int(java.lang.Long.toString(n, 36)) == null
+    })
+  }
+
+  // ------------------------------------------------------------ identifiers
+  test("generated divolte ids parse back to their timestamp") {
+    check(Prop.forAll(Gen.chooseNum(0L, 4294967295999L)) { ts =>
+      val id = DivolteId.generate(ts)
+      DivolteId.isValid(id) && DivolteId.timestampOf(id) == ts
+    })
+  }
+
+  // ------------------------------------------------------------ query string
+  private val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val valGen = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '&', '=', '%', '+', 'ü', '語', '/')))
+    .map(_.mkString)
+
+  test("query strings roundtrip: render(url-encode) -> parse recovers pairs") {
+    val pairsGen = Gen.nonEmptyListOf(Gen.zip(keyGen, valGen))
+    check(Prop.forAll(pairsGen) { pairs =>
+      val qs = pairs.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+      val parsed = QueryStrings.parse(qs)
+      // every (k, ordered values) group must come back exactly
+      pairs.groupBy(_._1).forall { case (k, kvs) =>
+        parsed.get(k).exists(_ == kvs.map(_._2))
+      }
+    })
+  }
+
+  test("query-string parse never throws on arbitrary input") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s => QueryStrings.parse(s); true })
+  }
+
+  // ---------------------------------------------------------------- mincode
+  private val jsonScalarGen: Gen[String] = Gen.oneOf(
+    Gen.const("null"), Gen.const("true"), Gen.const("false"),
+    Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(_.toString),
+    Gen.chooseNum(-1e9, 1e9).map(d => f"$d%.4f"),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '!', '~', '"', '\\', '(', ')', 'é')))
+      .map(cs => mapper.writeValueAsString(cs.mkString)))
+
+  private def jsonGen(depth: Int): Gen[String] =
+    if (depth <= 0) jsonScalarGen
+    else Gen.frequency(
+      3 -> jsonScalarGen,
+      1 -> Gen.listOf(Gen.lzy(jsonGen(depth - 1))).map(_.mkString("[", ",", "]")),
+      1 -> Gen.listOf(Gen.zip(keyGen, Gen.lzy(jsonGen(depth - 1))))
+        .map(kvs => kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")))
+
+  test("mincode encode -> decode roundtrips arbitrary JSON trees") {
+    check(Prop.forAll(jsonGen(3)) { json =>
+      val decoded = Mincode.toJson(Mincode.fromJson(json))
+      decoded != null && mapper.readTree(decoded) == mapper.readTree(json)
+    })
+  }
+
+  test("mincode decode never throws on arbitrary input (null on malformed)") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s => Mincode.toJson(s); true })
+  }
+
+  // ----------------------------------------------------------------- headers
+  test("header split: joined simple tokens recover; never throws on noise") {
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(Gen.nonEmptyListOf(token)) { ts =>
+      HeaderValues.split(ts.mkString(", ")) == ts
+    })
+    check(Prop.forAll(Gen.asciiPrintableStr) { s => HeaderValues.split(s); true })
+  }
+}
