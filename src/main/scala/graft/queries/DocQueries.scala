@@ -585,12 +585,16 @@ object DocQueries {
     * partially combines map-side and the top-k is a TakeOrdered, not a
     * global sort — the standard vocab-build shape at corpus scale. */
   def vocabTopK(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("n_docs_x_tf").desc, col("token"))
-    documents(spark, d)
+    // top-k BEFORE the rank window: orderBy+limit plans TakeOrderedAndProject
+    // (per-partition partial top-k, no global sort), and the unpartitioned
+    // rank window then runs over 20 rows, not the whole vocabulary
+    val top = documents(spark, d)
       .select(explode(toks(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_docs_x_tf"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+      .orderBy(col("n_docs_x_tf").desc, col("token"))
+      .limit(20)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_docs_x_tf").desc, col("token"))))
   }
 
   val vocabTopKSql: String =

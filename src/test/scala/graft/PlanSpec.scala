@@ -87,6 +87,11 @@ class PlanSpec extends SparkSpec {
     assert(!ph.contains("Exchange"), "html strip must be a pure map stage")
   }
 
+  test("vocab top-k: ordering is TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.queries.DocQueries.queries("doc_vocab_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash
