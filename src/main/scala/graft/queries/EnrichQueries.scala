@@ -97,13 +97,87 @@ object EnrichQueries {
       |FROM m, (SELECT unnest(generate_series(0, 23, 4)) AS i)
       |WHERE i < n_frames""".stripMargin
 
+  /** STUB resize: aspect-fit into a 256x256 box. The geometry is what a
+    * real thumbnailer computes; all arithmetic is integer division so both
+    * engines agree exactly. Narrow map stage. */
+  def mediaResize(spark: SparkSession, d: String): DataFrame =
+    mediaDecode(spark, d)
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(256L))
+          .otherwise(expr("width * 256 DIV height")))
+      .withColumn("out_h",
+        when(col("width") >= col("height"), expr("height * 256 DIV width"))
+          .otherwise(lit(256L)))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        (col("out_w") * col("out_h") * 3).as("out_bytes"))
+
+  val mediaResizeSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    64 + (strlen(text) * 7) % 1856 AS width,
+      |    64 + (strlen(text) * 13) % 1016 AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  CASE WHEN width >= height THEN 256 ELSE width * 256 // height END AS out_w,
+      |  CASE WHEN width >= height THEN height * 256 // width ELSE 256 END AS out_h,
+      |  (CASE WHEN width >= height THEN 256 ELSE width * 256 // height END) *
+      |  (CASE WHEN width >= height THEN height * 256 // width ELSE 256 END) * 3
+      |    AS out_bytes
+      |FROM m""".stripMargin
+
+  /** STUB feature extraction: per-blob byte statistics (sum/min/max/distinct
+    * count) standing in for an embedding model's featurizer. The UDF takes
+    * ONE string and loops in JVM code (array-typed ScalaUDF inputs pay
+    * ~19us/element in conversion; a single string does not), returning a
+    * fixed-shape vector — the batch shape a real feature extractor has. */
+  private val byteFeaturesUdf = udf((s: String) => {
+    var sum = 0L
+    var mn = 255L
+    var mx = 0L
+    val seen = new java.util.BitSet(256)
+    var i = 0
+    while (i < s.length) {
+      val b = s.charAt(i).toLong & 0xffL
+      sum += b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      seen.set(b.toInt)
+      i += 1
+    }
+    Array(sum, mn, mx, seen.cardinality().toLong)
+  })
+
+  def mediaFeatures(spark: SparkSession, d: String): DataFrame =
+    media(spark, d)
+      .withColumn("f", byteFeaturesUdf(col("blob").cast("string")))
+      .select(col("doc_id"), col("format"),
+        col("f")(0).as("byte_sum"), col("f")(1).as("byte_min"),
+        col("f")(2).as("byte_max"), col("f")(3).as("n_distinct_bytes"))
+
+  val mediaFeaturesSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+      |      AS format,
+      |    list_transform(range(1, strlen(text) + 1), i -> ord(text[i])) AS bs
+      |  FROM documents)
+      |SELECT doc_id, format,
+      |  CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+      |  CAST(list_min(bs) AS BIGINT) AS byte_min,
+      |  CAST(list_max(bs) AS BIGINT) AS byte_max,
+      |  CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct_bytes
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo_enrich"   -> (geoEnrich _),
-    "media_decode" -> (mediaDecode _),
-    "media_frames" -> (mediaFrames _))
+    "geo_enrich"     -> (geoEnrich _),
+    "media_decode"   -> (mediaDecode _),
+    "media_frames"   -> (mediaFrames _),
+    "media_resize"   -> (mediaResize _),
+    "media_features" -> (mediaFeatures _))
 
   val oracles: Map[String, String] = Map(
-    "geo_enrich"   -> geoEnrichSql,
-    "media_decode" -> mediaDecodeSql,
-    "media_frames" -> mediaFramesSql)
+    "geo_enrich"     -> geoEnrichSql,
+    "media_decode"   -> mediaDecodeSql,
+    "media_frames"   -> mediaFramesSql,
+    "media_resize"   -> mediaResizeSql,
+    "media_features" -> mediaFeaturesSql)
 }
