@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 /** MinHash signature computation in tight JVM code. The equivalent nested
   * `transform(...array_min(transform(...)))` column expression is
   * semantically identical but runs interpreted per element (Spark
@@ -7,12 +9,43 @@ package graft.functions
   * <0.5s for 5000 docs at k=64. One UDF call per row, no boxing in the
   * inner loop.
   *
-  * Permutations h_i(x) = (a_i * x + b_i) mod p over the murmur3_32 shingle
-  * hash as an unsigned 32-bit value; a_i = 2i+1 (odd, small: no long
-  * overflow), p = 2^31 - 1 (Mersenne prime).
+  * Replication contract (what makes the LSH operator FULLY oracle-checkable
+  * rather than recall-dependent): the base shingle hash is the low 32 bits
+  * of md5 — DuckDB reaches the identical value via
+  * `('0x'||substr(md5(s),25,8))::UBIGINT` — and the k permutations are
+  * plain integer affine maps h_i(m) = (m*(2i+1) + (40503i+2531011)) mod
+  * (2^31-1), all arithmetic < 2^40 so both engines compute exact BIGINTs.
+  * The oracle replays signatures, banding, and candidate generation, so
+  * LSH's misses near the Jaccard threshold are reproduced, not assumed
+  * away.
   */
 object MinHash {
   final val Prime = 2147483647L
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 32 bits of md5(shingle), as an unsigned value in a long —
+    * ≡ DuckDB `('0x'||substr(md5(s),25,8))::UBIGINT`. */
+  private def shingleHash32(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 12
+    while (i < 16) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  @inline private def permMin(sig: Array[Long], m: Long, k: Int): Unit = {
+    var i = 0
+    while (i < k) {
+      val v = (m * (i * 2 + 1) + (i * 40503 + 2531011)) % Prime
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
+  }
 
   /** Tokenize + 3-gram shingle + sign in one pass from the raw text. Takes
     * a plain String because ScalaUDF's array<string> input conversion costs
@@ -28,15 +61,7 @@ object MinHash {
     var t = 0
     while (t + 2 < tokens.length) {
       val s = tokens(t) + " " + tokens(t + 1) + " " + tokens(t + 2)
-      if (seen.add(s)) {
-        val m = Murmur3.hashStringUtf8(s).longValue() & 0xffffffffL
-        var i = 0
-        while (i < k) {
-          val v = (m * (i * 2 + 1) + (i * 40503 + 2531011)) % Prime
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
+      if (seen.add(s)) permMin(sig, shingleHash32(s), k)
       t += 1
     }
     sig
@@ -60,15 +85,7 @@ object MinHash {
   def signature(shingles: Seq[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val it = shingles.iterator
-    while (it.hasNext) {
-      val m = Murmur3.hashStringUtf8(it.next()).longValue() & 0xffffffffL
-      var i = 0
-      while (i < k) {
-        val v = (m * (i * 2 + 1) + (i * 40503 + 2531011)) % Prime
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
+    while (it.hasNext) permMin(sig, shingleHash32(it.next()), k)
     sig
   }
 }

@@ -320,10 +320,12 @@ object DocQueries {
     udf((text: String) => graft.functions.MinHash.signatureFromText(text, MinhashK))
 
   /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
-    * Jaccard verifies. The exact-Jaccard filter makes precision 1 by
-    * construction (output ⊆ all-pairs-Jaccard≥0.3), and recall is asserted
-    * against the exact path in PipelineSpec — so the all-pairs exact SQL
-    * below is a true hash-checked oracle for this corpus. */
+    * Jaccard verifies (precision 1 by construction). The signature hash is
+    * md5-derived integer math ([[graft.functions.MinHash]]), so the oracle
+    * replays signatures → bands → candidates → verification EXACTLY — LSH's
+    * inherent misses near the threshold are reproduced by the oracle, not
+    * assumed away (an earlier all-pairs oracle relied on recall being 1,
+    * which held at sf0.01 but dropped a pair at sf0.1). */
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     // Materialize the signatures BEFORE the self-joins: the sig expression
     // inlines the murmur+min tree 64x, and the band self-join would
@@ -390,22 +392,37 @@ object DocQueries {
       .filter(col("hamming") <= 3)
   }
 
-  /** All-pairs exact Jaccard ≥ 0.3 — valid oracle for [[minhashLsh]] because
-    * the LSH output filters candidates by exact Jaccard (precision 1) and
-    * recall vs the exact path is 100% on this corpus (PipelineSpec). */
+  /** Full replication of [[minhashLsh]]: md5-low-32 shingle hash, the same
+    * k=64 affine permutations, 8-row banding (band key = the 8 signature
+    * values), band-collision candidates, exact-Jaccard verification. The
+    * Spark side buckets by `hash(slice(sig))` — a pure function of the same
+    * 8 values — so both engines group candidates identically. */
   val minhashLshSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-      |           FROM documents),
-      | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-      |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
-      |       WHERE i + 2 <= len(tk)),
-      | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1)
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | hm AS (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(s), 25, 8))::UBIGINT AS BIGINT) AS m
+       |        FROM g),
+       | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
+       | sigs AS (SELECT doc_id, i,
+       |            MIN((m * (2*i + 1) + (i*40503 + 2531011)) % 2147483647) AS sig
+       |          FROM hm, perms GROUP BY 1, 2),
+       | bands AS (SELECT doc_id, i // $BandRows AS band,
+       |             string_agg(sig::VARCHAR, '_' ORDER BY i) AS bkey
+       |           FROM sigs GROUP BY 1, 2),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1)
+       |SELECT d1, d2,
+       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
+       |FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
+       |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3""".stripMargin
 
   /** DuckDB replica of [[simhashPairs]]: same md5-low-64 token hash, same
     * sign-of-weighted-bit-sums simhash; the oracle compares ALL pairs (the
