@@ -26,7 +26,10 @@ object Bench {
     // these hot in the metastore/FileIndex cache); read one row from each
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+      // best-effort: a missing table must degrade that table's queries
+      // (they report -1 below), not abort the whole bench
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+      catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

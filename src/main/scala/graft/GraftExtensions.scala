@@ -29,7 +29,9 @@ object GraftExtensions {
   private def litStr(e: Expression, what: String): String = {
     require(e.foldable && e.dataType == StringType,
       s"$what must be a string literal")
-    String.valueOf(e.eval(null))
+    val v = e.eval(null)
+    require(v != null, s"$what must not be NULL")
+    v.toString
   }
 
   private def fn(name: String, usage: String)(b: Seq[Expression] => Expression)

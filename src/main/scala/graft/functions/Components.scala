@@ -47,6 +47,10 @@ object Components {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds " +
+          "(graph diameter exceeds maxIters); raise maxIters")
     labels
   }
 }

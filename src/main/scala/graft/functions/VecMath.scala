@@ -17,28 +17,49 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VecMath {
 
-  /** floor(float → double * 1e7) as long, elementwise. */
+  /** floor(float → double * 1e7) as long, elementwise. Null elements map to
+    * null elements (the semantics of the `transform` formulation this
+    * replaces); the common no-null case stays on the primitive fast path. */
   def scaleFloats(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Long](n)
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      out(i) = math.floor(a.getFloat(i).toDouble * 1e7).toLong
-      i += 1
+    while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble * 1e7).toLong
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          out(i) = math.floor(a.getFloat(i).toDouble * 1e7).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Dot product of two equal-length long arrays (exact: 1e14 per element,
-    * 64 elements — fits a long). */
-  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    * 64 elements — fits a long). Mismatched lengths or null elements yield
+    * null — the same result the `aggregate(zip_with(...))` formulation
+    * produced (zip_with null-pads the shorter side, and a null product
+    * nulls the running sum). */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }

@@ -257,9 +257,12 @@ case class SplitHeaderValue(child: Expression)
 /** Elementwise floor(float*1e7) scaling to the long-integer embedding
   * representation — native counterpart of
   * `transform(arr, x => floor(x.cast(double) * 1e7).cast(long))`, whose
-  * lambda Catalyst interprets per element. */
-case class ScaleFloats(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  * lambda Catalyst interprets per element. Input must be array<float>
+  * (declared, so array<double> fails analysis instead of being misread);
+  * null elements pass through as null elements. */
+case class ScaleFloats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullSafeEval(input: Any): Any =
     VecMath.scaleFloats(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -269,15 +272,28 @@ case class ScaleFloats(child: Expression) extends UnaryExpression {
 }
 
 /** Exact dot product of two equal-length long arrays — native counterpart of
-  * `aggregate(zip_with(a, b, _ * _), 0L, _ + _)`. */
-case class DotLongArrays(left: Expression, right: Expression) extends BinaryExpression {
+  * `aggregate(zip_with(a, b, _ * _), 0L, _ + _)`, including its null
+  * semantics: mismatched lengths or null elements yield NULL. */
+case class DotLongArrays(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dotLong(
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecMath.dotLong(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.longValue()
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.dotLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecMath.dotLong($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongArrays =
     copy(left = l, right = r)
   override def prettyName: String = "dot_long_arrays"

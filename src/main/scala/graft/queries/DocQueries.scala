@@ -166,8 +166,12 @@ object DocQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def neardupJaccard(spark: SparkSession, d: String): DataFrame =
+  def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
+    // drop entries of stopped sessions so the map can't pin dead plans,
+    // broadcasts, or cache references across session lifetimes
+    pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     pairsCache.getOrElseUpdate((spark, d), neardupJaccardCompute(spark, d).cache())
+  }
 
   private def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d)
@@ -337,9 +341,13 @@ object DocQueries {
         minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
       .cache()
+    // band key = the 8 signature values themselves (array equi-join), not a
+    // 32-bit hash of them: the oracle joins on the exact values, and a
+    // murmur collision between distinct band keys would otherwise create a
+    // Spark-only candidate the oracle never checks
     val bands = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-          b => hash(slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
+          b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -393,10 +401,10 @@ object DocQueries {
   }
 
   /** Full replication of [[minhashLsh]]: md5-low-32 shingle hash, the same
-    * k=64 affine permutations, 8-row banding (band key = the 8 signature
-    * values), band-collision candidates, exact-Jaccard verification. The
-    * Spark side buckets by `hash(slice(sig))` — a pure function of the same
-    * 8 values — so both engines group candidates identically. */
+    * k=64 affine permutations, 8-row banding with the 8 signature values as
+    * the band key on BOTH sides (Spark joins the slice arrays, the oracle
+    * a canonical string of the same values), band-collision candidates,
+    * exact-Jaccard verification. */
   val minhashLshSql: String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),

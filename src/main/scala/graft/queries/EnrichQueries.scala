@@ -125,46 +125,51 @@ object EnrichQueries {
       |    AS out_bytes
       |FROM m""".stripMargin
 
-  /** STUB feature extraction: per-blob byte statistics (sum/min/max/distinct
-    * count) standing in for an embedding model's featurizer. The UDF takes
-    * ONE string and loops in JVM code (array-typed ScalaUDF inputs pay
-    * ~19us/element in conversion; a single string does not), returning a
-    * fixed-shape vector — the batch shape a real feature extractor has. */
-  private val byteFeaturesUdf = udf((s: String) => {
+  /** STUB feature extraction: per-payload code-point statistics
+    * (sum/min/max/distinct count) standing in for an embedding model's
+    * featurizer. The UDF takes ONE string and loops over code points in JVM
+    * code (array-typed ScalaUDF inputs pay ~19us/element in conversion; a
+    * single string does not), returning a fixed-shape vector — the batch
+    * shape a real feature extractor has. Code points (not UTF-16 units or
+    * UTF-8 bytes) because DuckDB's `ord()` yields code points, keeping the
+    * oracle exact for any unicode text, not just ASCII. */
+  private val cpFeaturesUdf = udf((s: String) => {
     var sum = 0L
-    var mn = 255L
+    var mn = Long.MaxValue
     var mx = 0L
-    val seen = new java.util.BitSet(256)
+    val seen = new java.util.HashSet[Int]()
     var i = 0
     while (i < s.length) {
-      val b = s.charAt(i).toLong & 0xffL
-      sum += b
-      if (b < mn) mn = b
-      if (b > mx) mx = b
-      seen.set(b.toInt)
-      i += 1
+      val cp = s.codePointAt(i)
+      sum += cp
+      if (cp < mn) mn = cp
+      if (cp > mx) mx = cp
+      seen.add(cp)
+      i += Character.charCount(cp)
     }
-    Array(sum, mn, mx, seen.cardinality().toLong)
+    Array(sum, mn, mx, seen.size.toLong)
   })
 
   def mediaFeatures(spark: SparkSession, d: String): DataFrame =
     media(spark, d)
-      .withColumn("f", byteFeaturesUdf(col("blob").cast("string")))
+      .withColumn("f", cpFeaturesUdf(col("blob").cast("string")))
       .select(col("doc_id"), col("format"),
-        col("f")(0).as("byte_sum"), col("f")(1).as("byte_min"),
-        col("f")(2).as("byte_max"), col("f")(3).as("n_distinct_bytes"))
+        col("f")(0).as("cp_sum"), col("f")(1).as("cp_min"),
+        col("f")(2).as("cp_max"), col("f")(3).as("n_distinct_cp"))
 
+  /** DuckDB: `length`/`text[i]` are character-based (unlike byte-based
+    * `strlen`), and `ord` is the code point — matches codePointAt. */
   val mediaFeaturesSql: String =
     """WITH b AS (SELECT doc_id,
       |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
       |      AS format,
-      |    list_transform(range(1, strlen(text) + 1), i -> ord(text[i])) AS bs
+      |    list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cs
       |  FROM documents)
       |SELECT doc_id, format,
-      |  CAST(list_sum(bs) AS BIGINT) AS byte_sum,
-      |  CAST(list_min(bs) AS BIGINT) AS byte_min,
-      |  CAST(list_max(bs) AS BIGINT) AS byte_max,
-      |  CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct_bytes
+      |  CAST(list_sum(cs) AS BIGINT) AS cp_sum,
+      |  CAST(list_min(cs) AS BIGINT) AS cp_min,
+      |  CAST(list_max(cs) AS BIGINT) AS cp_max,
+      |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_cp
       |FROM b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -23,14 +23,20 @@ class ComponentsSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.01"
     val pairs = graft.queries.DocQueries.neardupJaccard(spark, sf)
     val viaPropagation = Components.components(pairs, "d1", "d2")
-    val viaUnionFind = graft.queries.DocQueries.dedupClusters(spark, sf)
-      .filter(col("is_duplicate") || col("doc_id") =!= col("canonical_doc_id"))
     // every labeled node matches the union-find canonical id
     val joined = viaPropagation
       .join(graft.queries.DocQueries.dedupClusters(spark, sf),
         col("node") === col("doc_id"))
-    assert(joined.filter(col("label") =!= col("canonical_doc_id")).isEmpty)
     assert(viaPropagation.count() > 0)
-    assert(viaUnionFind.count() >= 0) // touched: both paths ran on real data
+    assert(joined.count() === viaPropagation.count()) // every node joined
+    assert(joined.filter(col("label") =!= col("canonical_doc_id")).isEmpty)
+  }
+
+  test("non-convergence within maxIters throws instead of mislabeling") {
+    import spark.implicits._
+    // a 6-node path has diameter 5; 2 rounds cannot converge
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException](
+      Components.components(chain, "d1", "d2", maxIters = 2).collect())
   }
 }

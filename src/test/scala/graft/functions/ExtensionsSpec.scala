@@ -68,4 +68,20 @@ class ExtensionsSpec extends SparkSpec {
       .head.getAs[Array[Byte]](0)
     assert(viaSql.toSeq === viaCol.toSeq)
   }
+
+  test("vector math type/null discipline: bad types and NULL literals fail early") {
+    // mismatched lengths -> NULL (zip_with/aggregate parity), not garbage
+    assert(spark.sql(
+      "SELECT dot_long_arrays(array(1L, 2L, 3L), array(1L)) v").head.isNullAt(0))
+    // array<double> is rejected at analysis, not silently misread as floats
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT scale_floats(array(0.5, 0.25)) v").collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("type"))
+    // NULL algorithm literal fails at registration/analysis, not execution
+    val nullErr = intercept[Exception] {
+      spark.sql("SELECT digest_pieces(CAST(NULL AS STRING), 'a') v").collect()
+    }
+    assert(nullErr.getMessage.contains("NULL"))
+  }
 }
