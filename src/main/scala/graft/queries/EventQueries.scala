@@ -229,6 +229,55 @@ object EventQueries {
       |FROM du LEFT JOIN ret ON du.day = ret.day
       |GROUP BY du.day""".stripMargin
 
+  // ------------------------------------------------------------ as-of join
+  /** As-of join — the "latest snapshot at event time" enrichment Spark has
+    * no native operator for (each event joins the most recent dimension row
+    * with snap_ts <= event_ts per user). Implemented as the scalable
+    * union-window composition: tag snapshots and events, one shuffle on the
+    * key, and `last(value, ignoreNulls)` over the time-ordered union carries
+    * each snapshot forward — cost O(n log n) per key vs the naive
+    * range-join's O(events x snapshots). Snapshots sort before events at
+    * equal timestamps, so a same-instant snapshot applies (the `<=`
+    * convention of DuckDB's native ASOF JOIN, which the oracle uses).
+    *
+    * The snapshot table is derived deterministically (every 7th event sets
+    * the user's tier), deduped per (user, ts) by greatest event_id in both
+    * engines. */
+  def asofTier(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+    val snaps = base.filter(col("event_id") % 7 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(struct(col("event_id"),
+        floor(col("value")).cast("long").as("tier"))).as("m"))
+      .select(col("user_id"), col("ts_ms"), col("m.tier").as("tier"))
+    val tagged = base
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        lit(null).cast("long").as("tier"), lit(1).as("is_event"))
+      .unionByName(snaps.select(col("user_id"), col("ts_ms"),
+        lit(null).cast("long").as("event_id"), col("tier"),
+        lit(0).as("is_event")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("asof_tier", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("asof_tier"))
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN with the same snapshot dedupe. */
+  val asofTierSql: String =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+      |              FROM events),
+      | s AS (SELECT user_id, ts_ms, tier FROM (
+      |    SELECT user_id, ts_ms, CAST(FLOOR(value) AS BIGINT) AS tier,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts_ms
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM base WHERE event_id % 7 = 0) WHERE rn = 1)
+      |SELECT b.event_id, b.user_id, b.ts_ms, s.tier AS asof_tier
+      |FROM base b ASOF LEFT JOIN s
+      |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
+
   // ------------------------------------------------------------ sketches
   private val HllM = 1024 // 2^10 registers
   /** alpha_m · m² · 2^52 — embedded as the SAME double literal in the
@@ -372,7 +421,8 @@ object EventQueries {
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_transitions"  -> (transitions _),
-    "evt_retention"    -> (retention _))
+    "evt_retention"    -> (retention _),
+    "evt_asof_join"    -> (asofTier _))
 
   val oracles: Map[String, String] = Map(
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
@@ -384,5 +434,6 @@ object EventQueries {
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_transitions"  -> transitionsSql,
-    "evt_retention"    -> retentionSql)
+    "evt_retention"    -> retentionSql,
+    "evt_asof_join"    -> asofTierSql)
 }
