@@ -177,6 +177,9 @@ object DocQueries {
     val docs = documents(spark, d)
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
       .cache()
+    // NOT repartitioned before the explode: measured 6.2s -> 6.8s cold
+    // (the extra exchange's planning/codegen outweighs parallelizing the
+    // index build; the groupBy's own exchange already spreads the reduce)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // Candidate pairs from ONE shuffle: group the inverted index by shingle
     // into posting lists, keep the rare ones (2..DfCap docs), emit all
