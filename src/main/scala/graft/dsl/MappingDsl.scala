@@ -113,7 +113,12 @@ object MappingDsl {
             }
             fieldAssigns.foldLeft(base) {
               case (acc, (_, value, guard)) =>
-                when(truthy(guard) && value.isNotNull, value.cast(f.dataType)).otherwise(acc)
+                // coalesce, not `value.isNotNull && ... value`: the latter
+                // evaluates `value` twice, which breaks for nondeterministic
+                // producers (a UDF could pass the null test then produce a
+                // different value). One evaluation, absent ⇒ prior/default —
+                // the reference's schema-default semantics.
+                when(truthy(guard), coalesce(value.cast(f.dataType), acc)).otherwise(acc)
             }
         }
         folded.as(f.name)

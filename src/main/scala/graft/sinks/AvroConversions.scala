@@ -13,6 +13,13 @@ import scala.jdk.CollectionConverters._
   */
 object AvroConversions {
 
+  /** Executor-side parsed-schema cache shared by the topic sink and source
+    * codecs (Schema.Parser is too slow for per-row use). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private[graft] def cachedSchema(json: String): Schema =
+    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+
   def toAvroSchema(struct: StructType, recordName: String = "graft_record",
                    namespace: String = "graft"): Schema = {
     val fields = struct.fields.map { f =>
@@ -73,6 +80,8 @@ object AvroConversions {
       m.map { case (k, mv) =>
         k.toString -> convertValue(mv, valueType, valueSch).asInstanceOf[AnyRef]
       }.asJava
+    case s: java.lang.Short => s.intValue // Avro INT per fieldSchema
+    case b: java.lang.Byte => b.intValue
     case ts: java.sql.Timestamp => ts.getTime
     case ts: java.time.Instant => ts.toEpochMilli
     case ts: java.time.LocalDateTime =>

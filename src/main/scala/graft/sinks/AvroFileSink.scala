@@ -22,24 +22,37 @@ import java.nio.file.{Files, Paths}
   *    roll-per-interval behavior (trigger interval ≡ roll window).
   *
   * Distribution: each executor partition writes its own file — no driver
-  * collect; at 100 TB this is embarrassingly parallel and the only central
-  * work is the final directory listing.
+  * collect. The file API here is java.io, i.e. a shared POSIX filesystem
+  * (local mode, NFS); for HDFS/object stores the production path is
+  * Spark's own `format("avro")` writer, whose commit protocol supersedes
+  * the `.partial`+rename contract (SURVEY §2E) — this sink exists to keep
+  * the reference's container-file conventions testable.
+  *
+  * Retry safety: the working file carries the task ATTEMPT id (two
+  * speculative attempts never write the same partial), and the final name
+  * is attempt-independent, so a retry's rename overwrites with identical
+  * content instead of duplicating.
   */
 object AvroFileSink {
 
-  /** Write a DataFrame as Avro container files; returns the target dir. */
+  /** Write a DataFrame as Avro container files; returns the target dir.
+    * `stamp` defaults to wall-clock; pass a deterministic one (e.g. a
+    * batch id) when replays must overwrite rather than duplicate. */
   def write(df: DataFrame, dir: String, tag: String = "spark",
-            syncInterval: Int = 1000): String = {
+            syncInterval: Int = 1000, stamp: Option[String] = None): String = {
     val schemaJson = AvroConversions.toAvroSchema(df.schema).toString
-    val stamp = new java.text.SimpleDateFormat("yyyyMMddHHmmss")
-      .format(new java.util.Date())
+    val stampStr = stamp.getOrElse(new java.text.SimpleDateFormat("yyyyMMddHHmmss")
+      .format(new java.util.Date()))
     Files.createDirectories(Paths.get(dir))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty // no empty files
       else {
         val schema = new Schema.Parser().parse(schemaJson)
-        val file = new File(dir, f"$stamp-divolte-tracking-$tag-$pid%05d.avro")
-        val working = new File(dir, file.getName + ".partial")
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val file = new File(dir, f"$stampStr-divolte-tracking-$tag-$pid%05d.avro")
+        file.getParentFile.mkdirs() // executor-side: dir may not exist here
+        val working = new File(dir, file.getName + s".partial-$attempt")
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         writer.setSyncInterval(syncInterval * 64) // bytes-ish analog of record sync policy
         writer.create(schema, working)
@@ -47,7 +60,7 @@ object AvroFileSink {
         try {
           rows.foreach { row => writer.append(AvroConversions.toRecord(row, schema)); n += 1 }
         } finally writer.close()
-        if (!working.renameTo(file))
+        if (!working.renameTo(file) && !file.exists())
           throw new java.io.IOException(s"atomic publish failed for $file")
         Iterator.single(file.getPath -> n)
       }
@@ -72,13 +85,16 @@ object AvroFileSink {
   }
 
   /** Streaming variant: roll one batch of files per micro-batch (trigger
-    * interval = roll window; `query.trigger(ProcessingTime(...))`). */
+    * interval = roll window; `query.trigger(ProcessingTime(...))`). The
+    * file stamp is the batch id, not wall-clock: foreachBatch is
+    * at-least-once, and a deterministic name makes a replayed batch
+    * overwrite its own files instead of duplicating them. */
   def writeStreamTo(df: DataFrame, dir: String, checkpoint: String,
                     tag: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        write(batch, dir, s"$tag-b$batchId"); ()
+        write(batch, dir, tag, stamp = Some(f"b$batchId%012d")); ()
       }
       .start()
 }

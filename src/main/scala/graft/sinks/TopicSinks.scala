@@ -28,16 +28,12 @@ import java.util.Base64
 object TopicSinks {
 
   /** Executor-side schema cache: parse once per executor, not per row. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
-  private def cachedSchema(json: String): Schema =
-    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
 
   /** Per-row Avro binary encoding of all columns as one datum. */
   def avroBinary(df: DataFrame): DataFrame = {
     val schemaJson = AvroConversions.toAvroSchema(df.schema).toString
     val enc = udf { (row: org.apache.spark.sql.Row) =>
-      val schema = cachedSchema(schemaJson)
+      val schema = AvroConversions.cachedSchema(schemaJson)
       val out = new ByteArrayOutputStream()
       val encoder = EncoderFactory.get().binaryEncoder(out, null)
       new GenericDatumWriter[GenericRecord](schema)

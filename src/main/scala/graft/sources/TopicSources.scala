@@ -1,12 +1,12 @@
 package graft.sources
 
 import graft.sinks.AvroConversions
-import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** Topic SOURCE decoders — the consume side of [[graft.sinks.TopicSinks]]:
   * a Kafka-shaped frame (`key`/`value` binary columns, as produced by
@@ -20,20 +20,18 @@ import org.apache.spark.sql.types.StructType
   */
 object TopicSources {
 
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
-  private def cachedSchema(json: String): Schema =
-    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
-
   /** Decode the `value` binary column as Avro into a struct column
     * `record`, dropping the wire frame. `confluent=true` strips the 5-byte
-    * header first (and exposes the embedded schema id). */
+    * header first (and exposes the embedded schema id). Null values (Kafka
+    * tombstones on compacted topics) and frames too short to carry the
+    * confluent header decode to a null record instead of killing the job. */
   def decodeKafkaFrame(frames: DataFrame, recordSchema: StructType,
                        confluent: Boolean = false): DataFrame = {
     val avroSchemaJson = AvroConversions.toAvroSchema(recordSchema).toString
     val dec = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
       override def call(value: Array[Byte]): Row = {
-        val schema = cachedSchema(avroSchemaJson)
+        if (value == null || (confluent && value.length < 5)) return null
+        val schema = AvroConversions.cachedSchema(avroSchemaJson)
         val body = if (confluent) java.util.Arrays.copyOfRange(value, 5, value.length) else value
         val decoder = DecoderFactory.get().binaryDecoder(body, null)
         val rec = new GenericDatumReader[GenericRecord](schema).read(null, decoder)
@@ -51,16 +49,27 @@ object TopicSources {
   }
 
   private def fromRecord(rec: GenericRecord, schema: StructType): Row =
-    Row.fromSeq(schema.fields.map { f =>
-      rec.get(f.name) match {
-        case null => null
-        case s: org.apache.avro.util.Utf8 => s.toString
-        case s: CharSequence => s.toString
-        case b: java.nio.ByteBuffer =>
-          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-        case nested: GenericRecord =>
-          fromRecord(nested, f.dataType.asInstanceOf[StructType])
-        case other => other
-      }
-    }.toIndexedSeq)
+    Row.fromSeq(schema.fields.map(f =>
+      fromAvroValue(rec.get(f.name), f.dataType)).toIndexedSeq)
+
+  /** Recursive Avro→Row value conversion — mirrors the full type surface of
+    * [[AvroConversions.toAvroSchema]] (strings arrive as Utf8, arrays as
+    * GenericData.Array, maps with Utf8 keys — all of which Catalyst's Row
+    * converter rejects raw). */
+  private def fromAvroValue(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+    case null => null
+    case s: org.apache.avro.util.Utf8 => s.toString
+    case s: CharSequence => s.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case nested: GenericRecord =>
+      fromRecord(nested, dt.asInstanceOf[StructType])
+    case c: java.util.Collection[_] =>
+      val elemType = dt.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      c.asScala.toSeq.map(fromAvroValue(_, elemType))
+    case m: java.util.Map[_, _] =>
+      val valueType = dt.asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+      m.asScala.map { case (k, mv) => k.toString -> fromAvroValue(mv, valueType) }.toMap
+    case other => other
+  }
 }

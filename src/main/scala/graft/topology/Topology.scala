@@ -49,7 +49,9 @@ final class Topology(mappings: Seq[MappingSpec], sinks: Seq[SinkSpec]) {
     import org.apache.spark.sql.functions.col
     val sourceUses = mappings.flatMap(_.sources).groupBy(identity).view.mapValues(_.size)
     val shared = sources.map { case (name, df) =>
-      name -> (if (sourceUses.getOrElse(name, 0) > 1) df.cache() else df)
+      // streaming frames can't cache(); Spark shares the streaming source
+      // across the queries natively, so fan-out just reuses the plan
+      name -> (if (sourceUses.getOrElse(name, 0) > 1 && !df.isStreaming) df.cache() else df)
     }
     val mapped: Map[String, DataFrame] = mappings.map { m =>
       val in = m.sources.map(s => shared.getOrElse(s,

@@ -23,6 +23,9 @@ class StreamingSinkSpec extends SparkSpec {
     val files = AvroFileSink.readBack(spark, dir)
     // one roll per non-empty batch; all records present exactly once
     assert(files.map(_._2).sum === 3)
-    assert(files.forall(_._1.contains("divolte-tracking-stream-b")))
+    // the stamp is the batch id (deterministic replay names), tag follows
+    assert(files.forall(_._1.matches("""b\d{12}-divolte-tracking-stream-\d{5}\.avro""")))
+    // two distinct batches rolled distinct file sets
+    assert(files.map(_._1.take(13)).distinct.size === 2)
   }
 }
