@@ -49,6 +49,8 @@ class TopicSourcesSpec extends SparkSpec {
     assert(g.getAs[String]("eventType") === "pageView")
     assert(g.getAs[String]("userAgentString") === "TestAgent/1.0")
     assert(g.getAs[Int]("httpStatus") === 200)
+    // the bracketed log timestamp surfaces as server time (epoch millis)
+    assert(g.getAs[Long]("requestTimestamp") === 1786528800000L) // 2026-08-12T10:00:00Z
     assert(g.getAs[org.apache.spark.sql.Row]("browser")
       .getAs[Int]("viewportPixelWidth") === 800)
     // garbage line survives as a corrupt row, not an exception
