@@ -634,6 +634,159 @@ object DocQueries {
       |  FROM c)
       |WHERE rank <= 20""".stripMargin
 
+  // ------------------------------------------------- repetition metrics
+  /** Gopher-style repetition quality metrics (Rae et al. 2021, Table A1):
+    * excessive n-gram repetition marks low-quality/boilerplate text. Per
+    * document: bigram count, the most-frequent bigram's share of all bigram
+    * occurrences, and the share of occurrences whose bigram appears more
+    * than once. The metric is doc-local, so it runs as a tight per-row JVM
+    * loop — one narrow codegen stage, NO explode/shuffle at any scale (the
+    * explode + groupBy(doc_id, bigram) formulation shuffles the full bigram
+    * stream twice for a per-doc statistic). Integer counts; the two ratios
+    * are single divisions of exact longs, so the oracle hash-matches. */
+  private val repetitionUdf = udf((text: String) => {
+    val tk = text.trim.split("\\s+")
+    if (tk.length < 2) (0L, 0L, 0L)
+    else {
+      val counts = new java.util.HashMap[String, Long](tk.length * 2)
+      var i = 0
+      while (i < tk.length - 1) {
+        counts.merge(tk(i) + " " + tk(i + 1), 1L, _ + _)
+        i += 1
+      }
+      var top = 0L; var dup = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c > top) top = c
+        if (c > 1) dup += c
+      }
+      (tk.length - 1L, top, dup)
+    }
+  })
+
+  def repetition(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_bigrams"),
+        col("r._2").as("top_bigram_count"),
+        col("r._3").as("dup_bigram_count"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          round(col("top_bigram_count").cast("double") / col("n_bigrams"), 6)))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          round(col("dup_bigram_count").cast("double") / col("n_bigrams"), 6)))
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | bg AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(tk)),
+      |                                i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |        FROM t WHERE len(tk) >= 2),
+      | c AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+      | a AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |         CAST(MAX(tf) AS BIGINT) AS top_bigram_count,
+      |         CAST(SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT)
+      |           AS dup_bigram_count
+      |       FROM c GROUP BY 1)
+      |SELECT t.doc_id,
+      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.top_bigram_count, 0) AS top_bigram_count,
+      |  COALESCE(a.dup_bigram_count, 0) AS dup_bigram_count,
+      |  CASE WHEN a.n_bigrams > 0
+      |       THEN ROUND(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6)
+      |  END AS top_bigram_frac,
+      |  CASE WHEN a.n_bigrams > 0
+      |       THEN ROUND(CAST(a.dup_bigram_count AS DOUBLE) / a.n_bigrams, 6)
+      |  END AS dup_bigram_frac
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
+  // ------------------------------------------------- BM25 keyword search
+  /** BM25 keyword retrieval (k1=1.2, b=0.75) — the lexical-search companion
+    * to the embedding ANN operators: score every document against a fixed
+    * term set, return the top 15.
+    *
+    * Scale design: per-doc term frequencies are narrow per-row array math
+    * (no explode); the corpus statistics (N, avgdl, per-term document
+    * frequencies) reduce to ONE tiny row that joins back by broadcast —
+    * so the whole query is scan → scalar-stats crossjoin → TakeOrdered,
+    * with no shuffle of the corpus itself. At 100 TB the stats row is a
+    * pre-computed dictionary entry and scoring stays embarrassingly
+    * parallel.
+    *
+    * Determinism: tf/dl/df are exact longs; the score sums three terms in
+    * fixed textual order with identically-parenthesized arithmetic in both
+    * engines, and the result is rounded to 6 decimals before the rank sort
+    * (ties broken by doc_id). */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 15
+
+  def bm25(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val base = documents(spark, d).select(
+      col("doc_id") +: size(t).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(filter(t, x => x === term)).cast("long").as(s"tf$i")
+        }: _*)
+    // one-row corpus statistics: broadcast back over the scan
+    val statCols =
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        Bm25Terms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, lit(1))).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val score = Bm25Terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tfn = (col(s"tf$i").cast("double") * (Bm25K1 + 1)) /
+        (col(s"tf$i").cast("double") +
+          lit(Bm25K1) * (lit(1) - Bm25B + lit(Bm25B) * col("dl").cast("double") / col("avgdl")))
+      idf * tfn
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+  }
+
+  val bm25Sql: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$term')) AS BIGINT) AS tf$i"
+    }.mkString(",\n      |         ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS BIGINT) AS df$i")
+      .mkString(",\n      |          ")
+    val score = Bm25Terms.indices.map(i =>
+      s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"((CAST(tf$i AS DOUBLE) * ${Bm25K1 + 1}) / (CAST(tf$i AS DOUBLE) + " +
+        s"$Bm25K1 * (1 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / avgdl)))")
+      .mkString("\n      |      + ")
+    s"""WITH b AS (SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |         $tfs
+       |       FROM (SELECT doc_id, text,
+       |               string_split_regex(trim(text), '\\s+') AS tk
+       |             FROM documents)),
+       | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |          $dfs
+       |        FROM b),
+       | s AS (SELECT doc_id, dl,
+       |         ROUND($score, 6) AS bm25
+       |       FROM b CROSS JOIN st)
+       |SELECT doc_id, dl, bm25, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM s WHERE bm25 > 0)
+       |WHERE rank <= $Bm25TopK""".stripMargin
+  }
+
   // ------------------------------------------------- winnowing fingerprint
   /** Rolling-hash winnowing fingerprints (the MOSS scheme): k-gram rolling
     * hashes, minimum per sliding window — robust local fingerprints for
@@ -739,7 +892,9 @@ object DocQueries {
     "doc_neardup_jaccard" -> (neardupJaccard _),
     "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
-    "doc_simhash_pairs"   -> (simhashPairs _))
+    "doc_simhash_pairs"   -> (simhashPairs _),
+    "doc_repetition"      -> (repetition _),
+    "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
     "doc_token_counts"    -> tokenCountsSql,
@@ -757,5 +912,7 @@ object DocQueries {
     "doc_neardup_jaccard" -> neardupJaccardSql,
     "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
-    "doc_simhash_pairs"   -> simhashPairsSql)
+    "doc_simhash_pairs"   -> simhashPairsSql,
+    "doc_repetition"      -> repetitionSql,
+    "doc_bm25"            -> bm25Sql)
 }

@@ -384,6 +384,57 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // ------------------------------------------------------------ session stats
+  /** Daily session-level rollup on top of [[sessionize]]: session counts,
+    * bounce rate (single-event sessions), and average duration/size per
+    * day. The session table is already one shuffle on user_id; this adds
+    * one map-side-combinable aggregation on the day — the standard
+    * two-level sessionize→rollup cascade of clickstream warehouses.
+    * Durations sum as exact longs; each ratio is a single double division
+    * rounded to 6, so the oracle hash-matches. */
+  def sessionStats(spark: SparkSession, d: String): DataFrame =
+    sessionize(spark, d)
+      .groupBy(date_format(timestamp_millis(col("session_start_ms")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, lit(1))).as("n_bounces"),
+        sum(col("n_events")).as("total_events"),
+        sum(col("session_end_ms") - col("session_start_ms")).as("total_duration_ms"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        round(col("total_events").cast("double") / col("n_sessions"), 6)
+          .as("avg_session_events"),
+        round(col("total_duration_ms").cast("double") / col("n_sessions"), 6)
+          .as("avg_duration_ms"))
+
+  val sessionStatsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
+      |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      |), sessioned AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, MIN(ts_ms) AS session_start_ms,
+      |    MAX(ts_ms) AS session_end_ms, COUNT(*) AS n_events
+      |  FROM sessioned GROUP BY user_id, sid
+      |)
+      |SELECT strftime(epoch_ms(session_start_ms), '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+      |  ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS bounce_rate,
+      |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_session_events,
+      |  ROUND(CAST(SUM(session_end_ms - session_start_ms) AS DOUBLE)
+      |        / COUNT(*), 6) AS avg_duration_ms
+      |FROM sess GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ jsonpath
   /** The full JSONPath dialect of `eventParameters().path(expr)` over the
     * event props (`DslRecordMapping.java:587-594` — jayway json-path 2.4):
@@ -422,6 +473,7 @@ object EventQueries {
     "evt_top_users"    -> (topUsers _),
     "evt_transitions"  -> (transitions _),
     "evt_retention"    -> (retention _),
+    "evt_session_stats" -> (sessionStats _),
     "evt_asof_join"    -> (asofTier _))
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +487,6 @@ object EventQueries {
     "evt_top_users"    -> topUsersSql,
     "evt_transitions"  -> transitionsSql,
     "evt_retention"    -> retentionSql,
+    "evt_session_stats" -> sessionStatsSql,
     "evt_asof_join"    -> asofTierSql)
 }

@@ -142,4 +142,71 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(brute((q, v)) - c) < 1e-4, s"cosine mismatch for ($q,$v)")
     }
   }
+
+  test("repetition metrics: planted repeats vs distinct-bigram text") {
+    val docs = Seq(
+      (1L, "a b a b a b"),                 // "a b"x3, "b a"x2: n=5 top=3 dup=5
+      (2L, "one two three four five six"), // all 5 bigrams distinct
+      (3L, "solo")                         // <2 tokens: zero row
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("repet").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.repetition(spark, tmp)
+      .select("doc_id", "n_bigrams", "top_bigram_count", "dup_bigram_count")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    assert(got(1L) === ((5L, 3L, 5L)))
+    assert(got(2L) === ((5L, 1L, 0L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    val fracs = DocQueries.repetition(spark, tmp)
+      .select("doc_id", "top_bigram_frac", "dup_bigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(fracs(1L) === ((Some(0.6), Some(1.0))))
+    assert(fracs(3L) === ((None, None))) // guarded: no divide-by-zero
+  }
+
+  test("bm25 ranks term-dense docs first and drops termless docs") {
+    val docs = Seq(
+      (1L, "spark join window spark join filler words pad pad pad"),
+      (2L, "spark appears once in this much longer document about other " +
+        "things entirely with many extra words diluting the term density"),
+      (3L, "nothing relevant in this document at all just noise")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.bm25(spark, tmp)
+      .select("doc_id", "bm25", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L), s"got ${got.toSeq}")
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("session stats: gap-split sessions, bounces, and durations roll up") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // opens a second, single-event session (a bounce)
+      (1L, at(0), 1L, "view", 1.0, "{}"),
+      (2L, at(10), 1L, "view", 1.0, "{}"),
+      (3L, at(50), 1L, "view", 1.0, "{}"),
+      // user 2: one event -> bounce
+      (4L, at(5), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("sessstats").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.sessionStats(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("day") === "2024-03-01")
+    assert(r.getAs[Long]("n_sessions") === 3L)
+    assert(r.getAs[Long]("n_bounces") === 2L)
+    assert(math.abs(r.getAs[Double]("bounce_rate") - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("avg_session_events") - 4.0 / 3) < 1e-6)
+    // durations: 10 min + 0 + 0 over 3 sessions
+    assert(math.abs(r.getAs[Double]("avg_duration_ms") - 600000.0 / 3) < 1e-6)
+  }
 }
