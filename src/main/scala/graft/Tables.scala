@@ -12,8 +12,52 @@ import org.apache.spark.sql.types.LongType
   * nothing here hard-codes partition counts or collects to the driver.
   */
 object Tables {
+
+  /** Target one task per ~64KB of compressed parquet when rebalancing a
+    * too-coarse scan: decode-heavy operators cost microseconds per ROW, so
+    * a 64KB split (~3k rows) is ~0.1s of work — small enough to spread
+    * across cores, large enough that task overhead stays negligible. */
+  private val SplitHintBytes = 64L << 10
+  /** Never rebalance inputs past this size: a table this big either ships
+    * as many files or many row groups (a real warehouse layout) and the
+    * scan parallelizes natively — adding an exchange there would shuffle
+    * the whole table for nothing. */
+  private val RebalanceMaxBytes = 256L << 20
+  /** Don't bother below this many target splits: broadcast-hinted dims and
+    * tiny fixtures must keep their raw single-partition scan (an exchange
+    * under a BroadcastExchange adds a stage for zero gain). */
+  private val RebalanceMinParts = 4
+
+  /** Small single-file (single-row-group) parquet can't split at scan time
+    * — the whole table becomes ONE task and a 32-core local run executes
+    * narrow decode pipelines on one core. A real deployment never sees
+    * this shape (TB-scale tables arrive as thousands of row groups), so
+    * the fix is a fixture-shape rebalance, strictly gated: local files
+    * only, total size ≤ 256MB, fewer files than the would-be split count,
+    * and ≥ 4 target splits. Outside the gate the DataFrame is returned
+    * untouched, so warehouse-scale plans never carry the extra exchange.
+    * Disable explicitly with `spark.graft.rebalanceInput=false`. */
+  private def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (spark.conf.getOption("spark.graft.rebalanceInput").contains("false")) return df
+    val files = df.inputFiles
+    val sizes = files.flatMap { f =>
+      try {
+        val u = new java.net.URI(f)
+        if (u.getScheme != "file") None
+        else Some(new java.io.File(u.getPath).length())
+      } catch { case _: Exception => None }
+    }
+    if (sizes.length != files.length) return df // non-local: leave the scan alone
+    val bytes = sizes.sum
+    val target = math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + SplitHintBytes - 1) / SplitHintBytes).toInt
+    if (bytes <= RebalanceMaxBytes && target >= RebalanceMinParts &&
+        files.length < target) df.repartition(target)
+    else df
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    rebalanced(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")

@@ -645,7 +645,8 @@ object DocQueries {
     * stream twice for a per-doc statistic). Integer counts; the two ratios
     * are single divisions of exact longs, so the oracle hash-matches. */
   private val repetitionUdf = udf((text: String) => {
-    val tk = text.trim.split("\\s+")
+    // null text → zero-count row, matching the oracle's LEFT JOIN + COALESCE
+    val tk = if (text == null) Array.empty[String] else text.trim.split("\\s+")
     if (tk.length < 2) (0L, 0L, 0L)
     else {
       val counts = new java.util.HashMap[String, Long](tk.length * 2)
