@@ -877,7 +877,158 @@ object DocQueries {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------- unigram LM scoring
+  /** CCNet-style language-model quality score: mean negative log-likelihood
+    * of each document under a corpus unigram model (Wenzek et al. 2020 score
+    * low-perplexity ≈ fluent text; here the model is the corpus itself).
+    *
+    * Scale: the model build is ONE map-side-combinable shuffle (token →
+    * count); the trained model then broadcasts and scoring is a narrow
+    * per-row pass. At web-corpus scale the broadcast stays bounded by
+    * capping the vocabulary to the top-K tokens + an OOV floor (here the
+    * synthetic vocabulary is tiny, so no cap fires). The per-row fold runs
+    * in token order, so the double sum is order-deterministic and the
+    * DuckDB oracle (same fold via list_transform/list_sum) hash-matches. */
+  def unigramLm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = documents(spark, d)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val freq = counts.as[(String, Long)].collect().toMap
+    val total = freq.values.sum
+    val lnTotal = math.log(total.toDouble)
+    val bc = spark.sparkContext.broadcast(freq)
+    val nllUdf = udf((text: String) => {
+      val tk = if (text == null) Array.empty[String]
+               else text.trim.split("\\s+")
+      if (tk.isEmpty) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < tk.length) {
+          s += math.log(bc.value.getOrElse(tk(i), 1L).toDouble)
+          i += 1
+        }
+        Some(lnTotal - s / tk.length)
+      }
+    })
+    documents(spark, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      round(nllUdf(col("text")), 6).as("nll"))
+  }
+
+  val unigramLmSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | c AS (SELECT token, COUNT(*) AS cnt
+      |       FROM (SELECT unnest(tk) AS token FROM t) GROUP BY 1),
+      | n AS (SELECT SUM(cnt) AS total FROM c),
+      | m AS (SELECT map(list(token), list(cnt)) AS mp FROM c)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      |  ROUND(ln(CAST(n.total AS DOUBLE))
+      |        - list_sum(list_transform(tk,
+      |            x -> ln(CAST(map_extract(m.mp, x)[1] AS DOUBLE))))
+      |          / len(tk), 6) AS nll
+      |FROM t, n, m""".stripMargin
+
+  // ------------------------------------------------- source mixing report
+  /** Training-data mixing report: per (source, lang) document/token/char
+    * volumes and each cell's share of corpus tokens — the table a data-mix
+    * plan is tuned against. One map-side-combinable aggregation; the corpus
+    * total is a one-row broadcast (same shape as [[bm25]]'s stats join).
+    * Shares divide exact longs, so the oracle hash-matches. */
+  def sourceMix(spark: SparkSession, d: String): DataFrame = {
+    val per = documents(spark, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+    val total = per.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") / col("corpus_tokens"), 6)
+          .as("token_share"))
+  }
+
+  val sourceMixSql: String =
+    """WITH per AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
+      |    SUM(strlen(text)) AS n_chars
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, n_tokens, n_chars,
+      |  ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
+      |    AS token_share
+      |FROM per""".stripMargin
+
+  // ------------------------------------------------- composite filter chain
+  /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
+    * rule is an independent boolean column, `keep` is their conjunction and
+    * `drop_reason` names the first failing rule — flag-not-drop, like the
+    * reference's corrupt/duplicate flags, so downstream consumers choose
+    * their own policy. Pure narrow stage: every rule is per-row column
+    * math, no shuffle at any scale. */
+  def filterChain(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sw = filter(t, x => x.isInCollection(stopwords))
+    documents(spark, d)
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+        (size(sw).cast("double") / size(t)).as("stopword_ratio"),
+        (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size(t)).as("mean_token_len"))
+      .withColumn("r_min_tokens", col("n_tokens") >= 10)
+      .withColumn("r_max_tokens", col("n_tokens") <= 5000)
+      .withColumn("r_ttr", col("ttr") >= 0.2)
+      .withColumn("r_stopwords", col("stopword_ratio") >= 0.02)
+      .withColumn("r_token_len",
+        col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+      .withColumn("keep",
+        col("r_min_tokens") && col("r_max_tokens") && col("r_ttr") &&
+          col("r_stopwords") && col("r_token_len"))
+      .withColumn("drop_reason",
+        when(!col("r_min_tokens"), "min_tokens")
+          .when(!col("r_max_tokens"), "max_tokens")
+          .when(!col("r_ttr"), "ttr")
+          .when(!col("r_stopwords"), "stopwords")
+          .when(!col("r_token_len"), "token_len"))
+  }
+
+  val filterChainSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       | f AS (SELECT doc_id, len(tk) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+       |    CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |      / len(tk) AS stopword_ratio,
+       |    CAST(list_sum(list_transform(tk, x -> strlen(x))) AS DOUBLE)
+       |      / len(tk) AS mean_token_len
+       |  FROM t)
+       |SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_token_len,
+       |  n_tokens >= 10 AS r_min_tokens,
+       |  n_tokens <= 5000 AS r_max_tokens,
+       |  ttr >= 0.2 AS r_ttr,
+       |  stopword_ratio >= 0.02 AS r_stopwords,
+       |  mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS r_token_len,
+       |  n_tokens >= 10 AND n_tokens <= 5000 AND ttr >= 0.2
+       |    AND stopword_ratio >= 0.02
+       |    AND mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS keep,
+       |  CASE WHEN NOT n_tokens >= 10 THEN 'min_tokens'
+       |       WHEN NOT n_tokens <= 5000 THEN 'max_tokens'
+       |       WHEN NOT ttr >= 0.2 THEN 'ttr'
+       |       WHEN NOT stopword_ratio >= 0.02 THEN 'stopwords'
+       |       WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+       |         THEN 'token_len' END AS drop_reason
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_unigram_lm"   -> (unigramLm _),
+    "doc_source_mix"   -> (sourceMix _),
+    "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
     "doc_winnow"       -> (winnowFingerprints _),
     "doc_pii_scrub"    -> (piiScrub _),
@@ -898,6 +1049,9 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_unigram_lm"      -> unigramLmSql,
+    "doc_source_mix"      -> sourceMixSql,
+    "doc_filter_chain"    -> filterChainSql,
     "doc_token_counts"    -> tokenCountsSql,
     "doc_winnow"          -> winnowSql,
     "doc_pii_scrub"       -> piiScrubSql,

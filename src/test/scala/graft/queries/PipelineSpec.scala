@@ -209,4 +209,46 @@ class PipelineSpec extends SparkSpec {
     // durations: 10 min + 0 + 0 over 3 sessions
     assert(math.abs(r.getAs[Double]("avg_duration_ms") - 600000.0 / 3) < 1e-6)
   }
+
+  test("unigram LM: repeated-token docs score lower NLL than rare-token docs") {
+    val out = DocQueries.unigramLm(spark, sf)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(out.nonEmpty && out.values.forall(v => v > 0 && !v.isNaN))
+    // the corpus-frequent tokens dominate: scores spread, not constant
+    assert(out.values.toSet.size > 1)
+  }
+
+  test("unigram LM: hand-built corpus matches hand-computed NLL") {
+    val tmp = java.nio.file.Files.createTempDirectory("lmtest").toString
+    Seq((1L, "a a a b", "en", "web", 7L), (2L, "b", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.unigramLm(spark, tmp)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    // counts: a=3, b=2, total=5
+    val expected1 = math.log(5.0) - (3 * math.log(3.0) + math.log(2.0)) / 4
+    val expected2 = math.log(5.0) - math.log(2.0)
+    assert(math.abs(out(1L) - expected1) < 1e-6)
+    assert(math.abs(out(2L) - expected2) < 1e-6)
+  }
+
+  test("source mix: token shares sum to 1 and cells partition the corpus") {
+    val rows = DocQueries.sourceMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === graft.Tables.documents(spark, sf).count())
+  }
+
+  test("filter chain: keep is the rule conjunction; drop_reason names the first failure") {
+    val rows = DocQueries.filterChain(spark, sf).collect()
+    rows.foreach { r =>
+      val rules = Seq("r_min_tokens", "r_max_tokens", "r_ttr", "r_stopwords",
+        "r_token_len").map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") === rules.forall(identity))
+      if (r.getAs[Boolean]("keep")) assert(r.getAs[String]("drop_reason") == null)
+      else assert(r.getAs[String]("drop_reason") != null)
+    }
+  }
 }
