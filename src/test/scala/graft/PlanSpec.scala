@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
     assert(!ph.contains("Exchange"), "html strip must be a pure map stage")
   }
 
+  test("filter chain and unigram LM scoring are exchange-free narrow scans") {
+    val pf = plan(graft.queries.DocQueries.queries("doc_filter_chain")(spark, sf))
+    assert(!pf.contains("Exchange"), "filter chain must be a pure map stage")
+    val pl = plan(graft.queries.DocQueries.queries("doc_unigram_lm")(spark, sf))
+    assert(!pl.contains("Exchange"),
+      "LM scoring must be narrow (the model broadcasts; only its build shuffles)")
+  }
+
+  test("source mix: partial aggregation + one-row broadcast total, no sort-merge") {
+    val p = plan(graft.queries.DocQueries.queries("doc_source_mix")(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"), "corpus total must broadcast, not shuffle-sort")
+  }
+
   test("vocab top-k: ordering is TakeOrderedAndProject, not a global sort") {
     val p = plan(graft.queries.DocQueries.queries("doc_vocab_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
