@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,19 +31,30 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Each query is timed twice: run1 (cold — includes that query's one-time
+    // plan/codegen/JIT cost) and run2 (steady state). `value`/`queries` stay
+    // the cold timings for cross-round continuity; `value_warm`/
+    // `queries_warm` report steady state, which is the scale-relevant number
+    // (a cluster query amortizes its ~1s planning over minutes of execution,
+    // and the reference's 12-15k req/s/thread is itself a sustained rate).
+    def time(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column — a plain count()
       // would let Catalyst prune the projections under narrow queries and
       // time an empty scan instead of the actual operator work.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (time(fn), time(fn))
+    }
+    def obj(sel: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val totalWarm = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
+      s""""value_warm":$totalWarm,"queries_warm":${obj(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
