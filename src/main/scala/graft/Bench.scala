@@ -42,9 +42,16 @@ object Bench {
       // toRdd.count() materializes every output column — a plain count()
       // would let Catalyst prune the projections under narrow queries and
       // time an empty scan instead of the actual operator work.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      // A failed query reports -1 (not its time-to-failure, which would be
+      // indistinguishable from a fast success in the JSON).
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: $e")
+          -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (time(fn), time(fn))

