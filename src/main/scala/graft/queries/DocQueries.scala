@@ -1049,7 +1049,63 @@ object DocQueries {
        |         THEN 'token_len' END AS drop_reason
        |FROM f""".stripMargin
 
+  // ------------------------------------------------- shard + sequence pack
+  private val NShards = 8
+  private val SeqLen = 2048
+
+  /** Deterministic training shuffle + sequence packing: every document gets
+    * a pseudorandom-but-reproducible shard and position (md5-derived key —
+    * the same seeded-hash shuffle as [[sampleDeterministic]], so reruns and
+    * retries produce identical shards with no RNG or input-order
+    * dependence), then documents pack greedily into fixed-token-budget
+    * sequences in shard order: `seq_id` = which training sequence of
+    * `SeqLen` tokens the document starts in.
+    *
+    * Scale: one shuffle on the shard key; the position/cumsum window sorts
+    * within each shard only. At corpus scale shard count rises with the
+    * data (shards are the write/read parallelism of the training run), so
+    * per-shard state stays bounded — the standard pre-tokenization layout
+    * pass. Cumulative sums are exact longs over a deterministic total
+    * order, so the oracle hash-matches. */
+  def shardPack(spark: SparkSession, d: String): DataFrame = {
+    val skey = conv(substring(md5(concat(lit("shard"), col("doc_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long")
+    val base = documents(spark, d)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
+        skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(NShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    base
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / SeqLen)
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("cum_tokens"), col("seq_id"))
+  }
+
+  val shardPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 25, 8))::UBIGINT
+       |         AS BIGINT) AS skey
+       |  FROM documents),
+       | s AS (SELECT *, CAST(skey % $NShards AS INT) AS shard FROM t)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+       |                      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+       |      AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_id
+       |FROM s WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shard_pack"   -> (shardPack _),
     "doc_unigram_lm"   -> (unigramLm _),
     "doc_source_mix"   -> (sourceMix _),
     "doc_filter_chain" -> (filterChain _),
@@ -1073,6 +1129,7 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_filter_chain"    -> filterChainSql,

@@ -241,6 +241,26 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs === graft.Tables.documents(spark, sf).count())
   }
 
+  test("shard pack: contiguous positions, exact prefix sums, stable across runs") {
+    val out = DocQueries.shardPack(spark, sf).collect()
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq === (1L to rows.length).toSeq)
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Int]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") === cum)
+        val expectedSeq = (r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens")) / 2048
+        assert(r.getAs[Long]("seq_id") === expectedSeq)
+      }
+    }
+    // reruns assign identical shards/positions (no RNG, no order dependence)
+    val again = DocQueries.shardPack(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
   test("filter chain: keep is the rule conjunction; drop_reason names the first failure") {
     val rows = DocQueries.filterChain(spark, sf).collect()
     rows.foreach { r =>
