@@ -332,13 +332,17 @@ object EventQueries {
           .otherwise(lit(HllScale) / col("s")), 3).as("approx_users"))
     val sampleKey = conv(substring(md5(concat(lit("v"), col("event_id").cast("string"))), 25, 8), 16, 10)
       .cast("long")
-    val pcts = base.filter(sampleKey % 5 === 0)
-      .groupBy(keys.map(col): _*)
+    // counts and sampled percentiles fuse into ONE aggregation pass:
+    // percentile ignores nulls, so gating the value on the sample key is
+    // exactly the filtered-subset percentile (incl. null for unsampled
+    // groups) without a second scan + join over the base
+    val sampled = when(sampleKey % 5 === 0, col("value"))
+    val cp = base.groupBy(keys.map(col): _*)
       .agg(
-        round(percentile(col("value"), lit(0.5)), 6).as("p50_value"),
-        round(percentile(col("value"), lit(0.95)), 6).as("p95_value"))
-    val counts = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_events"))
-    counts.join(users, keys).join(pcts, keys, "left")
+        count(lit(1)).as("n_events"),
+        round(percentile(sampled, lit(0.5)), 6).as("p50_value"),
+        round(percentile(sampled, lit(0.95)), 6).as("p95_value"))
+    cp.join(users, keys)
       .select(col("day"), col("event_type"), col("n_events"),
         col("approx_users"), col("p50_value"), col("p95_value"))
   }
