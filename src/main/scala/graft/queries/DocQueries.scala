@@ -995,10 +995,17 @@ object DocQueries {
     * reference's corrupt/duplicate flags, so downstream consumers choose
     * their own policy. Pure narrow stage: every rule is per-row column
     * math, no shuffle at any scale. */
-  def filterChain(spark: SparkSession, d: String): DataFrame = {
+  def filterChain(spark: SparkSession, d: String): DataFrame =
+    filterChainOn(documents(spark, d))
+
+  /** The filter chain as a frame-level transform: pure narrow column math,
+    * so the SAME expressions run over a batch table or a streaming source
+    * (continuous curation — the reference's flag-don't-drop stance applied
+    * to a document stream). Exercised on a MemoryStream in StreamsSpec. */
+  def filterChainOn(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val sw = filter(t, x => x.isInCollection(stopwords))
-    documents(spark, d)
+    docs
       .select(col("doc_id"),
         size(t).as("n_tokens"),
         (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),

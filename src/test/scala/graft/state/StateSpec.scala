@@ -121,4 +121,24 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains(("view", 2L)))
     assert(rows.contains(("click", 1L)))
   }
+
+  test("streaming document curation: the filter chain flags a stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.DocQueries.filterChainOn(
+        input.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    val good = "the quick brown fox jumps over a lazy dog of great renown today"
+    input.addData((1L, good), (2L, "too short"))
+    q.processAllAvailable()
+    input.addData((3L, good + " again")) // later micro-batch, same transform
+    q.processAllAvailable()
+    val rows = spark.table("curated")
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    q.stop()
+    assert(rows(0) === ((1L, true, None)))
+    assert(rows(1) === ((2L, false, Some("min_tokens"))))
+    assert(rows(2) === ((3L, true, None)))
+  }
 }
