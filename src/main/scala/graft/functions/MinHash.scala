@@ -82,6 +82,30 @@ object MinHash {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** SORTED distinct md5-low-32 hashes of the document's 3-gram shingles —
+    * the inverted-index / exact-Jaccard representation: an 8-byte hash
+    * shuffles and compares ~8x cheaper than the ~20-char shingle string,
+    * and because the hash is the oracle-replicable md5-low-32 (same value
+    * via `('0x'||substr(md5(s),25,8))::UBIGINT`), BOTH engines build the
+    * identical hashed sets — any hash collision collapses the same pair of
+    * shingles on both sides, so the comparison stays bit-exact rather than
+    * "correct up to collisions". */
+  def shingleHashes(text: String): Array[Long] = {
+    val tokens = text.trim.split("\\s+")
+    if (tokens.length < 3) return Array.empty
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var t = 0
+    while (t + 2 < tokens.length) {
+      seen.add(shingleHash32(tokens(t) + " " + tokens(t + 1) + " " + tokens(t + 2)))
+      t += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   def signature(shingles: Seq[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val it = shingles.iterator

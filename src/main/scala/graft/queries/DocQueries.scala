@@ -153,7 +153,7 @@ object DocQueries {
   private val DfCap = 10
 
   private val shinglesUdf =
-    udf((text: String) => graft.functions.MinHash.shingles3(text))
+    udf((text: String) => graft.functions.MinHash.shingleHashes(text))
 
   /** The pair table is the shared intermediate of near-dup detection
     * ([[neardupJaccard]]) and cluster resolution ([[dedupClusters]]): a
@@ -197,16 +197,18 @@ object DocQueries {
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") < col("d2"))
       .distinct()
-    // exact Jaccard on the FULL shingle sets of each candidate pair, via a
-    // broadcast sorted-shingle map and a merge-walk intersection in JVM —
+    // exact Jaccard on the FULL (hashed) shingle sets of each candidate
+    // pair, via a broadcast sorted-hash map and a merge-walk intersection —
+    // sets use the oracle-replicable md5-low-32 shingle hash (8-byte keys
+    // shuffle/compare ~8x cheaper than shingle strings, and both engines
+    // hash identically, so even collisions agree bit-for-bit) —
     // the `array_intersect`/`array_union` formulation builds two hash sets
     // per pair and took 19s for 436k candidates at sf0.1; the merge walk is
     // <1s. At corpus sizes where the shingle table outgrows a broadcast,
     // the distributed equivalent is the same join partitioned by d1 block.
     import spark.implicits._
     val sortedSets = spark.sparkContext.broadcast(
-      docs.as[(Long, Array[String])].collect()
-        .map { case (id, sh) => id -> sh.sorted }.toMap)
+      docs.as[(Long, Array[Long])].collect().toMap) // hashes arrive pre-sorted
     candidates.as[(Long, Long)].mapPartitions { it =>
       val m = sortedSets.value
       it.flatMap { case (d1, d2) =>
@@ -214,9 +216,8 @@ object DocQueries {
         val b = m(d2)
         var i = 0; var j = 0; var inter = 0
         while (i < a.length && j < b.length) {
-          val c = a(i).compareTo(b(j))
-          if (c == 0) { inter += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
+          if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+          else if (a(i) < b(j)) i += 1
           else j += 1
         }
         val jac = inter.toDouble / (a.length + b.length - inter)
@@ -229,7 +230,7 @@ object DocQueries {
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
        | g AS (SELECT DISTINCT doc_id,
-       |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
        |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
        |       WHERE i + 2 <= len(tk)),
        | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
@@ -287,7 +288,7 @@ object DocQueries {
     s"""WITH RECURSIVE
        | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |       FROM documents),
-       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
        |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
        |       WHERE i + 2 <= len(tk)),
        | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
@@ -411,12 +412,10 @@ object DocQueries {
   val minhashLshSql: String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
-       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
        |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
        |       WHERE i + 2 <= len(tk)),
-       | hm AS (SELECT doc_id,
-       |          CAST(('0x' || substr(md5(s), 25, 8))::UBIGINT AS BIGINT) AS m
-       |        FROM g),
+       | hm AS (SELECT doc_id, s AS m FROM g),
        | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
        | sigs AS (SELECT doc_id, i,
        |            MIN((m * (2*i + 1) + (i*40503 + 2531011)) % 2147483647) AS sig
