@@ -71,7 +71,7 @@ object EventQueries {
     """WITH t AS (
       |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
       |), flagged AS (
-      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w >= 1800000 OR
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
       |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
       |), sessioned AS (
@@ -417,7 +417,7 @@ object EventQueries {
     """WITH t AS (
       |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
       |), flagged AS (
-      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w >= 1800000 OR
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
       |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
       |), sessioned AS (

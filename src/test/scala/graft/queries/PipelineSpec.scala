@@ -241,6 +241,28 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs === graft.Tables.documents(spark, sf).count())
   }
 
+  test("sessionize: a gap of exactly 30 minutes stays in the same session") {
+    // Empirical boundary semantics of session_window: an event arriving
+    // EXACTLY gap after the previous one MERGES into the session (touching
+    // windows coalesce — merge condition start <= prev end); only a gap
+    // strictly greater than 30 min opens a new session. The SQL oracles
+    // must therefore split on `gap > 1800000`, not `>=`. This test pins
+    // the engine behavior so the oracle boundary can't silently drift.
+    val tmp = java.nio.file.Files.createTempDirectory("sessboundary").toString
+    val t0 = 1704100000000L
+    Seq(
+      (1L, new java.sql.Timestamp(t0), 10L, "view", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(t0 + 1800000L), 10L, "view", 1.0, "{}"),  // exactly 30 min
+      (3L, new java.sql.Timestamp(t0 + 1800000L + 1800001L), 10L, "view", 1.0, "{}")) // 30 min + 1ms
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val sessions = EventQueries.sessionize(spark, tmp)
+      .select("session_start_ms", "n_events").as[(Long, Long)].collect().sortBy(_._1)
+    assert(sessions.length === 2, s"expected 2 sessions, got ${sessions.toSeq}")
+    assert(sessions(0) === ((t0, 2L)))  // events 1+2 merge (touching windows)
+    assert(sessions(1)._2 === 1L)       // the >gap event opens a new session
+  }
+
   test("shard pack: contiguous positions, exact prefix sums, stable across runs") {
     val out = DocQueries.shardPack(spark, sf).collect()
     val byShard = out.groupBy(_.getAs[Int]("shard"))
