@@ -24,6 +24,11 @@ object DocQueries {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** English-marker stopwords shared by the quality and language-ID
+    * operators (and their SQL oracles). */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopwordSet = stopwords.toSet
+
   /** Distinct word 3-gram shingles per document. */
   private def shingles(tokens: Column): Column =
     when(size(tokens) >= 3,
@@ -61,18 +66,29 @@ object DocQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------- token stats
+  /** All whitespace-token statistics in one per-row pass
+    * ([[graft.functions.TextStats]]) — the HOF formulation
+    * (`filter`/`aggregate`/`array_distinct`) re-ran the regex split per
+    * statistic because higher-order functions evaluate interpreted, outside
+    * both codegen and runtime subexpression elimination. The stats struct
+    * is computed in its own projection (a non-cheap UDF, so CollapseProject
+    * keeps it single-evaluation) and the derived ratios are plain codegen'd
+    * divisions of its fields. */
+  private val textStatsUdf =
+    udf((text: String) => graft.functions.TextStats.compute(text, stopwordSet))
+
   /** Token counting: whitespace tokens, distinct types, type/token ratio,
     * mean token length. Pure narrow stage. */
-  def tokenStats(spark: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    documents(spark, d).select(
-      col("doc_id"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_types"),
-      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
-      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
-        .as("mean_token_len"))
-  }
+  def tokenStats(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("__st", textStatsUdf(col("text")))
+      .select(
+        col("doc_id"),
+        col("__st.nTokens").as("n_tokens"),
+        col("__st.nTypes").as("n_types"),
+        (col("__st.nTypes").cast("double") / col("__st.nTokens")).as("ttr"),
+        (col("__st.charSum").cast("double") / col("__st.nTokens"))
+          .as("mean_token_len"))
 
   val tokenStatsSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -85,22 +101,21 @@ object DocQueries {
       |FROM t""".stripMargin
 
   // ---------------------------------------------------------- quality
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-
   /** Quality scoring: length agreement (claimed n_chars vs actual), stopword
     * ratio, type/token ratio — combined into a [0,1]-ish score. Mirrors the
-    * shape of standard web-corpus quality filters. */
-  def quality(spark: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val sw = filter(t, x => x.isInCollection(stopwords))
-    documents(spark, d).select(
-      col("doc_id"), col("lang"),
-      length(trim(col("text"))).as("len_actual"),
-      (size(sw).cast("double") / size(t)).as("stopword_ratio"),
-      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    * shape of standard web-corpus quality filters. Single-pass stats struct;
+    * see [[tokenStats]]. */
+  def quality(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("__st", textStatsUdf(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        length(trim(col("text"))).as("len_actual"),
+        (col("__st.stopHits").cast("double") / col("__st.nTokens"))
+          .as("stopword_ratio"),
+        (col("__st.nTypes").cast("double") / col("__st.nTokens")).as("ttr"))
       .withColumn("quality_score",
         round((col("stopword_ratio") * 2 + col("ttr")) / 3, 6))
-  }
 
   val qualitySql: String =
     s"""WITH t AS (SELECT doc_id, lang, trim(text) AS tx,
@@ -115,17 +130,17 @@ object DocQueries {
 
   // ---------------------------------------------------------- language id
   /** N-gram/stopword language heuristic: English-marker token share drives
-    * the call; emits prediction + agreement with the labeled lang. */
-  def langId(spark: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val enHits = size(filter(t, x => x.isInCollection(stopwords)))
+    * the call; emits prediction + agreement with the labeled lang.
+    * Single-pass stats struct; see [[tokenStats]]. */
+  def langId(spark: SparkSession, d: String): DataFrame =
     documents(spark, d)
+      .withColumn("__st", textStatsUdf(col("text")))
       .select(col("doc_id"), col("lang"),
-        (enHits.cast("double") / size(t)).as("en_marker_ratio"))
+        (col("__st.stopHits").cast("double") / col("__st.nTokens"))
+          .as("en_marker_ratio"))
       .withColumn("predicted_lang",
         when(col("en_marker_ratio") >= 0.04, "en").otherwise("unk"))
       .withColumn("agrees", col("predicted_lang") === col("lang"))
-  }
 
   val langIdSql: String =
     s"""WITH t AS (SELECT doc_id, lang,
