@@ -585,6 +585,78 @@ object DocQueries {
       |WHERE CAST(('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))
       |       AS UBIGINT) % 5 = 0""".stripMargin
 
+  // ------------------------------------------------- stratified sampling
+  /** Stratified quota sampling — exact per-stratum subsets for eval splits
+    * and mixture rebalancing: within every (source, lang) stratum keep the
+    * QUOTA documents with the smallest md5-derived keys. Unlike the
+    * Bernoulli sampler ([[sampleDeterministic]]) the stratum size is EXACT
+    * (min(quota, stratum size)), and membership is still a pure function of
+    * doc_id — stable across runs, engines, and repartitioning.
+    *
+    * Scale: one shuffle on the stratum key, then a per-stratum top-K
+    * window. Stratum count is small (sources × languages) while corpus
+    * rows are huge, so the window partitions are large but the selection
+    * is a single pass per partition; a skew-prone stratum (one source
+    * dominating the corpus) salts naturally because the md5 order is
+    * uniform — AQE splits oversized partitions. */
+  private val SampleQuota = 5
+
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(md5(concat(lit("strat"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("strat_key"), col("doc_id"))
+    documents(spark, d)
+      .select(col("doc_id"), col("source"), col("lang"), key.as("strat_key"))
+      .withColumn("strat_rank", row_number().over(w))
+      .filter(col("strat_rank") <= SampleQuota)
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH k AS (SELECT doc_id, source, lang,
+       |    CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |         AS UBIGINT)::BIGINT AS strat_key
+       |  FROM documents)
+       |SELECT doc_id, source, lang, strat_key, strat_rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+       |                               ORDER BY strat_key, doc_id) AS strat_rank
+       |  FROM k)
+       |WHERE strat_rank <= $SampleQuota""".stripMargin
+
+  // ------------------------------------------------- quality buckets
+  /** Per-language quality deciles — the curriculum/mixture building block:
+    * each document gets its NTILE(10) bucket within its language, ordered
+    * by the composite quality score (ties broken by doc_id so the decile
+    * assignment is total and engine-independent). Downstream pipelines
+    * sample "top-3-decile French" etc. without global thresholds.
+    *
+    * Scale: the score is the same single-pass narrow stats struct as
+    * [[quality]]; the decile is one shuffle on lang + an in-partition
+    * sort. Languages are few and large — exactly the window shape AQE
+    * handles; for a single dominant language the two-phase alternative is
+    * a percentile-sketch cutpoint broadcast, which [[graft.functions.Hll]]
+    * -style sketches support, but exact NTILE is the oracle-checkable
+    * form. */
+  def qualityBuckets(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    quality(spark, d)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("decile", ntile(10).over(w))
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |            string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       | q AS (SELECT doc_id, lang,
+       |  ROUND((CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(tk) * 2
+       |         + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) / 3, 6) AS quality_score
+       |  FROM t)
+       |SELECT doc_id, lang, quality_score,
+       |  NTILE(10) OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+       |    AS decile
+       |FROM q""".stripMargin
+
   // ------------------------------------------------- decontamination
   /** Benchmark decontamination — flag training documents whose normalized
     * fingerprint collides with a held-out/benchmark set (here: every 97th
@@ -1135,6 +1207,8 @@ object DocQueries {
     "doc_pii_scrub"    -> (piiScrub _),
     "doc_html_strip"   -> (htmlStrip _),
     "doc_sample"       -> (sampleDeterministic _),
+    "doc_stratified_sample" -> (stratifiedSample _),
+    "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
     "doc_vocab_topk"   -> (vocabTopK _),
     "doc_dedup_exact"     -> (dedupExact _),
@@ -1159,6 +1233,8 @@ object DocQueries {
     "doc_pii_scrub"       -> piiScrubSql,
     "doc_html_strip"      -> htmlStripSql,
     "doc_sample"          -> sampleDeterministicSql,
+    "doc_stratified_sample" -> stratifiedSampleSql,
+    "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,
     "doc_vocab_topk"      -> vocabTopKSql,
     "doc_dedup_exact"     -> dedupExactSql,

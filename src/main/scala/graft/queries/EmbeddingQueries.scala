@@ -352,7 +352,68 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------ PQ codes
+  /** Product quantization (Jégou et al. 2011) — the vector-compression
+    * building block for warehouse-scale ANN: the 64-dim embedding splits
+    * into [[PqM]] subvectors and each subvector is replaced by the index of
+    * its nearest codebook entry, compressing 64 floats to [[PqM]] small
+    * ints (32× here). The codebook per subspace is the corresponding
+    * subvector of the first [[PqK]] corpus vectors — the deterministic
+    * sampled-from-data initialization a k-means trainer would start from,
+    * so the whole operator (training init + encoding) is bit-stable and
+    * carries a full DuckDB oracle.
+    *
+    * Scale: the codebook is tiny and broadcast; encoding is a narrow scan
+    * with an integer-exact argmin per (vector, subspace) — squared L2 in
+    * scaled-int space via three native dot products (no per-element
+    * lambdas). The groupBy argmin uses min(struct(dist2, k)): map-side
+    * partial aggregation, no sort shuffle. Emits (vec_id, subspace, code,
+    * dist2) rows; dist2 doubles as the per-subspace reconstruction error. */
+  private val PqM = 8        // subspaces
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16       // codebook entries per subspace
+
+  def pqCodes(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    def subvectors(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(m => slice(col("emb"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "subspace")
+    val sub = subvectors(e).withColumnRenamed("col", "sv")
+    val cb = subvectors(e.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("k"), col("subspace"), col("col").as("cv"))
+    sub.join(broadcast(cb), "subspace")
+      .withColumn("dist2",
+        dotScaled(col("sv"), col("sv")) + dotScaled(col("cv"), col("cv"))
+          - lit(2L) * dotScaled(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(col("dist2"), col("k"))).as("m"))
+      .select(col("vec_id"), col("subspace"),
+        col("m.k").cast("int").as("code"), col("m.dist2").as("dist2"))
+  }
+
+  val pqCodesSql: String =
+    s"""WITH jdx AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | sub AS (SELECT vec_id, m,
+       |           emb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+       |         FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       | cb AS (SELECT vec_id AS k, m, sv AS cv FROM sub WHERE vec_id < $PqK),
+       | d AS (SELECT s.vec_id, s.m AS subspace, cb.k,
+       |         CAST((SELECT SUM((s.sv[j] - cb.cv[j]) * (s.sv[j] - cb.cv[j]))
+       |               FROM jdx) AS BIGINT) AS dist2
+       |       FROM sub s JOIN cb ON s.m = cb.m)
+       |SELECT vec_id, subspace, CAST(k AS INT) AS code, dist2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |              ORDER BY dist2, k) AS rn FROM d)
+       |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_codes"       -> (pqCodes _),
     "emb_knn_brute"      -> (knnBrute _),
     "emb_centroids"      -> (centroids _),
     "emb_ann_lsh"        -> (annLsh _),
@@ -360,6 +421,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pq_codes"       -> pqCodesSql,
     "emb_knn_brute"      -> knnBruteSql,
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,

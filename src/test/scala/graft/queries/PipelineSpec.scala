@@ -293,4 +293,55 @@ class PipelineSpec extends SparkSpec {
       else assert(r.getAs[String]("drop_reason") != null)
     }
   }
+
+  test("stratified sample: exact min(quota, size) per stratum, stable reruns") {
+    val strata = graft.Tables.documents(spark, sf)
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, l, n) => (s, l) -> n }.toMap
+    val sampled = DocQueries.stratifiedSample(spark, sf)
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, l, n) => (s, l) -> n }.toMap
+    assert(sampled.keySet === strata.keySet) // every stratum represented
+    sampled.foreach { case (k, n) => assert(n === math.min(5L, strata(k))) }
+    val again = DocQueries.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(DocQueries.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet === again)
+  }
+
+  test("quality buckets: deciles partition each language, ordered by score") {
+    val rows = DocQueries.qualityBuckets(spark, sf)
+      .select("lang", "quality_score", "decile")
+      .as[(String, Double, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.forall(r => r._3 >= 1 && r._3 <= 10))
+      // monotone: sorting by score never decreases the decile
+      val sorted = g.sortBy(r => (r._2, r._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3)
+        case _ =>
+      }
+      // NTILE balance: bucket sizes differ by at most 1
+      val sizes = g.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
+    val out = EmbeddingQueries.pqCodes(spark, sf)
+      .select("vec_id", "subspace", "code", "dist2")
+      .as[(Long, Int, Int, Long)].collect()
+    val perVec = out.groupBy(_._1)
+    // every vector encodes all 8 subspaces with codes in [0, 16)
+    perVec.foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === (0 until 8))
+      assert(g.forall(r => r._3 >= 0 && r._3 < 16))
+    }
+    // a codebook seed's own subvector is in the codebook: exact match
+    out.filter(_._1 < 16).foreach { case (_, _, _, dist2) =>
+      assert(dist2 === 0L)
+    }
+  }
 }
