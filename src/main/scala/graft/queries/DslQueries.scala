@@ -95,9 +95,37 @@ object DslQueries {
       |  CASE user_id % 4 WHEN 3 THEN 'Robot' ELSE 'Browser' END AS ua_type
       |FROM events""".stripMargin
 
+  /** The digest producer family (`Digester.java:44-78`; Groovy
+    * `digest('SHA-256').add(...).result()`) as an oracle-checked query:
+    * MD5 and SHA-256 over ordered pieces, with a piece that is absent for
+    * some rows — absent pieces contribute NO bytes (the reference skips
+    * them), which the oracle mirrors with COALESCE(x, ''). Runs through
+    * the custom [[graft.functions.DigestPieces]] expression (the HMAC-
+    * seeded variant has no DuckDB equivalent and is spec-checked in
+    * DigestsSpec). Narrow per-row stage, no exchange. */
+  def digestFields(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.digest
+    val maybe = when(col("user_id") % 7 =!= 0, col("event_type")) // absent piece
+    events(spark, d).select(
+      col("event_id"),
+      lower(hex(digest("MD5",
+        col("event_type"), col("user_id").cast("string")))).as("md5_hex"),
+      lower(hex(digest("SHA-256",
+        maybe, col("user_id").cast("string")))).as("sha256_hex"))
+  }
+
+  val digestFieldsSql: String =
+    """SELECT event_id,
+      |  md5(event_type || CAST(user_id AS VARCHAR)) AS md5_hex,
+      |  sha256(COALESCE(CASE WHEN user_id % 7 <> 0 THEN event_type END, '')
+      |         || CAST(user_id AS VARCHAR)) AS sha256_hex
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dsl_default_mapping" -> (defaultMapping _))
+    "dsl_default_mapping" -> (defaultMapping _),
+    "dsl_digest"          -> (digestFields _))
 
   val oracles: Map[String, String] = Map(
-    "dsl_default_mapping" -> defaultMappingSql)
+    "dsl_default_mapping" -> defaultMappingSql,
+    "dsl_digest"          -> digestFieldsSql)
 }

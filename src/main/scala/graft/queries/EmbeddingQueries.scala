@@ -373,20 +373,26 @@ object EmbeddingQueries {
   private val PqSubDim = Dim / PqM
   private val PqK = 16       // codebook entries per subspace
 
+  /** (vec_id, subspace, col=subvector) rows from a scaled-int embedding
+    * frame — one row per PQ subspace. */
+  private def subvectors(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), posexplode(array(
+      (0 until PqM).map(m => slice(col("emb"), m * PqSubDim + 1, PqSubDim)): _*)))
+    .withColumnRenamed("pos", "subspace")
+
+  /** Integer-exact squared L2 between two scaled-int subvectors via three
+    * native dot products. */
+  private def l2sq(a: Column, b: Column): Column =
+    dotScaled(a, a) + dotScaled(b, b) - lit(2L) * dotScaled(a, b)
+
   def pqCodes(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
-    def subvectors(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), posexplode(array(
-        (0 until PqM).map(m => slice(col("emb"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "subspace")
     val sub = subvectors(e).withColumnRenamed("col", "sv")
     val cb = subvectors(e.filter(col("vec_id") < PqK))
       .select(col("vec_id").as("k"), col("subspace"), col("col").as("cv"))
     sub.join(broadcast(cb), "subspace")
-      .withColumn("dist2",
-        dotScaled(col("sv"), col("sv")) + dotScaled(col("cv"), col("cv"))
-          - lit(2L) * dotScaled(col("sv"), col("cv")))
+      .withColumn("dist2", l2sq(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min(struct(col("dist2"), col("k"))).as("m"))
       .select(col("vec_id"), col("subspace"),
@@ -412,7 +418,72 @@ object EmbeddingQueries {
        |              ORDER BY dist2, k) AS rn FROM d)
        |WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------ PQ ADC search
+  /** Asymmetric-distance top-k over the PQ-compressed corpus — the read
+    * path PQ exists for: the UNCOMPRESSED query builds a per-subspace
+    * lookup table of exact distances to every codebook entry (M×K = 128
+    * tiny rows, broadcast), and a corpus vector's approximate distance is
+    * the SUM of M table lookups on its stored codes — no corpus embedding
+    * is touched at query time. At 100 TB the codes table is ~32× smaller
+    * than the embeddings and the scan is a broadcast-hash-probe + partial
+    * aggregation; every step is integer-exact, so the oracle hash-checks
+    * the full approximate ranking. */
+  def pqSearch(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val cb = subvectors(e.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("k"), col("subspace"), col("col").as("cv"))
+    // per-query ADC lookup tables: exact dist2(query subvector, entry)
+    val tables = subvectors(e.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("subspace"), col("col").as("qv"))
+      .join(cb, "subspace")
+      .select(col("q_id"), col("subspace"), col("k"),
+        l2sq(col("qv"), col("cv")).as("t"))
+    val codes = pqCodes(spark, d).filter(col("vec_id") >= NQueries)
+    val scored = codes
+      .join(broadcast(tables),
+        codes("subspace") === tables("subspace") &&
+          codes("code") === tables("k"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("t")).as("approx_dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist2"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("approx_dist2"), col("rk"))
+  }
+
+  val pqSearchSql: String =
+    s"""WITH jdx AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | sub AS (SELECT vec_id, m,
+       |           emb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+       |         FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       | cb AS (SELECT vec_id AS k, m, sv AS cv FROM sub WHERE vec_id < $PqK),
+       | d AS (SELECT s.vec_id, s.m, cb.k,
+       |         CAST((SELECT SUM((s.sv[j] - cb.cv[j]) * (s.sv[j] - cb.cv[j]))
+       |               FROM jdx) AS BIGINT) AS dist2
+       |       FROM sub s JOIN cb ON s.m = cb.m),
+       | codes AS (SELECT vec_id, m, k AS code FROM (
+       |     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                 ORDER BY dist2, k) AS rn FROM d)
+       |   WHERE rn = 1 AND vec_id >= $NQueries),
+       | t AS (SELECT vec_id AS q_id, m, k, dist2 AS t FROM d
+       |       WHERE vec_id < $NQueries),
+       | s AS (SELECT t.q_id, codes.vec_id,
+       |         CAST(SUM(t.t) AS BIGINT) AS approx_dist2
+       |       FROM codes JOIN t ON codes.m = t.m AND codes.code = t.k
+       |       GROUP BY 1, 2)
+       |SELECT q_id, vec_id, approx_dist2, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY approx_dist2, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_search"      -> (pqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
     "emb_knn_brute"      -> (knnBrute _),
     "emb_centroids"      -> (centroids _),
@@ -422,6 +493,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_pq_codes"       -> pqCodesSql,
+    "emb_pq_search"      -> pqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,

@@ -329,6 +329,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pq ADC search: an exact copy of a query ranks first at distance 0") {
+    // Synthetic embeddings table: vec_id < 16 double as the PQ codebook
+    // (queries are vec_id < 10), and corpus vector 20 is an exact copy of
+    // query 0 — its codes resolve to query 0's own codebook entries, so
+    // the ADC lookup-table distance must be exactly 0 and rank 1.
+    val tmp = java.nio.file.Files.createTempDirectory("pqsearch").toString
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((seed * 101 + j * 7) % 256) - 128) / 128.0f)
+    (0 until 30).map { id =>
+      (id.toLong, if (id == 20) vec(0) else vec(id), id % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingQueries.pqSearch(spark, tmp)
+      .select("q_id", "vec_id", "approx_dist2", "rk")
+      .as[(Long, Long, Long, Int)].collect()
+    val q0top = out.filter(r => r._1 == 0L && r._4 == 1).head
+    assert(q0top._2 === 20L)
+    assert(q0top._3 === 0L)
+    // every query gets a full, strictly-ranked top-k
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to 5))
+    }
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")
