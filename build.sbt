@@ -30,4 +30,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits hundreds of distinct classes across the query
+  // corpus; the default 240MB JIT code cache fills mid-run and the VM then
+  // sweeps/re-JITs hot methods continuously.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Fault the whole heap in ONCE at boot (fixed size, pre-touched, THP):
+  // page-fault handling on this kernel serializes badly under concurrent
+  // load, so letting 32 task threads grow the heap mid-query turns each
+  // heap expansion into a multi-second whole-JVM stall charged to whatever
+  // query was running. One-time cost at startup instead; madvise-THP cuts
+  // the fault count 512x.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseTransparentHugePages",
 )

@@ -54,7 +54,12 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (time(fn), time(fn))
+      val cold = time(fn)
+      val warm = time(fn)
+      // live progress on stderr: localizes any whole-JVM degradation to the
+      // point in the run where it starts (the final JSON only shows totals)
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f")
+      name -> (cold, warm)
     }
     def obj(sel: ((Double, Double)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")

@@ -1197,7 +1197,117 @@ object DocQueries {
        |      AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_id
        |FROM s WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)""".stripMargin
 
+  // ------------------------------------------------- paragraph-level dedup
+  private val ParaTokens = 10
+
+  /** Corpus-wide paragraph-level exact dedup (the CCNet line-dedup pass,
+    * Wenzek et al. 2020): every paragraph keeps its first occurrence across
+    * the WHOLE corpus (ordered by doc_id, then position) and later copies
+    * are dropped; a document survives as the ordered concatenation of its
+    * kept paragraphs. Test documents are single-line, so paragraphs are
+    * synthesized as consecutive [[ParaTokens]]-token blocks.
+    *
+    * Scale: one shuffle keyed on the paragraph hash for the first-occurrence
+    * rank, one shuffle back on doc_id to reassemble — the canonical two-
+    * exchange shape of corpus-level line dedup. The hash key spreads
+    * uniformly (no skew), partial counts combine map-side, and nothing per
+    * group exceeds the duplicate multiplicity of one paragraph. */
+  def paragraphDedup(spark: SparkSession, d: String): DataFrame = {
+    val tk = toks(col("text"))
+    val nParas = ceil(size(tk).cast("double") / ParaTokens).cast("int")
+    val paras = transform(sequence(lit(0), nParas - 1), i =>
+      struct(i.as("i"),
+        array_join(slice(tk, i * ParaTokens + 1, lit(ParaTokens)), " ").as("para")))
+    val exploded = documents(spark, d)
+      .select(col("doc_id"), explode(paras).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.para").as("para"))
+    val w = Window.partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("i"))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("rn") > 1, lit(1))).as("n_dup_paras"),
+        sort_array(collect_list(when(col("rn") === 1,
+          struct(col("i"), col("para"))))).as("kept"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        round((col("n_paras") - col("n_dup_paras")).cast("double")
+          / col("n_paras"), 6).as("kept_frac"),
+        md5(array_join(transform(col("kept"), _.getField("para")), " "))
+          .as("kept_md5"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       | p AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(CAST(len(tk) AS DOUBLE) / $ParaTokens) AS BIGINT)),
+       |      i -> struct_pack(i := i,
+       |        para := array_to_string(
+       |          tk[(i*$ParaTokens+1):(i*$ParaTokens+$ParaTokens)], ' ')))) AS s
+       |    FROM t),
+       | q AS (SELECT doc_id, s.i AS i, s.para AS para FROM p),
+       | r AS (SELECT doc_id, i, para,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, i) AS rn
+       |    FROM q)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+       |  CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup_paras,
+       |  ROUND(CAST(COUNT(*) - COUNT(CASE WHEN rn > 1 THEN 1 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS kept_frac,
+       |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY i),
+       |      '')) AS kept_md5
+       |FROM r GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- context-window chunking
+  private val ChunkSize = 16   // tokens per chunk
+  private val ChunkOverlap = 4 // tokens shared with the previous chunk
+
+  /** Fixed-budget document chunking with overlap — the context-window
+    * splitter of a training/RAG pipeline: documents longer than [[ChunkSize]]
+    * tokens emit overlapping windows at stride (size - overlap), each with
+    * its position and content hash. Pure per-row array math + one generate —
+    * a single narrow stage, no exchange at any scale (contrast
+    * [[shardPack]], which needs the cross-document cumsum). */
+  def chunk(spark: SparkSession, d: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    val tk = toks(col("text"))
+    val nChunks = ceil(greatest(size(tk) - ChunkOverlap, lit(1)).cast("double")
+      / stride).cast("int")
+    documents(spark, d)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        c => slice(tk, c * stride + 1, lit(ChunkSize)))))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        (col("pos").cast("long") * stride + 1).as("start_token"),
+        size(col("col")).as("chunk_len"),
+        md5(array_join(col("col"), " ")).as("chunk_md5"))
+  }
+
+  val chunkSql: String = {
+    val stride = ChunkSize - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       | p AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(CAST(greatest(len(tk) - $ChunkOverlap, 1) AS DOUBLE)
+       |                         / $stride) AS BIGINT)),
+       |      c -> struct_pack(cid := c,
+       |        chunk := tk[(c*$stride+1):(c*$stride+$ChunkSize)]))) AS s
+       |    FROM t)
+       |SELECT doc_id,
+       |  CAST(s.cid AS INT) AS chunk_id,
+       |  CAST(s.cid * $stride + 1 AS BIGINT) AS start_token,
+       |  CAST(len(s.chunk) AS INT) AS chunk_len,
+       |  md5(array_to_string(s.chunk, ' ')) AS chunk_md5
+       |FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_paragraph_dedup" -> (paragraphDedup _),
+    "doc_chunk"        -> (chunk _),
     "doc_shard_pack"   -> (shardPack _),
     "doc_unigram_lm"   -> (unigramLm _),
     "doc_source_mix"   -> (sourceMix _),
@@ -1224,6 +1334,8 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_paragraph_dedup" -> paragraphDedupSql,
+    "doc_chunk"           -> chunkSql,
     "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
     "doc_source_mix"      -> sourceMixSql,

@@ -482,7 +482,90 @@ object EmbeddingQueries {
        |              ORDER BY approx_dist2, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------ semantic dedup
+  private val SemDedupThreshold = 0.4
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): assign every
+    * vector to its nearest coarse cell, then compare pairs only WITHIN a
+    * cell; a vector is a semantic duplicate if some lower-id cell-mate's
+    * cosine reaches the threshold (keep-first policy — `dup_of` names the
+    * smallest such neighbor). Flag-not-drop, like the reference's duplicate
+    * handling.
+    *
+    * Scale: this is exactly why SemDeDup clusters first — the quadratic
+    * pairing is confined to a cell, so cost is Σ|cell|², tuned by raising
+    * the cell count with corpus size, and the plan is one broadcast join
+    * (cells) + one self-join shuffled on the cell key. Cell assignment and
+    * pair cosines reuse the integer-exact centroid/dot machinery of
+    * [[annIvf]], so the full output hash-checks against DuckDB. */
+  def semDedup(spark: SparkSession, d: String): DataFrame = {
+    val eRaw = embeddings(spark, d)
+      .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
+    val e = eRaw.drop("label")
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val cents = eRaw.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
+      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
+        (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("negcell"),
+        col("cell"), col("emb"), col("norm2"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.emb").as("emb"), col("m.norm2").as("norm2"))
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .withColumn("cosine", round(
+        dotScaled(col("a.emb"), col("b.emb")).cast("double") /
+          (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))), 6))
+      .filter(col("cosine") >= SemDedupThreshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | cv AS (SELECT label, i,
+       |          CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |        FROM e, idx GROUP BY 1, 2),
+       | cl AS (SELECT label AS cell, list(v ORDER BY i) AS cemb FROM cv GROUP BY 1),
+       | cn AS (SELECT cell, cemb, (SELECT SUM(cemb[i] * cemb[i]) FROM idx) AS cnorm2
+       |        FROM cl),
+       | f AS (SELECT vec_id, emb, (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2
+       |       FROM e),
+       | sim AS (SELECT f.vec_id, f.emb, f.norm2, cn.cell,
+       |           CAST((SELECT SUM(f.emb[i] * cn.cemb[i]) FROM idx) AS DOUBLE)
+       |             / (sqrt(CAST(f.norm2 AS DOUBLE)) * sqrt(CAST(cn.cnorm2 AS DOUBLE)))
+       |             AS csim
+       |         FROM f CROSS JOIN cn),
+       | a AS (SELECT vec_id, emb, norm2, cell FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY csim DESC, cell) AS crk FROM sim)
+       |       WHERE crk = 1),
+       | p AS (SELECT x.vec_id AS vec_id, MIN(y.vec_id) AS dup_of
+       |       FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id > y.vec_id
+       |       WHERE ROUND(CAST((SELECT SUM(x.emb[i] * y.emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))), 6)
+       |           >= $SemDedupThreshold
+       |       GROUP BY 1)
+       |SELECT a.vec_id, a.cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of
+       |FROM a LEFT JOIN p ON a.vec_id = p.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
     "emb_knn_brute"      -> (knnBrute _),
@@ -492,6 +575,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,

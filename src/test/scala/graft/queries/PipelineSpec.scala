@@ -353,6 +353,77 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: planted duplicate paragraphs drop, first stays") {
+    // doc 1 and doc 2 share their first 10-token block; doc 2's copy must
+    // be flagged and doc 2 must reassemble without it
+    val block = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, block + " tail1a tail1b tail1c tail1d tail1e tail1f tail1g tail1h tail1i tail1j"),
+      (2L, block + " tail2a tail2b tail2c tail2d tail2e tail2f tail2g tail2h tail2i tail2j"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("paradedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.paragraphDedup(spark, tmp)
+      .select("doc_id", "n_paras", "n_dup_paras", "kept_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 2L && out(1L)._3 === 0L)
+    assert(out(2L)._2 === 2L && out(2L)._3 === 1L) // shared block dropped
+    assert(out(3L)._3 === 0L)
+    // doc 2 reassembles as only its second paragraph
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("tail2a tail2b tail2c tail2d tail2e tail2f tail2g tail2h tail2i tail2j"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L)._4 === expect)
+  }
+
+  test("chunking: full coverage, fixed stride, and overlap between chunks") {
+    val out = DocQueries.chunk(spark, sf)
+      .select("doc_id", "chunk_id", "start_token", "chunk_len")
+      .as[(Long, Int, Long, Int)].collect()
+      .groupBy(_._1)
+    val docLens = DocQueries.tokenCounts(spark, sf)
+      .select(col("doc_id"), col("ws_tokens").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // stride is exactly size-overlap and ids are contiguous from 0
+      sorted.zipWithIndex.foreach { case ((_, cid, start, _), i) =>
+        assert(cid === i && start === i.toLong * 12 + 1)
+      }
+      // last chunk reaches the end of the document; all but the last are full
+      val n = docLens(doc)
+      assert(sorted.last._3 - 1 + sorted.last._4 === n)
+      sorted.init.foreach(c => assert(c._4 === 16))
+    }
+  }
+
+  test("semantic dedup: a planted copy dups against its original, in-cell only") {
+    val base = EmbeddingQueries.semDedup(spark, sf)
+      .select("vec_id", "cell", "is_dup", "dup_of")
+      .as[(Long, String, Boolean, Option[Long])].collect()
+    val cellOf = base.map(r => r._1 -> r._2).toMap
+    // every dup_of names a smaller id in the same cell
+    base.filter(_._3).foreach { case (id, cell, _, dupOf) =>
+      assert(dupOf.get < id && cellOf(dupOf.get) === cell)
+    }
+    // planted check: duplicate an existing vector under a new max id and
+    // confirm it's flagged against a cell-mate
+    val sf001 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val maxId = sf001.agg(max("vec_id")).as[Long].head()
+    val copy = sf001.filter(col("vec_id") === 42)
+      .withColumn("vec_id", lit(maxId + 1))
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    sf001.unionByName(copy).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val planted = EmbeddingQueries.semDedup(spark, tmp)
+      .filter(col("vec_id") === maxId + 1)
+      .select("is_dup", "dup_of").as[(Boolean, Option[Long])].head()
+    assert(planted._1 && planted._2.get <= 42L)
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")
