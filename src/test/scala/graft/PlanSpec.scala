@@ -106,6 +106,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("chunking is an exchange-free narrow generate stage") {
+    val p = plan(graft.queries.DocQueries.queries("doc_chunk")(spark, sf))
+    assert(!p.contains("Exchange"), "chunking must be a pure per-row stage")
+    assert(p.contains("Generate"))
+  }
+
+  test("paragraph dedup: two keyed exchanges (hash, then doc), no joins") {
+    val p = plan(graft.queries.DocQueries.queries("doc_paragraph_dedup")(spark, sf))
+    assert(!p.contains("Join"), "first-occurrence rank must not self-join")
+    // formatted mode prints each node twice (tree + details): 2 exchanges
+    assert("Exchange".r.findAllIn(p).length <= 4,
+      "paragraph dedup is one shuffle per key change, nothing more")
+  }
+
+  test("semantic dedup: cells broadcast; the pair pass is cell-keyed, not cartesian") {
+    val p = plan(graft.queries.EmbeddingQueries.queries("emb_semdedup")(spark, sf))
+    // centroid assignment: tiny cell table broadcast against the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the pair pass must key on the cell (never an unkeyed product): the
+    // equi-join on cell plans as a keyed join (SMJ/SHJ — both scale shapes)
+    assert(!p.contains("CartesianProduct"),
+      "pairing must be confined to cells via the equi-join key")
+    assert(p.contains("cell"), "pair join must carry the cell key")
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash
