@@ -1197,6 +1197,77 @@ object DocQueries {
        |      AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_id
        |FROM s WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)""".stripMargin
 
+  // ------------------------------------------------- importance weighting
+  /** DSIR-style importance weighting (Xie et al. 2023): score every corpus
+    * document by the average per-token log-likelihood ratio between a
+    * unigram model of a small TARGET set (here the doc_id%97 benchmark
+    * slice, as in [[decontaminate]]) and a unigram model of the remaining
+    * SOURCE corpus — the data-selection signal for matching a pretraining
+    * mix to a target distribution. Unseen tokens fall back to count 1 in
+    * both models and both engines.
+    *
+    * Scale: same shape as [[unigramLm]] — model building is one token
+    * count aggregation per side (the target side is tiny by construction),
+    * the models broadcast, and scoring is a narrow per-row fold over the
+    * already-tokenized array in document order, so the double arithmetic is
+    * reproducible and the oracle hash-matches. At 100 TB the source model
+    * would cap its vocabulary behind a count-min sketch; the fold is
+    * unchanged. */
+  def importance(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def model(df: DataFrame): (Map[String, Long], Double) = {
+      val counts = df.select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect()
+      (counts.toMap, math.log(counts.map(_._2).sum.toDouble))
+    }
+    val docs = documents(spark, d)
+    val (tgt, lnTgtTotal) = model(docs.filter(col("doc_id") % 97 === 0))
+    val (src, lnSrcTotal) = model(docs.filter(col("doc_id") % 97 =!= 0))
+    val bcT = spark.sparkContext.broadcast(tgt)
+    val bcS = spark.sparkContext.broadcast(src)
+    val ratioUdf = udf((tk: Seq[String]) => {
+      if (tk == null || tk.isEmpty) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < tk.length) {
+          s += math.log(bcT.value.getOrElse(tk(i), 1L).toDouble) -
+            math.log(bcS.value.getOrElse(tk(i), 1L).toDouble)
+          i += 1
+        }
+        Some(s / tk.length + (lnSrcTotal - lnTgtTotal))
+      }
+    })
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        round(ratioUdf(col("tk")), 6).as("importance"))
+  }
+
+  val importanceSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | tc AS (SELECT token, COUNT(*) AS cnt
+      |        FROM (SELECT unnest(tk) AS token FROM t WHERE doc_id % 97 = 0)
+      |        GROUP BY 1),
+      | sc AS (SELECT token, COUNT(*) AS cnt
+      |        FROM (SELECT unnest(tk) AS token FROM t WHERE doc_id % 97 <> 0)
+      |        GROUP BY 1),
+      | tn AS (SELECT SUM(cnt) AS total FROM tc),
+      | sn AS (SELECT SUM(cnt) AS total FROM sc),
+      | tm AS (SELECT map(list(token), list(cnt)) AS mp FROM tc),
+      | sm AS (SELECT map(list(token), list(cnt)) AS mp FROM sc)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      |  ROUND(list_sum(list_transform(tk,
+      |          x -> ln(CAST(COALESCE(map_extract(tm.mp, x)[1], 1) AS DOUBLE))
+      |             - ln(CAST(COALESCE(map_extract(sm.mp, x)[1], 1) AS DOUBLE))))
+      |        / len(tk)
+      |      + (ln(CAST(sn.total AS DOUBLE)) - ln(CAST(tn.total AS DOUBLE))), 6)
+      |    AS importance
+      |FROM t, tn, sn, tm, sm
+      |WHERE doc_id % 97 <> 0""".stripMargin
+
   // ------------------------------------------------- paragraph-level dedup
   private val ParaTokens = 10
 
@@ -1306,6 +1377,7 @@ object DocQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_importance"   -> (importance _),
     "doc_paragraph_dedup" -> (paragraphDedup _),
     "doc_chunk"        -> (chunk _),
     "doc_shard_pack"   -> (shardPack _),
@@ -1334,6 +1406,7 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_importance"      -> importanceSql,
     "doc_paragraph_dedup" -> paragraphDedupSql,
     "doc_chunk"           -> chunkSql,
     "doc_shard_pack"      -> shardPackSql,

@@ -564,7 +564,81 @@ object EmbeddingQueries {
        |SELECT a.vec_id, a.cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of
        |FROM a LEFT JOIN p ON a.vec_id = p.vec_id""".stripMargin
 
+  // ------------------------------------------------------------ k-means
+  private val KmK = 8          // clusters
+  private val KmIters = 2      // Lloyd update rounds
+
+  /** Distributed k-means (Lloyd's algorithm), the trainer behind the coarse
+    * cells that [[annIvf]] and [[semDedup]] consume: deterministic seeding
+    * from the first [[KmK]] corpus vectors, [[KmIters]] assign/update
+    * rounds, and a final assignment. All in scaled-integer space — squared
+    * L2 via three exact dot products, centroid updates as floor(sum/count)
+    * per dimension — so every round is bit-stable and the whole trainer
+    * hash-checks against a DuckDB replica.
+    *
+    * Scale: each round is the canonical distributed Lloyd shape — broadcast
+    * the k centroids against the corpus scan, per-vector argmin as a
+    * min(struct) partial aggregation (map-side combine, no sort), and a
+    * k×dim-sized centroid update aggregation. Rounds are a fixed, small
+    * number; nothing driver-side grows with the corpus. */
+  def kmeans(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val seed = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cemb"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist2", l2sq(col("emb"), col("cemb")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cluster"), col("emb"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist2").as("dist2"), col("m.emb").as("emb"))
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cluster"), posexplode(col("emb")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("cluster"), transform(col("cs"), _.getField("cv")).as("cemb"))
+    val trained = (1 to KmIters).foldLeft(seed)((c, _) => update(assign(c)))
+    assign(trained).select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  val kmeansSql: String = {
+    // one assign CTE + one update CTE pair per round, mirroring the Spark
+    // fold exactly (argmin tie-break: dist2, then cluster)
+    def assignCte(n: Int, cents: String): String =
+      s""" a$n AS (SELECT vec_id, cluster, dist2, emb FROM (
+         |   SELECT f.vec_id, c.cluster, f.emb,
+         |     CAST((SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+         |           FROM idx) AS BIGINT) AS dist2,
+         |     ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |       ORDER BY (SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+         |                 FROM idx), c.cluster) AS rn
+         |   FROM f CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def updateCte(n: Int): String =
+      s""" u$n AS (SELECT cluster, i,
+         |   CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |   FROM a$n, idx GROUP BY 1, 2),
+         | c$n AS (SELECT cluster, list(v ORDER BY i) AS cemb FROM u$n GROUP BY 1)""".stripMargin
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, emb FROM e),
+       | c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cemb FROM e
+       |        WHERE vec_id < $KmK),
+       |${assignCte(1, "c0")},
+       |${updateCte(1)},
+       |${assignCte(2, "c1")},
+       |${updateCte(2)},
+       |${assignCte(3, "c2")}
+       |SELECT vec_id, cluster, dist2 FROM a3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans"         -> (kmeans _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
@@ -575,6 +649,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_kmeans"         -> kmeansSql,
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,

@@ -424,6 +424,42 @@ class PipelineSpec extends SparkSpec {
     assert(planted._1 && planted._2.get <= 42L)
   }
 
+  test("kmeans: planted copies land in the same cluster at equal distance") {
+    val base = EmbeddingQueries.kmeans(spark, sf)
+      .select("vec_id", "cluster", "dist2").as[(Long, Int, Long)].collect()
+    assert(base.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0))
+    assert(base.map(_._1).distinct.length === base.length)
+    // an exact copy of vector 42 must assign identically
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val maxId = e.agg(max("vec_id")).as[Long].head()
+    val tmp = java.nio.file.Files.createTempDirectory("kmeans").toString
+    e.unionByName(e.filter(col("vec_id") === 42)
+        .withColumn("vec_id", lit(maxId + 1)))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingQueries.kmeans(spark, tmp)
+      .filter(col("vec_id").isin(42, maxId + 1))
+      .select("cluster", "dist2").as[(Int, Long)].collect()
+    assert(out.length === 2 && out.distinct.length === 1)
+  }
+
+  test("importance: docs matching the target distribution score higher") {
+    // target slice (doc_id % 97 == 0) speaks 'aa bb'; source doc 1 copies
+    // it, source doc 2 speaks unrelated tokens — 1 must outscore 2
+    val docs = Seq(
+      (0L, "aa bb aa bb aa bb"),   // target
+      (97L, "aa bb aa bb"),        // target
+      (1L, "aa bb aa bb aa bb"),   // source, on-target
+      (2L, "zz yy zz yy zz yy")    // source, off-target
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("importance").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.importance(spark, tmp)
+      .select("doc_id", "importance").as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(1L, 2L), "target docs are excluded from scoring")
+    assert(out(1L) > out(2L))
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")
