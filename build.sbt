@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// glibc serves >128KB mallocs with mmap and returns them with munmap; C2
+// JIT arenas for whole-stage-codegen methods allocate/free such chunks
+// constantly, and every munmap broadcasts TLB-shootdown IPIs to all ~400
+// JVM threads — measured at tens of KERNEL-cpu-minutes per run on
+// virtualized hosts where each IPI is a VM exit. Route large mallocs to
+// the sbrk heap and never trim it back: 3.5x wall-clock on the bench.
+val mallocNoMmapChurn = Map(
+  "MALLOC_MMAP_THRESHOLD_" -> "1073741824",
+  "MALLOC_TRIM_THRESHOLD_" -> "1073741824",
+  "MALLOC_ARENA_MAX" -> "4",
+)
+run / envVars ++= mallocNoMmapChurn
+Test / envVars ++= mallocNoMmapChurn
 // Pass the forked JVM's stdout straight through (no "[info] " log prefix):
 // Bench/Verify print machine-read JSON lines that must stay parseable.
 run / outputStrategy := Some(StdoutOutput)

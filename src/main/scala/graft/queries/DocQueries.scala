@@ -1341,12 +1341,19 @@ object DocQueries {
     * its position and content hash. Pure per-row array math + one generate —
     * a single narrow stage, no exchange at any scale (contrast
     * [[shardPack]], which needs the cross-document cumsum). */
-  def chunk(spark: SparkSession, d: String): DataFrame = {
+  def chunk(spark: SparkSession, d: String): DataFrame =
+    chunkOn(documents(spark, d))
+
+  /** Chunking as a frame-level transform: stateless per-row generate, so
+    * the SAME expressions run over a batch table or a streaming source
+    * (documents chunk as they arrive — no watermark or state needed).
+    * Exercised on a MemoryStream in StateSpec. */
+  def chunkOn(docs: DataFrame): DataFrame = {
     val stride = ChunkSize - ChunkOverlap
     val tk = toks(col("text"))
     val nChunks = ceil(greatest(size(tk) - ChunkOverlap, lit(1)).cast("double")
       / stride).cast("int")
-    documents(spark, d)
+    docs
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), nChunks - 1),
         c => slice(tk, c * stride + 1, lit(ChunkSize)))))

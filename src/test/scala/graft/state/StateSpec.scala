@@ -141,4 +141,22 @@ class StreamsSpec extends SparkSpec {
     assert(rows(1) === ((2L, false, Some("min_tokens"))))
     assert(rows(2) === ((3L, true, None)))
   }
+
+  test("streaming chunking: documents chunk as they arrive, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.DocQueries.chunkOn(
+        input.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    val text24 = (1 to 24).map(i => s"t$i").mkString(" ") // 2 chunks of 16/12
+    input.addData((1L, text24))
+    q.processAllAvailable()
+    input.addData((2L, "short doc")) // later micro-batch
+    q.processAllAvailable()
+    val rows = spark.table("chunks")
+      .select("doc_id", "chunk_id", "chunk_len")
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 0, 16), (1L, 1, 12), (2L, 0, 2)))
+  }
 }
