@@ -1066,8 +1066,8 @@ object DocQueries {
   val sourceMixSql: String =
     """WITH per AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,
-      |    SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
-      |    SUM(strlen(text)) AS n_chars
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(strlen(text)) AS BIGINT) AS n_chars
       |  FROM documents GROUP BY 1, 2)
       |SELECT source, lang, n_docs, n_tokens, n_chars,
       |  ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
@@ -1164,7 +1164,8 @@ object DocQueries {
     val skey = conv(substring(md5(concat(lit("shard"), col("doc_id").cast("string"))), 25, 8), 16, 10)
       .cast("long")
     val base = documents(spark, d)
-      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
         skey.as("skey"))
       .withColumn("shard", pmod(col("skey"), lit(NShards)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -1190,8 +1191,8 @@ object DocQueries {
        | s AS (SELECT *, CAST(skey % $NShards AS INT) AS shard FROM t)
        |SELECT doc_id, shard,
        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
-       |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
-       |                      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
        |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard
        |      ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
        |      AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_id
