@@ -188,7 +188,7 @@ object DocQueries {
     pairsCache.getOrElseUpdate((spark, d), neardupJaccardCompute(spark, d).cache())
   }
 
-  private def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d)
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
       .cache()
@@ -213,14 +213,30 @@ object DocQueries {
       .filter(col("d1") < col("d2"))
       .distinct()
     // exact Jaccard on the FULL (hashed) shingle sets of each candidate
-    // pair, via a broadcast sorted-hash map and a merge-walk intersection —
-    // sets use the oracle-replicable md5-low-32 shingle hash (8-byte keys
-    // shuffle/compare ~8x cheaper than shingle strings, and both engines
-    // hash identically, so even collisions agree bit-for-bit) —
-    // the `array_intersect`/`array_union` formulation builds two hash sets
-    // per pair and took 19s for 436k candidates at sf0.1; the merge walk is
-    // <1s. At corpus sizes where the shingle table outgrows a broadcast,
-    // the distributed equivalent is the same join partitioned by d1 block.
+    // pair — sets use the oracle-replicable md5-low-32 shingle hash (8-byte
+    // keys shuffle/compare ~8x cheaper than shingle strings, and both
+    // engines hash identically, so even collisions agree bit-for-bit). Two
+    // interchangeable physical forms behind a size gate:
+    //  - corpus fits a broadcast: ship the sorted-set map once, merge-walk
+    //    per candidate with zero further shuffles (the
+    //    `array_intersect`/`array_union` formulation builds two hash sets
+    //    per pair and took 19s for 436k candidates at sf0.1; the merge walk
+    //    is <1s);
+    //  - corpus beyond broadcast: shuffle-join the candidate pairs against
+    //    the shingle table on d1 then d2 (each a plain keyed exchange that
+    //    scales with the candidate count, never all-pairs) and merge-walk
+    //    per joined row. Same arithmetic, bit-identical output
+    //    (DedupScaleSpec pins it).
+    val maxBroadcastDocs = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(1L << 20)
+    if (docs.count() <= maxBroadcastDocs) verifyBroadcast(spark, docs, candidates)
+    else verifyJoin(docs, candidates)
+  }
+
+  /** Broadcast-map merge-walk Jaccard verification (small-corpus path). */
+  private def verifyBroadcast(spark: SparkSession, docs: DataFrame,
+                              candidates: DataFrame): DataFrame = {
     import spark.implicits._
     val sortedSets = spark.sparkContext.broadcast(
       docs.as[(Long, Array[Long])].collect().toMap) // hashes arrive pre-sorted
@@ -229,16 +245,40 @@ object DocQueries {
       it.flatMap { case (d1, d2) =>
         val a = m(d1)
         val b = m(d2)
-        var i = 0; var j = 0; var inter = 0
-        while (i < a.length && j < b.length) {
-          if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-          else if (a(i) < b(j)) i += 1
-          else j += 1
-        }
+        val inter = sortedIntersectionSize(a, b)
         val jac = inter.toDouble / (a.length + b.length - inter)
         if (jac >= 0.3) Some((d1, d2, inter.toLong, jac)) else None
       }
     }.toDF("d1", "d2", "inter", "jaccard")
+  }
+
+  /** Distributed Jaccard verification (corpus-scale path): candidates join
+    * the shingle table on each side, then a per-row merge walk. The double
+    * division repeats the broadcast path's `int.toDouble / int` exactly, so
+    * both paths agree bit-for-bit. */
+  private def verifyJoin(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val inter = udf((a: Seq[Long], b: Seq[Long]) =>
+      sortedIntersectionSize(a.toArray, b.toArray))
+    candidates
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("inter", inter(col("sh1"), col("sh2")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
+        col("jaccard"))
+  }
+
+  /** Merge-walk intersection size of two ascending-sorted hash arrays. */
+  private def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter
   }
 
   val neardupJaccardSql: String =
@@ -271,27 +311,40 @@ object DocQueries {
     * tiny relative to the corpus by construction, so connected components
     * run as driver-side union-find over the collected pairs and the label
     * table broadcasts back over the corpus — one narrow assignment pass.
-    * (If a corpus ever produced a pair set beyond driver memory, the
-    * drop-in distributed form is [[graft.functions.Components.components]]
-    * — iterative min-label propagation, each round one join +
-    * map-side-combinable min agg until fixpoint; ComponentsSpec asserts it
-    * yields the same deterministic component-minimum labels.) */
+    * A size gate guards the collect: pair graphs beyond
+    * `spark.graft.dedup.maxDriverPairs` (adversarial corpora —
+    * mass-duplicated boilerplate makes the pair graph unbounded) route
+    * through the distributed [[graft.functions.Components.components]]
+    * instead — iterative min-label propagation, each round one join +
+    * map-side-combinable min agg until fixpoint. Both paths produce the
+    * same deterministic component-minimum labels (ComponentsSpec parity +
+    * DedupScaleSpec forcing the gate). */
   def dedupClusters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val pairs = neardupJaccard(spark, d)
-      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val labelDf = parent.keys.toSeq.map(n => n -> find(n)).toDF("node", "label")
+    val pairsDf = neardupJaccard(spark, d).select(col("d1"), col("d2"))
+    val maxDriverPairs = spark.conf
+      .getOption("spark.graft.dedup.maxDriverPairs").map(_.toLong)
+      .getOrElse(4L << 20)
+    val (labelDf, smallGraph) =
+      if (pairsDf.count() <= maxDriverPairs) {
+        val pairs = pairsDf.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        (parent.keys.toSeq.map(n => n -> find(n)).toDF("node", "label"), true)
+      } else (graft.functions.Components.components(pairsDf, "d1", "d2"), false)
+    // the label table is bounded by the duplicated subset: broadcast it on
+    // the driver path (known-small); on the distributed path leave the
+    // strategy to AQE, which broadcasts iff the fixpoint output is small
+    val labeled = if (smallGraph) broadcast(labelDf) else labelDf
     documents(spark, d).select(col("doc_id"))
-      .join(broadcast(labelDf), col("doc_id") === col("node"), "left")
+      .join(labeled, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("canonical_doc_id"),
         (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("is_duplicate"))
@@ -987,20 +1040,22 @@ object DocQueries {
     * invocations (bench cold+warm, plan inspection after a run) neither
     * re-run the model-build job nor leak one broadcast per call. */
   private val lmModelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
+    .empty[(SparkSession, String, Int),
       (org.apache.spark.broadcast.Broadcast[Map[String, Long]], Double)]
 
   def unigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     lmModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (bc, lnTotal) = lmModelCache.getOrElseUpdate((spark, d), {
+    val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
+      .map(_.toInt).getOrElse(VocabCap)
+    val (bc, lnTotal) = lmModelCache.getOrElseUpdate((spark, d, cap), {
       val counts = documents(spark, d)
         .select(explode(toks(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       // total token mass BEFORE the cap (the model normalizer); the cap only
       // bounds what ships to executors
       val total = counts.agg(sum(col("cnt"))).as[Long].head()
-      val freq = counts.orderBy(col("cnt").desc, col("token")).limit(VocabCap)
+      val freq = counts.orderBy(col("cnt").desc, col("token")).limit(cap)
         .as[(String, Long)].collect().toMap
       (spark.sparkContext.broadcast(freq), math.log(total.toDouble))
     })
@@ -1216,11 +1271,19 @@ object DocQueries {
     * unchanged. */
   def importance(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // same top-K vocabulary cap as [[unigramLm]]: the total token mass (the
+    // normalizer) aggregates BEFORE the cap, so only what ships to
+    // executors is bounded; off-model tokens fall back to count 1 exactly
+    // as OOV does. The cap is overridable for tests that make it bind.
+    val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
+      .map(_.toInt).getOrElse(VocabCap)
     def model(df: DataFrame): (Map[String, Long], Double) = {
       val counts = df.select(explode(toks(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)].collect()
-      (counts.toMap, math.log(counts.map(_._2).sum.toDouble))
+      val total = counts.agg(sum(col("cnt"))).as[Long].head()
+      val freq = counts.orderBy(col("cnt").desc, col("token")).limit(cap)
+        .as[(String, Long)].collect().toMap
+      (freq, math.log(total.toDouble))
     }
     val docs = documents(spark, d)
     val (tgt, lnTgtTotal) = model(docs.filter(col("doc_id") % 97 === 0))

@@ -272,9 +272,9 @@ class PipelineSpec extends SparkSpec {
       assert(sorted.map(_.getAs[Long]("pos")).toSeq === (1L to rows.length).toSeq)
       var cum = 0L
       sorted.foreach { r =>
-        cum += r.getAs[Int]("n_tokens")
+        cum += r.getAs[Long]("n_tokens")
         assert(r.getAs[Long]("cum_tokens") === cum)
-        val expectedSeq = (r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens")) / 2048
+        val expectedSeq = (r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")) / 2048
         assert(r.getAs[Long]("seq_id") === expectedSeq)
       }
     }
