@@ -212,9 +212,9 @@ object EmbeddingQueries {
     // Dense all-pairs dot products: broadcast the (small) scaled matrix and
     // loop in JVM per partition — a crossJoin with per-pair zip_with/
     // aggregate expressions runs interpreted per element and was 22s for
-    // 2M pairs; the tight loop is <1s. At warehouse scale this generalizes
-    // to block-matrix multiply: partition both sides into row blocks,
-    // broadcast one block at a time.
+    // 2M pairs; the tight loop is <1s. At warehouse scale use
+    // [[neardupCosineBlocked]]: same arithmetic, one row block broadcast
+    // at a time.
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .as[(Long, Array[Long])]
@@ -222,31 +222,70 @@ object EmbeddingQueries {
       e.collect().sortBy(_._1).map { case (id, v) =>
         (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
       })
-    val out = e.mapPartitions { rows =>
-      val corpus = all.value
-      rows.flatMap { case (id, v) =>
-        val na = math.sqrt(v.map(x => x.toDouble * x).sum)
-        corpus.iterator.filter(_._1 > id).flatMap { case (id2, v2, nb) =>
-          var dot = 0L
-          var i = 0
-          while (i < v.length) { dot += v(i) * v2(i); i += 1 }
-          val raw = dot.toDouble / (na * nb)
-          // BigDecimal HALF_UP matches Spark/DuckDB ROUND but costs ~1us per
-          // call; only pairs near/above the threshold (raw >= 0.3999990, a
-          // margin below the 0.3999995 rounding boundary) need the exact
-          // rounding — the overwhelming majority of the n^2/2 pairs exit on
-          // this double compare
-          if (raw < 0.3999990) None
-          else {
-            val cos = BigDecimal(raw)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= 0.4) Some((id, id2, cos)) else None
-          }
+    e.mapPartitions(rows => cosinePairsAgainst(rows, all.value))
+      .toDF("v1", "v2", "cosine")
+  }
+
+  /** Block-matrix form of [[neardupCosine]] — the corpus-scale path: the
+    * right side is split into `nBlocks` row blocks by vec_id and only ONE
+    * block is ever broadcast at a time (driver + executor memory bound by
+    * corpus/nBlocks, chosen so a block fits the broadcast budget); each
+    * round streams the whole left side once against that block. Identical
+    * per-pair arithmetic, so the union of rounds reproduces the exact
+    * baseline bit-for-bit (DedupScaleSpec). The per-round broadcast is
+    * torn down eagerly to keep peak memory at one block. */
+  private[graft] def neardupCosineBlocked(spark: SparkSession, d: String,
+                                          nBlocks: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .as[(Long, Array[Long])]
+    val rounds = (0 until nBlocks).map { b =>
+      val block = spark.sparkContext.broadcast(
+        e.filter(pmod(col("vec_id"), lit(nBlocks)) === b)
+          .as[(Long, Array[Long])].collect().sortBy(_._1)
+          .map { case (id, v) =>
+            (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+          })
+      val part = e.mapPartitions(rows => cosinePairsAgainst(rows, block.value))
+        .toDF("v1", "v2", "cosine")
+        // materialize the round before the next block's broadcast replaces
+        // this one (localCheckpoint cuts the lineage so unpersisting the
+        // broadcast is safe, without an external store)
+        .localCheckpoint(true)
+      block.destroy()
+      part
+    }
+    rounds.reduce(_ union _)
+  }
+
+  /** Compare every left row against the broadcast (id, scaled-vec, norm)
+    * corpus slice, emitting ordered pairs (id < id2) at cosine >= 0.4.
+    * Shared by the exact baseline and the blocked scale path — one
+    * arithmetic, bit-identical results. */
+  private def cosinePairsAgainst(
+      rows: Iterator[(Long, Array[Long])],
+      corpus: Array[(Long, Array[Long], Double)]): Iterator[(Long, Long, Double)] =
+    rows.flatMap { case (id, v) =>
+      val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+      corpus.iterator.filter(_._1 > id).flatMap { case (id2, v2, nb) =>
+        var dot = 0L
+        var i = 0
+        while (i < v.length) { dot += v(i) * v2(i); i += 1 }
+        val raw = dot.toDouble / (na * nb)
+        // BigDecimal HALF_UP matches Spark/DuckDB ROUND but costs ~1us per
+        // call; only pairs near/above the threshold (raw >= 0.3999990, a
+        // margin below the 0.3999995 rounding boundary) need the exact
+        // rounding — the overwhelming majority of the n^2/2 pairs exit on
+        // this double compare
+        if (raw < 0.3999990) None
+        else {
+          val cos = BigDecimal(raw)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= 0.4) Some((id, id2, cos)) else None
         }
       }
-    }.toDF("v1", "v2", "cosine")
-    out
-  }
+    }
 
   val neardupCosineSql: String =
     s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),

@@ -87,6 +87,16 @@ class DedupScaleSpec extends SparkSpec {
     assert(big === full)     // non-binding cap is a no-op
   }
 
+  test("blocked cosine near-dup matches the exact all-pairs baseline bit-for-bit") {
+    import spark.implicits._
+    val baseline = EmbeddingQueries.neardupCosine(spark, sfSmall)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = EmbeddingQueries.neardupCosineBlocked(spark, sfSmall, nBlocks = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(baseline.nonEmpty)
+    assert(blocked === baseline)
+  }
+
   private implicit class Tuple3Map[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
