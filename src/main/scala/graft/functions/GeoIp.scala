@@ -43,6 +43,32 @@ object GeoIp {
       .drop("__ip_num")
   }
 
+  /** The reference's full CityResponse producer surface
+    * (`DslRecordMapping.java:765-965`): 30 sub-producers + the 2 deprecated
+    * proxy-trait flags, in declaration order. Each is a column of the
+    * joined dimension row; [[cityResponse]] assembles them into ONE
+    * parse-once struct (the reference parses the MaxMind response once and
+    * every producer projects from it — same shape as the UA struct). */
+  val CityResponseFields: Seq[String] = Seq(
+    "city_id", "city_name",
+    "continent_code", "continent_id", "continent_name",
+    "country_code", "country_id", "country_name",
+    "latitude", "longitude", "metro_code", "time_zone",
+    "most_specific_subdivision_code", "most_specific_subdivision_id",
+    "most_specific_subdivision_name",
+    "postal_code",
+    "registered_country_code", "registered_country_id",
+    "registered_country_name",
+    "represented_country_code", "represented_country_id",
+    "represented_country_name",
+    "subdivision_codes", "subdivision_ids", "subdivision_names",
+    "asn", "as_org", "domain", "isp", "organisation",
+    "anonymous_proxy", "satellite_provider")
+
+  /** One struct column carrying every geo sub-producer — project fields out
+    * of it (`geo.getField("city_name")`) instead of re-joining per field. */
+  def cityResponse: Column = struct(CityResponseFields.map(col): _*)
+
   /** Hash-joinable variant: each dim range is exploded into the /prefixBits
     * blocks it spans, the event side keys on its block, and the range check
     * becomes a residual filter — Spark plans a BroadcastHashJoin (per-row

@@ -51,6 +51,140 @@ object EnrichQueries {
        |SELECT event_id, ip, n_name AS geo_name
        |FROM ev LEFT JOIN dim ON ip_num BETWEEN ip_start AND ip_end""".stripMargin
 
+  // ----------------------------------------------------------- geo (full)
+  /** MaxMind-shaped dimension: every CityResponse attribute the reference's
+    * 30 geo sub-producers project (`DslRecordMapping.java:765-965`),
+    * derived deterministically from `nation` x `region` so the DuckDB
+    * oracle can rebuild the identical dim. Subdivision arrays vary in
+    * length (k%3+1) to exercise the list producers; represented-country is
+    * populated only every 5th nation (in MaxMind it exists only for
+    * military bases — null-heavy by nature). */
+  private def geoDimFull(spark: SparkSession, d: String): DataFrame = {
+    val k = col("n_nationkey")
+    val rk = col("r_regionkey")
+    val nSub = k % 3 + 1
+    val subIdx = sequence(lit(1), nSub)
+    nation(spark, d)
+      .join(region(spark, d), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        (lit(IpBase) + k * 2600L).as("ip_start"),
+        (lit(IpBase) + (k + 1) * 2600L - 1L).as("ip_end"),
+        (k * 10 + 1000).as("city_id"),
+        concat(lit("City "), col("n_name")).as("city_name"),
+        substring(col("r_name"), 1, 2).as("continent_code"),
+        (rk + 6000).as("continent_id"),
+        col("r_name").as("continent_name"),
+        substring(col("n_name"), 1, 2).as("country_code"),
+        (k + 7000).as("country_id"),
+        col("n_name").as("country_name"),
+        ((k * 53).cast("double") / 10 - 60).as("latitude"),
+        ((k * 91).cast("double") / 10 - 120).as("longitude"),
+        (k + 500).as("metro_code"),
+        concat(lit("Zone/"), col("n_name")).as("time_zone"),
+        concat(lit("S"), k, lit("-"), nSub).as("most_specific_subdivision_code"),
+        (k * 10 + nSub + 9000).as("most_specific_subdivision_id"),
+        concat(lit("Sub "), k, lit(" "), nSub).as("most_specific_subdivision_name"),
+        lpad((k * 397 % 100000).cast("string"), 5, "0").as("postal_code"),
+        concat(lit("RC"), (k + 1) % 25).as("registered_country_code"),
+        ((k + 1) % 25 + 7000).as("registered_country_id"),
+        concat(lit("Nation "), (k + 1) % 25).as("registered_country_name"),
+        when(k % 5 === 0, lit("MIL")).as("represented_country_code"),
+        when(k % 5 === 0, k + 8000).as("represented_country_id"),
+        when(k % 5 === 0, concat(lit("Base "), k)).as("represented_country_name"),
+        transform(subIdx, j => concat(lit("S"), k, lit("-"), j))
+          .as("subdivision_codes"),
+        transform(subIdx, j => k * 10 + j + 9000).as("subdivision_ids"),
+        transform(subIdx, j => concat(lit("Sub "), k, lit(" "), j))
+          .as("subdivision_names"),
+        (k + 64512).as("asn"),
+        concat(lit("AS Org "), k).as("as_org"),
+        concat(lower(col("n_name")), lit(".example")).as("domain"),
+        concat(lit("ISP "), k).as("isp"),
+        concat(lit("Org "), k).as("organisation"),
+        (k % 7 === 0).as("anonymous_proxy"),
+        (k % 11 === 0).as("satellite_provider"))
+  }
+
+  /** The reference's complete ip2geo producer surface as one enrichment:
+    * prefix-split broadcast hash join against the MaxMind-shaped dim, the
+    * CityResponse assembled as a parse-once struct, then every sub-producer
+    * projected from the struct — including the three subdivision ARRAY
+    * producers (flattened to '|'-joined strings only at the oracle edge;
+    * the struct carries real typed arrays, GeoSurfaceSpec pins the types).
+    * Unmatched IPs keep the reference's absent-geo semantics: every field
+    * null. */
+  def geoEnrichFull(spark: SparkSession, d: String): DataFrame = {
+    // event_id-keyed IPs (unlike geo_enrich's user_id): event_id spans the
+    // full third octet, so ids with octet 254/255 land OUTSIDE every dim
+    // range and the oracle checks absent-geo semantics on real rows
+    val ev = events(spark, d).select(
+      col("event_id"),
+      concat(lit("10.0."),
+        (col("event_id") % 256).cast("string"), lit("."),
+        ((col("event_id") * 7) % 256).cast("string")).as("ip"))
+    val enriched = GeoIp.enrichPrefix(ev, "ip", geoDimFull(spark, d))
+      .withColumn("geo", GeoIp.cityResponse)
+    val g = col("geo")
+    val flat = GeoIp.CityResponseFields.map {
+      case f @ "subdivision_ids" =>
+        array_join(transform(g.getField(f), _.cast("string")), "|").as(f)
+      case f @ ("subdivision_codes" | "subdivision_names") =>
+        array_join(g.getField(f), "|").as(f)
+      case f => g.getField(f).as(f)
+    }
+    enriched.select(col("event_id") +: col("ip") +: flat: _*)
+  }
+
+  val geoEnrichFullSql: String =
+    s"""WITH ev AS (SELECT event_id,
+       |    '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.' ||
+       |      CAST((event_id * 7) % 256 AS VARCHAR) AS ip,
+       |    $IpBase + (event_id % 256) * 256 + (event_id * 7) % 256 AS ip_num
+       |  FROM events),
+       | nr AS (SELECT n_nationkey AS k, n_name, r_regionkey AS rk, r_name
+       |        FROM nation JOIN region ON n_regionkey = r_regionkey),
+       | dim AS (SELECT
+       |    $IpBase + k * 2600 AS ip_start,
+       |    $IpBase + (k + 1) * 2600 - 1 AS ip_end,
+       |    k * 10 + 1000 AS city_id,
+       |    'City ' || n_name AS city_name,
+       |    substr(r_name, 1, 2) AS continent_code,
+       |    rk + 6000 AS continent_id,
+       |    r_name AS continent_name,
+       |    substr(n_name, 1, 2) AS country_code,
+       |    k + 7000 AS country_id,
+       |    n_name AS country_name,
+       |    CAST(k * 53 AS DOUBLE) / 10 - 60 AS latitude,
+       |    CAST(k * 91 AS DOUBLE) / 10 - 120 AS longitude,
+       |    k + 500 AS metro_code,
+       |    'Zone/' || n_name AS time_zone,
+       |    'S' || k || '-' || (k % 3 + 1) AS most_specific_subdivision_code,
+       |    k * 10 + (k % 3 + 1) + 9000 AS most_specific_subdivision_id,
+       |    'Sub ' || k || ' ' || (k % 3 + 1) AS most_specific_subdivision_name,
+       |    lpad(CAST(k * 397 % 100000 AS VARCHAR), 5, '0') AS postal_code,
+       |    'RC' || ((k + 1) % 25) AS registered_country_code,
+       |    (k + 1) % 25 + 7000 AS registered_country_id,
+       |    'Nation ' || ((k + 1) % 25) AS registered_country_name,
+       |    CASE WHEN k % 5 = 0 THEN 'MIL' END AS represented_country_code,
+       |    CASE WHEN k % 5 = 0 THEN k + 8000 END AS represented_country_id,
+       |    CASE WHEN k % 5 = 0 THEN 'Base ' || k END AS represented_country_name,
+       |    array_to_string(list_transform(range(1, k % 3 + 2),
+       |      j -> 'S' || k || '-' || j), '|') AS subdivision_codes,
+       |    array_to_string(list_transform(range(1, k % 3 + 2),
+       |      j -> CAST(k * 10 + j + 9000 AS VARCHAR)), '|') AS subdivision_ids,
+       |    array_to_string(list_transform(range(1, k % 3 + 2),
+       |      j -> 'Sub ' || k || ' ' || j), '|') AS subdivision_names,
+       |    k + 64512 AS asn,
+       |    'AS Org ' || k AS as_org,
+       |    lower(n_name) || '.example' AS domain,
+       |    'ISP ' || k AS isp,
+       |    'Org ' || k AS organisation,
+       |    k % 7 = 0 AS anonymous_proxy,
+       |    k % 11 = 0 AS satellite_provider
+       |  FROM nr)
+       |SELECT ev.event_id, ev.ip, dim.* EXCLUDE (ip_start, ip_end)
+       |FROM ev LEFT JOIN dim ON ip_num BETWEEN ip_start AND ip_end""".stripMargin
+
   // --------------------------------------------------------------- media
   /** The documents table as an opaque media-blob frame: BINARY payload +
     * typed metadata — the §multimodal column model. */
@@ -174,6 +308,7 @@ object EnrichQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
+    "geo_enrich_full" -> (geoEnrichFull _),
     "media_decode"   -> (mediaDecode _),
     "media_frames"   -> (mediaFrames _),
     "media_resize"   -> (mediaResize _),
@@ -181,6 +316,7 @@ object EnrichQueries {
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
+    "geo_enrich_full" -> geoEnrichFullSql,
     "media_decode"   -> mediaDecodeSql,
     "media_frames"   -> mediaFramesSql,
     "media_resize"   -> mediaResizeSql,
