@@ -84,6 +84,29 @@ object AvroFileSink {
     }
   }
 
+  /** Distributed read-back of a container-file dir into a typed DataFrame
+    * (the consume side of [[write]]; no spark-avro module on the unmanaged
+    * classpath, so the container decode is explicit). One input file per
+    * task — files stream record-by-record through the shared Avro→Row
+    * converter; nothing collects to the driver. */
+  def readBackDf(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).map(_.getPath).sorted.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { path =>
+        val reader = new DataFileReader[GenericRecord](
+          new File(path), new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def next(): Row =
+            graft.sources.TopicSources.fromRecord(reader.next(), schema)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Streaming variant: roll one batch of files per micro-batch (trigger
     * interval = roll window; `query.trigger(ProcessingTime(...))`). The
     * file stamp is the batch id, not wall-clock: foreachBatch is

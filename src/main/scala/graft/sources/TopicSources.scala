@@ -48,7 +48,7 @@ object TopicSources {
       .withColumn("partyId", col("key").cast("string"))
   }
 
-  private def fromRecord(rec: GenericRecord, schema: StructType): Row =
+  private[graft] def fromRecord(rec: GenericRecord, schema: StructType): Row =
     Row.fromSeq(schema.fields.map(f =>
       fromAvroValue(rec.get(f.name), f.dataType)).toIndexedSeq)
 
