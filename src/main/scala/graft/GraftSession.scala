@@ -13,15 +13,54 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Ephemeral-scratch directory for shuffle blocks and spills: prefer RAM-
-    * backed /dev/shm when present and writable (shuffle blocks are ephemeral
-    * by contract — executor loss already invalidates them, so tmpfs loses
-    * nothing), else fall back to the JVM temp dir. `SPARK_LOCAL_DIRS` (the
-    * cluster-operator knob) overrides the conf this feeds, per Spark's
-    * documented precedence. */
+    * backed /dev/shm when present, writable, AND with generous free
+    * headroom (shuffle blocks are ephemeral by contract — executor loss
+    * already invalidates them, so tmpfs loses nothing), else fall back to
+    * the JVM temp dir. `SPARK_LOCAL_DIRS` (the cluster-operator knob)
+    * overrides the conf this feeds, per Spark's documented precedence, and
+    * `SPARK_GRAFT_TMPFS=0|1` forces the choice either way.
+    *
+    * Caveats the gate addresses: tmpfs pages compete with the heap for the
+    * same RAM (and /dev/shm is typically capped at 50% of it), so spills
+    * that would have succeeded on disk can ENOSPC — hence the free-space
+    * check; the dir is per-user + per-pid so concurrent runs on a shared
+    * host never collide; and because Spark's shutdown hook only cleans on
+    * normal exit, a killed run leaves its scratch pinning RAM — so startup
+    * sweeps this user's scratch dirs whose owning pid is no longer alive. */
+  private val TmpfsMinFreeBytes = 8L << 30
   private def scratchDir(): String = {
+    val user = sys.env.getOrElse("USER", "anon")
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
-    else sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scratch"
+    val useShm = sys.env.get("SPARK_GRAFT_TMPFS") match {
+      case Some("1") => shm.isDirectory && shm.canWrite
+      case Some("0") => false
+      case _ => shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace >= TmpfsMinFreeBytes
+    }
+    if (useShm) {
+      sweepDeadScratch(shm, user)
+      s"/dev/shm/graft-scratch-$user-${ProcessHandle.current().pid()}"
+    } else sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft-scratch-$user"
+  }
+
+  /** Best-effort removal of this user's scratch dirs left by crashed runs
+    * (their pids no longer alive). Never touches other users' dirs. */
+  private def sweepDeadScratch(shm: java.io.File, user: String): Unit = {
+    val pat = s"graft-scratch-$user-(\\d+)".r
+    Option(shm.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pid) if !ProcessHandle.of(pid.toLong)
+            .map[Boolean](_.isAlive).orElse(false) =>
+          try deleteRecursively(f) catch { case _: Exception => () }
+        case _ => ()
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   def build(cpus: Int, appName: String = "graft"): SparkSession = {

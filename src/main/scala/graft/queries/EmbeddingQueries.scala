@@ -532,11 +532,16 @@ object EmbeddingQueries {
     * handling.
     *
     * Scale: this is exactly why SemDeDup clusters first — the quadratic
-    * pairing is confined to a cell, so cost is Σ|cell|², tuned by raising
-    * the cell count with corpus size, and the plan is one broadcast join
-    * (cells) + one self-join shuffled on the cell key. Cell assignment and
-    * pair cosines reuse the integer-exact centroid/dot machinery of
-    * [[annIvf]], so the full output hash-checks against DuckDB. */
+    * pairing is confined to a cell, so cost is Σ|cell|², and the plan is
+    * one broadcast join (cells) + one self-join shuffled on the cell key.
+    * The cells HERE come from the fixture's fixed-cardinality `label`
+    * column (deterministic, so the full output hash-checks against
+    * DuckDB); labels are NOT a tunable knob — one heavy label makes its
+    * cell quadratic. The scale path is [[semDedupKmeans]], which derives
+    * the cells from the k-means trainer with k growing with the corpus
+    * (k ≈ √n), the standard IVF/SemDeDup sizing. Cell assignment and pair
+    * cosines reuse the integer-exact centroid/dot machinery of
+    * [[annIvf]]. */
   def semDedup(spark: SparkSession, d: String): DataFrame = {
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
@@ -549,6 +554,32 @@ object EmbeddingQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
       .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
       .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    semDedupWithCells(e, cents)
+  }
+
+  /** SemDeDup over k-means-derived cells — the corpus-scale form: the cell
+    * count is a PARAMETER (default ≈ √n, so expected cell size √n keeps
+    * Σ|cell|² ≈ n^1.5 instead of n²), trained by the same distributed
+    * Lloyd rounds as [[kmeans]] and assigned/deduped by the same
+    * integer-exact cell machinery as [[semDedup]]. */
+  def semDedupKmeans(spark: SparkSession, d: String, k: Int = 0): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val kk =
+      if (k > 0) k
+      else math.max(KmK, math.ceil(math.sqrt(
+        embeddings(spark, d).count().toDouble)).toInt)
+    val cents = trainedCentroids(spark, d, kk, KmIters)
+      .select(col("cluster").cast("long").as("cell"), col("cemb"))
+      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    semDedupWithCells(e, cents)
+  }
+
+  /** Shared SemDeDup tail: nearest-cell assignment (broadcast centroids),
+    * within-cell pair pass, keep-first duplicate flags. `e` carries
+    * (vec_id, emb, norm2); `cents` carries (cell, cemb, cnorm2). */
+  private def semDedupWithCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
         (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
@@ -623,24 +654,39 @@ object EmbeddingQueries {
   def kmeans(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
-    val seed = e.filter(col("vec_id") < KmK)
+    kmAssign(e, trainedCentroids(spark, d, KmK, KmIters))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** One Lloyd assignment round: broadcast centroids, per-vector argmin as
+    * a min(struct) partial aggregation (tie-break dist2 then cluster). */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist2", l2sq(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cluster"), col("emb"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist2").as("dist2"), col("m.emb").as("emb"))
+
+  /** Centroid update: floor(sum/count) per dimension in scaled-int space. */
+  private def kmUpdate(assigned: DataFrame): DataFrame = assigned
+    .select(col("cluster"), posexplode(col("emb")))
+    .groupBy(col("cluster"), col("pos"))
+    .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+    .groupBy(col("cluster"))
+    .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+    .select(col("cluster"), transform(col("cs"), _.getField("cv")).as("cemb"))
+
+  /** The trained centroid table (cluster, cemb) after `iters` Lloyd rounds
+    * from the deterministic first-k seed — the shared trainer behind
+    * [[kmeans]] and [[semDedupKmeans]]. */
+  private[graft] def trainedCentroids(spark: SparkSession, d: String,
+                                      k: Int, iters: Int): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val seed = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cemb"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist2", l2sq(col("emb"), col("cemb")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist2"), col("cluster"), col("emb"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.dist2").as("dist2"), col("m.emb").as("emb"))
-    def update(assigned: DataFrame): DataFrame = assigned
-      .select(col("cluster"), posexplode(col("emb")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
-      .select(col("cluster"), transform(col("cs"), _.getField("cv")).as("cemb"))
-    val trained = (1 to KmIters).foldLeft(seed)((c, _) => update(assign(c)))
-    assign(trained).select(col("vec_id"), col("cluster"), col("dist2"))
+    (1 to iters).foldLeft(seed)((c, _) => kmUpdate(kmAssign(e, c)))
   }
 
   val kmeansSql: String = {

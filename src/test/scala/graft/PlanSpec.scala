@@ -11,6 +11,19 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  /** All nodes of the executed plan TREE (adaptive stages unwrapped) — for
+    * assertions that must not depend on plan-text formatting. */
+  private def planNodes(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: walk(q.plan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("q1/q6: predicates reach the parquet scan (PushedFilters)") {
     val p1 = plan(RelationalQueries.q1(spark, sf))
     assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -113,22 +126,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("paragraph dedup: two keyed exchanges (hash, then doc), no joins") {
-    val p = plan(graft.queries.DocQueries.queries("doc_paragraph_dedup")(spark, sf))
-    assert(!p.contains("Join"), "first-occurrence rank must not self-join")
-    // formatted mode prints each node twice (tree + details): 2 exchanges
-    assert("Exchange".r.findAllIn(p).length <= 4,
-      "paragraph dedup is one shuffle per key change, nothing more")
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_paragraph_dedup")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "first-occurrence rank must not self-join")
+    // counted from the plan TREE, not formatted text: exactly the two key
+    // changes (paragraph hash for the rank, doc_id for the reassembly)
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2,
+      s"paragraph dedup is one shuffle per key change, got $exchanges")
   }
 
   test("semantic dedup: cells broadcast; the pair pass is cell-keyed, not cartesian") {
-    val p = plan(graft.queries.EmbeddingQueries.queries("emb_semdedup")(spark, sf))
+    val df = graft.queries.EmbeddingQueries.queries("emb_semdedup")(spark, sf)
+    val nodes = planNodes(df)
     // centroid assignment: tiny cell table broadcast against the corpus scan
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
     // the pair pass must key on the cell (never an unkeyed product): the
-    // equi-join on cell plans as a keyed join (SMJ/SHJ — both scale shapes)
-    assert(!p.contains("CartesianProduct"),
+    // equi-join on cell plans as a keyed join whose leftKeys/rightKeys
+    // actually carry the cell attribute
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "pairing must be confined to cells via the equi-join key")
-    assert(p.contains("cell"), "pair join must carry the cell key")
+    val keyedJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(keyedJoins.exists {
+      case j: org.apache.spark.sql.execution.joins.HashJoin =>
+        j.leftKeys.exists(_.references.exists(_.name == "cell"))
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.exists(_.references.exists(_.name == "cell"))
+      case _ => false
+    }, "the pair join's equi-keys must include the cell attribute")
   }
 
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {

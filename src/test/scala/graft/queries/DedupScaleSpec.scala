@@ -97,6 +97,37 @@ class DedupScaleSpec extends SparkSpec {
     assert(blocked === baseline)
   }
 
+  test("semDedupKmeans: k-means cells partition the corpus and flag true near-dups") {
+    import spark.implicits._
+    val out = EmbeddingQueries.semDedupKmeans(spark, sfSmall).cache()
+    val n = spark.read.parquet(s"$sfSmall/embeddings.parquet").count()
+    assert(out.count() === n)           // every vector labeled exactly once
+    assert(out.select("cell").distinct().count() > 1) // real partitioning
+    // keep-first policy: a duplicate always points at a smaller vec_id
+    assert(out.filter(col("is_dup") && col("dup_of") >= col("vec_id")).isEmpty)
+    // every flagged pair is a genuine >= threshold cosine pair (checked
+    // against the raw embeddings with the same scaled-integer arithmetic)
+    val emb = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(
+        _.map(x => math.floor(x.toDouble * 10000000).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val flagged = out.filter(col("is_dup"))
+      .select("vec_id", "dup_of").as[(Long, Long)].collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { case (v, d) =>
+      val c = BigDecimal(cos(emb(v), emb(d)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c >= 0.4, s"flagged pair ($v,$d) has cosine $c < 0.4")
+    }
+    out.unpersist()
+  }
+
   private implicit class Tuple3Map[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
