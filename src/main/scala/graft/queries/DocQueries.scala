@@ -1395,6 +1395,68 @@ object DocQueries {
        |      '')) AS kept_md5
        |FROM r GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- substring-window dedup
+  private val SubWin = 10 // tokens per sliding window
+
+  /** Exact duplicated-substring detection at window granularity (the
+    * ExactSubstr pass of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed set-style): every
+    * [[SubWin]]-token sliding window (stride 1) is content-hashed; a hash
+    * occurring more than once corpus-wide marks EVERY occurrence as
+    * duplicated text — unlike [[paragraphDedup]]'s keep-first blocks, this
+    * flags both copies and catches duplication at arbitrary offsets, which
+    * is what the suffix-array formulation buys; windows are the bounded-
+    * memory approximation of it.
+    *
+    * Scale: the window index is ≈ one row per token — big but uniform; the
+    * global frequency count shuffles on the window hash (perfectly spread
+    * by construction, partial counts combine map-side) and the per-document
+    * rollup shuffles back on doc_id. Two keyed exchanges total, the
+    * [[paragraphDedup]] shape over overlapping windows. */
+  def substringDedup(spark: SparkSession, d: String): DataFrame = {
+    val tk = toks(col("text"))
+    val wins = when(size(tk) >= SubWin,
+        transform(sequence(lit(1), size(tk) - (SubWin - 1)),
+          i => struct(i.as("i"),
+            md5(array_join(slice(tk, i, lit(SubWin)), " ")).as("h"))))
+      .otherwise(array().cast("array<struct<i:int,h:string>>"))
+    val ex = documents(spark, d)
+      .select(col("doc_id"), explode(wins).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+    val freq = Window.partitionBy(col("h"))
+    val perDoc = ex
+      .withColumn("cnt", count(lit(1)).over(freq))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("cnt") > 1, lit(1))).as("n_dup_windows"))
+    documents(spark, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
+  val substringDedupSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       | w0 AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - ${SubWin - 1} + 1),
+       |      i -> struct_pack(i := i,
+       |        h := md5(array_to_string(tk[i:i+${SubWin - 1}], ' '))))) AS s
+       |    FROM t WHERE len(tk) >= $SubWin),
+       | w AS (SELECT doc_id, s.i AS i, s.h AS h FROM w0),
+       | f AS (SELECT doc_id, COUNT(*) AS n_windows,
+       |         COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_windows
+       |       FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w)
+       |       GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(f.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(f.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  ROUND(CAST(f.n_dup_windows AS DOUBLE) / f.n_windows, 6) AS dup_frac
+       |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin
+
   // ------------------------------------------------- context-window chunking
   private val ChunkSize = 16   // tokens per chunk
   private val ChunkOverlap = 4 // tokens shared with the previous chunk
@@ -1450,6 +1512,7 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_importance"   -> (importance _),
     "doc_paragraph_dedup" -> (paragraphDedup _),
+    "doc_substring_dedup" -> (substringDedup _),
     "doc_chunk"        -> (chunk _),
     "doc_shard_pack"   -> (shardPack _),
     "doc_unigram_lm"   -> (unigramLm _),
@@ -1479,6 +1542,7 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "doc_importance"      -> importanceSql,
     "doc_paragraph_dedup" -> paragraphDedupSql,
+    "doc_substring_dedup" -> substringDedupSql,
     "doc_chunk"           -> chunkSql,
     "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
