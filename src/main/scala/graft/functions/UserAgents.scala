@@ -41,17 +41,26 @@ object UserAgents {
   // would recompile every pattern per event (measured: dominated the
   // default-mapping stage).
   private val Bot = """(?i).*(bot|crawler|spider|slurp|archiver|fetch|scan).*""".r
+  // named-bot extraction: the token carrying the bot marker, plus its
+  // optional /version — uadetector reports e.g. Googlebot/2.1 by name
+  private val ReBotName = """([A-Za-z][\w.-]*?(?i:bot|crawler|spider|slurp)[\w.-]*)(?:/v?([\d.]+))?""".r
   private val ReEdge = """Edg(?:e|A|iOS)?/([\d.]+)""".r
   private val ReOpera = """OPR/([\d.]+)""".r
+  private val ReSamsung = """SamsungBrowser/([\d.]+)""".r
   private val ReFirefox = """Firefox/([\d.]+)""".r
+  private val ReChromium = """Chromium/([\d.]+)""".r
   private val ReChrome = """Chrome/([\d.]+)""".r
   private val ReSafari = """Version/([\d.]+).*Safari""".r
   private val ReMsie = """MSIE ([\d.]+)""".r
   private val ReTrident = """rv:([\d.]+)\) like Gecko""".r
   private val ReWindows = """Windows NT ([\d.]+)""".r
+  private val ReCros = """CrOS [\w-]+ ([\d.]+)""".r
   private val ReAndroid = """Android ([\d.]+)""".r
   private val ReIos = """(?:iPhone|CPU) OS ([\d_]+)""".r
   private val ReMac = """Mac OS X ([\d_.]+)""".r
+  private val SmartTv = Seq("SmartTV", "SMART-TV", "Tizen", "Web0S", "webOS",
+    "AppleTV", "GoogleTV", "BRAVIA", "HbbTV")
+  private val Console = Seq("PlayStation", "Xbox", "Nintendo")
 
   private def firstGroup(re: scala.util.matching.Regex, s: String): Option[String] =
     re.findFirstMatchIn(s).map(_.group(1))
@@ -81,11 +90,19 @@ object UserAgents {
 
     val isBot = Bot.pattern.matcher(ua).matches()
 
-    // Order matters: Edge/Opera/Chrome embed each other's tokens.
+    // Order matters: Edge/Opera/Samsung/Chromium/Chrome embed each other's
+    // tokens. Robots report their own marker token + version, as
+    // uadetector does (Googlebot/2.1 → name "Googlebot").
     val (name, vendor, version) =
-      firstGroup(ReEdge, ua).map(v => ("Edge", "Microsoft Corporation", v))
+      if (isBot)
+        ReBotName.findFirstMatchIn(ua)
+          .map(m => (m.group(1), null: String, m.group(2)))
+          .getOrElse((null, null, null))
+      else firstGroup(ReEdge, ua).map(v => ("Edge", "Microsoft Corporation", v))
         .orElse(firstGroup(ReOpera, ua).map(v => ("Opera", "Opera Software ASA", v)))
+        .orElse(firstGroup(ReSamsung, ua).map(v => ("Samsung Internet", "Samsung Electronics", v)))
         .orElse(firstGroup(ReFirefox, ua).map(v => ("Firefox", "Mozilla Foundation", v)))
+        .orElse(firstGroup(ReChromium, ua).map(v => ("Chromium", "Google Inc.", v)))
         .orElse(firstGroup(ReChrome, ua).map(v => ("Chrome", "Google Inc.", v)))
         .orElse(firstGroup(ReSafari, ua).map(v => ("Safari", "Apple Inc.", v)))
         .orElse(firstGroup(ReMsie, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
@@ -94,6 +111,7 @@ object UserAgents {
 
     val (osFamily, osVersion, osVendor) =
       firstGroup(ReWindows, ua).map(v => ("Windows", v, "Microsoft Corporation"))
+        .orElse(firstGroup(ReCros, ua).map(v => ("Chrome OS", v, "Google Inc.")))
         .orElse(firstGroup(ReAndroid, ua).map(v => ("Android", v, "Google Inc.")))
         .orElse(firstGroup(ReIos, ua).map(v => ("iOS", v.replace('_', '.'), "Apple Inc.")))
         .orElse(firstGroup(ReMac, ua).map(v => ("OS X", v.replace('_', '.'), "Apple Inc.")))
@@ -102,6 +120,8 @@ object UserAgents {
 
     val deviceCategory =
       if (isBot) "Other"
+      else if (SmartTv.exists(ua.contains)) "Smart TV"
+      else if (Console.exists(ua.contains)) "Game console"
       else if (ua.contains("iPad") || (ua.contains("Android") && !ua.contains("Mobile"))) "Tablet"
       else if (ua.contains("Mobile") || ua.contains("iPhone")) "Smartphone"
       else "Personal computer"

@@ -85,9 +85,9 @@ object DslQueries {
       |  TRUE AS corrupt,
       |  FALSE AS dup,
       |  CASE user_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
-      |                   WHEN 2 THEN 'Safari' ELSE NULL END AS ua_name,
+      |                   WHEN 2 THEN 'Safari' ELSE 'Googlebot' END AS ua_name,
       |  CASE user_id % 4 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '119.0'
-      |                   WHEN 2 THEN '16.6' ELSE NULL END AS ua_version,
+      |                   WHEN 2 THEN '16.6' ELSE '2.1' END AS ua_version,
       |  CASE user_id % 4 WHEN 0 THEN 'Personal computer' WHEN 1 THEN 'Personal computer'
       |                   WHEN 2 THEN 'Smartphone' ELSE 'Other' END AS ua_device,
       |  CASE user_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Linux'
