@@ -4,7 +4,7 @@ import graft.dsl.DefaultMapping
 import graft.queries.DslQueries
 import graft.sinks.{AvroFileSink, TopicSinks}
 import graft.state.DuplicateMemory
-import graft.topology.{MappingSpec, SinkSpec, Topology}
+import graft.topology.TopologyConfig
 import org.apache.spark.sql.functions._
 
 /** End-to-end demonstration of the full reference spine on real test data:
@@ -22,14 +22,23 @@ object Pipeline {
     val decoded = DslQueries.defaultMapping(spark, sfDir) // uses BrowserSource + DefaultMapping
     val mappedInput = decoded // already mapped; topology shows fan-out below
 
-    // 2. topology: one source, two mappings (all events / purchases only),
-    //    two sinks (avro files share a schema; kafka gets the full feed)
-    val topo = new Topology(
-      mappings = Seq(
-        MappingSpec("all", Seq("browser"), identity, "default"),
-        MappingSpec("purchases", Seq("browser"),
-          _.filter(col("event_type") === "purchase"), "default")),
-      sinks = Seq(SinkSpec("files", Seq("all", "purchases")), SinkSpec("kafka", Seq("all"))))
+    // 2. topology from a reference-style CONFIG FILE: one source, two
+    //    mappings (all events / purchases only), two sinks (avro files
+    //    share a schema; kafka gets the full feed) — parsed and fail-fast
+    //    validated like the reference's startup, then wired to mappers
+    val topoConf = """
+      |divolte {
+      |  sources.browser.type = browser
+      |  mappings {
+      |    all = { sources = [browser], sinks = [files, kafka] }
+      |    purchases = { sources = [browser], sinks = [files] }
+      |  }
+      |  sinks { files.type = hdfs, kafka.type = kafka }
+      |}""".stripMargin
+    val mappers = Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      "all" -> identity,
+      "purchases" -> (_.filter(col("event_type") === "purchase")))
+    val topo = TopologyConfig.load(topoConf).toTopology(mappers)
     val routed = topo(Map("browser" -> mappedInput))
 
     // 3. avro file sink + read-back

@@ -163,6 +163,19 @@ class PlanSpec extends SparkSpec {
     }, "the pair join's equi-keys must include the cell attribute")
   }
 
+  test("substring dedup: window-hash + doc rollup, no cartesian, bounded exchanges") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_substring_dedup")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // hash-key shuffle for the global frequency, doc-key shuffle for the
+    // rollup, plus at most the join-back alignment on doc_id
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 4,
+      s"substring dedup should stay at the paragraph-dedup shape, got $exchanges")
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash
