@@ -746,6 +746,38 @@ object DocQueries {
       |FROM fp f LEFT JOIN bench b ON f.fingerprint = b.bench_fp
       |WHERE f.doc_id % 97 <> 0""".stripMargin
 
+  // ------------------------------------------- bloom-filter decontamination
+  /** Bloom-filter decontamination — the corpus-scale path of
+    * [[decontaminate]]: when the benchmark fingerprint set outgrows an
+    * exact broadcast set, a Bloom filter over it (built DISTRIBUTED by
+    * Spark's mergeable sketch aggregation — partitions build partial
+    * filters, the driver ORs bitsets) probes every corpus row in O(k)
+    * hashes with NO false negatives and a bounded false-positive rate;
+    * a production pipeline re-checks the (tiny) flagged subset exactly.
+    * Not DuckDB-oracled (the filter's hash layout is Spark-internal);
+    * DedupScaleSpec pins the no-false-negative contract against the exact
+    * path and bounds the FP rate at the configured fpp. */
+  def decontaminateBloom(spark: SparkSession, d: String,
+                         fpp: Double = 0.01): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val docs = documents(spark, d).select(col("doc_id"), fp.as("fingerprint"))
+    flagContaminatedBloom(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "fingerprint", fpp)
+  }
+
+  /** Frame-level Bloom probe (the [[flagContaminated]] counterpart): flag
+    * every `train` row whose `fpCol` MIGHT be in `bench` — no false
+    * negatives, FP rate ≤ fpp by construction. */
+  def flagContaminatedBloom(train: DataFrame, bench: DataFrame,
+                            fpCol: String, fpp: Double = 0.01): DataFrame = {
+    val bloom = bench.stat.bloomFilter(
+      fpCol, math.max(bench.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((s: String) => bc.value.mightContainString(s))
+    train.withColumn("maybe_contaminated", probe(col(fpCol)))
+  }
+
   // ------------------------------------------------- vocabulary
   /** Corpus vocabulary top-k: token frequencies with a deterministic
     * (count desc, token asc) total order. The explode→count aggregation
@@ -1096,6 +1128,74 @@ object DocQueries {
       |            x -> ln(CAST(map_extract(m.mp, x)[1] AS DOUBLE))))
       |          / len(tk), 6) AS nll
       |FROM t, n, m""".stripMargin
+
+  // ------------------------------------------------- bigram LM scoring
+  /** Bigram-LM quality score: mean conditional negative log-likelihood
+    * `-(1/(n-1)) Σ ln P(tᵢ | tᵢ₋₁)` with `P(b|a) = c(a b)/c(a)` trained on
+    * the corpus itself — the next-order refinement of [[unigramLm]]'s
+    * CCNet-style scoring (fluent local word order scores low). Unseen
+    * bigrams/unigrams fall back to count 1 in both engines.
+    *
+    * Scale: identical shape to [[unigramLm]] — two map-side-combinable
+    * count aggregations (bigram + unigram), both capped to the top-K
+    * entries (`spark.graft.lm.vocabCap`) before broadcast, then a narrow
+    * per-row fold in token order (order-deterministic double sum, so the
+    * DuckDB oracle hash-matches). */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
+      .map(_.toInt).getOrElse(VocabCap)
+    val tk = toks(col("text"))
+    val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def topCounts(df: DataFrame): Map[String, Long] = df
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(cap)
+      .as[(String, Long)].collect().toMap
+    val bg = spark.sparkContext.broadcast(topCounts(
+      documents(spark, d).select(explode(bigrams).as("g"))))
+    val ug = spark.sparkContext.broadcast(topCounts(
+      documents(spark, d).select(explode(tk).as("g"))))
+    val nllUdf = udf((t: Seq[String]) => {
+      if (t == null || t.length < 2) None
+      else {
+        var s = 0.0
+        var i = 1
+        while (i < t.length) {
+          s += math.log(ug.value.getOrElse(t(i - 1), 1L).toDouble) -
+            math.log(bg.value.getOrElse(t(i - 1) + " " + t(i), 1L).toDouble)
+          i += 1
+        }
+        Some(s / (t.length - 1))
+      }
+    })
+    documents(spark, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        round(nllUdf(col("tk")), 6).as("nll2"))
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | bgx AS (SELECT unnest(list_transform(range(1, len(tk)),
+      |           i -> tk[i] || ' ' || tk[i+1])) AS g
+      |         FROM t WHERE len(tk) >= 2),
+      | bc AS (SELECT g, COUNT(*) AS cnt FROM bgx GROUP BY 1),
+      | uc AS (SELECT g, COUNT(*) AS cnt
+      |        FROM (SELECT unnest(tk) AS g FROM t) GROUP BY 1),
+      | bm AS (SELECT map(list(g), list(cnt)) AS mp FROM bc),
+      | um AS (SELECT map(list(g), list(cnt)) AS mp FROM uc)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      |  CASE WHEN len(tk) >= 2 THEN
+      |    ROUND(list_sum(list_transform(range(1, len(tk)),
+      |      i -> ln(CAST(COALESCE(map_extract(um.mp, tk[i])[1], 1) AS DOUBLE))
+      |         - ln(CAST(COALESCE(map_extract(bm.mp, tk[i] || ' ' || tk[i+1])[1], 1) AS DOUBLE))))
+      |      / (len(tk) - 1), 6)
+      |  END AS nll2
+      |FROM t, bm, um""".stripMargin
 
   // ------------------------------------------------- source mixing report
   /** Training-data mixing report: per (source, lang) document/token/char
@@ -1516,6 +1616,7 @@ object DocQueries {
     "doc_chunk"        -> (chunk _),
     "doc_shard_pack"   -> (shardPack _),
     "doc_unigram_lm"   -> (unigramLm _),
+    "doc_bigram_lm"    -> (bigramLm _),
     "doc_source_mix"   -> (sourceMix _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
@@ -1546,6 +1647,7 @@ object DocQueries {
     "doc_chunk"           -> chunkSql,
     "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
+    "doc_bigram_lm"       -> bigramLmSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_filter_chain"    -> filterChainSql,
     "doc_token_counts"    -> tokenCountsSql,

@@ -97,6 +97,35 @@ class DedupScaleSpec extends SparkSpec {
     assert(blocked === baseline)
   }
 
+  test("bloom decontamination: no false negatives vs the exact path, FP rate bounded") {
+    import spark.implicits._
+    // planted contamination: every 10th train fingerprint also sits in bench
+    val train = (0L until 5000L).map(i => (i, s"fp-train-$i-${i % 10 == 0}"))
+      .toDF("doc_id", "fingerprint")
+    val bench = (0L until 5000L by 10L).map(i => (i, s"fp-train-$i-true"))
+      .toDF("doc_id", "fingerprint")
+      .union(Seq((99999L, "fp-bench-only")).toDF("doc_id", "fingerprint"))
+    val exact = DocQueries.flagContaminated(train, bench, "fingerprint")
+      .select(col("doc_id"), col("contaminated"))
+      .as[(Long, Boolean)].collect().toMap
+    val bloom = DocQueries.flagContaminatedBloom(train, bench, "fingerprint", 0.01)
+      .select(col("doc_id"), col("maybe_contaminated"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(bloom.keySet === exact.keySet)
+    val contaminated = exact.filter(_._2).keySet
+    assert(contaminated.size === 500)
+    assert(contaminated.forall(bloom(_))) // Bloom cannot miss
+    // false positives stay near the configured fpp (generous 5x headroom)
+    val clean = exact.filterNot(_._2).keySet
+    val fps = clean.count(bloom(_))
+    assert(fps.toDouble / clean.size <= 0.05,
+      s"$fps false positives over ${clean.size} clean rows")
+    // and the query-level wrapper runs over the real table (all-false
+    // there: the corpus has no cross-slice exact dupes)
+    val real = DocQueries.decontaminateBloom(spark, sf)
+    assert(real.columns.contains("maybe_contaminated") && real.count() > 0)
+  }
+
   test("semDedupKmeans: k-means cells partition the corpus and flag true near-dups") {
     import spark.implicits._
     val out = EmbeddingQueries.semDedupKmeans(spark, sfSmall).cache()
