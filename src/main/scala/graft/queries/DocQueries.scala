@@ -1141,6 +1141,13 @@ object DocQueries {
     * entries (`spark.graft.lm.vocabCap`) before broadcast, then a narrow
     * per-row fold in token order (order-deterministic double sum, so the
     * DuckDB oracle hash-matches). */
+  /** Memoized like [[lmModelCache]]: the two model builds run once per
+    * (session, dataset, cap); repeated invocations only pay the fold. */
+  private val bigramModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int),
+      (org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+       org.apache.spark.broadcast.Broadcast[Map[String, Long]])]
+
   def bigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
@@ -1154,10 +1161,12 @@ object DocQueries {
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g")).limit(cap)
       .as[(String, Long)].collect().toMap
-    val bg = spark.sparkContext.broadcast(topCounts(
-      documents(spark, d).select(explode(bigrams).as("g"))))
-    val ug = spark.sparkContext.broadcast(topCounts(
-      documents(spark, d).select(explode(tk).as("g"))))
+    bigramModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (bg, ug) = bigramModelCache.getOrElseUpdate((spark, d, cap), (
+      spark.sparkContext.broadcast(topCounts(
+        documents(spark, d).select(explode(bigrams).as("g")))),
+      spark.sparkContext.broadcast(topCounts(
+        documents(spark, d).select(explode(tk).as("g"))))))
     val nllUdf = udf((t: Seq[String]) => {
       if (t == null || t.length < 2) None
       else {
