@@ -82,6 +82,24 @@ object MinHash {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Distinct consecutive word n-grams, first-occurrence order — the
+    * generalized [[shingles3]] (same space-joined strings), for operators
+    * parameterized on n (e.g. 5-gram contamination scoring). */
+  def ngrams(text: String, n: Int): Array[String] = {
+    val tokens = text.trim.split("\\s+")
+    if (tokens.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var t = 0
+    while (t + n <= tokens.length) {
+      val sb = new java.lang.StringBuilder(tokens(t))
+      var k = 1
+      while (k < n) { sb.append(' ').append(tokens(t + k)); k += 1 }
+      seen.add(sb.toString)
+      t += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** SORTED distinct md5-low-32 hashes of the document's 3-gram shingles —
     * the inverted-index / exact-Jaccard representation: an 8-byte hash
     * shuffles and compares ~8x cheaper than the ~20-char shingle string,

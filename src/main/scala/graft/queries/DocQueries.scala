@@ -29,15 +29,6 @@ object DocQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordSet = stopwords.toSet
 
-  /** Distinct word 3-gram shingles per document. */
-  private def shingles(tokens: Column): Column =
-    when(size(tokens) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(tokens) - 2),
-        i => concat_ws(" ",
-          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-
   // ---------------------------------------------------------- exact dedup
   /** Exact duplicate grouping by content hash (hash-groupBy dedup): one
     * shuffle on md5(text); canonical id is the smallest doc_id. */
@@ -1618,7 +1609,313 @@ object DocQueries {
        |FROM p""".stripMargin
   }
 
+  // ------------------------------------------------- contamination rate
+  /** N-gram size for fractional contamination scoring: the GPT-3/PaLM
+    * decontamination recipe flags training docs sharing rare n-grams with
+    * an eval set (n=13 there; n=5 here because the synthetic docs are
+    * 10-99 tokens). */
+  private val ContamN = 5
+  /** Distinct word [[ContamN]]-grams in tight JVM code
+    * ([[graft.functions.MinHash.ngrams]]) — the column formulation
+    * (`transform(sequence(...), i -> concat_ws(...))`) runs interpreted
+    * per element and dominated the query (5.5s → 0.6s warm at sf0.1). */
+  private val contamNgramsUdf = udf((text: String) =>
+    if (text == null) Array.empty[String]
+    else graft.functions.MinHash.ngrams(text, ContamN))
+  /** 3-gram shingle strings in JVM code (same rationale; same space-joined
+    * distinct consecutive 3-grams as [[shinglesUdf]]'s pre-hash form). */
+  private val shingles3Udf = udf((text: String) =>
+    if (text == null) Array.empty[String]
+    else graft.functions.MinHash.shingles3(text))
+
+  /** Fractional n-gram contamination — the graded companion to the binary
+    * [[decontaminate]] flag: for every training document, the share of its
+    * distinct [[ContamN]]-grams that also occur anywhere in the benchmark
+    * set (docs with doc_id % 97 == 0 stand in, as in [[decontaminate]]).
+    * Catches PARTIAL leakage (a quoted benchmark question inside an
+    * otherwise-clean page) that whole-document fingerprints miss.
+    *
+    * Scale: the benchmark n-gram set is small by definition (eval suites,
+    * not corpora) so it broadcasts; the corpus explodes to (doc, ngram)
+    * rows, hash-probes the broadcast, and the groupBy(doc_id) partially
+    * aggregates map-side — explode keeps a document's rows in one
+    * partition, so the single exchange carries ~1 row per document. */
+  def contaminationRate(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    contaminationRateOn(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** Frame-level form of [[contaminationRate]] (planted-leak tests and
+    * real benchmark tables plug in here). */
+  def contaminationRateOn(train: DataFrame, bench: DataFrame): DataFrame = {
+    val exploded = train
+      .select(col("doc_id"), contamNgramsUdf(col("text")).as("ng"))
+      .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"),
+        explode_outer(col("ng")).as("g"))
+    val benchNg = bench.select(explode(contamNgramsUdf(col("text"))).as("bg"))
+      .distinct()
+    exploded
+      .join(broadcast(benchNg), col("g") === col("bg"), "left")
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(col("bg")).as("n_hits"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+        when(col("n_ngrams") > 0,
+          round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+          .as("contamination_rate"),
+        (col("n_hits") > 0).as("contaminated_ngram"))
+  }
+
+  val contaminationRateSql: String = {
+    val parts = (0 until ContamN).map(k => if (k == 0) "tk[i]" else s"tk[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | ng AS (SELECT doc_id,
+       |          CASE WHEN len(tk) >= $ContamN
+       |               THEN list_distinct(list_transform(
+       |                      range(1, len(tk) - ${ContamN - 2}), i -> $parts))
+       |               ELSE CAST([] AS VARCHAR[]) END AS ng
+       |        FROM t),
+       | bench AS (SELECT DISTINCT unnest(ng) AS bg FROM ng WHERE doc_id % 97 = 0),
+       | ex AS (SELECT doc_id, unnest(ng) AS g FROM ng WHERE doc_id % 97 <> 0),
+       | hits AS (SELECT e.doc_id, COUNT(b.bg) AS n_hits
+       |          FROM ex e LEFT JOIN bench b ON e.g = b.bg GROUP BY 1),
+       | base AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ngrams FROM ng
+       |          WHERE doc_id % 97 <> 0)
+       |SELECT base.doc_id, base.n_ngrams,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN base.n_ngrams > 0
+       |       THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / base.n_ngrams, 6)
+       |  END AS contamination_rate,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated_ngram
+       |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- TF-IDF similarity search
+  /** Every doc_id % [[TfidfProbeMod]] == 0 is a probe query. */
+  private val TfidfProbeMod = 101
+  private val TfidfTopK = 10
+  /** Fixed-point scale for the integer idf (see [[tfidfKnn]] determinism
+    * note). */
+  private val TfidfScale = 1000L
+
+  /** Sparse-vector similarity search: TF-IDF weighted cosine top-k over the
+    * corpus vocabulary — the lexical analog of [[EmbeddingQueries.knnBrute]]
+    * and the retrieval companion to [[bm25]] (which scores a fixed term
+    * set; this searches doc-vs-doc).
+    *
+    * Scale design: the classic sparse formulation — postings (doc, term,
+    * tf) from one explode+combine, document frequencies from one term-keyed
+    * aggregation, probe vectors broadcast, and the dot products reduce
+    * map-side keyed by (probe, doc). Nothing is all-pairs: cost is
+    * O(sum over terms of df(term) x probe_tf(term)), the inverted-index
+    * bound. At warehouse scale the df table is a precomputed dictionary and
+    * the probe side stays a broadcast.
+    *
+    * Determinism: idf is scaled-INTEGER ((N * [[TfidfScale]]) DIV df —
+    * reciprocal-df weighting instead of the float log, chosen so weights,
+    * dots and norms are exact longs in both engines; log-idf at 100 TB is a
+    * one-line swap but loses the bit-exact oracle). The only floats are the
+    * final sqrt/divide from exact longs, rounded to 6 before the rank sort
+    * (ties by doc_id). */
+  /** The TF-IDF weight/norm tables are the search INDEX — the shared
+    * intermediate every probe batch reads. A production pipeline
+    * materializes them once (a parquet index build); locally they memoize
+    * per (session, dataset) and Spark-cache, mirroring [[pairsCache]] —
+    * without it the weight subtree (scan → explode → two keyed stages)
+    * re-executes for each of its four consumers (corpus side, probe
+    * broadcast, both norm lookups): measured 2.5s → 0.9s warm at sf0.1. */
+  private val tfidfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
+    tfidfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (weights, norms) = tfidfIndexCache.getOrElseUpdate((spark, d), {
+      val docs = documents(spark, d)
+      val postings = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // document frequency via a term-partitioned window over the postings
+      // themselves — one keyed exchange, no df-table self-join
+      val w = postings
+        .crossJoin(broadcast(nDocs))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .selectExpr("doc_id", "term",
+          s"tf * ((n_docs * $TfidfScale) DIV df) AS w")
+        .cache()
+      (w, w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2")).cache())
+    })
+    val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
+    val probeNorms = norms.filter(col("doc_id") % TfidfProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), col("nrm2").as("pnrm2"))
+    val dots = weights
+      .join(broadcast(probes), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("pw") * col("w")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    dots
+      .join(norms, "doc_id")
+      .join(broadcast(probeNorms), "probe_id")
+      .withColumn("cosine", round(col("dot").cast("double") /
+        (sqrt(col("pnrm2").cast("double")) * sqrt(col("nrm2").cast("double"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("probe_id"), col("doc_id"), col("cosine"), col("rank"))
+  }
+
+  val tfidfKnnSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | p AS (SELECT doc_id, unnest(tk) AS term FROM t),
+       | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM p GROUP BY 1, 2),
+       | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       | idf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       | w AS (SELECT tf.doc_id, tf.term,
+       |         tf.tf * ((n.n_docs * $TfidfScale) // idf.df) AS w
+       |       FROM tf CROSS JOIN n JOIN idf ON tf.term = idf.term),
+       | nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2
+       |         FROM w GROUP BY 1),
+       | dots AS (SELECT pw.doc_id AS probe_id, w.doc_id,
+       |            CAST(SUM(pw.w * w.w) AS BIGINT) AS dot
+       |          FROM w JOIN w pw ON w.term = pw.term
+       |          WHERE pw.doc_id % $TfidfProbeMod = 0
+       |            AND w.doc_id <> pw.doc_id
+       |          GROUP BY 1, 2),
+       | cos AS (SELECT d.probe_id, d.doc_id,
+       |           ROUND(CAST(d.dot AS DOUBLE) /
+       |             (sqrt(CAST(np.nrm2 AS DOUBLE)) * sqrt(CAST(nd.nrm2 AS DOUBLE))),
+       |             6) AS cosine
+       |         FROM dots d
+       |         JOIN nrm np ON np.doc_id = d.probe_id
+       |         JOIN nrm nd ON nd.doc_id = d.doc_id)
+       |SELECT probe_id, doc_id, cosine, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |              ORDER BY cosine DESC, doc_id) AS INT) AS rank
+       |  FROM cos)
+       |WHERE rank <= $TfidfTopK""".stripMargin
+
+  // ------------------------------------------------- hashed linear classifier
+  /** Hashing-trick linear classifier inference (the fastText/Vowpal-Wabbit
+    * serving shape): each token hashes straight to a weight — here a
+    * DETERMINISTIC synthetic model, w(t) = (md5-derived 32-bit int of
+    * "w:"+t) mod 2001 - 1000, standing in for trained weights so the oracle
+    * can replicate the arithmetic. The per-doc logit is the exact integer
+    * sum of token weights (multiplicity counted), the label its sign, and
+    * the margin the mean weight per token.
+    *
+    * Scale: there is NO model table at all — the weight is computed from
+    * the token hash in-row, so inference is a single narrow codegen-free
+    * UDF pass with zero exchanges and zero broadcast; a real trained model
+    * swaps the hash-derived weight for `bcWeights.value(h % dim)`, keeping
+    * the same shape with one small broadcast array. */
+  private val classifierUdf = udf((text: String) => {
+    val tk = if (text == null) Array.empty[String]
+             else text.trim.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var logit = 0L
+    tk.foreach { t =>
+      md.reset()
+      val hex = md.digest(("w:" + t).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      logit += java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    (tk.length.toLong, logit)
+  })
+
+  def hashClassifier(spark: SparkSession, d: String): DataFrame =
+    hashClassifierOn(documents(spark, d))
+
+  /** Frame-level form: stateless per-row scoring, so the same expressions
+    * serve batch tables and streaming sources. */
+  def hashClassifierOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), classifierUdf(col("text")).as("c"))
+      .select(col("doc_id"),
+        col("c._1").as("n_tokens"),
+        col("c._2").as("logit"))
+      .withColumn("label", col("logit") > 0)
+      .withColumn("margin",
+        when(col("n_tokens") > 0,
+          round(col("logit").cast("double") / col("n_tokens"), 6)))
+
+  val hashClassifierSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |         CAST(COALESCE(list_sum(list_transform(tk, x ->
+      |           CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS UBIGINT)::BIGINT
+      |             % 2001 - 1000)), 0) AS BIGINT) AS logit
+      |       FROM t)
+      |SELECT doc_id, n_tokens, logit, logit > 0 AS label,
+      |  CASE WHEN n_tokens > 0
+      |       THEN ROUND(CAST(logit AS DOUBLE) / n_tokens, 6) END AS margin
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------- n-gram novelty
+  /** N-gram novelty scoring — per-document fraction of its distinct 3-gram
+    * shingles that occur FIRST in this document (corpus-wide min-doc_id
+    * ownership, the deterministic "first occurrence wins" convention of
+    * [[paragraphDedup]] at n-gram granularity). Duplicated boilerplate
+    * scores near 0, fresh content near 1 — the graded curation signal
+    * between exact dedup (whole-doc) and near-dup pair detection.
+    *
+    * Scale: explode → shingle-partitioned window MIN (ownership attributed
+    * to every copy in the same pass — no aggregate-and-join-back, the
+    * [[paragraphDedup]] shape) → doc-keyed count. Two keyed exchanges
+    * total, no pair blow-up anywhere — each stage is linear in the posting
+    * count. */
+  def ngramNovelty(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val posts = docs.select(col("doc_id"),
+      explode(shingles3Udf(col("text"))).as("sh"))
+    val per = posts
+      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when(col("owner") === col("doc_id"), 1)).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | shg AS (SELECT doc_id, unnest(
+      |           CASE WHEN len(tk) >= 3
+      |                THEN list_distinct(list_transform(range(1, len(tk) - 1),
+      |                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |                ELSE CAST([] AS VARCHAR[]) END) AS sh
+      |         FROM t),
+      | own AS (SELECT sh, MIN(doc_id) AS owner FROM shg GROUP BY 1),
+      | per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |           CAST(COUNT(CASE WHEN o.owner = s.doc_id THEN 1 END) AS BIGINT)
+      |             AS n_novel
+      |         FROM shg s JOIN own o ON s.sh = o.sh GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_shingles, 0) AS n_shingles,
+      |  COALESCE(p.n_novel, 0) AS n_novel,
+      |  CASE WHEN p.n_shingles > 0
+      |       THEN ROUND(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6)
+      |  END AS novelty_frac
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_contamination_rate" -> (contaminationRate _),
+    "doc_tfidf_knn"          -> (tfidfKnn _),
+    "doc_hash_classifier"    -> (hashClassifier _),
+    "doc_ngram_novelty"      -> (ngramNovelty _),
     "doc_importance"   -> (importance _),
     "doc_paragraph_dedup" -> (paragraphDedup _),
     "doc_substring_dedup" -> (substringDedup _),
@@ -1650,6 +1947,10 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_contamination_rate" -> contaminationRateSql,
+    "doc_tfidf_knn"          -> tfidfKnnSql,
+    "doc_hash_classifier"    -> hashClassifierSql,
+    "doc_ngram_novelty"      -> ngramNoveltySql,
     "doc_importance"      -> importanceSql,
     "doc_paragraph_dedup" -> paragraphDedupSql,
     "doc_substring_dedup" -> substringDedupSql,

@@ -176,6 +176,50 @@ class PlanSpec extends SparkSpec {
       s"substring dedup should stay at the paragraph-dedup shape, got $exchanges")
   }
 
+  test("contamination rate: benchmark n-grams broadcast against the corpus") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_contamination_rate")(spark, sf))
+    // the benchmark set probes as a broadcast hash join — the corpus side
+    // must never shuffle-sort against it
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "benchmark probe must broadcast, not shuffle the corpus")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("tfidf knn: probes broadcast; nothing plans as a cartesian product") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_tfidf_knn")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "probe vectors and probe norms must reach the corpus by broadcast")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "sparse search must stay keyed on the term/posting structure")
+  }
+
+  test("hash classifier: model-free inference is an exchange-free narrow scan") {
+    val p = plan(graft.queries.DocQueries.queries("doc_hash_classifier")(spark, sf))
+    assert(!p.contains("Exchange"),
+      "hashed-weight inference must be a pure per-row stage")
+  }
+
+  test("ngram novelty: keyed exchanges only, no pair blow-up joins") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_ngram_novelty")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    // shingle-key aggregation, postings join alignment, doc-key rollup
+    // (+ the doc-id join-back when AQE doesn't broadcast it)
+    assert(exchanges <= 5,
+      s"novelty must stay linear in the posting count, got $exchanges")
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash

@@ -460,6 +460,84 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("contamination rate: planted n-gram leak is graded, clean doc is 0") {
+    // bench doc's 5-grams: {alpha..epsilon}, {beta..zeta}
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // 9 tokens -> 5 distinct 5-grams, exactly one of them from bench
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      (2L, "completely different content with no shared phrases here"))
+      .toDF("doc_id", "text")
+    val out = DocQueries.contaminationRateOn(train, bench)
+      .select("doc_id", "n_ngrams", "n_hits", "contamination_rate",
+        "contaminated_ngram")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 1L, 0.2, true)))
+    assert(out(2L) === ((2L, 4L, 0L, 0.0, false)))
+  }
+
+  test("tfidf knn: a planted near-copy is the probe's top neighbor") {
+    // probe = doc 0 (0 % 101 == 0); doc 7 shares 5 of its 6 terms; docs
+    // 11/12 share none, so they must not appear in the probe's result
+    val docs = Seq(
+      (0L, "spark shuffle join window agg filter"),
+      (7L, "spark shuffle join window agg scan"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DocQueries.tfidfKnn(spark, tmp)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // shared-term weight 1*(4*1000 DIV 2)=2000, unique 4000:
+    // dot = 5*2000^2, both norms sqrt(5*2000^2+4000^2) = 6000
+    assert(rows === Seq((0L, 7L, 0.555556, 1)))
+  }
+
+  test("hash classifier: order-invariant, additive, and hash-faithful") {
+    val docs = Seq(
+      (1L, "spark join"), (2L, "join spark"), (3L, "spark join spark join"))
+      .toDF("doc_id", "text")
+    val out = DocQueries.hashClassifierOn(docs)
+      .select("doc_id", "n_tokens", "logit", "label", "margin")
+      .as[(Long, Long, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent weight computation: int from the raw digest bytes rather
+    // than the query's hex-substring parse
+    def weight(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("w:" + t).getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d).getInt.toLong & 0xFFFFFFFFL
+      h % 2001 - 1000
+    }
+    val expected = weight("spark") + weight("join")
+    assert(out(1L)._3 === expected)
+    assert(out(2L)._3 === expected, "bag-of-words: token order must not matter")
+    assert(out(3L)._3 === 2 * expected, "multiplicity counts")
+    assert(out(1L)._4 === (expected > 0))
+    assert(out(3L)._5 === out(1L)._5, "margin normalizes by length")
+  }
+
+  test("ngram novelty: duplicate content scores 0, fresh content 1") {
+    val docs = Seq(
+      (10L, "a b c d e"),      // 3 shingles, all first-seen here
+      (20L, "a b c d e"),      // exact copy -> novelty 0
+      (30L, "a b c x y z"))    // shares only "a b c" -> 3 of 4 novel
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("novelty").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.ngramNovelty(spark, tmp)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) === ((10L, 3L, 3L, 1.0)))
+    assert(out(20L) === ((20L, 3L, 0L, 0.0)))
+    assert(out(30L) === ((30L, 4L, 3L, 0.75)))
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")
