@@ -1728,21 +1728,40 @@ object DocQueries {
     * re-executes for each of its four consumers (corpus side, probe
     * broadcast, both norm lookups): measured 2.5s → 0.9s warm at sf0.1. */
   private val tfidfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[Double]), (DataFrame, DataFrame)]
 
   def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
+    // Optional impact pruning (`spark.graft.tfidf.dfCapFrac`): drop terms
+    // whose df exceeds the given fraction of the corpus. On a web corpus
+    // stopword postings dominate the term-keyed exchange while ranking
+    // nothing (bottom-of-scale idf) — production sets ~0.5 (the classic
+    // stopword cap). Default OFF: the synthetic fixture draws from a
+    // 31-term vocabulary where almost every term tops the cap, and the
+    // oracle checks the uncapped form; the cap path is pinned by
+    // PipelineSpec's planted hot-term test.
+    val capFrac = spark.conf.getOption("spark.graft.tfidf.dfCapFrac")
+      .map(_.toDouble)
     tfidfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (weights, norms) = tfidfIndexCache.getOrElseUpdate((spark, d), {
+    val (weights, norms) = tfidfIndexCache.getOrElseUpdate((spark, d, capFrac), {
       val docs = documents(spark, d)
       val postings = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      // document frequency via a term-partitioned window over the postings
-      // themselves — one keyed exchange, no df-table self-join
-      val w = postings
+      // document frequencies via two-phase aggregation (map-side partial
+      // combine), NOT a term-partitioned window: Zipf-hot terms would pile
+      // every posting into one window partition, and WindowExec can't
+      // skew-split — the aggregate emits <= one partial per (term,
+      // partition) and the join below is AQE-skew-splittable
+      val dfTable = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val joined = postings
+        .join(dfTable, "term")
         .crossJoin(broadcast(nDocs))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      val capped = capFrac match {
+        case Some(f) => joined.filter(col("df") <= col("n_docs") * f)
+        case None    => joined
+      }
+      val w = capped
         .selectExpr("doc_id", "term",
           s"tf * ((n_docs * $TfidfScale) DIV df) AS w")
         .cache()

@@ -497,6 +497,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Seq((0L, 7L, 0.555556, 1)))
   }
 
+  test("tfidf df cap: a corpus-wide hot term is pruned from the index") {
+    // "the" occurs in every doc: uncapped it links even disjoint docs to
+    // the probe; with the 0.5 cap only genuine term overlap survives
+    val docs = Seq(
+      (0L, "the apple banana cherry"),
+      (7L, "the apple banana mango"),
+      (11L, "the wolf fox bear"),
+      (12L, "the lion tiger puma"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("tfidfcap").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uncapped = DocQueries.tfidfKnn(spark, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped === Set(7L, 11L, 12L))
+    spark.conf.set("spark.graft.tfidf.dfCapFrac", "0.5")
+    try {
+      val capped = DocQueries.tfidfKnn(spark, tmp)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(capped.map(_._2).toSet === Set(7L))
+      // apple/banana idf 2000, cherry/mango 4000: dot 8e6 over norms
+      // sqrt(24e6) each -> exactly 1/3
+      assert(capped.head._3 === 0.333333)
+    } finally spark.conf.unset("spark.graft.tfidf.dfCapFrac")
+  }
+
   test("hash classifier: order-invariant, additive, and hash-faithful") {
     val docs = Seq(
       (1L, "spark join"), (2L, "join spark"), (3L, "spark join spark join"))
