@@ -201,6 +201,94 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ----------------------------------------------- two-stage rerank ANN
+  /** Prefix length for the coarse pass and the coarse candidate budget.
+    * These embeddings are NOT Matryoshka-trained (no information
+    * concentration in the prefix), so the prefix must stay wide for usable
+    * recall — measured at sf0.001: trunc 8/cand 25 -> 0.18, 16/50 -> 0.54,
+    * 32/50 -> 0.74. A prefix-trained embedder moves these numbers to ~1. */
+  private val TruncDim = 32
+  private val CoarseK = 50
+
+  /** Two-stage retrieval (truncate-then-rerank, the Matryoshka/PQ-refine
+    * serving pattern): a coarse pass scores only the first [[TruncDim]] of
+    * [[Dim]] dimensions and keeps [[CoarseK]] candidates per query; the
+    * exact full-dimension cosine then reranks just those. The coarse scan
+    * reads a 2x narrower vector (with prefix-split storage, a 2x smaller
+    * column), and full vectors are touched for CoarseK rows per query
+    * instead of the corpus — the standard recall/bandwidth trade between
+    * brute force ([[knnBrute]]) and inverted structures ([[annIvf]]).
+    *
+    * Same determinism contract as the other ANN operators: scaled-int
+    * dots, round-6 cosines, vec_id tie-breaks — the approximation itself
+    * is replicated by the oracle, so recall misses are reproduced, not
+    * assumed away. */
+  def annRerank(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("emb8", slice(col("emb"), 1, TruncDim))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+      .withColumn("norm2_8", dotScaled(col("emb8"), col("emb8")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("emb8").as("q_emb8"), col("norm2").as("q_norm2"),
+        col("norm2_8").as("q_norm2_8"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse_cos").desc, col("vec_id"))
+    val coarse = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("coarse_cos", round(
+        dotScaled(col("emb8"), col("q_emb8")).cast("double") /
+          (sqrt(col("norm2_8").cast("double")) * sqrt(col("q_norm2_8").cast("double"))), 6))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= CoarseK)
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    coarse
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val annRerankSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | idx8 AS (SELECT unnest(generate_series(1, $TruncDim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, emb,
+       |         (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2,
+       |         (SELECT SUM(emb[i] * emb[i]) FROM idx8) AS norm2_8
+       |       FROM e),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2,
+       |         norm2_8 AS q_norm2_8
+       |       FROM f WHERE vec_id < $NQueries),
+       | c AS (SELECT vec_id, emb, norm2, norm2_8 FROM f
+       |       WHERE vec_id >= $NQueries),
+       | coarse AS (SELECT q.q_id, c.vec_id, c.emb, c.norm2, q.q_emb, q.q_norm2,
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx8) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2_8 AS DOUBLE)) * sqrt(CAST(q.q_norm2_8 AS DOUBLE))), 6)
+       |           AS coarse_cos
+       |       FROM c CROSS JOIN q),
+       | kept AS (SELECT * FROM (
+       |     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |                 ORDER BY coarse_cos DESC, vec_id) AS crk
+       |     FROM coarse)
+       |   WHERE crk <= $CoarseK),
+       | s AS (SELECT q_id, vec_id,
+       |         ROUND(CAST((SELECT SUM(emb[i] * q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(q_norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM kept)
+       |SELECT q_id, vec_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   // ------------------------------------------------------- cosine near-dup
   /** Embedding-cosine near-duplicate pairs across the whole corpus:
     * all-pairs exact cosine with a threshold. Quadratic by nature — the
@@ -731,6 +819,7 @@ object EmbeddingQueries {
     "emb_centroids"      -> (centroids _),
     "emb_ann_lsh"        -> (annLsh _),
     "emb_ann_ivf"        -> (annIvf _),
+    "emb_ann_rerank"     -> (annRerank _),
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
@@ -742,5 +831,6 @@ object EmbeddingQueries {
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,
     "emb_ann_ivf"        -> annIvfSql,
+    "emb_ann_rerank"     -> annRerankSql,
     "emb_neardup_cosine" -> neardupCosineSql)
 }

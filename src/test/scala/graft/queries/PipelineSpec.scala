@@ -564,6 +564,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(30L) === ((30L, 4L, 3L, 0.75)))
   }
 
+  test("rerank ANN: coarse-prefix candidates recover most exact neighbors") {
+    val exact = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val reranked = EmbeddingQueries.queries("emb_ann_rerank")(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall >= 0.6, s"prefix-coarse recall $recall collapsed")
+    // reranked cosines are the EXACT full-dim values: any returned pair
+    // that is also in the exact top-k must carry the identical cosine
+    val exactCos = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    EmbeddingQueries.queries("emb_ann_rerank")(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (q, v, c) =>
+        exactCos.get((q, v)).foreach(ec => assert(ec === c))
+      }
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")

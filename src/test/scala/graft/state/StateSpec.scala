@@ -142,6 +142,45 @@ class StreamsSpec extends SparkSpec {
     assert(rows(2) === ((3L, true, None)))
   }
 
+  test("streaming inference: the hashed classifier scores a stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.DocQueries.hashClassifierOn(
+        input.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf").outputMode("append").start()
+    input.addData((1L, "spark join"), (2L, "join spark"))
+    q.processAllAvailable()
+    input.addData((3L, "spark join spark join")) // later micro-batch
+    q.processAllAvailable()
+    val rows = spark.table("clf").select("doc_id", "logit")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows(0)._2 === rows(1)._2, "bag-of-words across micro-batches")
+    assert(rows(2)._2 === 2 * rows(0)._2)
+  }
+
+  test("streaming decontamination: contamination rates over a stream-static probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    // stream-static broadcast probe + per-doc aggregate: complete mode
+    // re-emits the scores as micro-batches arrive
+    val q = graft.queries.DocQueries.contaminationRateOn(
+        input.toDF.toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("complete").start()
+    input.addData((1L, "intro words alpha beta gamma delta epsilon closing remark"))
+    q.processAllAvailable()
+    input.addData((2L, "completely different content with no shared phrases here"))
+    q.processAllAvailable()
+    val rows = spark.table("contam")
+      .select("doc_id", "n_ngrams", "n_hits", "contamination_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 5L, 1L, 0.2), (2L, 4L, 0L, 0.0)))
+  }
+
   test("streaming chunking: documents chunk as they arrive, batch-identical") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
