@@ -1066,8 +1066,58 @@ object DocQueries {
     .empty[(SparkSession, String, Int),
       (org.apache.spark.broadcast.Broadcast[Map[String, Long]], Double)]
 
+  /** Count-min model state for [[unigramLmCms]]: (sketch, ln(total mass)). */
+  private val cmsModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (org.apache.spark.broadcast.Broadcast[Array[Long]], Double)]
+
+  /** The count-min form of the [[unigramLm]] model
+    * ([[graft.functions.CountMin]]): where the top-K cap keeps EXACT counts
+    * for the vocabulary head and floors the tail at OOV, the sketch keeps
+    * an e/width-bounded OVERestimate for every token in constant memory —
+    * no (token, count) shuffle at all (the sketch partial-aggregates
+    * map-side), no vocabulary-sized broadcast. Scores therefore never
+    * exceed the exact model's nll, and agree bit-for-bit unless a token
+    * collides in all [[graft.functions.CountMin.Depth]] hash rows
+    * (SketchSpec pins exact agreement on the fixture corpus). Opt-in via
+    * `spark.graft.lm.cmsModel=true`; the DuckDB oracle checks the exact
+    * path. */
+  private def unigramLmCms(spark: SparkSession, d: String): DataFrame = {
+    cmsModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (bc, lnTotal) = cmsModelCache.getOrElseUpdate((spark, d), {
+      val row = documents(spark, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .agg(graft.functions.CountMin.sketch(col("token")).as("cms"),
+             count(lit(1)).as("total"))
+        .head()
+      (spark.sparkContext.broadcast(row.getSeq[Long](0).toArray),
+        math.log(row.getLong(1).toDouble))
+    })
+    val nllUdf = udf((tk: Seq[String]) => {
+      if (tk == null || tk.isEmpty) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < tk.length) {
+          s += math.log(math.max(
+            graft.functions.CountMin.query(bc.value, tk(i)), 1L).toDouble)
+          i += 1
+        }
+        Some(lnTotal - s / tk.length)
+      }
+    })
+    documents(spark, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        round(nllUdf(col("tk")), 6).as("nll"))
+  }
+
   def unigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    if (spark.conf.getOption("spark.graft.lm.cmsModel").contains("true"))
+      return unigramLmCms(spark, d)
     lmModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
       .map(_.toInt).getOrElse(VocabCap)

@@ -68,6 +68,56 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 200) / 200.0 <= 0.15, s"estimate $est vs 200")
   }
 
+  test("count-min: never undercounts, bounded overcount, exact merge") {
+    import graft.functions.CountMin
+    // Zipf-ish multiset: token i appears ceil(300/i) times
+    val items = (1 to 50).flatMap(i => Seq.fill(300 / i + 1)(s"tok$i"))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val full = new Array[Long](CountMin.Depth * CountMin.Width)
+    items.foreach(CountMin.add(full, _))
+    val n = items.size.toLong
+    exact.foreach { case (t, c) =>
+      val est = CountMin.query(full, t)
+      assert(est >= c, s"$t undercounted: $est < $c")
+      assert(est <= c + (3 * math.E * n / CountMin.Width).toLong + 1,
+        s"$t overcount $est vs $c beyond the CMS bound")
+    }
+    assert(CountMin.query(full, "never-seen") <= (3 * math.E * n / CountMin.Width).toLong + 1)
+    // merge of split builds == build of the union, EXACTLY (sums commute)
+    val (a, b) = items.splitAt(items.size / 3)
+    val sa = new Array[Long](full.length); a.foreach(CountMin.add(sa, _))
+    val sb = new Array[Long](full.length); b.foreach(CountMin.add(sb, _))
+    val merged = sa.zip(sb).map { case (x, y) => x + y }
+    assert(merged.toSeq === full.toSeq)
+  }
+
+  test("count-min groupBy aggregation matches the local build per group") {
+    import graft.functions.CountMin
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("grp", "token")
+    val rows = df.groupBy("grp").agg(CountMin.sketch(col("token")).as("cms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val la = new Array[Long](CountMin.Depth * CountMin.Width)
+    CountMin.add(la, "x", 2); CountMin.add(la, "y")
+    assert(rows("a").toSeq === la.toSeq)
+    assert(CountMin.query(rows("b"), "x") === 1L)
+    assert(CountMin.query(rows("b"), "y") === 0L)
+  }
+
+  test("unigram LM scored from the CMS model matches the exact model here") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.queries.DocQueries.unigramLm(spark, sf)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    spark.conf.set("spark.graft.lm.cmsModel", "true")
+    try {
+      val cms = graft.queries.DocQueries.unigramLm(spark, sf)
+        .as[(Long, Int, Double)].collect().sortBy(_._1)
+      // sketch counts >= exact counts, so nll_cms <= nll_exact always; on
+      // this vocabulary no token collides in all Depth rows, so equality
+      assert(cms.toSeq === exact.toSeq)
+    } finally spark.conf.unset("spark.graft.lm.cmsModel")
+  }
+
   test("salted join equals plain join") {
     val fact = graft.Tables.events(spark, sf)
       .select(col("user_id").as("k"), col("value"))
