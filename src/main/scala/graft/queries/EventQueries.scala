@@ -466,7 +466,58 @@ object EventQueries {
       |  NULL::VARCHAR AS k_missing
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------ anomaly
+  /** Per-user value anomaly scoring — the alerting/fraud shape over the
+    * event stream: each event's z-score against ITS USER's value
+    * distribution, flagged at |z| > 3.
+    *
+    * Scale: one shuffle on user_id; the three whole-partition window
+    * aggregates (count/sum/sum-of-squares) compute in a single unordered
+    * WindowExec pass, so cost is the sessionize shape. Determinism: values
+    * scale to exact longs (floor(value*1000) — float sums would be
+    * order-sensitive), the moment sums are exact integers, and both
+    * engines then evaluate the IDENTICAL double formula from those longs
+    * (exactness holds while per-user sum-of-squares < 2^53; beyond that,
+    * shard the window by day like [[dailyRollup]]). */
+  def anomaly(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val mean = col("sum_d") / col("n")
+    val variance =
+      (col("sumsq_d") - col("sum_d") * col("sum_d") / col("n")) / (col("n") - 1)
+    ev(spark, d)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 1000).cast("long").as("value_scaled"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_d", sum(col("value_scaled")).over(w).cast("double"))
+      .withColumn("sumsq_d",
+        sum(col("value_scaled") * col("value_scaled")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("value_scaled"), col("n"),
+        when(col("n") >= 2 && variance > 0,
+          round((col("value_scaled").cast("double") - mean) / sqrt(variance), 6))
+          .as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3)
+  }
+
+  val anomalySql: String =
+    """WITH t AS (SELECT event_id, user_id,
+      |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_scaled FROM events),
+      | s AS (SELECT event_id, user_id, value_scaled,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(value_scaled) OVER w AS DOUBLE) AS sum_d,
+      |    CAST(SUM(value_scaled * value_scaled) OVER w AS DOUBLE) AS sumsq_d
+      |  FROM t WINDOW w AS (PARTITION BY user_id)),
+      | z AS (SELECT event_id, user_id, value_scaled, n,
+      |    CASE WHEN n >= 2
+      |          AND (sumsq_d - sum_d * sum_d / n) / (n - 1) > 0
+      |         THEN ROUND((CAST(value_scaled AS DOUBLE) - sum_d / n)
+      |              / sqrt((sumsq_d - sum_d * sum_d / n) / (n - 1)), 6)
+      |    END AS z
+      |  FROM s)
+      |SELECT event_id, user_id, value_scaled, n, z, abs(z) > 3 AS is_anomaly
+      |FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_anomaly"             -> (anomaly _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -481,6 +532,7 @@ object EventQueries {
     "evt_asof_join"    -> (asofTier _))
 
   val oracles: Map[String, String] = Map(
+    "evt_anomaly"             -> anomalySql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

@@ -220,6 +220,28 @@ class PlanSpec extends SparkSpec {
       s"novelty must stay linear in the posting count, got $exchanges")
   }
 
+  test("rerank ANN: probes broadcast for both stages; corpus never shuffle-joins") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_ann_rerank")(spark, sf))
+    // coarse pass: corpus x broadcast(queries) — a nested-loop over the
+    // tiny broadcast side, same shape as knnBrute
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the corpus must never shuffle-sort against the probe set")
+  }
+
+  test("anomaly: one user-key exchange, no joins — the sessionize shape") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_anomaly")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "per-user moments must come from the window pass, not an agg-join-back")
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 1, s"anomaly must shuffle once on user_id, got $exchanges")
+  }
+
   test("HLL rollup: register merge is a partial aggregation, not a re-shuffle per level") {
     val p = plan(graft.queries.EventQueries.queries("evt_daily_rollup_approx")(spark, sf))
     // two-level (register, then group) aggregation: both levels hash

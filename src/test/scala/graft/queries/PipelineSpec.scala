@@ -564,6 +564,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(30L) === ((30L, 4L, 3L, 0.75)))
   }
 
+  test("anomaly: a planted outlier flags only for its own user") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // a sample z-score is bounded by (n-1)/sqrt(n): one spike among 14
+    // tight values reaches z ~ 3.6, comfortably over the 3.0 flag
+    val events = (
+      (1L to 14L).map(id => (id, ts, 1L, "view", 10.0 + (id % 3) * 0.5, """{"k":1}""")) ++
+      Seq((15L, ts, 1L, "view", 1000.0, """{"k":1}""")) ++
+      // user 2: the same wild magnitude is NORMAL for this user
+      Seq((16L, 990.0), (17L, 1010.0), (18L, 1000.0)).map {
+        case (id, v) => (id, ts, 2L, "view", v, """{"k":1}""")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("anomaly").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventQueries.queries("evt_anomaly")(spark, tmp)
+      .select("event_id", "z", "is_anomaly")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(15L)._3 === Some(true), s"outlier not flagged: ${out(15L)}")
+    assert(out(15L)._2.get > 3.0)
+    (1L to 14L).foreach(id => assert(out(id)._3 === Some(false)))
+    // user 2's 1000s are unremarkable within user 2
+    (16L to 18L).foreach(id => assert(out(id)._3 === Some(false)))
+  }
+
   test("rerank ANN: coarse-prefix candidates recover most exact neighbors") {
     val exact = EmbeddingQueries.knnBrute(spark, sf)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
