@@ -1279,6 +1279,146 @@ object DocQueries {
       |    AS token_share
       |FROM per""".stripMargin
 
+  // ------------------------------------------------- temperature mixing
+  /** Temperature-smoothed source-mixing weights (the multilingual-training
+    * mix of Conneau & Lample 2019 §3.1 / mC4, at alpha = 0.5): a source's
+    * target share is proportional to sqrt(its token mass), pulling
+    * over-represented sources down and the tail up. Reports, per source:
+    * the raw token share, the smoothed target share, and the acceptance
+    * probability a downsampling-only rebalance would apply
+    * (accept_prob = (target/raw) scaled so the most under-represented
+    * source keeps everything).
+    *
+    * Determinism: alpha is fixed at 0.5 because sqrt is the ONE power IEEE
+    * requires correctly rounded — pow(x, 0.7) may differ between libm and
+    * the JVM in the last ulp, sqrt cannot. Token masses are exact longs,
+    * sqrt(mass) scales to a long (floor x 1e6) BEFORE any cross-row sum, so
+    * both totals are exact integer sums (order-free) and every double op
+    * after that is a single divide/multiply on identical inputs.
+    *
+    * Scale: one map-side-combinable shuffle to (source) — source
+    * cardinality is tiny, so the weight table is a broadcast-sized frame;
+    * the corpus itself is never re-read. */
+  def mixTemperature(spark: SparkSession, d: String): DataFrame = {
+    val per = documents(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(toks(col("text")))).as("n_tokens"))
+      .withColumn("sqrt_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    // totals + anchor via ONE unpartitioned window over the source-
+    // cardinality frame (tens of rows — the single-partition WindowExec is
+    // free) rather than a second aggregate: an `agg` branch would recompute
+    // `per` and re-scan the whole corpus
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.select(
+      col("source"), col("n_docs"), col("n_tokens"), col("sqrt_scaled"),
+      sum(col("n_tokens")).over(w).as("tot_tokens"),
+      sum(col("sqrt_scaled")).over(w).as("tot_sqrt"),
+      min(col("n_tokens").cast("double") / col("sqrt_scaled").cast("double"))
+        .over(w).as("c"))
+    .select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+        .as("weight_raw"),
+      round(col("sqrt_scaled").cast("double") / col("tot_sqrt").cast("double"), 6)
+        .as("weight_smoothed"),
+      round(least(lit(1.0),
+        col("sqrt_scaled").cast("double") / col("n_tokens").cast("double")
+          * col("c")), 6).as("accept_prob"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY 1),
+      | s AS (SELECT source, n_docs, n_tokens,
+      |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS sqrt_scaled
+      |  FROM per),
+      | t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |              CAST(SUM(sqrt_scaled) AS BIGINT) AS tot_sqrt,
+      |              MIN(CAST(n_tokens AS DOUBLE) / CAST(sqrt_scaled AS DOUBLE))
+      |                AS c
+      |       FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6)
+      |    AS weight_raw,
+      |  ROUND(CAST(sqrt_scaled AS DOUBLE) / CAST(t.tot_sqrt AS DOUBLE), 6)
+      |    AS weight_smoothed,
+      |  ROUND(LEAST(1.0, CAST(sqrt_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |        * t.c), 6) AS accept_prob
+      |FROM s, t""".stripMargin
+
+  /** Realize the [[mixTemperature]] target mix by downsampling-only
+    * rejection: each document carries a 32-bit md5-derived key (pure
+    * function of doc_id — reproducible across runs, engines, partitionings,
+    * exactly like [[sampleDeterministic]]) and survives iff
+    * key < floor(accept_prob x 2^32). The per-source acceptance threshold
+    * is an exact long, so membership never compares floats.
+    *
+    * The totals cancel algebraically in accept_prob
+    * ((q/p) x min(p/q) — both shares divide by the same totals), so the
+    * threshold computes from per-source longs alone: no cross-row double
+    * sum anywhere on the acceptance path.
+    *
+    * Scale: the weight table is source-cardinality rows → broadcast join
+    * onto the corpus scan; the only shuffle is the weight-table build.
+    * The corpus side stays a narrow filter — at 100 TB this is scan +
+    * broadcast-hash-join + filter, no exchange on the big side. */
+  def mixApply(spark: SparkSession, d: String): DataFrame = {
+    val per = documents(spark, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks(col("text")))).as("n_tokens"))
+      .withColumn("sqrt_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    // anchor constant via a window over the tiny per-source frame (not a
+    // second agg — that branch would re-scan the corpus; see mixTemperature)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thresholds = per.withColumn("c",
+      min(col("n_tokens").cast("double") / col("sqrt_scaled").cast("double"))
+        .over(w))
+      .select(
+      col("source"),
+      floor(least(lit(1.0),
+        col("sqrt_scaled").cast("double") / col("n_tokens").cast("double")
+          * col("c")) * 4294967296.0).cast("long").as("mix_threshold"))
+    documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("mix"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long").as("mix_key"))
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(col("mix_key") < col("mix_threshold"))
+      .select(col("doc_id"), col("source"), col("mix_key"))
+  }
+
+  val mixApplySql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY 1),
+      | s AS (SELECT source, n_tokens,
+      |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS sqrt_scaled
+      |  FROM per),
+      | c AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / CAST(sqrt_scaled AS DOUBLE))
+      |         AS c FROM s),
+      | th AS (SELECT source,
+      |    CAST(FLOOR(LEAST(1.0,
+      |      CAST(sqrt_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE) * c.c)
+      |      * 4294967296.0) AS BIGINT) AS mix_threshold
+      |  FROM s, c),
+      | k AS (SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT)::BIGINT AS mix_key
+      |  FROM documents)
+      |SELECT k.doc_id, k.source, k.mix_key
+      |FROM k JOIN th ON k.source = th.source
+      |WHERE k.mix_key < th.mix_threshold""".stripMargin
+
   // ------------------------------------------------- composite filter chain
   /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
     * rule is an independent boolean column, `keep` is their conjunction and
@@ -1993,6 +2133,8 @@ object DocQueries {
     "doc_unigram_lm"   -> (unigramLm _),
     "doc_bigram_lm"    -> (bigramLm _),
     "doc_source_mix"   -> (sourceMix _),
+    "doc_mix_temperature" -> (mixTemperature _),
+    "doc_mix_apply"       -> (mixApply _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
     "doc_winnow"       -> (winnowFingerprints _),
@@ -2028,6 +2170,8 @@ object DocQueries {
     "doc_unigram_lm"      -> unigramLmSql,
     "doc_bigram_lm"       -> bigramLmSql,
     "doc_source_mix"      -> sourceMixSql,
+    "doc_mix_temperature" -> mixTemperatureSql,
+    "doc_mix_apply"       -> mixApplySql,
     "doc_filter_chain"    -> filterChainSql,
     "doc_token_counts"    -> tokenCountsSql,
     "doc_winnow"          -> winnowSql,

@@ -232,6 +232,23 @@ class PlanSpec extends SparkSpec {
       "the corpus must never shuffle-sort against the probe set")
   }
 
+  test("mix apply: corpus side broadcast-joins the weight table, never shuffles") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_mix_apply")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "thresholds must broadcast onto the corpus scan")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the corpus must never shuffle-sort against a source-cardinality table")
+    // only the weight-table build shuffles (per-source agg + its one-row
+    // rollup); the corpus-side scan → join → filter is exchange-free
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2,
+      s"only the tiny weight build may exchange, got $exchanges")
+  }
+
   test("anomaly: one user-key exchange, no joins — the sessionize shape") {
     val nodes = planNodes(
       graft.queries.EventQueries.queries("evt_anomaly")(spark, sf))

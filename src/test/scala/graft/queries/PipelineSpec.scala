@@ -564,6 +564,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(30L) === ((30L, 4L, 3L, 0.75)))
   }
 
+  test("temperature mix: rebalance flattens the source distribution") {
+    val w = DocQueries.mixTemperature(spark, sf)
+      .select("source", "weight_raw", "weight_smoothed", "accept_prob")
+      .as[(String, Double, Double, Double)].collect()
+    assert(w.length > 1, "fixture should span multiple sources")
+    // sqrt smoothing strictly contracts the spread: every source's smoothed
+    // share sits between its raw share and the uniform share
+    val uniform = 1.0 / w.length
+    w.foreach { case (s, raw, smooth, _) =>
+      val (lo, hi) = (math.min(raw, uniform), math.max(raw, uniform))
+      assert(smooth >= lo - 1e-6 && smooth <= hi + 1e-6,
+        s"$s: smoothed $smooth outside [$lo, $hi]")
+    }
+    // the most under-represented source is the anchor: it keeps everything
+    assert(w.map(_._4).max >= 1.0 - 1e-6)
+    assert(w.forall(_._4 <= 1.0))
+    // applying the thresholds moves the REALIZED doc mix toward the target:
+    // acceptance is lowest where raw share most exceeds the target
+    val kept = DocQueries.mixApply(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val overall = kept.values.sum.toDouble /
+      DocQueries.queries("doc_fingerprint")(spark, sf).count()
+    assert(overall < 1.0, "rebalance must actually drop rows somewhere")
+    val byBoost = w.sortBy(_._4)
+    val mostOver = byBoost.head._1   // lowest accept_prob = most over-represented
+    val mostUnder = byBoost.last._1
+    assert(kept.getOrElse(mostOver, 0L) >= 0)   // present in report even if all dropped
+    assert(kept(mostUnder) > 0, "anchor source must keep its documents")
+  }
+
   test("anomaly: a planted outlier flags only for its own user") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     // a sample z-score is bounded by (n-1)/sqrt(n): one spike among 14
