@@ -73,6 +73,51 @@ object Streams {
         })
   }
 
+  /** Online per-user anomaly flagging — the streaming form of the batch
+    * [[graft.queries.EventQueries.anomaly]] z-score detector. Keyed state
+    * holds each user's EXACT integer moments (n, sum, sum-of-squares of the
+    * scaled value — longs, so the running moments are order-exact and
+    * mergeable); each arriving event scores against the user's history SO
+    * FAR (the online reading of the batch whole-population z) and is then
+    * folded into the state. An event flags iff the user already has >= 2
+    * prior observations with positive variance and |z| > 3.
+    *
+    * State per user is three longs — bounded, no timeout needed for the
+    * analytics shape (add `GroupStateTimeout.ProcessingTimeTimeout` at the
+    * call site to expire dormant users if the key space is unbounded).
+    * Scales horizontally with the state-store shuffle on userId.
+    *
+    * Input: (userId, eventId, tsMillis, valueScaled). Output adds
+    * (z, isAnomaly). Flag-not-filter, like the reference's duplicate flag. */
+  def anomalyStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Option[Double], Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (n, s, sq) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (user, event, ts, v) =>
+              val z =
+                if (n >= 2) {
+                  val nd = n.toDouble
+                  val variance = (sq.toDouble - s.toDouble * s.toDouble / nd) / (nd - 1)
+                  if (variance > 0)
+                    Some((v.toDouble - s.toDouble / nd) / math.sqrt(variance))
+                  else None
+                } else None
+              n += 1; s += v; sq += v * v
+              (user, event, ts, v, z, z.exists(math.abs(_) > 3.0))
+          }
+          state.update((n, s, sq))
+          out.iterator
+        })
+  }
+
   /** Windowed event-rate rollup (the monitoring aggregate the reference
     * delegates downstream): tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -104,6 +104,27 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Array(("e1", 1L, false), ("e2", 2L, false), ("e1", 3L, true)))
   }
 
+  test("streaming anomaly: a spike flags against state built in earlier batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)] // user, event, ts, value
+    val q = Streams.anomalyStream(input.toDS())
+      .toDF("user_id", "event_id", "ts", "value_scaled", "z", "is_anomaly")
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    // batch 1: user 1 builds tight history; user 2's scale is large
+    input.addData((1L to 10L).map(i => (1L, i, i, 1000L + (i % 3) * 5)) ++
+      Seq((2L, 100L, 1L, 900000L), (2L, 101L, 2L, 910000L), (2L, 102L, 3L, 905000L)): _*)
+    q.processAllAvailable()
+    // batch 2: the SAME magnitude is a spike for user 1, normal for user 2
+    input.addData((1L, 11L, 11L, 905000L), (2L, 103L, 4L, 902000L))
+    q.processAllAvailable()
+    val rows = spark.table("anom")
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(rows(11L), "user 1's spike must flag against cross-batch state")
+    assert(!rows(103L), "user 2's in-range value must not flag")
+    (1L to 10L).foreach(e => assert(!rows(e), s"warm-up event $e must not flag"))
+  }
+
   test("windowed counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
