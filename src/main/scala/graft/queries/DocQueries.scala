@@ -1419,6 +1419,183 @@ object DocQueries {
       |FROM k JOIN th ON k.source = th.source
       |WHERE k.mix_key < th.mix_threshold""".stripMargin
 
+  // ------------------------------------------------- BPE tokenizer
+  /** Merge count for the corpus-trained BPE model ([[bpeTrain]]);
+    * overridable for tests via `spark.graft.bpe.merges`. */
+  private val BpeMerges = 16
+
+  /** Learned merges memoized per (session, dataset, merges) — the trainer
+    * is iterative, so repeated calls (train + encode + bench warm passes)
+    * must not re-run M jobs each. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Seq[(String, String, Long)]]
+
+  /** Distributed BPE training (Sennrich et al. 2016), the real merge loop —
+    * not the regex approximation of [[tokenCounts]]:
+    *
+    *  1. ONE corpus-scale shuffle builds the word-frequency table (this is
+    *     the only pass over the documents — classic BPE trains on the
+    *     vocabulary, not the corpus);
+    *  2. each of the M iterations explodes the CURRENT symbol sequences
+    *     into adjacent pairs weighted by word count, partial-aggregates
+    *     map-side, and ships exactly ONE row (the argmax pair, tie-broken
+    *     deterministically by (count desc, left, right)) to the driver;
+    *  3. the winning merge applies distributively ([[graft.functions.Bpe
+    *     .mergePair]]) and the loop continues on the updated vocabulary.
+    *
+    * Scale: classic BPE trains on the VOCABULARY, so after the one
+    * corpus-scale shuffle the working set is orders of magnitude below
+    * corpus rows. Two paths, gated like the dedup driver-collect family
+    * (`spark.graft.bpe.maxDriverVocab`, default 2^20):
+    *
+    *  - vocab fits the gate → collect (word, count) and run the merge loop
+    *    on the driver: M iterations over <=1M entries is milliseconds, vs
+    *    M Spark jobs whose per-stage scheduling + AQE re-planning latency
+    *    dominates (measured at sf0.1: 17s distributed vs <1s driver —
+    *    the data is 31 words);
+    *  - open-vocabulary corpus above the gate → the distributed loop:
+    *    per-iteration pair explode + map-side-combined count, ONE argmax
+    *    row (tie-broken (count desc, left, right)) to the driver, merge
+    *    applied distributively. Each iteration's vocabulary is
+    *    `localCheckpoint`ed, not merely cached — a cache leaves the full
+    *    typed-map lineage in the plan and re-analysis cost grows
+    *    superlinearly (measured: 16 merges 155s → 13s with the lineage
+    *    cut). On a fault-sensitive cluster run, swap in reliable
+    *    `checkpoint()`.
+    *
+    * Both paths share [[graft.functions.Bpe]] and the tie-break, and
+    * PipelineSpec pins them to identical merge tables (plus a naive
+    * in-test reference). Not SQL-expressible (iterative argmax) →
+    * rows-only driver check. */
+  private def bpeMerges(spark: SparkSession, d: String): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    bpeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val m = spark.conf.getOption("spark.graft.bpe.merges")
+      .map(_.toInt).getOrElse(BpeMerges)
+    bpeCache.getOrElseUpdate((spark, d, m), {
+      val gate = spark.conf.getOption("spark.graft.bpe.maxDriverVocab")
+        .map(_.toLong).getOrElse(1L << 20)
+      var vocab = documents(spark, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .map { case (w, c) => (graft.functions.Bpe.wordSymbols(w), c) }
+        .localCheckpoint()
+      if (vocab.count() <= gate) {
+        val local = vocab.collect()
+        vocab.unpersist()
+        trainDriver(local, m)
+      } else {
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        try {
+          var i = 0
+          var exhausted = false
+          while (i < m && !exhausted) {
+            val best = vocab
+              .flatMap { case (syms, c) =>
+                (0 until syms.length - 1).map(j => ((syms(j), syms(j + 1)), c))
+              }
+              .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+              .map { case ((l, r), c) => (l, r, c) }
+              .orderBy(col("_3").desc, col("_1"), col("_2"))
+              .limit(1).collect()
+            if (best.isEmpty) exhausted = true
+            else {
+              val (l, r, c) = best(0)
+              merges += ((l, r, c))
+              val next = vocab
+                .map { case (syms, cnt) =>
+                  (graft.functions.Bpe.mergePair(syms, l, r), cnt)
+                }.localCheckpoint() // eager: materializes AND cuts lineage
+              vocab.unpersist()
+              vocab = next
+            }
+            i += 1
+          }
+        } finally vocab.unpersist()
+        merges.toSeq
+      }
+    })
+  }
+
+  /** The same merge loop on a driver-resident vocabulary (small side of
+    * the gate): identical pair counting, argmax tie-break, and
+    * [[graft.functions.Bpe.mergePair]] application as the distributed
+    * path. */
+  private def trainDriver(vocabIn: Array[(Array[String], Long)], m: Int)
+      : Seq[(String, String, Long)] = {
+    var vocab = vocabIn
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < m && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r, c))
+        vocab = vocab.map { case (syms, cnt) =>
+          (graft.functions.Bpe.mergePair(syms, l, r), cnt)
+        }
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** The learned merge table as a frame: (rank, left, right, merged,
+    * pair_count). */
+  def bpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, d).zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Encode every document with the corpus-trained merges: broadcast the
+    * rank map, then one narrow per-row pass ([[graft.functions.Bpe
+    * .encodeWord]] per whitespace token — rank-priority merging, the real
+    * inference loop). Output is the BPE token count, the compression ratio
+    * vs raw characters (scaled-int, so the frame stays float-free), and an
+    * md5 over the full symbol stream (order-sensitive digest — any merge
+    * misapplication anywhere in the document changes it). */
+  def bpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val rank = bpeMerges(spark, d).zipWithIndex
+      .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    val enc = udf((tk: Seq[String]) => {
+      if (tk == null) None
+      else {
+        val syms = tk.iterator.flatMap(w =>
+          graft.functions.Bpe.encodeWord(w, bc.value)).toArray
+        Some((syms.length,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            syms.mkString(" "))))
+      }
+    })
+    documents(spark, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"),
+        length(col("text")).as("n_chars_raw"))
+      .withColumn("e", enc(col("tk")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_words"),
+        col("e._1").as("n_bpe_tokens"),
+        // chars-per-BPE-token x1000 — the compression the merges bought
+        when(col("e._1") > 0,
+          floor(col("n_chars_raw") * lit(1000L) / col("e._1")).cast("long"))
+          .as("compression_milli"),
+        col("e._2").as("bpe_md5"))
+  }
+
   // ------------------------------------------------- composite filter chain
   /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
     * rule is an independent boolean column, `keep` is their conjunction and
@@ -2135,6 +2312,8 @@ object DocQueries {
     "doc_source_mix"   -> (sourceMix _),
     "doc_mix_temperature" -> (mixTemperature _),
     "doc_mix_apply"       -> (mixApply _),
+    "doc_bpe_train"       -> (bpeTrain _),
+    "doc_bpe_encode"      -> (bpeEncode _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
     "doc_winnow"       -> (winnowFingerprints _),

@@ -594,6 +594,77 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("BPE trainer matches a naive reference on a planted corpus") {
+    import graft.functions.Bpe
+    // the classic Sennrich corpus shape: repeated words with shared affixes
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, text, "en", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // naive single-machine reference: same tie-break (count desc, then
+    // lexicographic), independent pair counting
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, n) => Bpe.wordSymbols(w).toVector -> n.toLong }.toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    (0 until 10).foreach { _ =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { j =>
+          pairs((syms(j), syms(j + 1))) = pairs.getOrElse((syms(j), syms(j + 1)), 0L) + c
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        expected += ((l, r, c))
+        vocab = vocab.map { case (syms, cnt) =>
+          Bpe.mergePair(syms.toArray, l, r).toVector -> cnt
+        }
+      }
+    }
+
+    spark.conf.set("spark.graft.bpe.merges", "10")
+    try {
+      val got = DocQueries.bpeTrain(spark, tmp)
+        .orderBy("rank").select("left", "right", "pair_count")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got === expected.toSeq)
+      // force the big-vocab distributed loop (gate 0) — must produce the
+      // IDENTICAL merge table; a fresh temp dir defeats the model cache
+      val tmp2 = java.nio.file.Files.createTempDirectory("bpe2").toString
+      Seq((1L, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+      spark.conf.set("spark.graft.bpe.maxDriverVocab", "0")
+      try {
+        val dist = DocQueries.bpeTrain(spark, tmp2)
+          .orderBy("rank").select("left", "right", "pair_count")
+          .as[(String, String, Long)].collect().toSeq
+        assert(dist === expected.toSeq, "distributed path diverged from driver path")
+      } finally spark.conf.unset("spark.graft.bpe.maxDriverVocab")
+      // encode round-trip on the same model: symbols reconstruct each word
+      val rank = got.zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
+      words.foreach { case (w, _) =>
+        val syms = Bpe.encodeWord(w, rank)
+        assert(syms.mkString.stripSuffix(Bpe.EndOfWord) === w)
+      }
+      // the most frequent pair merged first: "es" from newest (6) + widest (3)
+      assert(got.head._3 === 9L)
+    } finally spark.conf.unset("spark.graft.bpe.merges")
+  }
+
+  test("BPE encoding merges by rank priority, not text order") {
+    import graft.functions.Bpe
+    // (b, c</w>) learned FIRST: greedy-by-rank yields [a, bc</w>], while a
+    // naive left-to-right scan would produce [ab, c</w>]
+    val rank = Map(("a", "b") -> 1, ("b", "c" + Bpe.EndOfWord) -> 0)
+    assert(Bpe.encodeWord("abc", rank).toSeq === Seq("a", "bc" + Bpe.EndOfWord))
+    // merges apply to ALL occurrences in the word, non-overlapping
+    assert(Bpe.mergePair(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+  }
+
   test("anomaly: a planted outlier flags only for its own user") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     // a sample z-score is bounded by (n-1)/sqrt(n): one spike among 14
