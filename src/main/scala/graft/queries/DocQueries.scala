@@ -1419,6 +1419,69 @@ object DocQueries {
       |FROM k JOIN th ON k.source = th.source
       |WHERE k.mix_key < th.mix_threshold""".stripMargin
 
+  // ------------------------------------------------- curriculum ordering
+  /** Curriculum ordering — the deterministic training-order primitive:
+    * documents sort best-first WITHIN each source (stopword-density
+    * quality proxy, scaled-int), and sources interleave round-robin so
+    * no training window sees a single-source run. `train_pos` is the
+    * 0-based global position in that order.
+    *
+    * Scale: the naive formulation is a global row_number — a
+    * single-partition window over the corpus. Instead the global position
+    * computes ARITHMETICALLY per row: with per-source sizes broadcast
+    * (source cardinality is tiny), a document at within-source round r has
+    * exactly sum_s min(size_s, r-1) documents in earlier rounds before it,
+    * plus the sources ordered ahead of it inside round r. One source-keyed
+    * window shuffle + a broadcast — no global sort, no driver collect,
+    * holds at any corpus size. */
+  def curriculum(spark: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sw = filter(t, x => x.isInCollection(stopwords))
+    val base = documents(spark, d).select(
+      col("doc_id"), col("source"),
+      floor(size(sw) * 1000.0 / size(t)).cast("long").as("quality_milli"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_milli").desc, col("doc_id"))
+    val sizesRow = base.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(struct(col("source"), col("sz"))))
+        .as("sizes"))
+    val posUdf = udf((round: Int, source: String,
+                      sizes: Seq[org.apache.spark.sql.Row]) => {
+      var before = 0L
+      var intra = 0L
+      sizes.foreach { r =>
+        val (s, sz) = (r.getString(0), r.getLong(1))
+        before += math.min(sz, round - 1L)
+        if (sz >= round && s < source) intra += 1L
+      }
+      before + intra
+    })
+    base.withColumn("round", row_number().over(w))
+      .crossJoin(broadcast(sizesRow))
+      .select(col("doc_id"), col("source"), col("quality_milli"), col("round"),
+        posUdf(col("round"), col("source"), col("sizes")).as("train_pos"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |    CAST(FLOOR(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |           x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |         * 1000.0
+       |         / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS quality_milli
+       |  FROM documents),
+       | k AS (SELECT doc_id, source, quality_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY quality_milli DESC, doc_id) AS round
+       |  FROM b),
+       | sz AS (SELECT source, COUNT(*) AS sz FROM b GROUP BY 1)
+       |SELECT k.doc_id, k.source, k.quality_milli, k.round,
+       |  CAST((SELECT COALESCE(SUM(LEAST(z.sz, k.round - 1)), 0) FROM sz z)
+       |    + (SELECT COUNT(*) FROM sz z
+       |       WHERE z.sz >= k.round AND z.source < k.source) AS BIGINT)
+       |    AS train_pos
+       |FROM k""".stripMargin
+
   // ------------------------------------------------- BPE tokenizer
   /** Merge count for the corpus-trained BPE model ([[bpeTrain]]);
     * overridable for tests via `spark.graft.bpe.merges`. */
@@ -2314,6 +2377,7 @@ object DocQueries {
     "doc_mix_apply"       -> (mixApply _),
     "doc_bpe_train"       -> (bpeTrain _),
     "doc_bpe_encode"      -> (bpeEncode _),
+    "doc_curriculum"      -> (curriculum _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
     "doc_winnow"       -> (winnowFingerprints _),
@@ -2351,6 +2415,7 @@ object DocQueries {
     "doc_source_mix"      -> sourceMixSql,
     "doc_mix_temperature" -> mixTemperatureSql,
     "doc_mix_apply"       -> mixApplySql,
+    "doc_curriculum"      -> curriculumSql,
     "doc_filter_chain"    -> filterChainSql,
     "doc_token_counts"    -> tokenCountsSql,
     "doc_winnow"          -> winnowSql,

@@ -810,7 +810,87 @@ object EmbeddingQueries {
        |SELECT vec_id, cluster, dist2 FROM a3""".stripMargin
   }
 
+  // ------------------------------------------------------------ outliers
+  /** Embedding-space outlier scoring — the contamination/junk detector of
+    * a curation pipeline: each vector's squared distance to the corpus
+    * centroid, z-scored over the corpus, flagged one-sided at z > 3 (far
+    * from the centroid; being unusually CLOSE is not an anomaly).
+    *
+    * Exactness: the centroid quantizes to the scaled-integer grid
+    * (floor(per-dim sum / n) — the sum is an exact long while n x 1e7 <
+    * 2^53, far beyond any real corpus's per-dim mass), so every distance is
+    * an EXACT long ([[dotScaled]] of the integer diff with itself) and the
+    * corpus moments are exact integer sums (decimal-widened: dist2 < 2^53
+    * and sum-of-squares < 10^38 up to ~10^6 x corpus — shard the stats per
+    * stratum beyond that, like the daily-rollup pattern). The only doubles
+    * are the final mean/variance/z, the same fixed formula both engines
+    * evaluate on identical inputs ([[graft.queries.EventQueries.anomaly]]'s
+    * determinism argument).
+    *
+    * Scale: per-dim sums are ONE map-side-combinable shuffle of 64 x
+    * partitions rows; the 64-long centroid broadcasts; scoring is a narrow
+    * pass; the moment agg is one more single-row reduce. No window over the
+    * corpus, no driver collect. */
+  def outliers(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val centroidRow = e
+      .select(posexplode(col("emb")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("pos"),
+        floor(col("s").cast("double") / col("cnt")).cast("long").as("mq"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mq")))),
+        x => x.getField("mq")).as("centroid"))
+    val scored = e.crossJoin(broadcast(centroidRow))
+      .select(col("vec_id"),
+        dotScaled(
+          zip_with(col("emb"), col("centroid"), (a, b) => a - b),
+          zip_with(col("emb"), col("centroid"), (a, b) => a - b)).as("dist2"))
+    val stats = scored.agg(
+      count(lit(1)).as("n"),
+      sum(col("dist2").cast("decimal(38,0)")).cast("double").as("sum_d"),
+      sum(col("dist2").cast("decimal(20,0)") * col("dist2").cast("decimal(20,0)"))
+        .cast("double").as("sumsq_d"))
+    val mean = col("sum_d") / col("n")
+    val variance =
+      (col("sumsq_d") - col("sum_d") * col("sum_d") / col("n")) / (col("n") - 1)
+    scored.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("dist2"),
+        when(col("n") >= 2 && variance > 0,
+          round((col("dist2").cast("double") - mean) / sqrt(variance), 6))
+          .as("z"))
+      .withColumn("is_outlier", col("z") > 3)
+  }
+
+  val outliersSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | s AS (SELECT i, CAST(SUM(emb[i]) AS BIGINT) AS sm, COUNT(*) AS cnt
+       |       FROM e, idx GROUP BY i),
+       | m AS (SELECT i, CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS mq
+       |       FROM s),
+       | d AS (SELECT vec_id,
+       |         CAST(SUM((emb[m.i] - m.mq) * (emb[m.i] - m.mq)) AS BIGINT)
+       |           AS dist2
+       |       FROM e, m GROUP BY 1),
+       | st AS (SELECT COUNT(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS sum_d,
+       |          CAST(SUM(CAST(dist2 AS HUGEINT) * dist2) AS DOUBLE) AS sumsq_d
+       |        FROM d),
+       | z AS (SELECT vec_id, dist2,
+       |         CASE WHEN n >= 2
+       |               AND (sumsq_d - sum_d * sum_d / n) / (n - 1) > 0
+       |              THEN ROUND((CAST(dist2 AS DOUBLE) - sum_d / n)
+       |                   / sqrt((sumsq_d - sum_d * sum_d / n) / (n - 1)), 6)
+       |         END AS z
+       |       FROM d, st)
+       |SELECT vec_id, dist2, z, z > 3 AS is_outlier FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
@@ -823,6 +903,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,

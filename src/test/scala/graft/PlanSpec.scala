@@ -249,6 +249,20 @@ class PlanSpec extends SparkSpec {
       s"only the tiny weight build may exchange, got $exchanges")
   }
 
+  test("curriculum: no single-partition window — global order is arithmetic") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_curriculum")(spark, sf))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would funnel the corpus through one task")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "source sizes must broadcast, not shuffle-join")
+  }
+
   test("anomaly: one user-key exchange, no joins — the sessionize shape") {
     val nodes = planNodes(
       graft.queries.EventQueries.queries("evt_anomaly")(spark, sf))

@@ -594,6 +594,43 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("curriculum: train_pos is a permutation, round-robin, best-first") {
+    val rows = DocQueries.curriculum(spark, sf)
+      .select("doc_id", "source", "quality_milli", "round", "train_pos")
+      .as[(Long, String, Long, Int, Long)].collect()
+    val n = rows.length
+    // a true permutation of 0..n-1 — every position exists exactly once
+    assert(rows.map(_._5).sorted.toSeq === (0L until n).toSeq)
+    val order = rows.sortBy(_._5)
+    // quality never improves later WITHIN a source (best-first curriculum)
+    order.groupBy(_._2).values.foreach { src =>
+      val q = src.sortBy(_._5).map(_._3)
+      assert(q.zip(q.tail).forall { case (a, b) => a >= b }, "quality must be non-increasing")
+    }
+    // the first |sources| positions hold one doc from each source (round 1)
+    val nSources = rows.map(_._2).distinct.length
+    assert(order.take(nSources).map(_._2).distinct.length === nSources,
+      "round 1 must interleave every source")
+    // rounds are contiguous: all of round r precedes all of round r+1
+    assert(order.map(_._4).zip(order.map(_._4).tail).forall { case (a, b) => a <= b })
+  }
+
+  test("embedding outliers: a planted far vector flags, the bulk does not") {
+    val dim = 64
+    // 60 tight vectors near the origin, one far away
+    val vecs = (1L to 60L).map(id =>
+      (id, Array.tabulate(dim)(i => ((id + i) % 7).toFloat / 100f), 0)) :+
+      (99L, Array.fill(dim)(0.5f), 0)
+    val tmp = java.nio.file.Files.createTempDirectory("out").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingQueries.queries("emb_outliers")(spark, tmp)
+      .select("vec_id", "z").as[(Long, Option[Double])].collect().toMap
+    assert(out(99L).exists(_ > 3.0), s"planted outlier not flagged: ${out(99L)}")
+    assert((1L to 60L).forall(id => out(id).forall(_ <= 3.0)),
+      "bulk vectors must not flag")
+  }
+
   test("BPE trainer matches a naive reference on a planted corpus") {
     import graft.functions.Bpe
     // the classic Sennrich corpus shape: repeated words with shared affixes
