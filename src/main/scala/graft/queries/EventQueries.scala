@@ -516,8 +516,65 @@ object EventQueries {
       |SELECT event_id, user_id, value_scaled, n, z, abs(z) > 3 AS is_anomaly
       |FROM z""".stripMargin
 
+  // ------------------------------------------------------------ EWMA
+  /** Per-user exponentially-weighted moving average of the event value —
+    * the trend/smoothing primitive behind rate limiting and drift
+    * monitoring: each event's EWMA over its user's last 20 observations
+    * (event-time order), alpha = 1/2.
+    *
+    * Determinism: alpha is DYADIC and the history is truncated, so every
+    * term v_j x 2^-k is an exact double (values scale to longs < 2^20,
+    * weights are 1/(1L << k), k <= 20 — products need ~44 bits < 2^53) and
+    * every PARTIAL SUM is exact: summation order cannot matter, which is
+    * what lets a DuckDB unnest+SUM replay a JVM fold bit-for-bit. The only
+    * rounded double is the final num/den quotient (round 6). A float
+    * alpha like 0.3 would make every partial sum order-sensitive — don't.
+    *
+    * Scale: one shuffle on user_id; the 20-row frame bounds window state;
+    * the fold is O(20) per row. The sessionize/anomaly shape. */
+  def ewma(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val ewmaUdf = udf((hist: Seq[Long]) => {
+      val l = hist.length
+      var num = 0.0
+      var den = 0.0
+      var j = 0
+      while (j < l) {
+        val wgt = 1.0 / (1L << (l - j)) // newest (j = l-1) weighs 1/2
+        num += hist(j) * wgt
+        den += wgt
+        j += 1
+      }
+      num / den
+    })
+    ev(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("value_scaled"))
+      .withColumn("hist", collect_list(col("value_scaled")).over(w))
+      .select(col("event_id"), col("user_id"), col("value_scaled"),
+        round(ewmaUdf(col("hist")), 6).as("ewma"))
+  }
+
+  val ewmaSql: String =
+    """WITH t AS (SELECT event_id, user_id, ts,
+      |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_scaled FROM events),
+      | w AS (SELECT event_id, user_id, value_scaled,
+      |    list(value_scaled) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hist
+      |  FROM t),
+      | u AS (SELECT event_id, user_id, value_scaled,
+      |    unnest(hist) AS v, generate_subscripts(hist, 1) AS j, len(hist) AS l
+      |  FROM w)
+      |SELECT event_id, user_id, value_scaled,
+      |  ROUND(SUM(v / CAST(1::BIGINT << (l - j + 1) AS DOUBLE))
+      |        / SUM(1.0 / CAST(1::BIGINT << (l - j + 1) AS DOUBLE)), 6) AS ewma
+      |FROM u GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_anomaly"             -> (anomaly _),
+    "evt_ewma"                -> (ewma _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -533,6 +590,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
+    "evt_ewma"                -> ewmaSql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

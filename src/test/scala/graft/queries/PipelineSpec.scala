@@ -594,6 +594,27 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("EWMA: hand-computed smoothing over a planted series") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, ts, 1L, "view", 10.0, "{}"),
+      (2L, ts, 1L, "view", 20.0, "{}"),
+      (3L, ts, 1L, "view", 40.0, "{}"),
+      (4L, ts, 2L, "view", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventQueries.queries("evt_ewma")(spark, tmp)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // event 1: hist [10000]          -> 10000
+    // event 2: hist [10000, 20000]   -> (10000/4 + 20000/2) / (1/4 + 1/2)
+    // event 3: [10000, 20000, 40000] -> (10000/8 + 20000/4 + 40000/2) / (7/8)
+    assert(out(1L) === 10000.0)
+    assert(out(2L) === 16666.666667) // (10000/4 + 20000/2) / 0.75, round 6
+    assert(out(3L) === 30000.0)      // 26250 / 0.875
+    assert(out(4L) === 7000.0)       // user 2 isolated
+  }
+
   test("curriculum: train_pos is a permutation, round-robin, best-first") {
     val rows = DocQueries.curriculum(spark, sf)
       .select("doc_id", "source", "quality_milli", "round", "train_pos")
