@@ -535,20 +535,8 @@ object EventQueries {
   def ewma(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-19, Window.currentRow)
-    val ewmaUdf = udf((hist: Seq[Long]) => {
-      val l = hist.length
-      var num = 0.0
-      var den = 0.0
-      var j = 0
-      while (j < l) {
-        val wgt = 1.0 / (1L << (l - j)) // newest (j = l-1) weighs 1/2
-        num += hist(j) * wgt
-        den += wgt
-        j += 1
-      }
-      num / den
-    })
+      .rowsBetween(1L - graft.functions.Ewma.WindowSize, Window.currentRow)
+    val ewmaUdf = udf((hist: Seq[Long]) => graft.functions.Ewma.fold(hist))
     ev(spark, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         floor(col("value") * 1000).cast("long").as("value_scaled"))

@@ -118,6 +118,40 @@ object Streams {
         })
   }
 
+  /** Online per-user EWMA — the streaming form of the batch
+    * [[graft.queries.EventQueries.ewma]]: keyed state holds each user's
+    * last [[graft.functions.Ewma.WindowSize]] scaled values (oldest
+    * first) and each arriving event emits the IDENTICAL truncated fold
+    * ([[graft.functions.Ewma.fold]] — shared, so batch/stream parity
+    * holds by construction; StateSpec pins it). State per user is a
+    * bounded 20-long vector.
+    *
+    * Input: (userId, eventId, tsMillis, valueScaled). Output adds the
+    * EWMA (rounded 6, like the batch query). */
+  def ewmaStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val win = graft.functions.Ewma.WindowSize
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[List[Long]]) => {
+          var hist = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (user, event, ts, v) =>
+              hist = (hist :+ v).takeRight(win)
+              val e = BigDecimal(graft.functions.Ewma.fold(hist))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (user, event, ts, v, e)
+          }
+          state.update(hist)
+          out.iterator
+        })
+  }
+
   /** Windowed event-rate rollup (the monitoring aggregate the reference
     * delegates downstream): tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

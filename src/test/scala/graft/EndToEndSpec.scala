@@ -107,4 +107,42 @@ class EndToEndSpec extends SparkSpec {
       .getOrElse(Array.empty).map(_.getName).filterNot(_.contains(".")).map(_.toLong)
     assert(offsetBatches.length >= 3)
   }
+
+  test("stateful anomaly stream: keyed moments survive kill/restart") {
+    import spark.implicits._
+    val in = tmp("anom-in"); val out = tmp("anom-out"); val cp = tmp("anom-cp")
+
+    def addInput(rows: Seq[(Long, Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "value_scaled")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def start() = graft.streaming.Streams.anomalyStream(
+        spark.readStream
+          .schema(StructType(Seq(
+            StructField("user_id", LongType), StructField("event_id", LongType),
+            StructField("ts", LongType), StructField("value_scaled", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .as[(Long, Long, Long, Long)])
+      .toDF("user_id", "event_id", "ts", "value_scaled", "z", "is_anomaly")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+
+    // phase 1: user 1 builds a tight 14-event history; then the query dies
+    addInput((1L to 14L).map(i => (1L, i, i, 1000L + (i % 3) * 5)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2: the spike arrives while the query is down; the restarted
+    // query can only flag it if the user's moments were RECOVERED from the
+    // state store, not rebuilt from the (single-row) new batch
+    addInput(Seq((1L, 15L, 15L, 900000L)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val res = spark.read.parquet(out)
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(res.size === 15, "every event exactly once across the restart")
+    assert(res(15L), "post-restart spike must flag against recovered state")
+    (1L to 14L).foreach(e => assert(!res(e)))
+  }
 }

@@ -125,6 +125,39 @@ class StreamsSpec extends SparkSpec {
     (1L to 10L).foreach(e => assert(!rows(e), s"warm-up event $e must not flag"))
   }
 
+  test("streaming EWMA equals the batch query value-for-value across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 30 events per user — deeper than the 20-window, so truncation and
+    // cross-batch state both exercise
+    val rows = for (u <- 1L to 3L; i <- 1L to 30L)
+      yield (u, u * 100 + i, base + i * 1000, (u * 37 + i * 13) % 1500)
+    val tmp = java.nio.file.Files.createTempDirectory("ewmapar").toString
+    // value = whole units so floor(value*1000) is exactly v*1000 — the
+    // stream is fed the same scaled longs the batch query derives
+    rows.map { case (u, e, ts, v) =>
+      (e, new java.sql.Timestamp(ts), u, "view", v.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.queries.EventQueries.queries("evt_ewma")(spark, tmp)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.ewmaStream(input.toDS())
+      .toDF("user_id", "event_id", "ts", "value_scaled", "ewma")
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(40) // split mid-user: state must carry over
+    input.addData(b1.map { case (u, e, ts, v) => (u, e, ts, v * 1000) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (u, e, ts, v) => (u, e, ts, v * 1000) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ewmastream")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    q.stop()
+    assert(streamed === batch)
+  }
+
   test("windowed counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
