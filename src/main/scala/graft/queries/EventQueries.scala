@@ -303,33 +303,46 @@ object EventQueries {
     *    20% Bernoulli sample keyed on md5(event_id) — sampling replaces
     *    the sketch, determinism replaces the RNG.
     * Accuracy vs the exact rollup is asserted in SketchSpec. */
-  def dailyRollupApprox(spark: SparkSession, d: String): DataFrame = {
-    val base = ev(spark, d).select(
-      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
-      col("event_type"), col("user_id"), col("value"), col("event_id"))
-    val keys = Seq("day", "event_type")
+  /** The deterministic HLL register table keyed (day, event_type, bucket):
+    * the shared base of [[dailyRollupApprox]] and [[rollingDistinct]] —
+    * build registers from the data ONCE, then every aggregate (daily, any
+    * sliding horizon) re-merges the sketch-sized table, never the data. */
+  private def hllRegs(base: DataFrame): DataFrame = {
     val uidMd5 = md5(col("user_id").cast("string"))
     val lo = conv(substring(uidMd5, 25, 8), 16, 10).cast("long")
     val hi = conv(substring(uidMd5, 17, 8), 16, 10).cast("long")
     val w = hi * lit(1L << 22) + shiftrightunsigned(lo, 10)
     val r = when(w === 0, lit(1L << 54)).otherwise(w.bitwiseAND(-w))
-    val regs = base
+    base
       .withColumn("bucket", lo.bitwiseAND(lit((HllM - 1).toLong)))
       .withColumn("r", r)
       .groupBy(col("day"), col("event_type"), col("bucket"))
       .agg(max(col("r")).as("rmax"))
-    val users = regs.groupBy(keys.map(col): _*)
+  }
+
+  /** Exact-integer harmonic estimate over a register table, per `keys`:
+    * the estimate column is `approx_users` (round 3), the arithmetic is
+    * identical to the oracle replica's. */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
       .agg(
         sum(floor(lit((1L << 51).toDouble) / col("rmax")).cast("long")).as("s_present"),
         count(lit(1)).as("nregs"))
-      .select(col("day"), col("event_type"),
+      .select(keys.map(col) :+
         (col("s_present") + (lit(HllM.toLong) - col("nregs")) * lit(1L << 52))
-          .cast("double").as("s"),
-        (lit(HllM.toLong) - col("nregs")).as("zeros"))
-      .select(col("day"), col("event_type"),
+          .cast("double").as("s") :+
+        (lit(HllM.toLong) - col("nregs")).as("zeros"): _*)
+      .select(keys.map(col) :+
         round(when(lit(HllScale) / col("s") <= lit(2.5 * HllM) && col("zeros") > 0,
             lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
-          .otherwise(lit(HllScale) / col("s")), 3).as("approx_users"))
+          .otherwise(lit(HllScale) / col("s")), 3).as("approx_users"): _*)
+
+  def dailyRollupApprox(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"), col("value"), col("event_id"))
+    val keys = Seq("day", "event_type")
+    val users = hllEstimate(hllRegs(base), keys)
     val sampleKey = conv(substring(md5(concat(lit("v"), col("event_id").cast("string"))), 25, 8), 16, 10)
       .cast("long")
     // counts and sampled percentiles fuse into ONE aggregation pass:
@@ -386,6 +399,71 @@ object EventQueries {
        |SELECT cnt.day, cnt.event_type, n_events, approx_users, p50_value, p95_value
        |FROM cnt JOIN users USING (day, event_type)
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
+  }
+
+  // ------------------------------------------------------------ rolling HLL
+  /** 7-day rolling distinct users per event type — the re-aggregation
+    * payoff of a MERGEABLE sketch: the data is scanned ONCE to build the
+    * daily register table ([[hllRegs]]); every sliding window then merges
+    * register rows (register union = per-bucket max), so the window pass
+    * costs O(days x types x 1024) — sketch-sized, independent of event
+    * volume. An exact COUNT DISTINCT would re-shuffle the raw events once
+    * per window.
+    *
+    * The day-range merge is a broadcast join against the (tiny) distinct-
+    * day list rather than a window function: a bucket silent on day d must
+    * still contribute its day d-3 register to d's window, which a window
+    * over the sparse register rows would miss. */
+  def rollingDistinct(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"))
+    val regs = hllRegs(base)
+    val days = regs.select(col("day").as("win_day")).distinct()
+    val merged = regs
+      .join(broadcast(days),
+        datediff(col("win_day"), col("day")).between(0, 6))
+      .groupBy(col("win_day"), col("event_type"), col("bucket"))
+      .agg(max(col("rmax")).as("rmax"))
+    hllEstimate(merged, Seq("win_day", "event_type"))
+      .select(col("win_day"), col("event_type"),
+        col("approx_users").as("approx_users_7d"))
+  }
+
+  val rollingDistinctSql: String = {
+    val c = HllScale.toString
+    s"""WITH base AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id
+       |  FROM events),
+       | h AS (SELECT day, event_type,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 25, 8))::UBIGINT AS lo,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 17, 8))::UBIGINT AS hi
+       |       FROM base),
+       | hw AS (SELECT day, event_type,
+       |          CAST(lo & 1023 AS BIGINT) AS bucket,
+       |          CAST(hi AS BIGINT) * 4194304 + CAST(lo >> 10 AS BIGINT) AS w
+       |        FROM h),
+       | regs AS (SELECT day, event_type, bucket,
+       |            MAX(CASE WHEN w = 0 THEN 18014398509481984
+       |                     ELSE w & (-w) END) AS rmax
+       |          FROM hw GROUP BY 1, 2, 3),
+       | days AS (SELECT DISTINCT day AS win_day FROM regs),
+       | merged AS (SELECT d.win_day, r.event_type, r.bucket, MAX(r.rmax) AS rmax
+       |            FROM regs r JOIN days d
+       |              ON date_diff('day', strptime(r.day, '%Y-%m-%d'),
+       |                           strptime(d.win_day, '%Y-%m-%d')) BETWEEN 0 AND 6
+       |            GROUP BY 1, 2, 3),
+       | hll AS (SELECT win_day, event_type,
+       |           SUM(CAST(FLOOR(2251799813685248.0 / rmax) AS BIGINT)) AS s_present,
+       |           COUNT(*) AS nregs
+       |         FROM merged GROUP BY 1, 2)
+       |SELECT win_day, event_type,
+       |  ROUND(CASE WHEN $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE) <= 2560.0
+       |              AND 1024 - nregs > 0
+       |        THEN 1024.0 * ln(1024.0 / CAST(1024 - nregs AS DOUBLE))
+       |        ELSE $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE)
+       |        END, 3) AS approx_users_7d
+       |FROM hll""".stripMargin
   }
 
   // ------------------------------------------------------------ session stats
@@ -563,6 +641,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
+    "evt_rolling_distinct"    -> (rollingDistinct _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -579,6 +658,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
+    "evt_rolling_distinct"    -> rollingDistinctSql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

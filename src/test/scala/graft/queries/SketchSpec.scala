@@ -26,6 +26,38 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("rolling 7-day HLL tracks the exact 7-day distinct within sketch error") {
+    import org.apache.spark.sql.functions.{countDistinct, datediff}
+    val ev = graft.Tables.events(spark, sf).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"))
+    val days = ev.select(col("day").as("win_day")).distinct()
+    val exact = ev.join(days, datediff(col("win_day"), col("day")).between(0, 6))
+      .groupBy("win_day", "event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val approx = EventQueries.rollingDistinct(spark, sf)
+      .select("win_day", "event_type", "approx_users_7d")
+      .as[(String, String, Double)].collect()
+    assert(approx.nonEmpty)
+    // windows and keys line up exactly; estimates within HLL error
+    assert(approx.map(r => (r._1, r._2)).toSet === exact.keySet)
+    approx.foreach { case (day, et, a) =>
+      val e = exact((day, et))
+      assert(math.abs(a - e) <= math.max(0.15 * e, 2.0),
+        s"($day,$et): approx=$a exact=$e")
+    }
+    // merging can only grow a register set: the 7-day estimate dominates
+    // the daily estimate for the window's last day (same sketch, superset)
+    val daily = EventQueries.dailyRollupApprox(spark, sf)
+      .select("day", "event_type", "approx_users").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    approx.foreach { case (day, et, a) =>
+      daily.get((day, et)).foreach(d1 =>
+        assert(a >= d1 - 1e-9, s"($day,$et): 7d $a < daily $d1"))
+    }
+  }
+
   test("Hll typed aggregator agrees bit-for-bit with the SQL-replica rollup") {
     val approx = EventQueries.dailyRollupApprox(spark, sf)
       .select("day", "event_type", "approx_users").as[(String, String, Double)]
