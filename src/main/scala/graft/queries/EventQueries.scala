@@ -466,6 +466,47 @@ object EventQueries {
        |FROM hll""".stripMargin
   }
 
+  // ------------------------------------------------------------ Z-order
+  /** Z-order (Morton) layout key over (user_id, day) — the data-layout
+    * primitive behind multi-dimensional data skipping: sorting/packing by
+    * the interleaved key co-locates rows that are close in BOTH dimensions,
+    * so a file (here `zfile`, the key's top tiles) is prunable by min/max
+    * stats on either column. The standard OPTIMIZE ZORDER shape.
+    *
+    * Pure per-row bit math, fully unrolled into 16 shift/mask terms —
+    * stays inside whole-stage codegen, no UDF, exchange-free; the oracle
+    * evaluates the IDENTICAL integer expression. At 100 TB the actual
+    * re-layout is `repartitionByRange(zvalue).sortWithinPartitions` on
+    * write; the key itself is this narrow pass. */
+  def zorder(spark: SparkSession, d: String): DataFrame = {
+    val x = col("user_id").bitwiseAND(lit(65535L))
+    val y = col("day_num").bitwiseAND(lit(65535L))
+    val zvalue = (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    ev(spark, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .withColumn("zvalue", zvalue)
+      .withColumn("zfile", shiftrightunsigned(col("zvalue"), 22))
+  }
+
+  val zorderSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((user_id & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(((day_num & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT event_id, user_id,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+       |  FROM events)
+       |SELECT event_id, user_id, day_num,
+       |  CAST($terms AS BIGINT) AS zvalue,
+       |  CAST(($terms) // 4194304 AS BIGINT) AS zfile
+       |FROM t""".stripMargin
+  }
+
   // ------------------------------------------------------------ session stats
   /** Daily session-level rollup on top of [[sessionize]]: session counts,
     * bounce rate (single-event sessions), and average duration/size per
@@ -642,6 +683,7 @@ object EventQueries {
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
     "evt_rolling_distinct"    -> (rollingDistinct _),
+    "evt_zorder"              -> (zorder _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -659,6 +701,7 @@ object EventQueries {
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
     "evt_rolling_distinct"    -> rollingDistinctSql,
+    "evt_zorder"              -> zorderSql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

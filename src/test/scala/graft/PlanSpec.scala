@@ -263,6 +263,27 @@ class PlanSpec extends SparkSpec {
       "source sizes must broadcast, not shuffle-join")
   }
 
+  test("zorder: pure narrow bit math — exchange-free, no UDF") {
+    val df = graft.queries.EventQueries.queries("evt_zorder")(spark, sf)
+    val nodes = planNodes(df)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "the layout key is per-row math; nothing may shuffle")
+    assert(!plan(df).contains("BatchEvalPython") && !plan(df).toLowerCase.contains("scalaudf"),
+      "the interleave must be built-in expressions inside codegen")
+  }
+
+  test("rolling distinct: day list broadcasts; register table never sort-merges") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_rolling_distinct")(spark, sf))
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the distinct-day list must broadcast onto the register table")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+  }
+
   test("anomaly: one user-key exchange, no joins — the sessionize shape") {
     val nodes = planNodes(
       graft.queries.EventQueries.queries("evt_anomaly")(spark, sf))

@@ -594,6 +594,23 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("zorder: interleave is exact and tiles nest by prefix") {
+    val rows = EventQueries.queries("evt_zorder")(spark, sf)
+      .select("user_id", "day_num", "zvalue", "zfile")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def interleave(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    rows.foreach { case (u, dn, z, zf) =>
+      assert(z === interleave(u & 65535, dn & 65535))
+      // prefix property: the file tile IS the interleave of the truncated
+      // coordinates — close (user, day) pairs land in the same file
+      assert(zf === interleave((u & 65535) >> 11, (dn & 65535) >> 11),
+        s"u=$u dn=$dn")
+    }
+  }
+
   test("EWMA: hand-computed smoothing over a planted series") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
