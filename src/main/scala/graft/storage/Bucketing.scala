@@ -31,4 +31,17 @@ object Bucketing {
     // binding through saveAsTable-backed relations in Spark 4
     l.join(r, org.apache.spark.sql.functions.expr(s"$leftKey = $rightKey"))
   }
+
+  /** Persist a frame hive-partitioned by a (low-cardinality) column — the
+    * time/tenant layout of a 100 TB event store: a reader filtering on the
+    * partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan, zero data files touched for excluded
+    * partitions), which predicate pushdown alone cannot do — row-group
+    * stats still require opening every file's footer. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .format("parquet")
+      .mode("overwrite")
+      .save(path)
 }

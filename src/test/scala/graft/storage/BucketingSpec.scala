@@ -35,4 +35,35 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("day-partitioned layout prunes partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val events = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+    Bucketing.writePartitioned(events, dir, "day")
+    val days = events.select("day").distinct().count()
+    assert(days > 1, "fixture must span multiple days")
+
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the day predicate became a PARTITION filter (directory pruning), not
+    // a data filter evaluated per row group
+    assert(scan.partitionFilters.map(_.toString).mkString.contains("day"),
+      s"day filter must prune partitions: ${scan.partitionFilters}")
+    // only the one matching directory's files are selected for the scan
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).nonEmpty)
+    assert(scan.metadata("Location").nonEmpty)
+    val selectedParts =
+      scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    assert(selectedParts === 1, s"expected 1 pruned partition, got $selectedParts")
+    // correctness: pruned read equals a post-hoc filter of the full table
+    assert(read.count() ===
+      events.filter(col("day") === "2024-01-02").count())
+    assert(read.count() > 0)
+  }
 }
