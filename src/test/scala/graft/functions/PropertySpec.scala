@@ -18,6 +18,43 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  // ------------------------------------------------------------------ BPE
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val ranksGen: Gen[Map[(String, String), Int]] =
+    Gen.listOf(for {
+      l <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString).flatMap(s =>
+        Gen.oneOf(s.take(1), s))
+      r <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString).flatMap(s =>
+        Gen.oneOf(s.take(1), s, s + Bpe.EndOfWord))
+    } yield (l, r)).map(_.distinct.zipWithIndex.toMap)
+
+  test("BPE encode: symbols always reconstruct the word, under ANY rank map") {
+    check(Prop.forAll(wordGen, ranksGen) { (w, ranks) =>
+      Bpe.encodeWord(w, ranks).mkString.stripSuffix(Bpe.EndOfWord) == w
+    })
+  }
+
+  test("BPE encode is idempotent: no mergeable pair survives encoding") {
+    check(Prop.forAll(wordGen, ranksGen) { (w, ranks) =>
+      val syms = Bpe.encodeWord(w, ranks)
+      syms.length < 2 || syms.sliding(2).forall(p =>
+        !ranks.contains((p(0), p(1))))
+    })
+  }
+
+  test("BPE mergePair: fuses every non-overlapping occurrence, keeps mass") {
+    check(Prop.forAll(wordGen, wordGen.map(_.take(2))) { (w, pair) =>
+      val syms = Bpe.wordSymbols(w)
+      val (l, r) = (pair.take(1), pair.drop(1))
+      val merged = Bpe.mergePair(syms, l, if (r.isEmpty) l else r)
+      merged.mkString == syms.mkString &&
+        (merged.length <= syms.length)
+    })
+  }
+
   // --------------------------------------------------------------- base36
   test("base36 long/int roundtrip for every in-range value") {
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
