@@ -138,6 +138,61 @@ object RelationalQueries {
       |GROUP BY n_name""".stripMargin
       .replace("REVEXPR", revenueSql)
 
+  // ---------------------------------------------------------------- q7
+  /** TPC-H Q7-style volume shipping: bilateral trade (supplier nation ↔
+    * customer nation) by ship year for two chosen nations. The classic
+    * many-dim star: the fact table (lineitem) is scanned ONCE and every
+    * other input — orders is keyed fact-sized in real TPC-H, but the
+    * nation-filtered customer/supplier sides here — broadcasts, so the
+    * only big exchange is the lineitem↔orders key join; the nation-pair
+    * filter applies BEFORE the join via the broadcast hash sides (row
+    * reduction at the scan, not post-join). Exact decimal money, double at
+    * the edge. */
+  def q7(spark: SparkSession, d: String): DataFrame = {
+    val picked = Seq("NATION_3", "NATION_7")
+    val n = nation(spark, d)
+      .filter(col("n_name").isInCollection(picked))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = supplier(spark, d)
+      .join(broadcast(n.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+      .select("s_suppkey", "supp_nation")
+    val c = customer(spark, d)
+      .join(broadcast(n.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+      .select("c_custkey", "cust_nation")
+    val o = orders(spark, d).select("o_orderkey", "o_custkey")
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), revenue.as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year, REVEXPR AS volume
+      |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_name IN ('NATION_3', 'NATION_7')
+      |    AND n2.n_name IN ('NATION_3', 'NATION_7')
+      |    AND n1.n_name <> n2.n_name
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01')
+      |GROUP BY 1, 2, 3""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
   // ---------------------------------------------------------------- q6
   /** TPC-H Q6-style: the pure-pushdown query. All three predicates reach the
     * parquet scan as PushedFilters; output is a single row — zero shuffle
@@ -233,6 +288,7 @@ object RelationalQueries {
     "q4_order_priority"  -> (q4 _),
     "q5_local_revenue"   -> (q5 _),
     "q6_forecast"        -> (q6 _),
+    "q7_volume_shipping" -> (q7 _),
     "topn_window"        -> (topnWindow _),
     "rollup_acctbal"     -> (rollupRevenue _))
 
@@ -242,6 +298,7 @@ object RelationalQueries {
     "q4_order_priority"  -> q4Sql,
     "q5_local_revenue"   -> q5Sql,
     "q6_forecast"        -> q6Sql,
+    "q7_volume_shipping" -> q7Sql,
     "topn_window"        -> topnWindowSql,
     "rollup_acctbal"     -> rollupRevenueSql)
 }

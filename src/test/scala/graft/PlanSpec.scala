@@ -232,6 +232,23 @@ class PlanSpec extends SparkSpec {
       "the corpus must never shuffle-sort against the probe set")
   }
 
+  test("q7: one fact scan, dims broadcast, shipdate pushed down") {
+    val df = RelationalQueries.q7(spark, sf)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate must reach the scan")
+    val nodes = planNodes(df)
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 2, s"supplier+customer sides must broadcast, got $bhj")
+    // lineitem appears in exactly one scan: the star reads the fact once
+    val factScans = nodes.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(factScans === 1, s"fact table must be scanned once, got $factScans")
+  }
+
   test("mix apply: corpus side broadcast-joins the weight table, never shuffles") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_mix_apply")(spark, sf))
