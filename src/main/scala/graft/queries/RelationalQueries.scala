@@ -193,6 +193,75 @@ object RelationalQueries {
       |GROUP BY 1, 2, 3""".stripMargin
       .replace("REVEXPR", revenueSql)
 
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13-style customer distribution: how many customers placed k
+    * orders (k = 0 included — the LEFT join is the point). Two-phase
+    * aggregation: phase 1 shuffles on the join/group key (custkey — both
+    * sides large, a legitimate sort-merge), phase 2 groups by the tiny
+    * order-count domain, so the second exchange moves |distinct k| rows.
+    * The zero bucket cannot be produced by any inner-join formulation —
+    * it is the classic "count absent children" outer-join shape. */
+  def q13(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+      .filter(!col("o_orderpriority").startsWith("1-URGENT"))
+      .select("o_orderkey", "o_custkey")
+    customer(spark, d).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-URGENT%'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** TPC-H Q10-style returned-item ranking: revenue lost to returns per
+    * customer in a quarter, top 20. Fact scan with pushed returnflag +
+    * date predicates → one key join to the (filtered) orders → broadcast
+    * customer attributes onto the 20-row result is the real-cluster plan;
+    * here customer broadcasts pre-agg (it is dim-sized). Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def q10(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val rev = lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("drev"))
+    rev.join(broadcast(customer(spark, d)
+        .select("c_custkey", "c_name", "c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("drev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+      |  CAST(SUM(REVEXPR) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
   // ---------------------------------------------------------------- q6
   /** TPC-H Q6-style: the pure-pushdown query. All three predicates reach the
     * parquet scan as PushedFilters; output is a single row — zero shuffle
@@ -289,6 +358,8 @@ object RelationalQueries {
     "q5_local_revenue"   -> (q5 _),
     "q6_forecast"        -> (q6 _),
     "q7_volume_shipping" -> (q7 _),
+    "q10_returned_items" -> (q10 _),
+    "q13_custdist"       -> (q13 _),
     "topn_window"        -> (topnWindow _),
     "rollup_acctbal"     -> (rollupRevenue _))
 
@@ -299,6 +370,8 @@ object RelationalQueries {
     "q5_local_revenue"   -> q5Sql,
     "q6_forecast"        -> q6Sql,
     "q7_volume_shipping" -> q7Sql,
+    "q10_returned_items" -> q10Sql,
+    "q13_custdist"       -> q13Sql,
     "topn_window"        -> topnWindowSql,
     "rollup_acctbal"     -> rollupRevenueSql)
 }

@@ -249,6 +249,19 @@ class PlanSpec extends SparkSpec {
     assert(factScans === 1, s"fact table must be scanned once, got $factScans")
   }
 
+  test("q10: returnflag+date pushed down; top-20 is TakeOrdered, not global sort") {
+    val df = RelationalQueries.q10(spark, sf)
+    val p = plan(df)
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag must reach the scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q13: the zero bucket survives — outer join, then two-phase agg") {
+    val rows = RelationalQueries.q13(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.Tables.customer(spark, sf).count(), "every customer in one bucket")
+  }
+
   test("mix apply: corpus side broadcast-joins the weight table, never shuffles") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_mix_apply")(spark, sf))
