@@ -466,6 +466,72 @@ object EventQueries {
        |FROM hll""".stripMargin
   }
 
+  // ------------------------------------------------------------ rolling p95
+  /** 7-day rolling p95 of the event value — the MERGEABLE-percentile
+    * companion of [[rollingDistinct]]: the data is scanned once into
+    * per-day fixed-bin histograms (bin = scaled value >> 12, ~140 live
+    * bins here; histogram merge = bin-wise count sum, exactly like HLL
+    * register max), and every sliding window re-merges the sketch-sized
+    * histogram table. The p95 answer is the lower edge of the first bin
+    * whose cumulative count reaches 95% — all integer math
+    * (cum x 20 >= n x 19, no float thresholds), so the oracle replays it
+    * exactly; resolution is the bin width (4.096 value units).
+    *
+    * The sampled exact percentile of [[dailyRollupApprox]] is NOT
+    * re-aggregable (samples don't merge with bounded error); the histogram
+    * is, which is what a 100 TB store needs to answer any sliding horizon
+    * from one daily pass. */
+  def rollingP95(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"),
+      shiftrightunsigned(floor(col("value") * 1000).cast("long"), 12).as("bin"))
+    val hist = base.groupBy(col("day"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = hist.select(col("day").as("win_day")).distinct()
+    val merged = hist
+      .join(broadcast(days), datediff(col("win_day"), col("day")).between(0, 6))
+      .groupBy(col("win_day"), col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byBin = Window.partitionBy(col("win_day"), col("event_type"))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("win_day"), col("event_type"))
+    merged
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .filter(col("cum") * 20 >= col("n") * 19)
+      .groupBy(col("win_day"), col("event_type"))
+      .agg(min(col("bin")).as("p95_bin"), max(col("n")).as("n_events"))
+      .select(col("win_day"), col("event_type"), col("n_events"),
+        (col("p95_bin") * 4096).as("p95_floor_milli"))
+  }
+
+  val rollingP95Sql: String =
+    """WITH base AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    CAST(FLOOR(value * 1000) AS BIGINT) >> 12 AS bin
+      |  FROM events),
+      | hist AS (SELECT day, event_type, bin, COUNT(*) AS cnt
+      |          FROM base GROUP BY 1, 2, 3),
+      | days AS (SELECT DISTINCT day AS win_day FROM hist),
+      | merged AS (SELECT d.win_day, h.event_type, h.bin,
+      |              CAST(SUM(h.cnt) AS BIGINT) AS cnt
+      |            FROM hist h JOIN days d
+      |              ON date_diff('day', strptime(h.day, '%Y-%m-%d'),
+      |                           strptime(d.win_day, '%Y-%m-%d')) BETWEEN 0 AND 6
+      |            GROUP BY 1, 2, 3),
+      | c AS (SELECT win_day, event_type, bin, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY win_day, event_type
+      |           ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(SUM(cnt) OVER (PARTITION BY win_day, event_type)
+      |           AS BIGINT) AS n
+      |       FROM merged)
+      |SELECT win_day, event_type, MAX(n) AS n_events,
+      |  MIN(bin) * 4096 AS p95_floor_milli
+      |FROM c WHERE cum * 20 >= n * 19
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ Z-order
   /** Z-order (Morton) layout key over (user_id, day) — the data-layout
     * primitive behind multi-dimensional data skipping: sorting/packing by
@@ -684,6 +750,7 @@ object EventQueries {
     "evt_ewma"                -> (ewma _),
     "evt_rolling_distinct"    -> (rollingDistinct _),
     "evt_zorder"              -> (zorder _),
+    "evt_rolling_p95"         -> (rollingP95 _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -702,6 +769,7 @@ object EventQueries {
     "evt_ewma"                -> ewmaSql,
     "evt_rolling_distinct"    -> rollingDistinctSql,
     "evt_zorder"              -> zorderSql,
+    "evt_rolling_p95"         -> rollingP95Sql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

@@ -58,6 +58,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("rolling p95 histogram brackets the exact nearest-rank percentile") {
+    import org.apache.spark.sql.functions.{collect_list, datediff, floor => ffloor}
+    val ev = graft.Tables.events(spark, sf).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), ffloor(col("value") * 1000).cast("long").as("v"))
+    val days = ev.select(col("day").as("win_day")).distinct()
+    val exact = ev.join(days, datediff(col("win_day"), col("day")).between(0, 6))
+      .groupBy("win_day", "event_type")
+      .agg(collect_list(col("v")).as("vs"))
+      .as[(String, String, Seq[Long])].collect()
+      .map { case (d, t, vs) =>
+        val sorted = vs.sorted
+        val rank = math.ceil(0.95 * sorted.length).toInt
+        (d, t) -> sorted(rank - 1)
+      }.toMap
+    val approx = EventQueries.rollingP95(spark, sf)
+      .select("win_day", "event_type", "p95_floor_milli")
+      .as[(String, String, Long)].collect()
+    assert(approx.nonEmpty)
+    assert(approx.map(r => (r._1, r._2)).toSet === exact.keySet)
+    approx.foreach { case (d, t, lo) =>
+      val e = exact((d, t))
+      assert(lo <= e && e < lo + 4096,
+        s"($d,$t): p95 bin [$lo, ${lo + 4096}) must bracket exact $e")
+    }
+  }
+
   test("Hll typed aggregator agrees bit-for-bit with the SQL-replica rollup") {
     val approx = EventQueries.dailyRollupApprox(spark, sf)
       .select("day", "event_type", "approx_users").as[(String, String, Double)]
