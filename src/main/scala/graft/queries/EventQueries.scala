@@ -418,7 +418,9 @@ object EventQueries {
     val base = ev(spark, d).select(
       date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
       col("event_type"), col("user_id"))
-    val regs = hllRegs(base)
+    // materialize the sketch once: both consumers (the day list and the
+    // window merge) would otherwise re-run the corpus-scale register build
+    val regs = hllRegs(base).localCheckpoint()
     val days = regs.select(col("day").as("win_day")).distinct()
     val merged = regs
       .join(broadcast(days),
@@ -486,8 +488,11 @@ object EventQueries {
       date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
       col("event_type"),
       shiftrightunsigned(floor(col("value") * 1000).cast("long"), 12).as("bin"))
+    // one corpus pass: the histogram table is sketch-sized, checkpoint it
+    // so the day list doesn't re-run the scan (same as rollingDistinct)
     val hist = base.groupBy(col("day"), col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val days = hist.select(col("day").as("win_day")).distinct()
     val merged = hist
       .join(broadcast(days), datediff(col("win_day"), col("day")).between(0, 6))
