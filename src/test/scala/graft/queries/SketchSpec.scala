@@ -85,6 +85,65 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Histogram aggregator agrees exactly with the SQL histogram path") {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    // daily (window = 0) comparison: the aggregator per (day, type) must
+    // equal the SQL path restricted to single-day windows — which is the
+    // rollingP95 result on a day that has no preceding 6 days... instead
+    // compare against a direct SQL-shape computation here
+    val ev = graft.Tables.events(spark, sf).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), ffloor(col("value") * 1000).cast("long").as("v"))
+    val viaAgg = ev.groupBy("day", "event_type")
+      .agg(graft.functions.Histogram.p95Floor(col("v")).as("p"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val viaSql = ev
+      .withColumn("bin", expr("shiftrightunsigned(v, 12)"))
+      .groupBy("day", "event_type", "bin").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rows) =>
+        val bins = rows.map(r => r._3 -> r._4).toMap
+        val n = bins.values.sum
+        var cum = 0L
+        val bin = bins.toSeq.sortBy(_._1).collectFirst {
+          case (b, c) if { cum += c; cum * 20 >= n * 19 } => b
+        }.get
+        k -> (bin << 12)
+      }
+    assert(viaAgg.nonEmpty)
+    viaSql.foreach { case (k, expected) =>
+      assert(viaAgg(k) === expected, s"$k")
+    }
+  }
+
+  test("Histogram aggregator works in a streaming windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = input.toDF.toDF("ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(graft.functions.Histogram.p95Floor(col("v")).as("p95"))
+      .select(col("window.start").as("ws"), col("p95"))
+      .writeStream.format("memory").queryName("histstream")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // 20 values in one window: exactly one lands beyond the p95 rank
+    input.addData((1 to 19).map(i => (ts(1), i * 100L)): _*)
+    q.processAllAvailable()
+    input.addData((ts(2), 1000000L))
+    q.processAllAvailable()
+    input.addData((ts(20), 1L)) // advance watermark, close the window
+    q.processAllAvailable()
+    val rows = spark.table("histstream").as[(java.sql.Timestamp, Long)].collect()
+    q.stop()
+    // rank ceil(0.95*20)=19 -> value 1900, bin 0 -> floor 0; the outlier
+    // at rank 20 is beyond p95 and must not move the answer
+    assert(rows.map(_._2).contains(0L))
+    assert(!rows.map(_._2).contains((1000000L >>> 12) << 12))
+  }
+
   test("Hll typed aggregator agrees bit-for-bit with the SQL-replica rollup") {
     val approx = EventQueries.dailyRollupApprox(spark, sf)
       .select("day", "event_type", "approx_users").as[(String, String, Double)]
