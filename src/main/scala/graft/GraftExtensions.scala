@@ -69,6 +69,8 @@ object GraftExtensions {
       args => ScaleFloats(args.head) },
     fn("dot_long_arrays", "dot_long_arrays(a, b) - exact dot product of two long arrays") {
       args => DotLongArrays(args(0), args(1)) },
+    fn("ewma_fold", "ewma_fold(array<long>) - truncated dyadic EWMA, oldest first, newest weighs 1/2") {
+      args => EwmaFold(args.head) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

@@ -15,6 +15,23 @@ object Ewma {
 
   val WindowSize = 20
 
+  /** Catalyst-side body of the [[graft.functions.EwmaFold]] native
+    * expression — identical arithmetic to [[fold]], reading the window's
+    * collected array without deserializing it to a Seq. */
+  def foldArray(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val l = a.numElements()
+    var num = 0.0
+    var den = 0.0
+    var j = 0
+    while (j < l) {
+      val wgt = 1.0 / (1L << (l - j))
+      num += a.getLong(j) * wgt
+      den += wgt
+      j += 1
+    }
+    num / den
+  }
+
   /** `hist` is oldest-first; the newest observation weighs 1/2. */
   def fold(hist: Seq[Long]): Double = {
     val l = hist.length

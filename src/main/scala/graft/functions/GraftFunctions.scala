@@ -43,6 +43,9 @@ object GraftFunctions {
   def dotLongArrays(a: Column, b: Column): Column =
     column(DotLongArrays(expression(a), expression(b)))
 
+  /** Truncated dyadic EWMA of an oldest-first scaled-long array. */
+  def ewmaFold(c: Column): Column = column(EwmaFold(expression(c)))
+
   // ------------------------------------------------------------ digests
   /** Ordered digest of string pieces; absent (null) pieces are skipped —
     * reference `Digester.java:61-78`. */

@@ -299,6 +299,21 @@ case class DotLongArrays(left: Expression, right: Expression)
   override def prettyName: String = "dot_long_arrays"
 }
 
+/** Truncated dyadic EWMA over a window-collected long array — native
+  * counterpart of the UDF fold ([[graft.functions.Ewma.foldArray]]), kept
+  * inside whole-stage codegen so the per-user smoothing pass stays a
+  * single generated loop (no UDF serialization per row). */
+case class EwmaFold(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    Ewma.foldArray(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ewma.foldArray($c)")
+  override protected def withNewChildInternal(c: Expression): EwmaFold = copy(c)
+  override def prettyName: String = "ewma_fold"
+}
+
 /** Ordered multi-piece digest (reference `recordmapping/Digester.java`):
   * null pieces contribute no bytes; result is always present (non-null)
   * when the expression itself evaluates. Seeded form is HMAC with the

@@ -726,7 +726,10 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(1L - graft.functions.Ewma.WindowSize, Window.currentRow)
-    val ewmaUdf = udf((hist: Seq[Long]) => graft.functions.Ewma.fold(hist))
+    // native expression, not a UDF: the smoothing pass stays inside
+    // whole-stage codegen (PlanSpec asserts no ScalaUDF in the plan)
+    def ewmaUdf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.GraftFunctions.ewmaFold(c)
     ev(spark, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         floor(col("value") * 1000).cast("long").as("value_scaled"))

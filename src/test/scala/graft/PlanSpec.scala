@@ -293,6 +293,13 @@ class PlanSpec extends SparkSpec {
       "source sizes must broadcast, not shuffle-join")
   }
 
+  test("ewma: the fold is a native expression — no ScalaUDF in the plan") {
+    val df = graft.queries.EventQueries.queries("evt_ewma")(spark, sf)
+    assert(!plan(df).toLowerCase.contains("scalaudf"),
+      "the smoothing fold must stay inside codegen")
+    assert(plan(df).contains("ewma_fold"))
+  }
+
   test("zorder: pure narrow bit math — exchange-free, no UDF") {
     val df = graft.queries.EventQueries.queries("evt_zorder")(spark, sf)
     val nodes = planNodes(df)
