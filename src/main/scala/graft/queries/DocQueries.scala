@@ -1642,7 +1642,18 @@ object DocQueries {
   def bpeEncode(spark: SparkSession, d: String): DataFrame = {
     val rank = bpeMerges(spark, d).zipWithIndex
       .map { case ((l, r, _), i) => (l, r) -> i }.toMap
-    val bc = spark.sparkContext.broadcast(rank)
+    bpeEncodeOn(documents(spark, d),
+      spark.sparkContext.broadcast(rank))
+  }
+
+  /** BPE encoding as a frame-level transform over a pre-trained broadcast
+    * rank map: pure narrow column math + one JVM UDF, so the SAME
+    * expressions encode a batch table or a streaming source (tokenize as
+    * documents arrive, model trained offline — the serving shape).
+    * Exercised on a MemoryStream in StateSpec. */
+  def bpeEncodeOn(docs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+      : DataFrame = {
     val enc = udf((tk: Seq[String]) => {
       if (tk == null) None
       else {
@@ -1653,7 +1664,7 @@ object DocQueries {
             syms.mkString(" "))))
       }
     })
-    documents(spark, d)
+    docs
       .select(col("doc_id"), toks(col("text")).as("tk"),
         length(col("text")).as("n_chars_raw"))
       .withColumn("e", enc(col("tk")))

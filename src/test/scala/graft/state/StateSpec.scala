@@ -104,6 +104,33 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Array(("e1", 1L, false), ("e2", 2L, false), ("e1", 3L, true)))
   }
 
+  test("streaming BPE encoding: a pre-trained model encodes a stream batch-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "low lower low"), (2L, "newest widest"))
+      .toDF("doc_id", "text")
+    val ranks = spark.sparkContext.broadcast(Map(
+      ("l", "o") -> 0, ("lo", "w</w>") -> 1,
+      ("s", "t</w>") -> 2, ("e", "st</w>") -> 3))
+    val batch = graft.queries.DocQueries.bpeEncodeOn(docs, ranks)
+      .select("doc_id", "n_bpe_tokens", "bpe_md5")
+      .as[(Long, Int, String)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.DocQueries
+      .bpeEncodeOn(input.toDF.toDF("doc_id", "text"), ranks)
+      .select("doc_id", "n_bpe_tokens", "bpe_md5")
+      .writeStream.format("memory").queryName("bpestream")
+      .outputMode("append").start()
+    input.addData((1L, "low lower low"))
+    q.processAllAvailable()
+    input.addData((2L, "newest widest"))
+    q.processAllAvailable()
+    val streamed = spark.table("bpestream")
+      .as[(Long, Int, String)].collect().toSet
+    q.stop()
+    assert(streamed === batch)
+  }
+
   test("streaming anomaly: a spike flags against state built in earlier batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)] // user, event, ts, value
