@@ -40,7 +40,7 @@ object Histogram {
   class P95Floor extends Aggregator[Long, Map[Long, Long], Long] {
     override def zero: Map[Long, Long] = Map.empty
     override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] = {
-      val bin = v >>> BinShift
+      val bin = v >> BinShift // arithmetic: negatives bin below zero
       b.updated(bin, b.getOrElse(bin, 0L) + 1L)
     }
     override def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =

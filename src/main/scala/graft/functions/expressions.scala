@@ -306,10 +306,21 @@ case class DotLongArrays(left: Expression, right: Expression)
 case class EwmaFold(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(LongType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any =
-    Ewma.foldArray(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val r = Ewma.foldArray(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Ewma.foldArray($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ewma")
+      s"""
+         |java.lang.Double $tmp = graft.functions.Ewma.foldArray($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): EwmaFold = copy(c)
   override def prettyName: String = "ewma_fold"
 }

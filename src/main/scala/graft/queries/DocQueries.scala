@@ -1308,17 +1308,21 @@ object DocQueries {
     * Scale: one map-side-combinable shuffle to (source) — source
     * cardinality is tiny, so the weight table is a broadcast-sized frame;
     * the corpus itself is never re-read. */
-  def mixTemperature(spark: SparkSession, d: String): DataFrame = {
+  /** Per-source weight frame shared by [[mixTemperature]] and
+    * [[mixApply]] — ONE definition of (token mass, sqrt_scaled, totals,
+    * anchor c), so the reported accept_prob and the applied threshold
+    * cannot drift apart. Totals + anchor come from ONE unpartitioned
+    * window over the source-cardinality frame (tens of rows — the
+    * single-partition WindowExec is free) rather than a second aggregate:
+    * an `agg` branch would recompute the per-source frame and re-scan the
+    * whole corpus. */
+  private def mixWeights(spark: SparkSession, d: String): DataFrame = {
     val per = documents(spark, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(toks(col("text")))).as("n_tokens"))
       .withColumn("sqrt_scaled",
         floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
-    // totals + anchor via ONE unpartitioned window over the source-
-    // cardinality frame (tens of rows — the single-partition WindowExec is
-    // free) rather than a second aggregate: an `agg` branch would recompute
-    // `per` and re-scan the whole corpus
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per.select(
       col("source"), col("n_docs"), col("n_tokens"), col("sqrt_scaled"),
@@ -1326,16 +1330,22 @@ object DocQueries {
       sum(col("sqrt_scaled")).over(w).as("tot_sqrt"),
       min(col("n_tokens").cast("double") / col("sqrt_scaled").cast("double"))
         .over(w).as("c"))
-    .select(
+  }
+
+  /** The acceptance probability column over a [[mixWeights]] frame. */
+  private def acceptProb: Column =
+    least(lit(1.0),
+      col("sqrt_scaled").cast("double") / col("n_tokens").cast("double")
+        * col("c"))
+
+  def mixTemperature(spark: SparkSession, d: String): DataFrame =
+    mixWeights(spark, d).select(
       col("source"), col("n_docs"), col("n_tokens"),
       round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
         .as("weight_raw"),
       round(col("sqrt_scaled").cast("double") / col("tot_sqrt").cast("double"), 6)
         .as("weight_smoothed"),
-      round(least(lit(1.0),
-        col("sqrt_scaled").cast("double") / col("n_tokens").cast("double")
-          * col("c")), 6).as("accept_prob"))
-  }
+      round(acceptProb, 6).as("accept_prob"))
 
   val mixTemperatureSql: String =
     """WITH per AS (
@@ -1378,22 +1388,12 @@ object DocQueries {
     * The corpus side stays a narrow filter — at 100 TB this is scan +
     * broadcast-hash-join + filter, no exchange on the big side. */
   def mixApply(spark: SparkSession, d: String): DataFrame = {
-    val per = documents(spark, d)
-      .groupBy(col("source"))
-      .agg(sum(size(toks(col("text")))).as("n_tokens"))
-      .withColumn("sqrt_scaled",
-        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
-    // anchor constant via a window over the tiny per-source frame (not a
-    // second agg — that branch would re-scan the corpus; see mixTemperature)
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val thresholds = per.withColumn("c",
-      min(col("n_tokens").cast("double") / col("sqrt_scaled").cast("double"))
-        .over(w))
-      .select(
+    // SAME weight frame and acceptance expression as the report query —
+    // the threshold is floor(accept_prob x 2^32) of mixTemperature's
+    // accept_prob by construction, not by parallel maintenance
+    val thresholds = mixWeights(spark, d).select(
       col("source"),
-      floor(least(lit(1.0),
-        col("sqrt_scaled").cast("double") / col("n_tokens").cast("double")
-          * col("c")) * 4294967296.0).cast("long").as("mix_threshold"))
+      floor(acceptProb * 4294967296.0).cast("long").as("mix_threshold"))
     documents(spark, d)
       .select(col("doc_id"), col("source"),
         conv(substring(md5(concat(lit("mix"), col("doc_id"))), 1, 8), 16, 10)

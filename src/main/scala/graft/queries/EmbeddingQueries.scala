@@ -843,11 +843,16 @@ object EmbeddingQueries {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mq")))),
         x => x.getField("mq")).as("centroid"))
+    // materialized once: the moment aggregate AND the output probe both
+    // consume it — without the checkpoint each branch re-scans the
+    // embeddings and recomputes the distance pass (same single-scan fix
+    // as the rolling sketch queries)
     val scored = e.crossJoin(broadcast(centroidRow))
       .select(col("vec_id"),
         dotScaled(
           zip_with(col("emb"), col("centroid"), (a, b) => a - b),
           zip_with(col("emb"), col("centroid"), (a, b) => a - b)).as("dist2"))
+      .localCheckpoint()
     val stats = scored.agg(
       count(lit(1)).as("n"),
       sum(col("dist2").cast("decimal(38,0)")).cast("double").as("sum_d"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -414,19 +414,30 @@ object EventQueries {
     * day list rather than a window function: a bucket silent on day d must
     * still contribute its day d-3 register to d's window, which a window
     * over the sparse register rows would miss. */
+  /** 7-day sliding re-merge of a daily sketch table: checkpoint the
+    * (sketch-sized) table once — the day list and the window merge would
+    * otherwise each re-run the corpus-scale build — then broadcast-join
+    * the distinct-day list with a day-range condition and re-aggregate.
+    * A window function over the sparse sketch rows would NOT work: a key
+    * silent on day d must still contribute its day d-3 row to d's window.
+    * Shared by [[rollingDistinct]] (register max) and [[rollingP95]]
+    * (bin-count sum). */
+  private def slidingMerge7(sketch: DataFrame, keys: Seq[String],
+                            mergeAgg: Column): DataFrame = {
+    val s = sketch.localCheckpoint()
+    val days = s.select(col("day").as("win_day")).distinct()
+    s.join(broadcast(days),
+        datediff(col("win_day"), col("day")).between(0, 6))
+      .groupBy(("win_day" +: keys).map(col): _*)
+      .agg(mergeAgg)
+  }
+
   def rollingDistinct(spark: SparkSession, d: String): DataFrame = {
     val base = ev(spark, d).select(
       date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
       col("event_type"), col("user_id"))
-    // materialize the sketch once: both consumers (the day list and the
-    // window merge) would otherwise re-run the corpus-scale register build
-    val regs = hllRegs(base).localCheckpoint()
-    val days = regs.select(col("day").as("win_day")).distinct()
-    val merged = regs
-      .join(broadcast(days),
-        datediff(col("win_day"), col("day")).between(0, 6))
-      .groupBy(col("win_day"), col("event_type"), col("bucket"))
-      .agg(max(col("rmax")).as("rmax"))
+    val merged = slidingMerge7(hllRegs(base),
+      Seq("event_type", "bucket"), max(col("rmax")).as("rmax"))
     hllEstimate(merged, Seq("win_day", "event_type"))
       .select(col("win_day"), col("event_type"),
         col("approx_users").as("approx_users_7d"))
@@ -487,17 +498,14 @@ object EventQueries {
     val base = ev(spark, d).select(
       date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
       col("event_type"),
-      shiftrightunsigned(floor(col("value") * 1000).cast("long"), 12).as("bin"))
-    // one corpus pass: the histogram table is sketch-sized, checkpoint it
-    // so the day list doesn't re-run the scan (same as rollingDistinct)
+      // ARITHMETIC shift: a negative value must land in a negative bin
+      // (floor division by the bin width), matching DuckDB's `>>` — an
+      // unsigned shift would throw negatives into a ~2^52 top bin
+      shiftright(floor(col("value") * 1000).cast("long"), 12).as("bin"))
     val hist = base.groupBy(col("day"), col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val days = hist.select(col("day").as("win_day")).distinct()
-    val merged = hist
-      .join(broadcast(days), datediff(col("win_day"), col("day")).between(0, 6))
-      .groupBy(col("win_day"), col("event_type"), col("bin"))
-      .agg(sum(col("cnt")).as("cnt"))
+    val merged = slidingMerge7(hist,
+      Seq("event_type", "bin"), sum(col("cnt")).as("cnt"))
     val byBin = Window.partitionBy(col("win_day"), col("event_type"))
       .orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -726,16 +734,12 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(1L - graft.functions.Ewma.WindowSize, Window.currentRow)
-    // native expression, not a UDF: the smoothing pass stays inside
-    // whole-stage codegen (PlanSpec asserts no ScalaUDF in the plan)
-    def ewmaUdf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.functions.GraftFunctions.ewmaFold(c)
     ev(spark, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         floor(col("value") * 1000).cast("long").as("value_scaled"))
       .withColumn("hist", collect_list(col("value_scaled")).over(w))
       .select(col("event_id"), col("user_id"), col("value_scaled"),
-        round(ewmaUdf(col("hist")), 6).as("ewma"))
+        round(graft.functions.GraftFunctions.ewmaFold(col("hist")), 6).as("ewma"))
   }
 
   val ewmaSql: String =

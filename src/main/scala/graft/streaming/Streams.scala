@@ -87,6 +87,13 @@ object Streams {
     * call site to expire dormant users if the key space is unbounded).
     * Scales horizontally with the state-store shuffle on userId.
     *
+    * The moments are EXACT while they fit a long; a hot key in a
+    * long-lived stream (~4x10^7 fixture-scale events) would overflow the
+    * sum of squares, so when the next event would overflow, the user's
+    * history RESTARTS from that event — scoring resumes after two
+    * warm-up observations. A brief blind window, never silent garbage
+    * (the batch query's 2^53 sharding caveat, stream-shaped).
+    *
     * Input: (userId, eventId, tsMillis, valueScaled). Output adds
     * (z, isAnomaly). Flag-not-filter, like the reference's duplicate flag. */
   def anomalyStream(
@@ -110,7 +117,16 @@ object Streams {
                     Some((v.toDouble - s.toDouble / nd) / math.sqrt(variance))
                   else None
                 } else None
-              n += 1; s += v; sq += v * v
+              // 3037000499 = floor(sqrt(Long.MaxValue)): beyond it v*v
+              // itself overflows, at it the square still fits
+              val vsq =
+                if (math.abs(v) > 3037000499L) Long.MaxValue else v * v
+              if (vsq > Long.MaxValue - sq ||
+                  math.abs(s) > Long.MaxValue - math.abs(v)) {
+                n = 1; s = v; sq = if (vsq == Long.MaxValue) 0L else vsq
+              } else {
+                n += 1; s += v; sq += vsq
+              }
               (user, event, ts, v, z, z.exists(math.abs(_) > 3.0))
           }
           state.update((n, s, sq))
