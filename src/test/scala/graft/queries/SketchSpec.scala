@@ -85,6 +85,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogram binning: negative values land below zero, like the oracle's >>") {
+    // regression: an unsigned shift threw negatives into a ~2^52 top bin,
+    // silently corrupting the percentile for any corpus with negatives
+    import graft.functions.Histogram
+    val agg = new Histogram.P95Floor
+    val bins = Seq(-500L, -5000L, 4095L, 4096L).foldLeft(agg.zero)(agg.reduce)
+    assert(bins.keySet === Set(-1L, -2L, 0L, 1L))
+    // p95 over 19 negatives + 1 large positive: rank 19 is still negative
+    val mostlyNeg = ((1 to 19).map(_ => -100L) :+ 1000000L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(mostlyNeg) === -4096L, "p95 must sit in the negative bin")
+  }
+
+  test("ewma_fold: deep arrays never wrap weights; empty array is null") {
+    import graft.functions.GraftFunctions
+    // 100-element history: elements older than 62 weigh exactly 0 — without
+    // the guard the JVM shift wraps and element 64-from-newest weighs 1.0
+    val deep = (1 to 99).map(_ => 1000000L) :+ 0L // newest = 0
+    val out = Seq(Tuple1(deep)).toDF("hist")
+      .select(GraftFunctions.ewmaFold(col("hist")).as("e"))
+      .as[Double].head()
+    // newest weighs 1/2 of the mass: result must be < 500000 strictly, and
+    // the wrap bug would push it over 1000000 x small factor; exact bound:
+    // sum_{k=1..61} 1e6*2^-(k+1) / sum_{k=0..61} 2^-(k+1) ~ 5e5
+    assert(out > 0 && out < 500001.0, s"deep fold $out")
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hist")
+      .select(GraftFunctions.ewmaFold(col("hist")).as("e"))
+      .as[Option[Double]].head()
+    assert(empty.isEmpty, "empty history must be null, not NaN")
+  }
+
   test("Histogram aggregator agrees exactly with the SQL histogram path") {
     import org.apache.spark.sql.functions.{floor => ffloor}
     // daily (window = 0) comparison: the aggregator per (day, type) must
