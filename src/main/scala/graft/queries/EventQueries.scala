@@ -545,6 +545,74 @@ object EventQueries {
       |FROM c WHERE cum * 20 >= n * 19
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ pattern match
+  /** Z-normalized time-series pattern search (the UCR-suite/Matrix-Profile
+    * query shape, distributed): score every 8-event window of every user's
+    * value series against a literal spike template and return the top-20
+    * closest windows. Distance is the z-normalized Euclidean
+    * d = Σ(norm_i - p_i)^2 = 8 + Σp^2 - 2·(Σ v_i·p_i)/σ (the Σp_i = 0
+    * template makes the mean term vanish).
+    *
+    * Determinism: the template is DYADIC (quarters), so v_i·p_i and all
+    * window moments are exact doubles from exact longs; σ comes from
+    * variance assembled out of exact sums (the anomaly argument); the one
+    * rounded value is the final distance. Everything is unrolled
+    * element_at arithmetic — no UDF, stays in codegen.
+    *
+    * Scale: one shuffle on user_id (the sessionize shape), 8-row bounded
+    * window state, then TakeOrdered top-k — never a global sort. */
+  private val Pattern = Seq(-0.25, -0.25, -0.25, -0.25, -0.25, 0.25, 1.0, 0.0)
+
+  def patternTopK(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    val el = (i: Int) => element_at(col("hist"), i + 1)
+    val s = (0 until 8).map(el).reduce(_ + _)
+    val sq = (0 until 8).map(i => el(i) * el(i)).reduce(_ + _)
+    val dotp = (0 until 8).map(i => el(i) * lit(Pattern(i))).reduce(_ + _)
+    val variance =
+      (sq.cast("double") - s.cast("double") * s.cast("double") / 8.0) / 8.0
+    val patSq = Pattern.map(x => x * x).sum // exact dyadic constant
+    ev(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .withColumn("hist", collect_list(col("v")).over(w))
+      .filter(size(col("hist")) === 8)
+      .withColumn("variance", variance)
+      .filter(col("variance") > 0)
+      .select(col("event_id"), col("user_id"),
+        round(lit(8.0 + patSq) - lit(2.0) * dotp / sqrt(col("variance")), 6)
+          .as("pattern_dist"))
+      .orderBy(col("pattern_dist"), col("user_id"), col("event_id"))
+      .limit(20)
+  }
+
+  val patternTopKSql: String = {
+    val s = (1 to 8).map(i => s"hist[$i]").mkString(" + ")
+    val sq = (1 to 8).map(i => s"hist[$i] * hist[$i]").mkString(" + ")
+    val dotp = (1 to 8)
+      .map(i => s"hist[$i] * (${Pattern(i - 1)})").mkString(" + ")
+    val patSq = 8.0 + Pattern.map(x => x * x).sum
+    s"""WITH t AS (SELECT event_id, user_id, ts,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events),
+       | w AS (SELECT event_id, user_id,
+       |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS hist
+       |  FROM t),
+       | f AS (SELECT event_id, user_id,
+       |    $s AS s, $sq AS sq, $dotp AS dotp
+       |  FROM w WHERE len(hist) = 8),
+       | v2 AS (SELECT event_id, user_id, dotp,
+       |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 8.0)
+       |      / 8.0 AS variance
+       |  FROM f)
+       |SELECT event_id, user_id,
+       |  ROUND($patSq - 2.0 * dotp / sqrt(variance), 6) AS pattern_dist
+       |FROM v2 WHERE variance > 0
+       |ORDER BY pattern_dist, user_id, event_id LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------------ Z-order
   /** Z-order (Morton) layout key over (user_id, day) — the data-layout
     * primitive behind multi-dimensional data skipping: sorting/packing by
@@ -763,6 +831,7 @@ object EventQueries {
     "evt_rolling_distinct"    -> (rollingDistinct _),
     "evt_zorder"              -> (zorder _),
     "evt_rolling_p95"         -> (rollingP95 _),
+    "evt_pattern_topk"        -> (patternTopK _),
     "evt_param_path"          -> (paramPath _),
     "evt_daily_rollup_approx" -> (dailyRollupApprox _),
     "evt_mapping"      -> (mapping _),
@@ -782,6 +851,7 @@ object EventQueries {
     "evt_rolling_distinct"    -> rollingDistinctSql,
     "evt_zorder"              -> zorderSql,
     "evt_rolling_p95"         -> rollingP95Sql,
+    "evt_pattern_topk"        -> patternTopKSql,
     "evt_daily_rollup_approx" -> dailyRollupApproxSql,
     "evt_param_path"   -> paramPathSql,
     "evt_mapping"      -> mappingSql,

@@ -594,6 +594,28 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("pattern search: a planted spike window ranks first") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(i: Int) = new java.sql.Timestamp(ts0 + i * 1000L)
+    // user 1: flat noise, then an exact template-shaped spike; user 2: ramp
+    val spike = Seq(100.0, 100.0, 100.0, 100.0, 100.0, 140.0, 200.0, 120.0)
+    val events =
+      ((1 to 8).map(i => (i.toLong, t(i), 1L, "view", spike(i - 1), "{}")) ++
+       (1 to 12).map(i => (100L + i, t(i), 2L, "view", i * 10.0, "{}")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("pat").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val top = EventQueries.queries("evt_pattern_topk")(spark, tmp)
+      .select("event_id", "user_id", "pattern_dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    // the window ENDING at event 8 is exactly the (scaled, shifted)
+    // template: z-normalized distance is minimal and must rank first
+    assert(top.head._1 === 8L && top.head._2 === 1L,
+      s"spike window must rank first, got ${top.toSeq.take(3)}")
+    assert(top.head._3 < top(1)._3, "the planted match must strictly win")
+  }
+
   test("zorder: interleave is exact and tiles nest by prefix") {
     val rows = EventQueries.queries("evt_zorder")(spark, sf)
       .select("user_id", "day_num", "zvalue", "zfile")
