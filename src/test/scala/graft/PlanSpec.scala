@@ -300,6 +300,17 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("ewma_fold"))
   }
 
+  test("pattern search: one user-key exchange + TakeOrdered, no UDF") {
+    val df = graft.queries.EventQueries.queries("evt_pattern_topk")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "window math must be unrolled built-ins inside codegen")
+    val exchanges = planNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 1, s"only the user_id window may shuffle, got $exchanges")
+  }
+
   test("zorder: pure narrow bit math — exchange-free, no UDF") {
     val df = graft.queries.EventQueries.queries("evt_zorder")(spark, sf)
     val nodes = planNodes(df)
