@@ -26,6 +26,32 @@ object MinHash {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** SQL-parity tokenizer: trims SPACES only (SQL/DuckDB `trim`) then
+    * splits on \s+ KEEPING edge empties (split limit -1, like Spark's
+    * `split` and DuckDB's `string_split_regex` — both emit a leading
+    * and/or trailing empty token for \s-edged input; verified against
+    * DuckDB 1.0). `String.trim` + default-limit `split` would instead
+    * strip \t/\n/control-char edges and drop trailing empties, silently
+    * diverging from the oracles. Every JVM-side tokenizer in the repo
+    * goes through here. */
+  def sqlToks(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e).split("\\s+", -1)
+  }
+
+  /** First 4 bytes of md5(s) as an unsigned 32-bit value in a long —
+    * ≡ DuckDB `('0x'||substr(md5(s),1,8))::UBIGINT`. */
+  def md5High32(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+  }
+
   /** Low 32 bits of md5(shingle), as an unsigned value in a long —
     * ≡ DuckDB `('0x'||substr(md5(s),25,8))::UBIGINT`. */
   private def shingleHash32(s: String): Long = {
@@ -54,7 +80,7 @@ object MinHash {
     * Shingle construction matches the column-side `shingles()` (space-joined
     * consecutive-token 3-grams, distinct). */
   def signatureFromText(text: String, k: Int): Array[Long] = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = sqlToks(text)
     if (tokens.length < 3) return Array.fill(k)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
     val sig = Array.fill(k)(Long.MaxValue)
@@ -71,7 +97,7 @@ object MinHash {
     * twin of the column-expression `shingles()` (same strings) — used where
     * the HOF + explode path would dominate runtime. */
   def shingles3(text: String): Array[String] = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = sqlToks(text)
     if (tokens.length < 3) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
     var t = 0
@@ -86,7 +112,7 @@ object MinHash {
     * generalized [[shingles3]] (same space-joined strings), for operators
     * parameterized on n (e.g. 5-gram contamination scoring). */
   def ngrams(text: String, n: Int): Array[String] = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = sqlToks(text)
     if (tokens.length < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
     var t = 0
@@ -109,7 +135,7 @@ object MinHash {
     * shingles on both sides, so the comparison stays bit-exact rather than
     * "correct up to collisions". */
   def shingleHashes(text: String): Array[Long] = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = sqlToks(text)
     if (tokens.length < 3) return Array.empty
     val seen = new java.util.TreeSet[java.lang.Long]()
     var t = 0

@@ -34,7 +34,7 @@ object SimHash {
   }
 
   def simhash64(text: String): java.lang.Long = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = MinHash.sqlToks(text)
     val tf = new java.util.HashMap[String, Int]()
     var i = 0
     while (i < tokens.length) { tf.merge(tokens(i), 1, Integer.sum); i += 1 }

@@ -11,9 +11,12 @@ package graft.functions
   * 3-5 times. This computes all of them in ONE pass over the characters
   * with no regex and no intermediate token array.
   *
-  * Token semantics are bit-identical to `split(trim(text), "\\s+")`:
+  * Token semantics are bit-identical to `split(trim(text), "\\s+")` with
+  * the SQL (space-only) trim both engines apply:
   *  - separators are exactly Java regex `\s` = [ \t\n\f\r];
-  *  - an empty (all-whitespace) text yields the single empty token that
+  *  - a text whose space-trimmed form STARTS with other whitespace yields
+  *    the leading empty token the regex split produces;
+  *  - an all-space text yields the single empty token that
   *    `"".split("\\s+")` produces: nTokens = nTypes = 1, charSum = 0.
   */
 object TextStats {
@@ -27,11 +30,31 @@ object TextStats {
 
   def compute(text: String, stopwords: Set[String]): Stats = {
     if (text == null) return null
-    val s = text.trim
+    // SQL-parity trim: SPACES only, like Spark/DuckDB `trim` — java's
+    // String.trim would also strip \t..\r and control chars, changing the
+    // token count vs the column formulation this mirrors
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val s = text.substring(b, e)
     if (s.isEmpty) return Stats(1, 1, if (stopwords("")) 1 else 0, 0L)
     val types = new java.util.HashSet[String]()
     var n = 0; var hits = 0; var chars = 0L
     var i = 0; val len = s.length
+    // split-limit(-1) semantics (Spark split / DuckDB string_split_regex):
+    // a LEADING separator yields an empty first token and a TRAILING
+    // separator an empty last token
+    if (isWs(s.charAt(0))) {
+      n += 1
+      types.add("")
+      if (stopwords("")) hits += 1
+    }
+    if (isWs(s.charAt(len - 1))) {
+      n += 1
+      types.add("")
+      if (stopwords("")) hits += 1
+    }
     while (i < len) {
       while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {

@@ -808,7 +808,8 @@ object DocQueries {
     * are single divisions of exact longs, so the oracle hash-matches. */
   private val repetitionUdf = udf((text: String) => {
     // null text → zero-count row, matching the oracle's LEFT JOIN + COALESCE
-    val tk = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+    val tk = if (text == null) Array.empty[String]
+             else graft.functions.MinHash.sqlToks(text)
     if (tk.length < 2) (0L, 0L, 0L)
     else {
       val counts = new java.util.HashMap[String, Long](tk.length * 2)
@@ -2185,7 +2186,13 @@ object DocQueries {
     * dots and norms are exact longs in both engines; log-idf at 100 TB is a
     * one-line swap but loses the bit-exact oracle). The only floats are the
     * final sqrt/divide from exact longs, rounded to 6 before the rank sort
-    * (ties by doc_id). */
+    * (ties by doc_id).
+    *
+    * Exactness bound: a df=1 term has weight tf x N x [[TfidfScale]], and
+    * the norm accumulates w^2 — signed-64 overflow arrives around N ~ 3x10^6
+    * docs (Spark would WRAP silently; DuckDB errors). Past that, drop
+    * [[TfidfScale]] toward 1 or swap the norm accumulation to DECIMAL —
+    * the plan shape is unchanged either way. */
   /** The TF-IDF weight/norm tables are the search INDEX — the shared
     * intermediate every probe batch reads. A production pipeline
     * materializes them once (a parquet index build); locally they memoize
@@ -2208,6 +2215,15 @@ object DocQueries {
     val capFrac = spark.conf.getOption("spark.graft.tfidf.dfCapFrac")
       .map(_.toDouble)
     tfidfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    // evict superseded cap settings for this (session, dataset) WITH
+    // unpersist: unlike the broadcast caches, each entry pins two
+    // corpus-sized cached frames — sweeping dfCapFrac must not accumulate
+    // abandoned index copies in executor memory
+    tfidfIndexCache.keys
+      .filter(k => k._1 == spark && k._2 == d && k._3 != capFrac)
+      .foreach(k => tfidfIndexCache.remove(k).foreach { case (w, n) =>
+        w.unpersist(); n.unpersist()
+      })
     val (weights, norms) = tfidfIndexCache.getOrElseUpdate((spark, d, capFrac), {
       val docs = documents(spark, d)
       val postings = docs
@@ -2302,14 +2318,15 @@ object DocQueries {
     * the same shape with one small broadcast array. */
   private val classifierUdf = udf((text: String) => {
     val tk = if (text == null) Array.empty[String]
-             else text.trim.split("\\s+")
-    val md = java.security.MessageDigest.getInstance("MD5")
+             else graft.functions.MinHash.sqlToks(text)
+    // ThreadLocal digest + direct byte arithmetic (MinHash.md5High32) —
+    // the naive per-row getInstance + hex format/parse costs several
+    // allocations per token on the hot scoring path
     var logit = 0L
-    tk.foreach { t =>
-      md.reset()
-      val hex = md.digest(("w:" + t).getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      logit += java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    var i = 0
+    while (i < tk.length) {
+      logit += graft.functions.MinHash.md5High32("w:" + tk(i)) % 2001 - 1000
+      i += 1
     }
     (tk.length.toLong, logit)
   })
@@ -2333,7 +2350,7 @@ object DocQueries {
   val hashClassifierSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |           FROM documents),
-      | s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      | s AS (SELECT doc_id, CAST(COALESCE(len(tk), 0) AS BIGINT) AS n_tokens,
       |         CAST(COALESCE(list_sum(list_transform(tk, x ->
       |           CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS UBIGINT)::BIGINT
       |             % 2001 - 1000)), 0) AS BIGINT) AS logit

@@ -108,11 +108,8 @@ object EmbeddingQueries {
     * ('0x'||substr(md5(p||'_'||i),1,8))::UBIGINT % 2001 - 1000 — so the
     * whole bucketing is replicable by the oracle. Evaluated at PLAN time:
     * the planes become literal arrays, zero per-row hashing. */
-  private def planeWeight(p: Int, i: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${p}_$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
-  }
+  private def planeWeight(p: Int, i: Int): Long =
+    graft.functions.MinHash.md5High32(s"${p}_$i") % 2001 - 1000
 
   /** Sign-random-projection bucket key over SCALED-INT embeddings: bit p =
     * sign(emb_int . plane_p), all-integer math (order-independent, exact —
@@ -237,9 +234,15 @@ object EmbeddingQueries {
       .orderBy(col("coarse_cos").desc, col("vec_id"))
     val coarse = e.filter(col("vec_id") >= NQueries)
       .crossJoin(broadcast(q))
-      .withColumn("coarse_cos", round(
-        dotScaled(col("emb8"), col("q_emb8")).cast("double") /
-          (sqrt(col("norm2_8").cast("double")) * sqrt(col("q_norm2_8").cast("double"))), 6))
+      // guard the TRUNCATED norm: a vector that is zero in the first
+      // TruncDim dims (but valid overall) would produce a 0/0 = NaN
+      // cosine, and NaN sorts LARGEST in Spark but not in DuckDB — such
+      // vectors rank last (-2 < any real cosine) identically in both
+      .withColumn("coarse_cos",
+        when(col("norm2_8") > 0 && col("q_norm2_8") > 0, round(
+          dotScaled(col("emb8"), col("q_emb8")).cast("double") /
+            (sqrt(col("norm2_8").cast("double")) * sqrt(col("q_norm2_8").cast("double"))), 6))
+        .otherwise(lit(-2.0)))
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= CoarseK)
     val wr = Window.partitionBy(col("q_id"))
@@ -270,8 +273,10 @@ object EmbeddingQueries {
        | c AS (SELECT vec_id, emb, norm2, norm2_8 FROM f
        |       WHERE vec_id >= $NQueries),
        | coarse AS (SELECT q.q_id, c.vec_id, c.emb, c.norm2, q.q_emb, q.q_norm2,
-       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx8) AS DOUBLE)
-       |           / (sqrt(CAST(c.norm2_8 AS DOUBLE)) * sqrt(CAST(q.q_norm2_8 AS DOUBLE))), 6)
+       |         CASE WHEN c.norm2_8 > 0 AND q.q_norm2_8 > 0
+       |           THEN ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx8) AS DOUBLE)
+       |             / (sqrt(CAST(c.norm2_8 AS DOUBLE)) * sqrt(CAST(q.q_norm2_8 AS DOUBLE))), 6)
+       |           ELSE -2.0 END
        |           AS coarse_cos
        |       FROM c CROSS JOIN q),
        | kept AS (SELECT * FROM (

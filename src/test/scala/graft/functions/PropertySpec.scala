@@ -55,6 +55,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------------------------- SQL tokenization
+  test("sqlToks trims spaces only and keeps the SQL leading-empty token") {
+    import graft.functions.MinHash.sqlToks
+    // regression: String.trim also strips \t/\n/control chars, silently
+    // diverging from the string_split_regex(trim(text), '\s+') oracles
+    // DuckDB-verified: string_split_regex keeps \s-edge empties
+    assert(sqlToks("\tfoo bar").toSeq === Seq("", "foo", "bar"))
+    assert(sqlToks("  foo bar  ").toSeq === Seq("foo", "bar"))
+    assert(sqlToks("foo\nbar\t").toSeq === Seq("foo", "bar", ""))
+    assert(sqlToks("").toSeq === Seq(""))
+    assert(sqlToks("   ").toSeq === Seq(""))
+    assert(sqlToks("\t\n").toSeq === Seq("", ""))
+    // parity with the column expression split(trim(c), "\s+") — Spark's
+    // split uses limit -1 (edge empties KEPT), unlike java's default split
+    check(Prop.forAll(Gen.listOf(Gen.oneOf(' ', '\t', '\n', 'a', 'b'))
+        .map(_.mkString)) { s =>
+      val viaJava = {
+        var b = 0; var e = s.length
+        while (b < e && s.charAt(b) == ' ') b += 1
+        while (e > b && s.charAt(e - 1) == ' ') e -= 1
+        s.substring(b, e).split("\\s+", -1).toSeq
+      }
+      sqlToks(s).toSeq == viaJava
+    })
+  }
+
   // --------------------------------------------------------------- base36
   test("base36 long/int roundtrip for every in-range value") {
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>

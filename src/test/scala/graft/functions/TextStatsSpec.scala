@@ -10,10 +10,12 @@ class TextStatsSpec extends AnyFunSuite {
 
   private val stop = Set("the", "a", "of", "and", "to", "in")
 
-  /** The original definition, via the real regex split. */
+  /** The original definition, via the real regex split over the SQL-parity
+    * space-only trim (Spark/DuckDB `trim` — NOT java String.trim, which
+    * also strips \t/\n edges and would diverge from the oracles). */
   private def reference(text: String): TextStats.Stats = {
     if (text == null) return null
-    val tk = text.trim.split("\\s+")
+    val tk = MinHash.sqlToks(text)
     TextStats.Stats(
       tk.length,
       tk.distinct.length,

@@ -253,7 +253,6 @@ class SketchSpec extends SparkSpec {
   }
 
   test("unigram LM scored from the CMS model matches the exact model here") {
-    val sf = "/root/testdata/sf0.001"
     val exact = graft.queries.DocQueries.unigramLm(spark, sf)
       .as[(Long, Int, Double)].collect().sortBy(_._1)
     spark.conf.set("spark.graft.lm.cmsModel", "true")
