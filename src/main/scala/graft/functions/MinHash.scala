@@ -22,6 +22,14 @@ import java.security.MessageDigest
 object MinHash {
   final val Prime = 2147483647L
 
+  /** The ORACLE's whitespace class: RE2 (DuckDB) `\s` = [ \t\n\f\r],
+    * which EXCLUDES vertical tab \x0B — Java regex `\s` includes it. Every
+    * engine-side whitespace regex (column `split`/`regexp_replace` and the
+    * JVM tokenizers) must use this explicit class, never Java `\s`, or a
+    * \x0B-bearing document diverges from the SQL oracle. */
+  final val Ws = " \t\n\f\r"
+  final val WsRe: String = s"[$Ws]+"
+
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
@@ -39,7 +47,7 @@ object MinHash {
     var e = text.length
     while (b < e && text.charAt(b) == ' ') b += 1
     while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    text.substring(b, e).split("\\s+", -1)
+    text.substring(b, e).split(WsRe, -1)
   }
 
   /** First 4 bytes of md5(s) as an unsigned 32-bit value in a long —

@@ -26,7 +26,10 @@ object TextStats {
     * LongType), so downstream divisions produce identical doubles. */
   final case class Stats(nTokens: Int, nTypes: Int, stopHits: Int, charSum: Long)
 
-  @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+  // the RE2/oracle whitespace class ([[MinHash.Ws]]): NO vertical tab —
+  // java regex \s would include \x0B and diverge from the SQL side
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def compute(text: String, stopwords: Set[String]): Stats = {
     if (text == null) return null

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private def toks(c: Column): Column =
+    split(trim(c), graft.functions.MinHash.WsRe)
 
   /** English-marker stopwords shared by the quality and language-ID
     * operators (and their SQL oracles). */
@@ -49,7 +50,7 @@ object DocQueries {
   def fingerprint(spark: SparkSession, d: String): DataFrame =
     documents(spark, d).select(
       col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      md5(regexp_replace(lower(trim(col("text"))), graft.functions.MinHash.WsRe, " ")).as("fingerprint"))
 
   val fingerprintSql: String =
     """SELECT doc_id,
@@ -523,8 +524,9 @@ object DocQueries {
   def tokenCounts(spark: SparkSession, d: String): DataFrame =
     documents(spark, d).select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      size(split(trim(col("text")), graft.functions.MinHash.WsRe)).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9${graft.functions.MinHash.Ws}]"), lit(0)))
         .as("bpeish_tokens"))
 
   val tokenCountsSql: String =
@@ -581,7 +583,8 @@ object DocQueries {
       lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
       lit("</p><a href=\"http://site.example/d/"), col("doc_id"),
       lit("\">link</a></body></html>"))
-    val clean = trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
+    val clean = trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "),
+      graft.functions.MinHash.WsRe, " "))
     documents(spark, d).select(
       col("doc_id"),
       size(regexp_extract_all(html, lit("<[^>]+>"), lit(0))).as("n_tags"),
@@ -720,7 +723,7 @@ object DocQueries {
       .drop("bench_fp")
 
   def decontaminate(spark: SparkSession, d: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val fp = md5(regexp_replace(lower(trim(col("text"))), graft.functions.MinHash.WsRe, " "))
     val docs = documents(spark, d).select(col("doc_id"), fp.as("fingerprint"))
     flagContaminated(
       docs.filter(col("doc_id") % 97 =!= 0),
@@ -750,7 +753,7 @@ object DocQueries {
     * path and bounds the FP rate at the configured fpp. */
   def decontaminateBloom(spark: SparkSession, d: String,
                          fpp: Double = 0.01): DataFrame = {
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val fp = md5(regexp_replace(lower(trim(col("text"))), graft.functions.MinHash.WsRe, " "))
     val docs = documents(spark, d).select(col("doc_id"), fp.as("fingerprint"))
     flagContaminatedBloom(
       docs.filter(col("doc_id") % 97 =!= 0),
@@ -958,7 +961,7 @@ object DocQueries {
     * SQL); validated on shared-substring docs in PipelineSpec. */
   private val winnowUdf = udf((text: String) => {
     val k = 8; val window = 4
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val s = text.toLowerCase.replaceAll(graft.functions.MinHash.WsRe, " ")
     if (s.length < k) Array.empty[Long]
     else {
       val B = 257L; val M = (1L << 31) - 1

@@ -597,7 +597,8 @@ object EventQueries {
     s"""WITH t AS (SELECT event_id, user_id, ts,
        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events),
        | w AS (SELECT event_id, user_id,
-       |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    list(v) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id
        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS hist
        |  FROM t),
        | f AS (SELECT event_id, user_id,
@@ -814,7 +815,8 @@ object EventQueries {
     """WITH t AS (SELECT event_id, user_id, ts,
       |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_scaled FROM events),
       | w AS (SELECT event_id, user_id, value_scaled,
-      |    list(value_scaled) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    list(value_scaled) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id
       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hist
       |  FROM t),
       | u AS (SELECT event_id, user_id, value_scaled,

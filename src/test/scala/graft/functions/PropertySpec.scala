@@ -67,18 +67,12 @@ class PropertySpec extends AnyFunSuite {
     assert(sqlToks("").toSeq === Seq(""))
     assert(sqlToks("   ").toSeq === Seq(""))
     assert(sqlToks("\t\n").toSeq === Seq("", ""))
-    // parity with the column expression split(trim(c), "\s+") — Spark's
-    // split uses limit -1 (edge empties KEPT), unlike java's default split
-    check(Prop.forAll(Gen.listOf(Gen.oneOf(' ', '\t', '\n', 'a', 'b'))
-        .map(_.mkString)) { s =>
-      val viaJava = {
-        var b = 0; var e = s.length
-        while (b < e && s.charAt(b) == ' ') b += 1
-        while (e > b && s.charAt(e - 1) == ' ') e -= 1
-        s.substring(b, e).split("\\s+", -1).toSeq
-      }
-      sqlToks(s).toSeq == viaJava
-    })
+    // \x0B is NOT whitespace to RE2 (the oracle's regex engine) — it must
+    // stay inside the token, unlike java \s which would split on it
+    assert(sqlToks("a\u000bb c").toSeq === Seq("a\u000bb", "c"))
+    // the live engine-parity check (sqlToks vs the actual Spark column
+    // split) is in PipelineSpec — a same-algorithm reference here would
+    // be tautological
   }
 
   // --------------------------------------------------------------- base36

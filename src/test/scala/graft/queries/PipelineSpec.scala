@@ -594,6 +594,19 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("sqlToks equals the engine's own column split on adversarial text") {
+    import graft.functions.MinHash
+    val samples = Seq("\tfoo bar", "  foo  ", "a\u000bb", "x\ny\t", "", " ",
+      "a  b\fc", "a b", "\t\n", "one two  three")
+    val viaColumn = samples.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), split(trim(col("text")), MinHash.WsRe).as("tk"))
+      .as[(Int, Seq[String])].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(MinHash.sqlToks(s).toSeq === viaColumn(i),
+        s"JVM tokenizer diverged from the column split on ${s.map(_.toInt)}")
+    }
+  }
+
   test("pattern search: a planted spike window ranks first") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def t(i: Int) = new java.sql.Timestamp(ts0 + i * 1000L)
