@@ -42,12 +42,18 @@ object MinHash {
     * strip \t/\n/control-char edges and drop trailing empties, silently
     * diverging from the oracles. Every JVM-side tokenizer in the repo
     * goes through here. */
-  def sqlToks(text: String): Array[String] = {
+  def sqlToks(text: String): Array[String] =
+    sqlTrim(text).split(WsRe, -1)
+
+  /** SQL `trim`: SPACES only, both engines — the ONE definition of the
+    * trim semantics ([[TextStats]] shares it; java String.trim is never
+    * the right call on an oracle-checked path). */
+  def sqlTrim(text: String): String = {
     var b = 0
     var e = text.length
     while (b < e && text.charAt(b) == ' ') b += 1
     while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    text.substring(b, e).split(WsRe, -1)
+    text.substring(b, e)
   }
 
   /** First 4 bytes of md5(s) as an unsigned 32-bit value in a long —

@@ -33,14 +33,7 @@ object TextStats {
 
   def compute(text: String, stopwords: Set[String]): Stats = {
     if (text == null) return null
-    // SQL-parity trim: SPACES only, like Spark/DuckDB `trim` — java's
-    // String.trim would also strip \t..\r and control chars, changing the
-    // token count vs the column formulation this mirrors
-    var b = 0
-    var e = text.length
-    while (b < e && text.charAt(b) == ' ') b += 1
-    while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    val s = text.substring(b, e)
+    val s = MinHash.sqlTrim(text) // SQL-parity: spaces only, shared definition
     if (s.isEmpty) return Stats(1, 1, if (stopwords("")) 1 else 0, 0L)
     val types = new java.util.HashSet[String]()
     var n = 0; var hits = 0; var chars = 0L
