@@ -22,6 +22,15 @@ class ExtensionsSpec extends SparkSpec {
     val shCol = spark.range(1)
       .select(GraftFunctions.simhash64(lit("a b a c")).as("v")).head.getLong(0)
     assert(sh === shCol)
+
+    // ewma_fold: newest weighs 1/2 -> (1000/4 + 3000/2) / (3/4)
+    val ew = spark.sql("SELECT ewma_fold(array(1000L, 3000L)) v").head.getDouble(0)
+    val ewCol = spark.range(1)
+      .select(GraftFunctions.ewmaFold(array(lit(1000L), lit(3000L))).as("v"))
+      .head.getDouble(0)
+    assert(ew === ewCol && ew === 7000.0 / 3)
+    assert(spark.sql("SELECT ewma_fold(CAST(array() AS ARRAY<BIGINT>)) v")
+      .head.isNullAt(0))
   }
 
   test("struct producers: uri_parse / parse_query_string / mincode from SQL") {
