@@ -594,6 +594,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept(mostUnder) > 0, "anchor source must keep its documents")
   }
 
+  test("rerank ANN: a prefix-zero vector cannot poison the coarse ranking") {
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    // 10 queries + 60 normal corpus vectors + ONE vector that is zero in
+    // the truncated prefix (dims 1..32) but valid overall: its coarse
+    // cosine is 0/0 — ungoverned, NaN would sort FIRST in Spark and win
+    // every query's coarse pass; the guard pins it to -2 (last)
+    val degenerate = Array.tabulate(64)(i => if (i < 32) 0f else 1f)
+    val rows = (0 until 10).map(i => (i.toLong, vec())) ++
+      (0 until 60).map(i => (100L + i, vec())) :+ (999L, degenerate)
+    val tmp = java.nio.file.Files.createTempDirectory("rerank0").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val picked = EmbeddingQueries.queries("emb_ann_rerank")(spark, tmp)
+      .select("vec_id").as[Long].collect().toSet
+    assert(picked.nonEmpty)
+    assert(!picked.contains(999L),
+      "the prefix-zero vector must rank last in the coarse pass, not NaN-first")
+  }
+
   test("sqlToks equals the engine's own column split on adversarial text") {
     import graft.functions.MinHash
     val samples = Seq("\tfoo bar", "  foo  ", "a\u000bb", "x\ny\t", "", " ",
