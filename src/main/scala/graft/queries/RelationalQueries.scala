@@ -262,6 +262,43 @@ object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
       .replace("REVEXPR", revenueSql)
 
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q18-style large-volume customers: orders whose total lineitem
+    * quantity clears a threshold, with the buyer attached. The classic
+    * aggregate-HAVING semi-join: the fact table aggregates FIRST (one
+    * map-side-combinable shuffle on orderkey, quantities in exact
+    * decimal), the tiny surviving set then joins orders and broadcast
+    * customer — never orders x lineitem before the filter. Top-k by
+    * quantity is TakeOrdered. */
+  private val Q18MinQty = 300
+  def q18(spark: SparkSession, d: String): DataFrame = {
+    val bulky = lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    bulky
+      .join(orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    s"""WITH bulky AS (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $Q18MinQty)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  ROUND(o_totalprice, 2) AS o_totalprice,
+       |  CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM bulky, orders, customer
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q6
   /** TPC-H Q6-style: the pure-pushdown query. All three predicates reach the
     * parquet scan as PushedFilters; output is a single row — zero shuffle
@@ -360,6 +397,7 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7 _),
     "q10_returned_items" -> (q10 _),
     "q13_custdist"       -> (q13 _),
+    "q18_bulky_orders"   -> (q18 _),
     "topn_window"        -> (topnWindow _),
     "rollup_acctbal"     -> (rollupRevenue _))
 
@@ -372,6 +410,7 @@ object RelationalQueries {
     "q7_volume_shipping" -> q7Sql,
     "q10_returned_items" -> q10Sql,
     "q13_custdist"       -> q13Sql,
+    "q18_bulky_orders"   -> q18Sql,
     "topn_window"        -> topnWindowSql,
     "rollup_acctbal"     -> rollupRevenueSql)
 }

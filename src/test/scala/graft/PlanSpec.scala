@@ -256,6 +256,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("q18: fact aggregates before any join; top-k is TakeOrdered") {
+    val df = RelationalQueries.q18(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"))
+    val nodes = planNodes(df)
+    // the HAVING-filtered aggregate must sit BELOW both joins: no join
+    // node may have a raw lineitem scan as a descendant without the agg
+    def subtreeHasAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collectFirst { case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isDefined
+    nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.foreach { j =>
+      val scansLineitem = j.collectLeaves().exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+        case _ => false
+      }
+      if (scansLineitem)
+        assert(subtreeHasAgg(j), "lineitem must aggregate before joining")
+    }
+  }
+
   test("q13: the zero bucket survives — outer join, then two-phase agg") {
     val rows = RelationalQueries.q13(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum ===
