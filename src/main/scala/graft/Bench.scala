@@ -1,13 +1,45 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
+  /** Sum of collection time across all collectors, in milliseconds. Deltas of
+    * this around a query isolate GC stall from actual query work — a healthy
+    * run has per-query GC in the low tens of ms; a heap-thrashing or
+    * host-contended run shows up as GC (or wall minus CPU) dominating. */
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+  private def gcCount(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionCount).sum
+
+  /** 1/5/15-min load averages. On a healthy dedicated 32-core host the 1-min
+    * figure should sit near the bench's own parallelism; a figure far above
+    * core count at start (or climbing across the run) proves external
+    * contention and invalidates wall-clock comparisons. */
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val wallStart = System.nanoTime()
+    val loadStart = loadAvg()
     val spark = GraftSession.build(cpus, "graft-bench")
     // experiment knob: measure AQE's per-query replan overhead on tiny data
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
+    // Evidence of where shuffle/spill land and whether that disk has headroom:
+    // a bench run against a nearly-full or slow scratch dir is not comparable.
+    val localDir = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.props.get("java.io.tmpdir")).getOrElse("/tmp")
+    val localFree = try new java.io.File(localDir).getUsableSpace catch { case _: Throwable => -1L }
+    val rt = Runtime.getRuntime
     // Warm the JVM/session once so the first timed query isn't charged for
     // infra startup: a parquet scan (FileIndex/footer machinery), a shuffle
     // + window + join (exchange and sort JIT), and a first whole-stage
@@ -53,20 +85,43 @@ object Bench {
           -1.0
       }
     }
+    val gcStartMs = gcMillis()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val gc0 = gcMillis()
       val cold = time(fn)
       val warm = time(fn)
+      val gcDelta = gcMillis() - gc0
       // live progress on stderr: localizes any whole-JVM degradation to the
       // point in the run where it starts (the final JSON only shows totals)
-      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f")
-      name -> (cold, warm)
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f gc=${gcDelta}ms")
+      name -> (cold, warm, gcDelta)
     }
-    def obj(sel: ((Double, Double)) => Double): String = results
+    def obj(sel: ((Double, Double, Long)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val gcObj = results
+      .map { case (k, v) => s"\"" + k + "\":" + v._3 }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalWarm = results.values.map(_._2).sum
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    // Diagnostics preamble: enough embedded evidence to adjudicate a slow run.
+    // A contaminated-host artifact shows high loadavg and/or wall ≫ cold+warm
+    // totals with modest GC; a genuine regression shows the slowdown inside
+    // the per-query timings with a quiet host.
+    val diag = Seq(
+      s""""loadavg_start":[${if (loadStart.isEmpty) "" else loadStart}]""",
+      s""""loadavg_end":[${val l = loadAvg(); if (l.isEmpty) "" else l}]""",
+      s""""gc_total_ms":${gcMillis() - gcStartMs}""",
+      s""""gc_count":${gcCount()}""",
+      s""""gc_ms_per_query":$gcObj""",
+      s""""local_dir":${jstr(localDir)}""",
+      s""""local_dir_free_bytes":$localFree""",
+      s""""heap_max_bytes":${rt.maxMemory}""",
+      s""""available_processors":${rt.availableProcessors}""",
+      s""""jvm_args":${jstr(ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.mkString(" "))}""",
+      s""""wall_sec":$wallSec"""
+    ).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
-      s""""value_warm":$totalWarm,"queries_warm":${obj(_._2)},"sf":"$sfDir"}""")
+      s""""value_warm":$totalWarm,"queries_warm":${obj(_._2)},"sf":"$sfDir","diag":$diag}""")
     spark.stop()
   }
 }
