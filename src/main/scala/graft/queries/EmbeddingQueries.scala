@@ -302,15 +302,27 @@ object EmbeddingQueries {
     * the oracle bit-stable. */
   def neardupCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // Dense all-pairs dot products: broadcast the (small) scaled matrix and
-    // loop in JVM per partition — a crossJoin with per-pair zip_with/
-    // aggregate expressions runs interpreted per element and was 22s for
-    // 2M pairs; the tight loop is <1s. At warehouse scale use
-    // [[neardupCosineBlocked]]: same arithmetic, one row block broadcast
-    // at a time.
+    // Size gate, symmetric with neardupJaccardCompute's: a corpus within the
+    // broadcast budget ships the whole scaled matrix once; beyond it the
+    // blocked path broadcasts one row block at a time (nBlocks sized so each
+    // block fits the same budget). Identical per-pair arithmetic either way,
+    // so the gate never changes results (DedupScaleSpec pins bit-parity on
+    // the oracled entry itself).
+    val maxBroadcastDocs = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(1L << 20)
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .as[(Long, Array[Long])]
+    val n = e.count()
+    if (n > maxBroadcastDocs) {
+      val nBlocks = math.ceil(n.toDouble / maxBroadcastDocs).toInt
+      return neardupCosineBlocked(spark, d, nBlocks)
+    }
+    // Dense all-pairs dot products: broadcast the (small) scaled matrix and
+    // loop in JVM per partition — a crossJoin with per-pair zip_with/
+    // aggregate expressions runs interpreted per element and was 22s for
+    // 2M pairs; the tight loop is <1s.
     val all = spark.sparkContext.broadcast(
       e.collect().sortBy(_._1).map { case (id, v) =>
         (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))

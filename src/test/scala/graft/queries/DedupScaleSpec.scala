@@ -97,6 +97,20 @@ class DedupScaleSpec extends SparkSpec {
     assert(blocked === baseline)
   }
 
+  test("neardupCosine size gate routes the oracled entry through the blocked path") {
+    import spark.implicits._
+    val baseline = EmbeddingQueries.neardupCosine(spark, sfSmall)
+      .as[(Long, Long, Double)].collect().toSet
+    // a 100-doc budget forces nBlocks = ceil(corpus/100) > 1 on the SAME
+    // public entry point the oracle runs — not just the private blocked fn
+    val gated = withConf("spark.graft.dedup.maxBroadcastDocs", "100") {
+      EmbeddingQueries.neardupCosine(spark, sfSmall)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(baseline.nonEmpty)
+    assert(gated === baseline)
+  }
+
   test("bloom decontamination: no false negatives vs the exact path, FP rate bounded") {
     import spark.implicits._
     // planted contamination: every 10th train fingerprint also sits in bench
