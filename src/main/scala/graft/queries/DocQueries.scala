@@ -165,20 +165,15 @@ object DocQueries {
   /** The pair table is the shared intermediate of near-dup detection
     * ([[neardupJaccard]]) and cluster resolution ([[dedupClusters]]): a
     * production dedup pipeline materializes it once and both outputs read
-    * it. Memoized per (session, dataset) and Spark-cached, so the second
-    * consumer hits the in-memory relation instead of re-running the
-    * candidate join + merge-walk. (Plan-level cache matching can't do this
-    * automatically here: the mapPartitions stage closes over a fresh lambda
-    * per call, which never canonicalizes equal.) */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  def neardupJaccard(spark: SparkSession, d: String): DataFrame = {
-    // drop entries of stopped sessions so the map can't pin dead plans,
-    // broadcasts, or cache references across session lifetimes
-    pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    pairsCache.getOrElseUpdate((spark, d), neardupJaccardCompute(spark, d).cache())
-  }
+    * it. Memoized per (session, dataset) in the bounded [[MemoCache]] and
+    * Spark-cached, so the second consumer hits the in-memory relation
+    * instead of re-running the candidate join + merge-walk. (Plan-level
+    * cache matching can't do this automatically here: the mapPartitions
+    * stage closes over a fresh lambda per call, which never canonicalizes
+    * equal.) */
+  def neardupJaccard(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("neardup-pairs", d))(
+      neardupJaccardCompute(spark, d).cache())(_.unpersist(blocking = false))
 
   private[graft] def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d)
@@ -1063,26 +1058,11 @@ object DocQueries {
     * below the cap, so the (uncapped) DuckDB oracle stays exact. */
   private val VocabCap = 1 << 20
 
-  /** The trained model is memoized per (session, dataset) so repeated
-    * invocations (bench cold+warm, plan inspection after a run) neither
-    * re-run the model-build job nor leak one broadcast per call. */
-  private val lmModelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int),
-      (org.apache.spark.broadcast.Broadcast[Map[String, Long]], Double)]
-
-  /** DSIR model state for [[importance]]: (target map, source map,
-    * ln(target mass), ln(source mass)), memoized per (session, dataset,
-    * cap) like [[lmModelCache]]. */
-  private val dsirCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int),
-      (org.apache.spark.broadcast.Broadcast[Map[String, Long]],
-       org.apache.spark.broadcast.Broadcast[Map[String, Long]],
-       Double, Double)]
-
-  /** Count-min model state for [[unigramLmCms]]: (sketch, ln(total mass)). */
-  private val cmsModelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (org.apache.spark.broadcast.Broadcast[Array[Long]], Double)]
+  // Trained models (unigram/bigram/CMS LM, DSIR) memoize in the bounded
+  // [[MemoCache]] so repeated invocations (bench cold+warm, plan
+  // inspection after a run) neither re-run the model-build job nor leak
+  // one broadcast per call — and a session sweeping many (dataset, cap)
+  // keys frees the LRU model's executor copies instead of pinning all.
 
   /** The count-min form of the [[unigramLm]] model
     * ([[graft.functions.CountMin]]): where the top-K cap keeps EXACT counts
@@ -1096,8 +1076,7 @@ object DocQueries {
     * `spark.graft.lm.cmsModel=true`; the DuckDB oracle checks the exact
     * path. */
   private def unigramLmCms(spark: SparkSession, d: String): DataFrame = {
-    cmsModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (bc, lnTotal) = cmsModelCache.getOrElseUpdate((spark, d), {
+    val (bc, lnTotal) = MemoCache.getOrElseUpdate(spark, ("cms-lm", d))({
       val row = documents(spark, d)
         .select(explode(toks(col("text"))).as("token"))
         .agg(graft.functions.CountMin.sketch(col("token")).as("cms"),
@@ -1105,7 +1084,7 @@ object DocQueries {
         .head()
       (spark.sparkContext.broadcast(row.getSeq[Long](0).toArray),
         math.log(row.getLong(1).toDouble))
-    })
+    })(_._1.unpersist(blocking = false))
     val nllUdf = udf((tk: Seq[String]) => {
       if (tk == null || tk.isEmpty) None
       else {
@@ -1131,10 +1110,9 @@ object DocQueries {
     import spark.implicits._
     if (spark.conf.getOption("spark.graft.lm.cmsModel").contains("true"))
       return unigramLmCms(spark, d)
-    lmModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
       .map(_.toInt).getOrElse(VocabCap)
-    val (bc, lnTotal) = lmModelCache.getOrElseUpdate((spark, d, cap), {
+    val (bc, lnTotal) = MemoCache.getOrElseUpdate(spark, ("unigram-lm", d, cap))({
       val counts = documents(spark, d)
         .select(explode(toks(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -1144,7 +1122,7 @@ object DocQueries {
       val freq = counts.orderBy(col("cnt").desc, col("token")).limit(cap)
         .as[(String, Long)].collect().toMap
       (spark.sparkContext.broadcast(freq), math.log(total.toDouble))
-    })
+    })(_._1.unpersist(blocking = false))
     // the UDF takes the ALREADY-TOKENIZED array, so scoring, n_tokens and
     // the oracle share one tokenization by construction (a Java-side
     // re-tokenize diverges on tab/newline edges: String.trim strips all
@@ -1195,13 +1173,6 @@ object DocQueries {
     * entries (`spark.graft.lm.vocabCap`) before broadcast, then a narrow
     * per-row fold in token order (order-deterministic double sum, so the
     * DuckDB oracle hash-matches). */
-  /** Memoized like [[lmModelCache]]: the two model builds run once per
-    * (session, dataset, cap); repeated invocations only pay the fold. */
-  private val bigramModelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int),
-      (org.apache.spark.broadcast.Broadcast[Map[String, Long]],
-       org.apache.spark.broadcast.Broadcast[Map[String, Long]])]
-
   def bigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
@@ -1215,12 +1186,14 @@ object DocQueries {
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g")).limit(cap)
       .as[(String, Long)].collect().toMap
-    bigramModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (bg, ug) = bigramModelCache.getOrElseUpdate((spark, d, cap), (
+    // the two model builds memoize once per (session, dataset, cap);
+    // repeated invocations only pay the fold
+    val (bg, ug) = MemoCache.getOrElseUpdate(spark, ("bigram-lm", d, cap))((
       spark.sparkContext.broadcast(topCounts(
         documents(spark, d).select(explode(bigrams).as("g")))),
       spark.sparkContext.broadcast(topCounts(
-        documents(spark, d).select(explode(tk).as("g"))))))
+        documents(spark, d).select(explode(tk).as("g"))))))(
+      v => { v._1.unpersist(blocking = false); v._2.unpersist(blocking = false) })
     val nllUdf = udf((t: Seq[String]) => {
       if (t == null || t.length < 2) None
       else {
@@ -1500,11 +1473,6 @@ object DocQueries {
     * overridable for tests via `spark.graft.bpe.merges`. */
   private val BpeMerges = 16
 
-  /** Learned merges memoized per (session, dataset, merges) — the trainer
-    * is iterative, so repeated calls (train + encode + bench warm passes)
-    * must not re-run M jobs each. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), Seq[(String, String, Long)]]
 
   /** Distributed BPE training (Sennrich et al. 2016), the real merge loop —
     * not the regex approximation of [[tokenCounts]]:
@@ -1541,14 +1509,17 @@ object DocQueries {
     *
     * Both paths share [[graft.functions.Bpe]] and the tie-break, and
     * PipelineSpec pins them to identical merge tables (plus a naive
-    * in-test reference). Not SQL-expressible (iterative argmax) →
-    * rows-only driver check. */
+    * in-test reference). The DuckDB oracles ([[bpeTrainSql]] /
+    * [[bpeEncodeSql]]) replay the full iterative loop with recursive CTEs
+    * over the capped merge list, so both queries hash-check. */
   private def bpeMerges(spark: SparkSession, d: String): Seq[(String, String, Long)] = {
     import spark.implicits._
-    bpeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    // merges memoize per (session, dataset, merges) — the trainer is
+    // iterative, so repeated calls (train + encode + bench warm passes)
+    // must not re-run M jobs each; plain driver data, so release is a no-op
     val m = spark.conf.getOption("spark.graft.bpe.merges")
       .map(_.toInt).getOrElse(BpeMerges)
-    bpeCache.getOrElseUpdate((spark, d, m), {
+    MemoCache.getOrElseUpdate(spark, ("bpe-merges", d, m))({
       val gate = spark.conf.getOption("spark.graft.bpe.maxDriverVocab")
         .map(_.toLong).getOrElse(1L << 20)
       var vocab = documents(spark, d)
@@ -1591,7 +1562,7 @@ object DocQueries {
         } finally vocab.unpersist()
         merges.toSeq
       }
-    })
+    })(_ => ())
   }
 
   /** The same merge loop on a driver-resident vocabulary (small side of
@@ -1836,9 +1807,8 @@ object DocQueries {
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
       .map(_.toInt).getOrElse(VocabCap)
     val docs = documents(spark, d)
-    dsirCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val (bcT, bcS, lnTgtTotal, lnSrcTotal) =
-      dsirCache.getOrElseUpdate((spark, d, cap), {
+      MemoCache.getOrElseUpdate(spark, ("dsir", d, cap))({
         val counts = docs
           .select((col("doc_id") % 97 === 0).as("is_tgt"),
             explode(toks(col("text"))).as("token"))
@@ -1859,7 +1829,7 @@ object DocQueries {
         counts.unpersist()
         (spark.sparkContext.broadcast(tgt), spark.sparkContext.broadcast(src),
           math.log(totals.getLong(0).toDouble), math.log(totals.getLong(1).toDouble))
-      })
+      })(v => { v._1.unpersist(blocking = false); v._2.unpersist(blocking = false) })
     val ratioUdf = udf((tk: Seq[String]) => {
       if (tk == null || tk.isEmpty) None
       else {
@@ -2199,13 +2169,11 @@ object DocQueries {
   /** The TF-IDF weight/norm tables are the search INDEX — the shared
     * intermediate every probe batch reads. A production pipeline
     * materializes them once (a parquet index build); locally they memoize
-    * per (session, dataset) and Spark-cache, mirroring [[pairsCache]] —
-    * without it the weight subtree (scan → explode → two keyed stages)
-    * re-executes for each of its four consumers (corpus side, probe
-    * broadcast, both norm lookups): measured 2.5s → 0.9s warm at sf0.1. */
-  private val tfidfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[Double]), (DataFrame, DataFrame)]
-
+    * per (session, dataset) in the bounded [[MemoCache]] and Spark-cache,
+    * mirroring the near-dup pair table — without it the weight subtree
+    * (scan → explode → two keyed stages) re-executes for each of its four
+    * consumers (corpus side, probe broadcast, both norm lookups): measured
+    * 2.5s → 0.9s warm at sf0.1. */
   def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
     // Optional impact pruning (`spark.graft.tfidf.dfCapFrac`): drop terms
     // whose df exceeds the given fraction of the corpus. On a web corpus
@@ -2217,17 +2185,15 @@ object DocQueries {
     // PipelineSpec's planted hot-term test.
     val capFrac = spark.conf.getOption("spark.graft.tfidf.dfCapFrac")
       .map(_.toDouble)
-    tfidfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    // evict superseded cap settings for this (session, dataset) WITH
-    // unpersist: unlike the broadcast caches, each entry pins two
-    // corpus-sized cached frames — sweeping dfCapFrac must not accumulate
-    // abandoned index copies in executor memory
-    tfidfIndexCache.keys
-      .filter(k => k._1 == spark && k._2 == d && k._3 != capFrac)
-      .foreach(k => tfidfIndexCache.remove(k).foreach { case (w, n) =>
-        w.unpersist(); n.unpersist()
-      })
-    val (weights, norms) = tfidfIndexCache.getOrElseUpdate((spark, d, capFrac), {
+    // evict superseded cap settings for this (session, dataset) eagerly
+    // (ahead of LRU pressure): each entry pins two corpus-sized cached
+    // frames — sweeping dfCapFrac must not accumulate abandoned index
+    // copies in executor memory
+    MemoCache.evict(spark, {
+      case ("tfidf-index", `d`, cf) => cf != capFrac
+      case _ => false
+    })
+    val (weights, norms) = MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, capFrac))({
       val docs = documents(spark, d)
       val postings = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -2251,7 +2217,7 @@ object DocQueries {
           s"tf * ((n_docs * $TfidfScale) DIV df) AS w")
         .cache()
       (w, w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2")).cache())
-    })
+    })(v => { v._1.unpersist(blocking = false); v._2.unpersist(blocking = false) })
     val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
       .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
     val probeNorms = norms.filter(col("doc_id") % TfidfProbeMod === 0)

@@ -423,17 +423,15 @@ object EventQueries {
     * Shared by [[rollingDistinct]] (register max) and [[rollingP95]]
     * (bin-count sum). */
   /** Materialized daily sketch tables, memoized per (session, dataset,
-    * sketch kind) like the LM/TF-IDF model caches: the build is the only
-    * corpus-scale work in the rolling queries, and repeated invocations
-    * (bench cold+warm, both queries over one session) must not re-scan. */
-  private val sketchCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
+    * sketch kind) in the bounded [[MemoCache]] like the LM/TF-IDF model
+    * caches: the build is the only corpus-scale work in the rolling
+    * queries, and repeated invocations (bench cold+warm, both queries over
+    * one session) must not re-scan. */
   private def slidingMerge7(spark: SparkSession, d: String, tag: String,
                             sketch: => DataFrame, keys: Seq[String],
                             mergeAgg: Column): DataFrame = {
-    sketchCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val s = sketchCache.getOrElseUpdate((spark, d, tag), sketch.localCheckpoint())
+    val s = MemoCache.getOrElseUpdate(spark, ("sketch", d, tag))(
+      sketch.localCheckpoint())(MemoCache.unpersistLocalCheckpoint)
     val days = s.select(col("day").as("win_day")).distinct()
     s.join(broadcast(days),
         datediff(col("win_day"), col("day")).between(0, 6))

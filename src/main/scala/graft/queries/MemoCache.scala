@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE bounded memo store behind every query-layer memoization
+  * (near-dup pair table, LM/DSIR/CMS models, BPE merge tables, TF-IDF
+  * index, rolling-sketch tables). Each entry carries a release action that
+  * frees its cluster-side storage (cached-DataFrame `unpersist`, broadcast
+  * executor copies) when the entry leaves the cache, so a long-lived
+  * session sweeping many (dataset, config) keys holds at most
+  * `spark.graft.memo.maxEntries` (default 8) materialized intermediates —
+  * previously each cache grew without bound for the session's lifetime.
+  *
+  * Eviction policy: least-recently-USED (access-ordered), plus an eager
+  * sweep of entries whose owning session has stopped (their storage died
+  * with the session; only the driver-side reference needs dropping).
+  *
+  * Release uses NON-BLOCKING unpersist, never `Broadcast.destroy`: a
+  * concurrently running job may still hold the evicted handle, and
+  * unpersist is safe under that race (a cached frame recomputes, a
+  * broadcast re-ships from the driver copy) while destroy would fail the
+  * job. Dropping the strong reference here is what lets the
+  * ContextCleaner reclaim the driver copy too once nothing else points at
+  * it — same end state as destroy, without the race.
+  */
+private[graft] object MemoCache {
+
+  private final case class Entry(value: Any, release: () => Unit)
+
+  /** Access-ordered: `get` moves an entry to the tail, so the head is LRU. */
+  private val entries =
+    new java.util.LinkedHashMap[(SparkSession, Any), Entry](16, 0.75f, true)
+
+  private def maxEntries(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.memo.maxEntries")
+      .map(_.toInt).getOrElse(8)
+
+  private def releaseQuietly(e: Entry): Unit =
+    try e.release() catch { case _: Throwable => }
+
+  private def sweepStopped(): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Memoize `compute` under (session, key). On insert past the bound, the
+    * least-recently-used entry is released and dropped. Reentrant (a
+    * compute may itself consult the cache). */
+  def getOrElseUpdate[V](spark: SparkSession, key: Any)
+                        (compute: => V)(release: V => Unit): V = synchronized {
+    sweepStopped()
+    val k = (spark, key)
+    val hit = entries.get(k)
+    if (hit != null) hit.value.asInstanceOf[V]
+    else {
+      val v = compute
+      entries.put(k, Entry(v, () => release(v)))
+      val max = math.max(1, maxEntries(spark))
+      while (entries.size() > max) {
+        val it = entries.entrySet().iterator()
+        val eldest = it.next()
+        releaseQuietly(eldest.getValue)
+        it.remove()
+      }
+      v
+    }
+  }
+
+  /** Release + drop every entry of `spark` whose key matches — explicit
+    * invalidation for superseded config variants of the same dataset. */
+  def evict(spark: SparkSession, matches: Any => Boolean): Unit = synchronized {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && matches(e.getKey._2)) {
+        releaseQuietly(e.getValue)
+        it.remove()
+      }
+    }
+  }
+
+  /** Free the storage behind a `localCheckpoint`ed frame: the data lives in
+    * the checkpoint RDD under the plan's LogicalRDD leaf (Dataset.unpersist
+    * only consults the CacheManager and would be a no-op here). */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  private[graft] def size: Int = synchronized(entries.size())
+}
