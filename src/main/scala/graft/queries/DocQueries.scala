@@ -1654,6 +1654,131 @@ object DocQueries {
         col("e._2").as("bpe_md5"))
   }
 
+  /** DuckDB replay of the FULL BPE merge loop — the piece that makes the
+    * two BPE queries hash-checkable rather than rows-only: a single-row
+    * recursive CTE carries the whole (symbols, count) vocabulary as a list
+    * and performs each iteration's pair-count/argmax/merge with list
+    * lambdas. The sequential merge-apply uses `list_reduce` over a
+    * `chr(31)`-joined symbol string: the merged symbol is exactly
+    * left||right, so merging = dropping the separator — which reproduces
+    * [[graft.functions.Bpe.mergePair]]'s non-overlapping left-to-right
+    * scan ("aaa" + (a,a) → [aa, a]). chr(31) is safe as separator and
+    * order-neutral for the (count desc, left, right) tie-break because it
+    * sorts below every printable symbol character and the corpus contains
+    * no control characters. */
+  private def bpeStateCtes(m: Int): String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk
+       |       FROM documents),
+       | wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(tk) AS word FROM t) GROUP BY 1),
+       | v0 AS (SELECT list({'syms':
+       |            CASE WHEN len(word) = 0 THEN CAST([] AS VARCHAR[])
+       |                 ELSE list_transform(range(1, len(word) + 1), i ->
+       |                   CASE WHEN i = len(word) THEN word[i:i] || '</w>'
+       |                        ELSE word[i:i] END)
+       |            END,
+       |          'cnt': cnt}) AS vocab
+       |        FROM wc),
+       | state(iter, vocab, merges) AS (
+       |   SELECT 0, (SELECT vocab FROM v0),
+       |          CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
+       |   UNION ALL
+       |   SELECT iter + 1,
+       |     list_transform(vocab, w -> {'syms':
+       |        CASE WHEN len(w.syms) = 0 THEN w.syms
+       |             ELSE string_split(list_reduce(w.syms, (acc, x) ->
+       |               CASE WHEN x = best.r AND (acc = best.l OR ends_with(acc, chr(31) || best.l))
+       |                    THEN acc || x
+       |                    ELSE acc || chr(31) || x END), chr(31))
+       |        END, 'cnt': w.cnt}),
+       |     list_append(merges, best)
+       |   FROM (
+       |     SELECT iter, vocab, merges,
+       |       (SELECT {'l': string_split(mm.p, chr(31))[1],
+       |                'r': string_split(mm.p, chr(31))[2],
+       |                'c': mm.c}
+       |        FROM (
+       |          SELECT p, list_sum(list_transform(pairs.ps, q ->
+       |                     CASE WHEN q.p = p THEN q.c ELSE 0 END)) AS c
+       |          FROM (SELECT unnest(list_distinct(list_transform(pairs.ps, q -> q.p))) AS p)
+       |          ORDER BY c DESC, string_split(p, chr(31))[1], string_split(p, chr(31))[2]
+       |          LIMIT 1) mm
+       |       ) AS best
+       |     FROM state,
+       |       LATERAL (SELECT flatten(list_transform(vocab, w ->
+       |                  list_transform(range(1, len(w.syms)), j ->
+       |                    {'p': w.syms[j] || chr(31) || w.syms[j+1], 'c': w.cnt}))) AS ps) pairs
+       |     WHERE iter < $m
+       |   )
+       |   WHERE best IS NOT NULL
+       | ),
+       | fin AS (SELECT merges FROM state ORDER BY iter DESC LIMIT 1)""".stripMargin
+
+  val bpeTrainSql: String =
+    s"""${bpeStateCtes(BpeMerges)}
+       |SELECT CAST(i - 1 AS INTEGER) AS rank,
+       |       merges[i].l AS "left", merges[i].r AS "right",
+       |       merges[i].l || merges[i].r AS merged,
+       |       merges[i].c AS pair_count
+       |FROM fin, (SELECT unnest(generate_series(1, $BpeMerges)) AS i)
+       |WHERE i <= len(merges)""".stripMargin
+
+  /** Encode oracle: greedy rank-priority inference per distinct WORD via a
+    * second recursive CTE (each step applies the lowest-rank merge whose
+    * pair occurs — located by a separator-bounded `contains` — until no
+    * rank applies), then the per-document symbol stream reassembles in
+    * token order for the order-sensitive md5. */
+  val bpeEncodeSql: String =
+    s"""${bpeStateCtes(BpeMerges)},
+       | mlist AS (SELECT list({'rank': i - 1,
+       |                        'l': merges[i].l, 'r': merges[i].r}) AS ms
+       |           FROM fin, (SELECT unnest(generate_series(1, $BpeMerges)) AS i)
+       |           WHERE i <= len(merges)),
+       | enc(word, s, it) AS (
+       |   SELECT word,
+       |     list_reduce(
+       |       list_transform(range(1, len(word) + 1), i ->
+       |         CASE WHEN i = len(word) THEN word[i:i] || '</w>' ELSE word[i:i] END),
+       |       (a, b) -> a || chr(31) || b),
+       |     0
+       |   FROM wc WHERE len(word) > 0
+       |   UNION ALL
+       |   SELECT word,
+       |     list_reduce(string_split(s, chr(31)), (acc, x) ->
+       |       CASE WHEN x = bm.r AND (acc = bm.l OR ends_with(acc, chr(31) || bm.l))
+       |            THEN acc || x
+       |            ELSE acc || chr(31) || x END),
+       |     it + 1
+       |   FROM (
+       |     SELECT word, s, it,
+       |       ms[CAST(list_min(list_transform(ms, m ->
+       |            CASE WHEN contains(chr(31) || s || chr(31),
+       |                               chr(31) || m.l || chr(31) || m.r || chr(31))
+       |                 THEN m.rank END)) AS INTEGER) + 1] AS bm
+       |     FROM enc, mlist)
+       |   WHERE bm.l IS NOT NULL
+       | ),
+       | wfinal AS (SELECT word, s FROM (
+       |              SELECT word, s, row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+       |              FROM enc) WHERE rn = 1),
+       | p AS (SELECT doc_id, i, tk[i] AS word
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT max(len(tk)) FROM t))) AS i)
+       |       WHERE i <= len(tk)),
+       | j AS (SELECT p.doc_id, p.i,
+       |         CASE WHEN len(p.word) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split(w.s, chr(31)) END AS syms
+       |       FROM p LEFT JOIN wfinal w ON p.word = w.word),
+       | agg AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS stream FROM j GROUP BY 1)
+       |SELECT t.doc_id,
+       |  len(t.tk) AS n_words,
+       |  CAST(len(a.stream) AS INTEGER) AS n_bpe_tokens,
+       |  CASE WHEN len(a.stream) > 0
+       |       THEN CAST(FLOOR(len(t.text) * 1000.0 / len(a.stream)) AS BIGINT) END
+       |    AS compression_milli,
+       |  md5(array_to_string(a.stream, ' ')) AS bpe_md5
+       |FROM t JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
+
   // ------------------------------------------------- composite filter chain
   /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
     * rule is an independent boolean column, `keep` is their conjunction and
@@ -2433,6 +2558,8 @@ object DocQueries {
     "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
     "doc_bigram_lm"       -> bigramLmSql,
+    "doc_bpe_train"       -> bpeTrainSql,
+    "doc_bpe_encode"      -> bpeEncodeSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_mix_temperature" -> mixTemperatureSql,
     "doc_mix_apply"       -> mixApplySql,
