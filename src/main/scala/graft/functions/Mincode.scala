@@ -36,47 +36,60 @@ object Mincode {
     * lets the engine mint reference-compatible wire payloads and enables
     * roundtrip testing of the decoder. Integral numbers that fit a long use
     * the compact base36 `d` record; everything else numeric uses the raw
-    * JSON `j` record. */
+    * JSON `j` record.
+    *
+    * Streams the JSON tokens rather than building a tree: a tree node
+    * canonicalizes number literals (`-78.3e-10` would re-emit as
+    * `-7.83E-9`), while the `j` record — like the decoder's — carries the
+    * author's exact text; the streaming parser's `getText` preserves it
+    * (MincodeSamplesSpec pins byte-parity on the reference's sample
+    * corpus). */
   def fromJson(json: String): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(json)
-    val sb = new java.lang.StringBuilder
-    encodeValue(node, sb)
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = jsonFactory.createParser(json)
+    val sb = new java.lang.StringBuilder(json.length)
+    var pendingName: String = null
+    // the record's type char comes first, then (inside an object) the
+    // `!`-terminated field name, then the payload
+    def prefix(typeChar: Char): Unit = {
+      sb.append(typeChar)
+      if (pendingName != null) {
+        sb.append(escape(pendingName)).append('!')
+        pendingName = null
+      }
+    }
+    var tok = p.nextToken()
+    while (tok != null) {
+      tok match {
+        case FIELD_NAME         => pendingName = p.currentName()
+        case START_OBJECT       => prefix('(')
+        case END_OBJECT         => sb.append(')')
+        case START_ARRAY        => prefix('a')
+        case END_ARRAY          => sb.append('.')
+        case VALUE_NULL         => prefix('n')
+        case VALUE_TRUE         => prefix('t')
+        case VALUE_FALSE        => prefix('f')
+        case VALUE_STRING       =>
+          prefix('s'); sb.append(escape(p.getText)).append('!')
+        case VALUE_NUMBER_INT
+            if p.getNumberType != com.fasterxml.jackson.core.JsonParser.NumberType.BIG_INTEGER =>
+          prefix('d')
+          sb.append(java.lang.Long.toString(p.getLongValue, 36)).append('!')
+        case VALUE_NUMBER_INT | VALUE_NUMBER_FLOAT =>
+          // raw JSON number, exact source text
+          prefix('j'); sb.append(p.getText).append('!')
+        case other => throw new IllegalArgumentException(s"unencodable token: $other")
+      }
+      tok = p.nextToken()
+    }
+    p.close()
     sb.toString
   }
 
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
   private def escape(s: String): String =
     s.replace("~", "~~").replace("!", "~!")
-
-  private def encodeValue(n: com.fasterxml.jackson.databind.JsonNode,
-                          sb: java.lang.StringBuilder): Unit = {
-    import com.fasterxml.jackson.databind.JsonNode
-    n match {
-      case _ if n.isNull => sb.append('n')
-      case _ if n.isBoolean => sb.append(if (n.asBoolean) 't' else 'f')
-      case _ if n.isIntegralNumber && n.canConvertToLong =>
-        sb.append('d').append(java.lang.Long.toString(n.asLong, 36)).append('!')
-      case _ if n.isNumber =>
-        sb.append('j').append(n.asText).append('!')
-      case _ if n.isTextual =>
-        sb.append('s').append(escape(n.asText)).append('!')
-      case _ if n.isArray =>
-        sb.append('a')
-        n.elements.forEachRemaining((e: JsonNode) => encodeValue(e, sb))
-        sb.append('.')
-      case _ if n.isObject =>
-        sb.append('(')
-        n.properties().forEach { e =>
-          // record type char precedes the field name
-          val before = sb.length
-          encodeValue(e.getValue, sb)
-          // splice the escaped name right after the type char
-          sb.insert(before + 1, escape(e.getKey) + "!")
-        }
-        sb.append(')')
-      case other => throw new IllegalArgumentException(s"unencodable node: $other")
-    }
-  }
 
   private final class Parser(in: String) {
     private var pos = 0

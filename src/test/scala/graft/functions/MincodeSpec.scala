@@ -56,6 +56,83 @@ class MincodeSpec extends AnyFunSuite {
   }
 }
 
+/** Replay of the reference's full mincode sample corpus
+  * (`src/test/resources/io/divolte/server/mincode/mincode-samples.json`,
+  * the fixture behind `MincodeParserSamplesTest.java`): every
+  * {title, json, code} pair is driven BOTH directions — decode(code) must
+  * parse to the identical JSON tree, and encode(json) must emit the
+  * byte-identical code — pinning wire compatibility with the reference's
+  * own test vectors rather than a home-grown corpus. */
+class MincodeSamplesSpec extends AnyFunSuite {
+  private val SamplesPath =
+    "/root/reference/src/test/resources/io/divolte/server/mincode/mincode-samples.json"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  mapper.configure(
+    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_COMMENTS, true)
+
+  private lazy val samples: Seq[(String, com.fasterxml.jackson.databind.JsonNode, String)] = {
+    val root = mapper.readTree(new java.io.File(SamplesPath))
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      (n.path("title").asText("N/A"), n.get("json"), n.get("code").asText())
+    }.toSeq
+  }
+
+  /** The RAW source text of each sample's "json" value, by stream offsets —
+    * a tree re-serialization canonicalizes number literals (-78.3e-10
+    * becomes -7.83E-9) while the wire code preserves the author's text, so
+    * byte-exact encode comparison needs the original literal. */
+  private lazy val rawJsonTexts: Seq[String] = {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(SamplesPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val p = mapper.createParser(src)
+    import com.fasterxml.jackson.core.JsonToken._
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var tok = p.nextToken()
+    while (tok != null) {
+      tok match {
+        case START_OBJECT | START_ARRAY => depth += 1
+        case END_OBJECT | END_ARRAY => depth -= 1
+        case FIELD_NAME if depth == 2 && p.currentName() == "json" =>
+          p.nextToken()
+          val start = p.currentTokenLocation().getCharOffset.toInt
+          p.skipChildren() // no-op for scalars; consumes nested containers
+          p.finishToken() // strings/numbers are read lazily; complete them
+          val end = p.currentLocation().getCharOffset.toInt
+          out += src.substring(start, end).trim.stripSuffix(",").trim
+        case _ =>
+      }
+      tok = p.nextToken()
+    }
+    out.toSeq
+  }
+
+  test("sample corpus is present and non-trivial") {
+    assert(samples.size >= 15)
+  }
+
+  test("decode: every sample's code parses to the sample's JSON tree") {
+    samples.foreach { case (title, jsonNode, code) =>
+      val decoded = Mincode.toJson(code)
+      assert(decoded != null, s"$title: decode returned null for $code")
+      assert(mapper.readTree(decoded) === jsonNode,
+        s"$title: decode($code) = $decoded, expected $jsonNode")
+    }
+  }
+
+  test("encode: every sample's raw JSON text emits the byte-identical code") {
+    assert(rawJsonTexts.size === samples.size)
+    samples.zip(rawJsonTexts).foreach { case ((title, jsonNode, code), raw) =>
+      assert(mapper.readTree(raw) === jsonNode, s"$title: raw-text extraction")
+      val encoded = Mincode.fromJson(raw)
+      assert(encoded === code, s"$title: encode mismatch")
+    }
+  }
+}
+
 /** Encoder + decoder roundtrip over randomized JSON documents. */
 class MincodeRoundtripSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
