@@ -46,21 +46,39 @@ object UserAgents {
   private val ReBotName = """([A-Za-z][\w.-]*?(?i:bot|crawler|spider|slurp)[\w.-]*)(?:/v?([\d.]+))?""".r
   private val ReEdge = """Edg(?:e|A|iOS)?/([\d.]+)""".r
   private val ReOpera = """OPR/([\d.]+)""".r
+  // Presto-era Opera: "Opera/9.80 (...) Presto/... Version/12.16"
+  private val ReOperaLegacy = """^Opera/[\d.]+.*?(?:Version/([\d.]+))?$""".r
   private val ReSamsung = """SamsungBrowser/([\d.]+)""".r
-  private val ReFirefox = """Firefox/([\d.]+)""".r
+  private val ReYandex = """YaBrowser/([\d.]+)""".r
+  private val ReUc = """UCBrowser/([\d.]+)""".r
+  private val ReVivaldi = """Vivaldi/([\d.]+)""".r
+  private val ReWhale = """Whale/([\d.]+)""".r
+  private val ReQq = """QQBrowser/([\d.]+)""".r
+  // Gecko siblings ship the Firefox token too — they must resolve first
+  private val ReSeaMonkey = """SeaMonkey/([\d.]+)""".r
+  private val ReWaterfox = """Waterfox/([\d.]+)""".r
+  private val RePaleMoon = """PaleMoon/([\d.]+)""".r
+  private val ReFirefox = """(?:Firefox|FxiOS)/([\d.]+)""".r
+  private val ReCriOs = """CriOS/([\d.]+)""".r
   private val ReChromium = """Chromium/([\d.]+)""".r
-  private val ReChrome = """Chrome/([\d.]+)""".r
+  private val ReChrome = """(?:Chrome|HeadlessChrome)/([\d.]+)""".r
+  private val ReSilk = """Silk/([\d.]+)""".r
   private val ReSafari = """Version/([\d.]+).*Safari""".r
   private val ReMsie = """MSIE ([\d.]+)""".r
   private val ReTrident = """rv:([\d.]+)\) like Gecko""".r
+  private val ReWinPhone = """Windows Phone (?:OS )?([\d.]+)""".r
   private val ReWindows = """Windows NT ([\d.]+)""".r
   private val ReCros = """CrOS [\w-]+ ([\d.]+)""".r
+  private val ReKaiOs = """KAIOS/([\d.]+)""".r
+  private val ReTizen = """Tizen ([\d.]+)""".r
   private val ReAndroid = """Android ([\d.]+)""".r
   private val ReIos = """(?:iPhone|CPU) OS ([\d_]+)""".r
   private val ReMac = """Mac OS X ([\d_.]+)""".r
   private val SmartTv = Seq("SmartTV", "SMART-TV", "Tizen", "Web0S", "webOS",
-    "AppleTV", "GoogleTV", "BRAVIA", "HbbTV")
+    "AppleTV", "GoogleTV", "BRAVIA", "HbbTV", "CrKey", "Roku")
   private val Console = Seq("PlayStation", "Xbox", "Nintendo")
+  private val Wearable = Seq("Apple Watch", "Watch OS", "Glass", "SM-R8")
+  private val Tablet = Seq("iPad", "Tablet", "Kindle", "Silk/", "KFAPWI", "SM-T")
 
   private def firstGroup(re: scala.util.matching.Regex, s: String): Option[String] =
     re.findFirstMatchIn(s).map(_.group(1))
@@ -100,9 +118,22 @@ object UserAgents {
           .getOrElse((null, null, null))
       else firstGroup(ReEdge, ua).map(v => ("Edge", "Microsoft Corporation", v))
         .orElse(firstGroup(ReOpera, ua).map(v => ("Opera", "Opera Software ASA", v)))
+        .orElse(if (ua.startsWith("Opera/"))
+          Some(("Opera", "Opera Software ASA", firstGroup(ReOperaLegacy, ua).orNull))
+        else None)
         .orElse(firstGroup(ReSamsung, ua).map(v => ("Samsung Internet", "Samsung Electronics", v)))
+        .orElse(firstGroup(ReYandex, ua).map(v => ("Yandex Browser", "Yandex", v)))
+        .orElse(firstGroup(ReUc, ua).map(v => ("UC Browser", "UCWeb Inc.", v)))
+        .orElse(firstGroup(ReVivaldi, ua).map(v => ("Vivaldi", "Vivaldi Technologies", v)))
+        .orElse(firstGroup(ReWhale, ua).map(v => ("Whale", "NAVER Corp.", v)))
+        .orElse(firstGroup(ReQq, ua).map(v => ("QQ Browser", "Tencent", v)))
+        .orElse(firstGroup(ReSeaMonkey, ua).map(v => ("SeaMonkey", "Mozilla Foundation", v)))
+        .orElse(firstGroup(ReWaterfox, ua).map(v => ("Waterfox", "Waterfox Ltd.", v)))
+        .orElse(firstGroup(RePaleMoon, ua).map(v => ("Pale Moon", "Moonchild Productions", v)))
         .orElse(firstGroup(ReFirefox, ua).map(v => ("Firefox", "Mozilla Foundation", v)))
+        .orElse(firstGroup(ReCriOs, ua).map(v => ("Chrome", "Google Inc.", v)))
         .orElse(firstGroup(ReChromium, ua).map(v => ("Chromium", "Google Inc.", v)))
+        .orElse(firstGroup(ReSilk, ua).map(v => ("Silk", "Amazon.com, Inc.", v)))
         .orElse(firstGroup(ReChrome, ua).map(v => ("Chrome", "Google Inc.", v)))
         .orElse(firstGroup(ReSafari, ua).map(v => ("Safari", "Apple Inc.", v)))
         .orElse(firstGroup(ReMsie, ua).map(v => ("Internet Explorer", "Microsoft Corporation", v)))
@@ -110,20 +141,27 @@ object UserAgents {
         .getOrElse((null, null, null))
 
     val (osFamily, osVersion, osVendor) =
-      firstGroup(ReWindows, ua).map(v => ("Windows", v, "Microsoft Corporation"))
+      firstGroup(ReWinPhone, ua).map(v => ("Windows Phone", v, "Microsoft Corporation"))
+        .orElse(firstGroup(ReWindows, ua).map(v => ("Windows", v, "Microsoft Corporation")))
         .orElse(firstGroup(ReCros, ua).map(v => ("Chrome OS", v, "Google Inc.")))
+        .orElse(firstGroup(ReKaiOs, ua).map(v => ("KaiOS", v, "KaiOS Technologies")))
+        .orElse(firstGroup(ReTizen, ua).map(v => ("Tizen", v, "Linux Foundation")))
         .orElse(firstGroup(ReAndroid, ua).map(v => ("Android", v, "Google Inc.")))
         .orElse(firstGroup(ReIos, ua).map(v => ("iOS", v.replace('_', '.'), "Apple Inc.")))
         .orElse(firstGroup(ReMac, ua).map(v => ("OS X", v.replace('_', '.'), "Apple Inc.")))
-        .orElse(if (ua.contains("Linux")) Some(("Linux", null, null)) else None)
+        .orElse(if (ua.contains("FreeBSD")) Some(("FreeBSD", null, null)) else None)
+        .orElse(if (ua.contains("Linux") || ua.contains("X11")) Some(("Linux", null, null)) else None)
         .getOrElse((null, null, null))
 
     val deviceCategory =
       if (isBot) "Other"
       else if (SmartTv.exists(ua.contains)) "Smart TV"
       else if (Console.exists(ua.contains)) "Game console"
-      else if (ua.contains("iPad") || (ua.contains("Android") && !ua.contains("Mobile"))) "Tablet"
-      else if (ua.contains("Mobile") || ua.contains("iPhone")) "Smartphone"
+      else if (Wearable.exists(ua.contains)) "Wearable computer"
+      else if (Tablet.exists(ua.contains) ||
+        (ua.contains("Android") && !ua.contains("Mobile"))) "Tablet"
+      else if (ua.contains("Mobile") || ua.contains("iPhone") ||
+        ua.contains("Windows Phone")) "Smartphone"
       else "Personal computer"
 
     val uaType = if (isBot) "Robot" else "Browser"
