@@ -108,6 +108,67 @@ class SourcesSpec extends SparkSpec {
     assert(row.getAs[String]("eventParameters") === """{"a":[1,2],"b":"x"}""")
   }
 
+  // ------------------------------------------------------------------
+  // Replay of the reference's RECORDED wire requests
+  // (`RequestChecksumTest.java:44-94`): real query strings with known
+  // checksum verdicts, pinning the percent-decode + canonicalization +
+  // murmur3_32 chain against the reference's own vectors — including the
+  // non-ASCII event type whose UTF-8 bytes the checksum covers.
+  private val RecordedBase =
+    "p=0%3Ai1t84hgy%3A5AF359Zjq5kUy98u4wQjlIZzWGhN~GlG&" +
+    "s=0%3Ai1t84hgy%3A95CbiPCYln_1e0a6rFvuRkDkeNnc6KC8&" +
+    "v=0%3A1fF6GFGjDOQiEx_OxnTm_tl4BH91eGLF&" +
+    "e=0%3A1fF6GFGjDOQiEx_OxnTm_tl4BH91eGLF0&" +
+    "c=i1t8q2b6&n=f&f=f&l=http%3A%2F%2Flocalhost%3A8290%2F&" +
+    "i=1ak&j=sj&k=2&w=uq&h=qd&t=pageView"
+
+  private val RecordedUnicode =
+    "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&" +
+    "v=0%3ApageView&e=0%3AeventId&" +
+    "c=i1t8q2b6&n=f&f=f&l=http%3A%2F%2Flocalhost%3A8290%2F&" +
+    "i=1ak&j=sj&k=2&w=uq&h=qd&" +
+    "t=%E1%BB%A5%C3%B1%E2%9A%95%C2%A9%C2%BA%E1%B8%8C%E2%84%A8&x=-ql2p2c"
+
+  private val RecordedSentinel =
+    "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&" +
+    "v=0%3ApageView&e=0%3AeventId&" +
+    "c=i1t8q2b6&n=f&f=f&l=http%3A%2F%2Flocalhost%3A8290%2F&" +
+    "i=1ak&j=sj&k=2&w=uq&h=qd&t=sentinelEvent&x=-y99lem"
+
+  test("reference recorded requests: checksum verdicts replay exactly") {
+    val cases = Seq(
+      RecordedBase + "&x=si9804" -> false, // good checksum
+      RecordedBase + "&x=si9805" -> true,  // off by one
+      RecordedBase -> true,                // checksum missing
+      RecordedBase + "&x" -> true,         // partial: bare key
+      RecordedBase + "&x=" -> true,        // partial: empty value
+      RecordedUnicode -> false,
+      RecordedSentinel -> false)
+    val df = BrowserSource.decode(cases.map(_._1).toDF("qs"), "qs")
+    val flags = df.select("corrupt").as[Boolean].collect()
+    assert(flags === cases.map(_._2).toArray)
+  }
+
+  test("reference recorded requests: fields decode to the wire values") {
+    val df = BrowserSource.decode(
+      Seq(RecordedBase + "&x=si9804", RecordedUnicode).toDF("qs"), "qs")
+    val rows = df.collect()
+    val good = rows(0)
+    assert(good.getAs[String]("partyId") === "0:i1t84hgy:5AF359Zjq5kUy98u4wQjlIZzWGhN~GlG")
+    assert(good.getAs[String]("sessionId") === "0:i1t84hgy:95CbiPCYln_1e0a6rFvuRkDkeNnc6KC8")
+    assert(good.getAs[String]("eventType") === "pageView")
+    assert(good.getAs[Long]("clientTime") === java.lang.Long.parseLong("i1t8q2b6", 36))
+    assert(good.getAs[Long]("partyIdTime") === java.lang.Long.parseLong("i1t84hgy", 36))
+    val b = good.getAs[Row]("browser")
+    assert(b.getAs[String]("location") === "http://localhost:8290/")
+    assert(b.getAs[Int]("viewportPixelWidth") === java.lang.Integer.parseInt("uq", 36))
+    assert(b.getAs[Int]("viewportPixelHeight") === java.lang.Integer.parseInt("qd", 36))
+    assert(b.getAs[Int]("screenPixelWidth") === java.lang.Integer.parseInt("1ak", 36))
+    assert(b.getAs[Int]("screenPixelHeight") === java.lang.Integer.parseInt("sj", 36))
+    assert(b.getAs[Int]("devicePixelRatio") === 2)
+    assert(rows(1).getAs[String]("eventType") === "ụñ⚕©ºḌℨ")
+  }
+
   test("expression functions work through SQL plans") {
     val df = Seq("d16!", "sx!", "bogus").toDF("code")
       .select(mincodeToJson(col("code")).as("json"))
