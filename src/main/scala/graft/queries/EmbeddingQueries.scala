@@ -198,6 +198,183 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------- linear probe training
+  private val ProbeIters = 24
+
+  /** TRAIN a linear probe on the embeddings (one-vs-rest least squares for
+    * label 0 via full-batch gradient descent) and score every vector — the
+    * training counterpart of the inference-only hashed classifier, and the
+    * standard "linear probe" diagnostic a training pipeline runs on a new
+    * embedding space.
+    *
+    * Integer-exact END TO END, including the iterative loop: features are
+    * floor(x*1000) longs, weights live at scale 1e6, margins and gradients
+    * are pure BIGINT sums (order-independent — no float accumulates
+    * anywhere), and the weight update divides with both engines'
+    * truncate-toward-zero integer division. The decision threshold is the
+    * class-mean midpoint (the converged LS fit of a 10%-positive class
+    * never reaches 0.5), again in integer space. So even this ITERATIVE
+    * TRAINING operator hash-checks against a DuckDB recursive-CTE oracle
+    * bit-for-bit — no tolerance, no rows-only fallback.
+    *
+    * The step size is 1/max_j||x_j||², data-derived and integer-exact:
+    * lambda_max(X'X/n) <= max||x||², so descent is stable on ANY input
+    * (a fixed rate diverges the moment features correlate — PipelineSpec
+    * pins a planted separable set that a lr=20 run sends to infinity).
+    *
+    * Scale: the classic distributed full-batch GD shape — weights (64
+    * longs) broadcast each iteration, gradients partial-aggregate
+    * map-side into one 64-long array per partition, K scans over a cached
+    * prepared dataset. At 100 TB you'd subsample or mini-batch; the plan
+    * shape is unchanged. */
+  def linearProbe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val MarginScale = 1000000000L // weight scale 1e6 x feature scale 1e3
+    val prep = embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) =>
+        // float->double widening is exact and *1000/floor round identically
+        // in both engines, so these features match the oracle's bit-for-bit
+        (id, emb.map(x => math.floor(x.toDouble * 1000).toLong),
+          if (label == 0) 1L else 0L)
+      }
+      .cache()
+    try {
+      val n = prep.count()
+      // max squared row norm at feature scale 1e6 — the lr normalizer
+      val maxNorm2 = prep.map { case (_, e, _) =>
+        var s = 0L
+        var i = 0
+        while (i < Dim) { s += e(i) * e(i); i += 1 }
+        s
+      }.reduce(math.max)
+      var w = Array.fill(Dim)(0L)
+      for (_ <- 1 to ProbeIters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val grad = prep.mapPartitions { rows =>
+          val g = new Array[Long](Dim)
+          rows.foreach { case (_, e, y) =>
+            var m = 0L
+            var i = 0
+            while (i < Dim) { m += bw.value(i) * e(i); i += 1 }
+            val r = m - y * MarginScale
+            i = 0
+            while (i < Dim) { g(i) += r * e(i); i += 1 }
+          }
+          Iterator.single(g)
+        }.reduce { (a, b) =>
+          val out = new Array[Long](Dim)
+          var i = 0
+          while (i < Dim) { out(i) = a(i) + b(i); i += 1 }
+          out
+        }
+        // dw_real = grad_real / maxnorm2_real collapses to this all-integer
+        // form (the 1e6 feature-square scale cancels the weight scale)
+        w = Array.tabulate(Dim)(dd => w(dd) - grad(dd) / (n * maxNorm2))
+        bw.unpersist(blocking = false)
+      }
+      val bw = spark.sparkContext.broadcast(w)
+      val scored = prep.map { case (id, e, y) =>
+        var m = 0L
+        var i = 0
+        while (i < Dim) { m += bw.value(i) * e(i); i += 1 }
+        (id, y, m)
+      }.toDF("vec_id", "y", "m")
+      // class-mean midpoint threshold, integer-exact (truncating division
+      // in BOTH engines); doubled so the compare needs no further division
+      val t = scored.groupBy()
+        .agg(sum(when(col("y") === 1, col("m"))).as("s1"),
+             sum(when(col("y") === 0, col("m"))).as("s0"),
+             count(when(col("y") === 1, 1)).as("p"),
+             count(when(col("y") === 0, 1)).as("nn"))
+        .as[(Long, Long, Long, Long)].head()
+      val t2 = t._1 / t._3 + t._2 / t._4
+      // lazy result: re-executing it recomputes one narrow scan + score
+      // pass with the (tiny) broadcast weights — nothing stays pinned
+      scored.select(
+        col("vec_id"),
+        col("y").cast("int").as("y"),
+        round(col("m").cast("double") / MarginScale, 6).as("margin"),
+        (col("m") * 2 > t2).as("predicted"))
+    } finally prep.unpersist(blocking = false)
+  }
+
+  val linearProbeSql: String =
+    s"""WITH RECURSIVE
+       | idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS emb,
+       |         CASE WHEN label = 0 THEN 1::BIGINT ELSE 0::BIGINT END AS y
+       |       FROM embeddings),
+       | v0 AS (SELECT list({'emb': emb, 'y': y}) AS vs, CAST(COUNT(*) AS BIGINT) AS n,
+       |          MAX(CAST(list_sum(list_transform(emb, v -> v * v)) AS BIGINT)) AS mx
+       |        FROM e),
+       | state(it, w) AS (
+       |   SELECT 0, list_transform(range(1, ${Dim + 1}), d -> 0::BIGINT)
+       |   UNION ALL
+       |   SELECT it + 1,
+       |     list_transform(range(1, ${Dim + 1}), d ->
+       |       w[d] - CAST(list_sum(list_transform(rl,
+       |                jr -> jr.rj * jr.emb[d])) AS BIGINT) // (n * mx))
+       |   FROM (
+       |     SELECT it, w, v0.n, v0.mx,
+       |       list_transform(v0.vs, v ->
+       |         {'rj': CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                  i -> w[i] * v.emb[i])) AS BIGINT) - v.y * 1000000000,
+       |          'emb': v.emb}) AS rl
+       |     FROM state, v0
+       |     WHERE it < $ProbeIters
+       |   ) base
+       | ),
+       | wf AS (SELECT w FROM state ORDER BY it DESC LIMIT 1),
+       | m AS (SELECT e.vec_id, e.y,
+       |         CAST((SELECT SUM(wf.w[i] * e.emb[i]) FROM idx) AS BIGINT) AS mi
+       |       FROM e, wf),
+       | thr AS (SELECT SUM(CASE WHEN y = 1 THEN mi END) // COUNT(CASE WHEN y = 1 THEN 1 END)
+       |           + SUM(CASE WHEN y = 0 THEN mi END) // COUNT(CASE WHEN y = 0 THEN 1 END)
+       |           AS t2
+       |         FROM m)
+       |SELECT vec_id, CAST(y AS INTEGER) AS y,
+       |  ROUND(CAST(mi AS DOUBLE) / 1000000000, 6) AS margin,
+       |  mi * 2 > thr.t2 AS predicted
+       |FROM m, thr""".stripMargin
+
+  // ------------------------------------------------- ANN recall evaluation
+  /** Recall@K of the LSH-bucketed ANN against the exact brute-force top-K
+    * — the evaluation loop a production ANN deployment runs after every
+    * index build to keep the approximation honest. Both searches are
+    * deterministic (scaled-int math, round-6 cosines, vec_id tie-breaks),
+    * so the evaluation itself carries a full DuckDB oracle rather than a
+    * statistical bound.
+    *
+    * Scale: the inputs are the per-query top-K tables (queries x K rows,
+    * corpus-size-independent), so the recall join/aggregate is negligible
+    * next to the searches that produce them. */
+  def annRecall(spark: SparkSession, d: String): DataFrame = {
+    val exact = knnBrute(spark, d).select(col("q_id"), col("vec_id"))
+    val approx = annLsh(spark, d).select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / TopK, 6)
+          .as("recall_at_k"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH ex AS ($knnBruteSql),
+       | ap AS ($annLshSql),
+       | hits AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |          FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |          GROUP BY 1)
+       |SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK, 6) AS recall_at_k
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
+
   // ----------------------------------------------- two-stage rerank ANN
   /** Prefix length for the coarse pass and the coarse candidate budget.
     * These embeddings are NOT Matryoshka-trained (no information
@@ -922,6 +1099,8 @@ object EmbeddingQueries {
     "emb_ann_lsh"        -> (annLsh _),
     "emb_ann_ivf"        -> (annIvf _),
     "emb_ann_rerank"     -> (annRerank _),
+    "emb_ann_recall"     -> (annRecall _),
+    "emb_linear_probe"   -> (linearProbe _),
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
@@ -935,5 +1114,7 @@ object EmbeddingQueries {
     "emb_ann_lsh"        -> annLshSql,
     "emb_ann_ivf"        -> annIvfSql,
     "emb_ann_rerank"     -> annRerankSql,
+    "emb_ann_recall"     -> annRecallSql,
+    "emb_linear_probe"   -> linearProbeSql,
     "emb_neardup_cosine" -> neardupCosineSql)
 }

@@ -100,6 +100,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann recall: per-query hit counts equal the brute/LSH top-K intersection") {
+    val exact = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = EmbeddingQueries.annLsh(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = EmbeddingQueries.annRecall(spark, sf)
+      .select("q_id", "n_hits", "recall_at_k").as[(Long, Long, Double)].collect()
+    assert(recall.length === exact.size, "one recall row per query")
+    recall.foreach { case (q, hits, r) =>
+      val expected = exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(hits === expected, s"query $q")
+      assert(r === BigDecimal(expected.toDouble / 5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
+  test("linear probe separates a linearly-separable planted labeling perfectly") {
+    val rng = new scala.util.Random(7)
+    // label-0 vectors live at +0.3 in the first 8 dims, others at -0.3;
+    // remaining dims are shared noise — exactly the geometry a converged
+    // least-squares probe with a class-midpoint threshold must nail
+    def vec(pos: Boolean): Array[Float] = Array.tabulate(64) { i =>
+      if (i < 8) (if (pos) 0.3f else -0.3f)
+      else (rng.nextDouble() * 0.2 - 0.1).toFloat
+    }
+    val rows = (0 until 40).map(i => (i.toLong, vec(i % 4 == 0),
+      if (i % 4 == 0) 0 else 1 + i % 3))
+    val tmp = java.nio.file.Files.createTempDirectory("probe").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingQueries.linearProbe(spark, tmp)
+      .select("vec_id", "y", "margin", "predicted")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(out.length === 40)
+    out.foreach { case (id, y, margin, predicted) =>
+      assert(y === (if (id % 4 == 0) 1 else 0), s"vec $id label mapping")
+      assert(predicted === (y == 1), s"vec $id: margin $margin misclassified")
+    }
+    // margins order consistently with the labels (a real fit, not a fluke
+    // of the threshold): every positive margin above every negative one
+    val posMin = out.filter(_._2 == 1).map(_._3).min
+    val negMax = out.filter(_._2 == 0).map(_._3).max
+    assert(posMin > negMax)
+  }
+
   test("ann IVF cosines agree with brute force on shared pairs") {
     val brute = EmbeddingQueries.knnBrute(spark, sf)
       .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
