@@ -249,8 +249,35 @@ object EmbeddingQueries {
         while (i < Dim) { s += e(i) * e(i); i += 1 }
         s
       }.reduce(math.max)
+      // Size gate, the BPE-trainer pattern: below it the training set
+      // (64 longs + a label per row) collects once and the K iterations
+      // run as driver loops — K Spark jobs' scheduling latency dominates
+      // tiny inputs (measured 2.1s -> ~0.3s warm at sf0.1). Above it, the
+      // distributed loop: broadcast weights, map-side partial gradients.
+      // IDENTICAL Long arithmetic either way, so the gate never changes
+      // results (DedupScaleSpec pins bit-parity on the oracled entry).
+      val gate = spark.conf.getOption("spark.graft.probe.maxDriverRows")
+        .map(_.toLong).getOrElse(1L << 20)
       var w = Array.fill(Dim)(0L)
-      for (_ <- 1 to ProbeIters) {
+      def step(w0: Array[Long], grad: Array[Long]): Array[Long] =
+        // dw_real = grad_real / maxnorm2_real collapses to this all-integer
+        // form (the 1e6 feature-square scale cancels the weight scale)
+        Array.tabulate(Dim)(dd => w0(dd) - grad(dd) / (n * maxNorm2))
+      if (n <= gate) {
+        val local = prep.map { case (_, e, y) => (e, y) }.collect()
+        for (_ <- 1 to ProbeIters) {
+          val g = new Array[Long](Dim)
+          local.foreach { case (e, y) =>
+            var m = 0L
+            var i = 0
+            while (i < Dim) { m += w(i) * e(i); i += 1 }
+            val r = m - y * MarginScale
+            i = 0
+            while (i < Dim) { g(i) += r * e(i); i += 1 }
+          }
+          w = step(w, g)
+        }
+      } else for (_ <- 1 to ProbeIters) {
         val bw = spark.sparkContext.broadcast(w)
         val grad = prep.mapPartitions { rows =>
           val g = new Array[Long](Dim)
@@ -269,9 +296,7 @@ object EmbeddingQueries {
           while (i < Dim) { out(i) = a(i) + b(i); i += 1 }
           out
         }
-        // dw_real = grad_real / maxnorm2_real collapses to this all-integer
-        // form (the 1e6 feature-square scale cancels the weight scale)
-        w = Array.tabulate(Dim)(dd => w(dd) - grad(dd) / (n * maxNorm2))
+        w = step(w, grad)
         bw.unpersist(blocking = false)
       }
       val bw = spark.sparkContext.broadcast(w)

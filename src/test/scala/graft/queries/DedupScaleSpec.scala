@@ -111,6 +111,19 @@ class DedupScaleSpec extends SparkSpec {
     assert(gated === baseline)
   }
 
+  test("linear probe: distributed GD path matches the driver loop bit-for-bit") {
+    import spark.implicits._
+    val viaDriver = EmbeddingQueries.linearProbe(spark, sfSmall)
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    val viaDistributed = withConf("spark.graft.probe.maxDriverRows", "0") {
+      EmbeddingQueries.linearProbe(spark, sfSmall)
+        .as[(Long, Int, Double, Boolean)].collect().toSet
+    }
+    assert(viaDriver.nonEmpty)
+    assert(viaDriver.exists(_._4), "the probe must predict some positives")
+    assert(viaDistributed === viaDriver)
+  }
+
   test("bloom decontamination: no false negatives vs the exact path, FP rate bounded") {
     import spark.implicits._
     // planted contamination: every 10th train fingerprint also sits in bench
