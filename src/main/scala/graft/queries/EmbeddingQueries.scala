@@ -252,7 +252,8 @@ object EmbeddingQueries {
       // Size gate, the BPE-trainer pattern: below it the training set
       // (64 longs + a label per row) collects once and the K iterations
       // run as driver loops — K Spark jobs' scheduling latency dominates
-      // tiny inputs (measured 2.1s -> ~0.3s warm at sf0.1). Above it, the
+      // tiny inputs (measured 2.1s -> 1.1s warm at sf0.1; the residual is
+      // the prep/count/norm/threshold jobs, not the loop). Above it, the
       // distributed loop: broadcast weights, map-side partial gradients.
       // IDENTICAL Long arithmetic either way, so the gate never changes
       // results (DedupScaleSpec pins bit-parity on the oracled entry).
