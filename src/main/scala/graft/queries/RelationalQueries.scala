@@ -388,6 +388,292 @@ object RelationalQueries {
       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  // ---------------------------------------------------------------- q8
+  /** TPC-H Q8-style national market share: NATION_5's share of ASIA's PROMO
+    * part volume by order year. Every non-fact input broadcasts (filtered
+    * part, customer tagged with its region via broadcast nation/region), so
+    * the only exchanges are lineitem↔orders on orderkey and the tiny
+    * per-year gather. The share is a ratio of two exact decimal sums,
+    * divided in double at the edge — order-independent either way. */
+  def q8(spark: SparkSession, d: String): DataFrame = {
+    val n = nation(spark, d).join(
+      broadcast(region(spark, d).filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = customer(spark, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val p = part(spark, d).filter(col("p_type") === "PROMO").select("p_partkey")
+    val o = orders(spark, d).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("o_year"))
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), revenue.as("vol"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("n_name") === "NATION_5", col("vol"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(col("vol")).cast("double")).as("mkt_share"))
+  }
+
+  val q8Sql: String =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year, REVEXPR AS vol, n_name
+      |  FROM part, lineitem, orders, customer, nation, region
+      |  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |    AND p_type = 'PROMO')
+      |GROUP BY o_year""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
+  // ---------------------------------------------------------------- q12
+  /** TPC-H Q12-style (adapted: the fixture lacks shipmode/commit/receipt
+    * dates, so "late" = shipped >60 days after the order date, "very late"
+    * = >120). Per order priority, count late vs very-late lines — the
+    * two-branch conditional-SUM shape of the original. One orderkey join
+    * (both sides fact-sized → legitimate shuffle), then a 5-row group. */
+  def q12(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lineitem(spark, d).select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"), 1)
+          .otherwise(0)).as("very_late_count"),
+        sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 120 DAYS"), 1)
+          .otherwise(0)).as("late_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS very_late_count,
+      |  SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS late_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** TPC-H Q14-style promotion effect: PROMO parts' share of one month's
+    * revenue. Part broadcasts; the date predicate is pushed into the fact
+    * scan; output is one row. Same exact-decimal-ratio edge as q8. */
+  def q14(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), revenue.as("rev"))
+      .join(broadcast(part(spark, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(col("rev")).cast("double")).as("promo_revenue"))
+
+  val q14Sql: String =
+    """SELECT 100.0 *
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN REVEXPR ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(REVEXPR) AS DOUBLE) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
+  // ---------------------------------------------------------------- q15
+  /** TPC-H Q15-style top supplier: the supplier(s) whose quarter revenue
+    * equals the maximum. The per-supplier aggregate shuffles once on
+    * suppkey; its one-row max then joins back BROADCAST (never a
+    * single-partition window — supplier cardinality is unbounded at
+    * warehouse scale). Exact decimal revenue makes "equals max" stable. */
+  def q15(spark: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, SUM(REVEXPR) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM rev, supplier
+      |WHERE l_suppkey = s_suppkey
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
+  // ---------------------------------------------------------------- q17
+  /** TPC-H Q17-style small-quantity revenue (adapted: brand + size stands
+    * in for the missing container). "Below half the part's average
+    * quantity" is decided integer-exactly: qty < sum/(2*cnt) ⟺
+    * 2*qty*cnt < sum, so no double average ever exists. The per-part
+    * aggregate is the only extra exchange; the filtered part dim
+    * broadcasts into both the aggregate and the probe side. */
+  def q17(spark: SparkSession, d: String): DataFrame = {
+    val p = part(spark, d)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
+      .select("p_partkey")
+    val perPart = lineitem(spark, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey").as("agg_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    lineitem(spark, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+      .filter(dec(col("l_quantity")) * 2 * col("cnt") < col("sum_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part,
+      |  (SELECT l_partkey AS agg_partkey,
+      |     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt
+      |   FROM lineitem, part
+      |   WHERE l_partkey = p_partkey AND p_brand = 'Brand#3' AND p_size < 10
+      |   GROUP BY 1) agg
+      |WHERE p_partkey = l_partkey AND agg_partkey = l_partkey
+      |  AND p_brand = 'Brand#3' AND p_size < 10
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** TPC-H Q19-style discounted revenue: three (brand, size-range,
+    * qty-range) branches OR'd together — the disjunctive-pushdown probe.
+    * The part side pre-filters to the union of brands and broadcasts; the
+    * residual OR evaluates inside the hash join. One row out. */
+  def q19(spark: SparkSession, d: String): DataFrame = {
+    val p = part(spark, d)
+      .filter(col("p_brand").isInCollection(Seq("Brand#12", "Brand#23", "Brand#34")))
+      .select("p_partkey", "p_brand", "p_size")
+    val branch = (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 35) &&
+        col("l_quantity").between(20, 30)))
+    lineitem(spark, d)
+      .select(col("l_partkey"), col("l_quantity"), revenue.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(REVEXPR) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#12' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
+  // ---------------------------------------------------------------- q21
+  /** TPC-H Q21-style waiting suppliers (adapted: "late" = shipped >60 days
+    * after the order date). A supplier "kept an order waiting" when its
+    * line was the ONLY late one in a multi-supplier order — the classic
+    * EXISTS / NOT-EXISTS pair, expressed distributively as per-order
+    * supplier counts (total distinct suppliers > 1, late suppliers = 1)
+    * instead of correlated subqueries: two keyed aggregates + one orderkey
+    * join, no per-row re-probes. Top 20 by wait count. */
+  def q21(spark: SparkSession, d: String): DataFrame = {
+    val late = lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders(spark, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val orderSupps = lineitem(spark, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+    val lateSupps = late.groupBy(col("l_orderkey").as("ok2"))
+      .agg(count(lit(1)).as("n_late"))
+    late
+      .join(orderSupps, col("l_orderkey") === col("ok"))
+      .join(lateSupps, col("l_orderkey") === col("ok2"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      |order_supps AS (
+      |  SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp
+      |  FROM lineitem GROUP BY 1),
+      |late_supps AS (
+      |  SELECT l_orderkey AS ok2, COUNT(*) AS n_late FROM late GROUP BY 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late, order_supps, late_supps, supplier
+      |WHERE l_orderkey = ok AND l_orderkey = ok2
+      |  AND n_supp > 1 AND n_late = 1
+      |  AND s_suppkey = l_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** TPC-H Q22-style dormant high-balance customers (adapted: a nationkey
+    * subset stands in for the missing phone country codes; "dormant" = no
+    * order since 1999). The global positive-balance average is compared
+    * integer-exactly (bal*cnt > sum — no double average), its one row
+    * broadcast; dormancy is a shuffle anti-join of customer against the
+    * date-filtered orders keys. Output: per-nation count + total balance. */
+  def q22(spark: SparkSession, d: String): DataFrame = {
+    val picked = Seq(1, 3, 5, 7, 9)
+    val c = customer(spark, d)
+      .filter(col("c_nationkey").isInCollection(picked))
+      .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+    val avgRow = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_bal"), count(lit(1)).as("cnt_bal"))
+    val recent = orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(broadcast(avgRow))
+      .filter(col("bal") * col("cnt_bal") > col("sum_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+  }
+
+  val q22Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+      |a AS (
+      |  SELECT SUM(bal) AS sum_bal, COUNT(*) AS cnt_bal FROM c WHERE bal > 0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      |FROM c, a
+      |WHERE bal * cnt_bal > sum_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q3_top_orders"      -> (q3 _),
@@ -395,9 +681,17 @@ object RelationalQueries {
     "q5_local_revenue"   -> (q5 _),
     "q6_forecast"        -> (q6 _),
     "q7_volume_shipping" -> (q7 _),
+    "q8_market_share"    -> (q8 _),
     "q10_returned_items" -> (q10 _),
+    "q12_late_lines"     -> (q12 _),
     "q13_custdist"       -> (q13 _),
+    "q14_promo_effect"   -> (q14 _),
+    "q15_top_supplier"   -> (q15 _),
+    "q17_small_qty"      -> (q17 _),
     "q18_bulky_orders"   -> (q18 _),
+    "q19_discounted"     -> (q19 _),
+    "q21_waiting_supp"   -> (q21 _),
+    "q22_dormant_cust"   -> (q22 _),
     "topn_window"        -> (topnWindow _),
     "rollup_acctbal"     -> (rollupRevenue _))
 
@@ -408,9 +702,17 @@ object RelationalQueries {
     "q5_local_revenue"   -> q5Sql,
     "q6_forecast"        -> q6Sql,
     "q7_volume_shipping" -> q7Sql,
+    "q8_market_share"    -> q8Sql,
     "q10_returned_items" -> q10Sql,
+    "q12_late_lines"     -> q12Sql,
     "q13_custdist"       -> q13Sql,
+    "q14_promo_effect"   -> q14Sql,
+    "q15_top_supplier"   -> q15Sql,
+    "q17_small_qty"      -> q17Sql,
     "q18_bulky_orders"   -> q18Sql,
+    "q19_discounted"     -> q19Sql,
+    "q21_waiting_supp"   -> q21Sql,
+    "q22_dormant_cust"   -> q22Sql,
     "topn_window"        -> topnWindowSql,
     "rollup_acctbal"     -> rollupRevenueSql)
 }

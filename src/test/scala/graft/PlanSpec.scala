@@ -278,6 +278,92 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q8: one fact scan; part/customer/nation sides all broadcast") {
+    val df = RelationalQueries.q8(spark, sf)
+    val nodes = planNodes(df)
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 3, s"part, customer and nation-region sides must broadcast, got $bhj")
+    val factScans = nodes.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(factScans === 1, s"fact table must be scanned once, got $factScans")
+  }
+
+  test("q12: one orderkey join, no cartesian, tiny final group") {
+    val nodes = planNodes(RelationalQueries.q12(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    // lineitem + orders onto orderkey, then the 5-row priority gather
+    assert(exchanges <= 3, s"q12 must stay a single key join + group, got $exchanges")
+  }
+
+  test("q14: shipdate pushed down; part dim broadcasts") {
+    val df = RelationalQueries.q14(spark, sf)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate must reach the scan")
+    assert(planNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "part must broadcast")
+  }
+
+  test("q15: max-revenue joins back broadcast — no single-partition window") {
+    val nodes = planNodes(RelationalQueries.q15(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "supplier cardinality is unbounded — an unpartitioned window would serialize")
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "the one-row max must broadcast onto the aggregate")
+  }
+
+  test("q17: part filter pushed to the dim scan; per-part aggregate broadcasts") {
+    val df = RelationalQueries.q17(spark, sf)
+    val p = plan(df)
+    assert(p.contains("EqualTo(p_brand,Brand#3)"), "brand filter must reach the part scan")
+    val bhj = planNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 2, s"filtered part + per-part aggregate must broadcast, got $bhj")
+  }
+
+  test("q19: brand IN-list pushed to the part scan; single fact scan") {
+    val df = RelationalQueries.q19(spark, sf)
+    val p = plan(df)
+    assert(p.contains("In(p_brand"), "brand IN-list must reach the part scan")
+    val factScans = planNodes(df).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(factScans === 1)
+  }
+
+  test("q21: keyed exchanges only, no cartesian; top-20 is TakeOrdered") {
+    val df = RelationalQueries.q21(spark, sf)
+    val nodes = planNodes(df)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(plan(df).contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q22: dormancy is an anti-join; the balance average broadcasts") {
+    val df = RelationalQueries.q22(spark, sf)
+    val nodes = planNodes(df)
+    val anti = nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }
+    assert(anti, "no-recent-orders must plan as LeftAnti, not a distinct+outer-join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
   test("q13: the zero bucket survives — outer join, then two-phase agg") {
     val rows = RelationalQueries.q13(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum ===
