@@ -829,6 +829,110 @@ object EmbeddingQueries {
        |              ORDER BY approx_dist2, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------- scalar quantization
+  /** Per-dimension uint8 scalar quantization (SQ8) — the other standard
+    * vector-compression scheme next to PQ (FAISS `ScalarQuantizer`, Milvus
+    * SQ8): each dimension maps to `floor((x-mn_i)*255/(mx_i-mn_i))` against
+    * the GLOBAL per-dimension min/max, compressing a float to one byte (4×)
+    * with no codebook training at all. All arithmetic stays in scaled-int
+    * space: the numerator `(x_s-mn_s)*255` is a non-negative long and the
+    * integer division is engine-independent, so codes are bit-stable.
+    *
+    * Scale: the stats pass is a 64-row aggregate (map-side combined) that
+    * collapses to ONE broadcast row of min/max arrays; encoding is then an
+    * exchange-free narrow scan. Stats cover the whole table (queries
+    * included) so [[sqCodes]] and [[sqSearch]] share one quantizer. */
+  private def sqStats(e: DataFrame): DataFrame = e
+    .select(posexplode(col("emb")))
+    .groupBy(col("pos"))
+    .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+    .groupBy()
+    .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("s"))
+    .select(expr("transform(s, t -> t.mn)").as("mn_arr"),
+            expr("transform(s, t -> t.mx)").as("mx_arr"))
+
+  /** `transform` SQL computing the uint8 code per element against the
+    * broadcast `mn_arr`/`mx_arr` (flat dimensions collapse to code 0). */
+  private val sqCodeExpr =
+    """transform(emb, (x, i) -> CASE
+      |  WHEN element_at(mx_arr, i + 1) = element_at(mn_arr, i + 1) THEN CAST(0 AS BIGINT)
+      |  ELSE ((x - element_at(mn_arr, i + 1)) * 255) DIV
+      |       (element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1))
+      |END)""".stripMargin
+
+  def sqCodes(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    e.crossJoin(broadcast(sqStats(e)))
+      .select(col("vec_id"), posexplode(expr(sqCodeExpr)))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("col").cast("int").as("code"))
+  }
+
+  val sqCodesSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | st AS (SELECT i, MIN(emb[i]) AS mn, MAX(emb[i]) AS mx FROM e, idx GROUP BY 1)
+       |SELECT vec_id, i AS dim,
+       |  CAST(CASE WHEN mx = mn THEN 0
+       |            ELSE ((emb[i] - mn) * 255) // (mx - mn) END AS INT) AS code
+       |FROM e, st""".stripMargin
+
+  /** Asymmetric SQ search (the read path): the UNCOMPRESSED query scores
+    * against DEQUANTIZED corpus codes — dequantization keeps the exact
+    * rational `mn*255 + code*(mx-mn)` numerator (denominator 255 is a
+    * constant, rank-irrelevant), so the approximate inner product
+    * `Σ q_i·dq_i` is one exact long dot product per corpus vector and the
+    * full approximate ranking hash-checks against DuckDB. Corpus codes
+    * never leave their partition: queries and the stats row broadcast,
+    * top-k is a per-query window over |corpus| scored rows. */
+  def sqSearch(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val dq = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(sqStats(e)))
+      .withColumn("codes", expr(sqCodeExpr))
+      .select(col("vec_id"), expr(
+        """transform(codes, (c, i) ->
+          |  element_at(mn_arr, i + 1) * 255 +
+          |  c * (element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1)))""".stripMargin)
+        .as("dq"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    dq.crossJoin(broadcast(q))
+      .withColumn("score", dotScaled(col("dq"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+  }
+
+  val sqSearchSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | st AS (SELECT i, MIN(emb[i]) AS mn, MAX(emb[i]) AS mx FROM e, idx GROUP BY 1),
+       | cs AS (SELECT vec_id, i,
+       |          CASE WHEN mx = mn THEN 0
+       |               ELSE ((emb[i] - mn) * 255) // (mx - mn) END AS code
+       |        FROM e, st WHERE vec_id >= $NQueries),
+       | dq AS (SELECT vec_id, cs.i, mn * 255 + code * (mx - mn) AS dqv
+       |        FROM cs JOIN st ON cs.i = st.i),
+       | q AS (SELECT vec_id AS q_id, i, emb[i] AS qv
+       |       FROM e, idx WHERE vec_id < $NQueries),
+       | s AS (SELECT q_id, dq.vec_id, CAST(SUM(dqv * qv) AS BIGINT) AS score
+       |       FROM dq JOIN q ON dq.i = q.i GROUP BY 1, 2)
+       |SELECT q_id, vec_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY score DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   // ------------------------------------------------------ semantic dedup
   private val SemDedupThreshold = 0.4
 
@@ -1120,6 +1224,8 @@ object EmbeddingQueries {
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
+    "emb_sq_codes"       -> (sqCodes _),
+    "emb_sq_search"      -> (sqSearch _),
     "emb_knn_brute"      -> (knnBrute _),
     "emb_centroids"      -> (centroids _),
     "emb_ann_lsh"        -> (annLsh _),
@@ -1135,6 +1241,8 @@ object EmbeddingQueries {
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,
+    "emb_sq_codes"       -> sqCodesSql,
+    "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,

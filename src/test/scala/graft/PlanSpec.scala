@@ -278,6 +278,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sq search: stats row and queries broadcast; corpus never shuffle-joins") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_sq_search")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "the one-row stats / tiny query set must broadcast onto the corpus scan")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the corpus must never shuffle-sort against broadcast-sized inputs")
+  }
+
   test("q8: one fact scan; part/customer/nation sides all broadcast") {
     val df = RelationalQueries.q8(spark, sf)
     val nodes = planNodes(df)

@@ -886,6 +886,53 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("sq codes: range, extremes, and step-bounded reconstruction") {
+    val codes = EmbeddingQueries.sqCodes(spark, sf)
+      .select("vec_id", "dim", "code")
+      .as[(Long, Int, Int)].collect()
+    assert(codes.forall(c => c._3 >= 0 && c._3 <= 255))
+    // per dimension the global min must code to 0 and the global max to 255
+    val raw = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").cast("double").as("x"))
+      .as[(Long, Int, Double)].collect()
+    val byDim = raw.groupBy(_._2)
+    val codeOf = codes.map(c => (c._1, c._2) -> c._3).toMap
+    byDim.foreach { case (dim, g) =>
+      val lo = g.minBy(_._3); val hi = g.maxBy(_._3)
+      assert(codeOf((lo._1, dim)) === 0, s"dim $dim min must code to 0")
+      assert(codeOf((hi._1, dim)) === 255, s"dim $dim max must code to 255")
+      // reconstruction error ≤ one quantization step (inclusive: the code
+      // is a floor, so x sits within [dq, dq + step])
+      val step = (hi._3 - lo._3) / 255.0
+      g.foreach { case (id, _, x) =>
+        val dq = lo._3 + codeOf((id, dim)) * step
+        assert(x >= dq - 1e-7 && x <= dq + step + 1e-7,
+          s"vec $id dim $dim: x=$x outside [$dq, ${dq + step}]")
+      }
+    }
+  }
+
+  test("sq search: an exact copy of a query outranks everything else") {
+    // corpus vector 20 is an exact copy of query 0: after quantization its
+    // dequantized form is the closest representable vector to query 0, so
+    // the asymmetric inner product must rank it first
+    val tmp = java.nio.file.Files.createTempDirectory("sqsearch").toString
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((seed * 101 + j * 7) % 256) - 128) / 128.0f)
+    (0 until 30).map { id =>
+      (id.toLong, if (id == 20) vec(0) else vec(id), id % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingQueries.sqSearch(spark, tmp)
+      .select("q_id", "vec_id", "score", "rk")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.filter(r => r._1 == 0L && r._4 == 1).head._2 === 20L)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to 5))
+    }
+  }
+
   test("pq codes: seed vectors reconstruct exactly; codes stay in range") {
     val out = EmbeddingQueries.pqCodes(spark, sf)
       .select("vec_id", "subspace", "code", "dist2")
