@@ -306,9 +306,16 @@ object DocQueries {
     * map-side-combinable min agg until fixpoint. Both paths produce the
     * same deterministic component-minimum labels (ComponentsSpec parity +
     * DedupScaleSpec forcing the gate). */
-  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, d: String): DataFrame =
+    resolveClusters(spark, d, neardupJaccard(spark, d).select(col("d1"), col("d2")))
+
+  /** Pair graph → per-document (canonical id, duplicate flag). Shared by
+    * the exact-Jaccard pipeline ([[dedupClusters]]) and the MinHash one
+    * ([[minhashDedup]]) — the candidate generator differs, the resolution
+    * step is identical. */
+  private def resolveClusters(
+      spark: SparkSession, d: String, pairsDf: DataFrame): DataFrame = {
     import spark.implicits._
-    val pairsDf = neardupJaccard(spark, d).select(col("d1"), col("d2"))
     val maxDriverPairs = spark.conf
       .getOption("spark.graft.dedup.maxDriverPairs").map(_.toLong)
       .getOrElse(4L << 20)
@@ -488,6 +495,57 @@ object DocQueries {
        |FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
        |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
        |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3""".stripMargin
+
+  // --------------------------------------------- minhash end-to-end dedup
+  /** The full MinHash dedup pipeline a production corpus sweep ships:
+    * signatures → banded LSH candidates → exact-Jaccard verification →
+    * connected components → one canonical document per cluster, flag-not-
+    * drop. Identical resolution machinery to [[dedupClusters]] (driver
+    * union-find below `spark.graft.dedup.maxDriverPairs`, distributed
+    * min-label propagation above); the difference is the candidate
+    * generator — banded LSH keeps candidate generation sub-quadratic at
+    * corpus scale where the df-capped inverted index of [[neardupJaccard]]
+    * would still enumerate every rare-shingle pair. */
+  def minhashDedup(spark: SparkSession, d: String): DataFrame =
+    resolveClusters(spark, d, minhashLsh(spark, d).select(col("d1"), col("d2")))
+
+  /** DuckDB replica: the [[minhashLshSql]] CTE chain (signatures → bands →
+    * verified pairs) feeding the same recursive transitive-closure walk as
+    * [[dedupClustersSql]]. */
+  val minhashDedupSql: String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |       FROM documents),
+       | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | hm AS (SELECT doc_id, s AS m FROM g),
+       | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
+       | sigs AS (SELECT doc_id, i,
+       |            MIN((m * (2*i + 1) + (i*40503 + 2531011)) % 2147483647) AS sig
+       |          FROM hm, perms GROUP BY 1, 2),
+       | bands AS (SELECT doc_id, i // $BandRows AS band,
+       |             string_agg(sig::VARCHAR, '_' ORDER BY i) AS bkey
+       |           FROM sigs GROUP BY 1, 2),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1),
+       | pairs AS (SELECT d1, d2
+       |   FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
+       |   WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |     (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3),
+       | edges AS (SELECT d1, d2 FROM pairs
+       |           UNION ALL SELECT d2, d1 FROM pairs),
+       | walk(node, lab) AS (
+       |   SELECT DISTINCT d1, d1 FROM edges
+       |   UNION
+       |   SELECT e.d1, w.lab FROM edges e JOIN walk w ON e.d2 = w.node),
+       | labels AS (SELECT node, MIN(lab) AS label FROM walk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(l.label, d.doc_id) AS canonical_doc_id,
+       |  COALESCE(l.label, d.doc_id) <> d.doc_id AS is_duplicate
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
 
   /** DuckDB replica of [[simhashPairs]]: same md5-low-64 token hash, same
     * sign-of-weighted-bit-sums simhash; the oracle compares ALL pairs (the
@@ -2542,6 +2600,7 @@ object DocQueries {
     "doc_neardup_jaccard" -> (neardupJaccard _),
     "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
+    "doc_minhash_dedup"   -> (minhashDedup _),
     "doc_simhash_pairs"   -> (simhashPairs _),
     "doc_repetition"      -> (repetition _),
     "doc_bm25"            -> (bm25 _))
@@ -2582,6 +2641,7 @@ object DocQueries {
     "doc_neardup_jaccard" -> neardupJaccardSql,
     "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
+    "doc_minhash_dedup"   -> minhashDedupSql,
     "doc_simhash_pairs"   -> simhashPairsSql,
     "doc_repetition"      -> repetitionSql,
     "doc_bm25"            -> bm25Sql)

@@ -61,6 +61,40 @@ class PipelineSpec extends SparkSpec {
     assert(got(99L) === (99L, false))
   }
 
+  test("minhash dedup: planted dup cluster collapses end-to-end; agrees with exact pipeline") {
+    // docs long enough that one-token edits keep jaccard ~0.9 — above the
+    // 8-band LSH S-curve midpoint (~0.77), so recall here is deterministic
+    // (the 20-token chain of the exact-Jaccard test sits at ~0.75 and LSH
+    // legitimately misses it)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " endone"),
+      (20L, base + " endtwo"),
+      (30L, base.replace("tok30", "mid") + " endtwo"),
+      (99L, "completely different content nothing shared here at all " +
+        "not even slightly similar to the others in any way whatsoever")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("mhdedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.minhashDedup(spark, tmp)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(10L) === (10L, false))
+    assert(got(20L) === (10L, true))
+    assert(got(30L) === (10L, true))
+    assert(got(99L) === (99L, false))
+    // on the real corpus both pipelines keep the same canonical set
+    // wherever LSH recalled the pair (lsh pairs ⊆ exact pairs, so every
+    // minhash-flagged duplicate must be exact-flagged too)
+    val mh = DocQueries.minhashDedup(spark, sf)
+      .filter(col("is_duplicate")).select("doc_id")
+      .as[Long].collect().toSet
+    val exact = DocQueries.dedupClusters(spark, sf)
+      .filter(col("is_duplicate")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(mh.subsetOf(exact), s"minhash flagged non-exact dups: ${mh -- exact}")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
