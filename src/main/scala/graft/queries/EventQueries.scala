@@ -198,6 +198,94 @@ object EventQueries {
       |SELECT event_type, next_type, COUNT(*) AS n_transitions
       |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ pagerank
+  /** Weighted PageRank over the click-transition graph (damping 0.85,
+    * [[PrIters]] fixed iterations) — the classic "which page/state matters"
+    * ranking over exactly the flow graph [[transitions]] counts.
+    *
+    * Determinism: ranks live as longs in 1e-12 units and every step is
+    * integer arithmetic — per-edge contribution `(rank DIV out_weight) * w`
+    * and the damped update `base + (85 * Σ) DIV 100` — so iteration order
+    * and float summation never matter and the whole 10-round fixpoint
+    * hash-checks against a DuckDB recursive-CTE replay. (Truncating DIV
+    * before the multiply keeps every intermediate within long range no
+    * matter how large the edge weights grow; dangling-node mass leaks, the
+    * standard simplification.)
+    *
+    * Scale: nodes and edges are DataFrames keyed on the node id — each
+    * iteration is one src-key join (rank table vs edges) + one
+    * map-side-combinable sum per dst, the textbook distributed PageRank;
+    * nothing assumes the node set fits anywhere. `localCheckpoint` cuts
+    * the 10-iteration lineage like the BPE trainer. The node COUNT is the
+    * only driver-side scalar. */
+  private val PrScale = 1000000000000L // 1e12: rank units
+  private val PrIters = 10
+
+  def pagerank(spark: SparkSession, d: String): DataFrame = {
+    val edges = transitions(spark, d)
+      .select(col("event_type").as("src"), col("next_type").as("dst"),
+        col("n_transitions").as("w"))
+      .cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val base = 15L * PrScale / (100L * n) // floor; all positive
+    var ranks = nodes.withColumn("rank", lit(PrScale / n))
+    for (_ <- 1 to PrIters) {
+      val contribs = edges.join(outw, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (expr("rank DIV ow") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); nodes.unpersist()
+    ranks.select(col("node").as("event_type"), col("rank").as("rank_scaled"),
+      (col("rank").cast("double") / PrScale).as("rank"))
+  }
+
+  /** Recursive-CTE replay: the rank vector rides as a list over the sorted
+    * node list ([[linearProbeSql]]'s state-as-list idiom), edges as one
+    * packed struct list; each round recomputes every node with the same
+    * integer formula. */
+  val pagerankSql: String =
+    s"""WITH RECURSIVE
+       | t AS (
+       |  SELECT event_type,
+       |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |                              ORDER BY epoch_ms(ts), event_id) AS next_type
+       |  FROM events),
+       | edges AS (SELECT event_type AS src, next_type AS dst, COUNT(*) AS w
+       |           FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       | nodes AS (SELECT DISTINCT node FROM
+       |             (SELECT src AS node FROM edges
+       |              UNION SELECT dst FROM edges)),
+       | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       | outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+       | packed AS (SELECT list({'src': src, 'dst': dst, 'w': w, 'ow': ow}) AS es
+       |            FROM edges JOIN outw USING (src)),
+       | nl AS (SELECT list(node ORDER BY node) AS ns FROM nodes),
+       | pr(it, rl) AS (
+       |   SELECT 0, list_transform(ns, x -> $PrScale // n) FROM nl, nn
+       |   UNION ALL
+       |   SELECT it + 1, list_transform(ns, v ->
+       |       (15 * $PrScale) // (100 * n) +
+       |       (85 * COALESCE(CAST(list_sum(list_transform(es, e ->
+       |          CASE WHEN e.dst = v
+       |               THEN (rl[list_position(ns, e.src)] // e.ow) * e.w
+       |               ELSE 0 END)) AS BIGINT), 0)) // 100)
+       |   FROM pr, packed, nl, nn WHERE it < $PrIters),
+       | f AS (SELECT rl FROM pr ORDER BY it DESC LIMIT 1)
+       |SELECT ns[i] AS event_type, rl[i] AS rank_scaled,
+       |  CAST(rl[i] AS DOUBLE) / $PrScale AS rank
+       |FROM f, nl,
+       |  (SELECT unnest(generate_series(1, (SELECT CAST(n AS INT) FROM nn))) AS i)""".stripMargin
+
   // ------------------------------------------------------------ retention
   /** Day-over-day retention: users active on day D who return on D+1.
     * Distinct (day, user) pairs self-join on (user, day+1) — both sides
@@ -850,6 +938,7 @@ object EventQueries {
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_transitions"  -> (transitions _),
+    "evt_pagerank"     -> (pagerank _),
     "evt_retention"    -> (retention _),
     "evt_session_stats" -> (sessionStats _),
     "evt_asof_join"    -> (asofTier _))
@@ -870,6 +959,7 @@ object EventQueries {
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_transitions"  -> transitionsSql,
+    "evt_pagerank"     -> pagerankSql,
     "evt_retention"    -> retentionSql,
     "evt_session_stats" -> sessionStatsSql,
     "evt_asof_join"    -> asofTierSql)

@@ -95,6 +95,31 @@ class PipelineSpec extends SparkSpec {
     assert(mh.subsetOf(exact), s"minhash flagged non-exact dups: ${mh -- exact}")
   }
 
+  test("pagerank: the hub of a planted star graph ranks first; mass is conserved") {
+    // every user flows X->HUB or Y->HUB and HUB loops to itself once, so
+    // HUB receives all transition mass and must outrank the leaves
+    val rows = (0 until 20).flatMap { u =>
+      val leaf = if (u % 2 == 0) "X" else "Y"
+      Seq(
+        (s"e${u}_0", java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${u}%02d"), s"u$u", leaf, 1.0, "{}"),
+        (s"e${u}_1", java.sql.Timestamp.valueOf(f"2024-01-01 10:01:${u}%02d"), s"u$u", "HUB", 1.0, "{}"),
+        (s"e${u}_2", java.sql.Timestamp.valueOf(f"2024-01-01 10:02:${u}%02d"), s"u$u", "HUB", 1.0, "{}"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val pr = EventQueries.pagerank(spark, tmp)
+      .select("event_type", "rank_scaled")
+      .as[(String, Long)].collect().toMap
+    assert(pr.keySet === Set("X", "Y", "HUB"))
+    assert(pr("HUB") > pr("X") && pr("HUB") > pr("Y"))
+    assert(pr("X") === pr("Y"), "symmetric leaves must tie exactly")
+    // total rank stays within the initial mass: the damped update only
+    // redistributes or leaks (floor division + dangling loss), never grows
+    assert(pr.values.sum <= 1000000000000L)
+    assert(pr.values.sum > 300000000000L, "most mass should survive 10 rounds")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
