@@ -852,6 +852,104 @@ object DocQueries {
       |  FROM c)
       |WHERE rank <= 20""".stripMargin
 
+  // ------------------------------------------------- collocations (PMI)
+  /** Top-k collocations by pointwise mutual information — the classic
+    * corpus-linguistics "which word pairs belong together" statistic
+    * (Church & Hanks 1990). PMI = log(p(w1,w2)/(p(w1)p(w2))) is ranked by
+    * its RATIONAL argument `c12·N_bigrams/(c1·c2)` in 1e-6 scaled integer
+    * units instead of the log — log is monotone, so the ranking is
+    * identical, and integer division keeps the oracle bit-exact where a
+    * libm log could differ in the last ulp between engines. Min count 5
+    * suppresses the rare-pair PMI explosion (standard practice).
+    *
+    * Scale: two token scans (bigram + unigram counts, both one
+    * map-side-combinable shuffle), unigram counts joined on the word keys
+    * (vocabulary-sized — keyed joins, nothing broadcast), one-row totals
+    * broadcast, TakeOrdered top-k. The 1e-6 scaling fits long up to
+    * ~10^12 bigram occurrences; past that the counts themselves should be
+    * log-scaled before ranking. */
+  private val CollocMinCount = 5
+  private val CollocTopK = 20
+
+  def collocations(spark: SparkSession, d: String): DataFrame = {
+    val tk = documents(spark, d).select(toks(col("text")).as("tk"))
+    val bigrams = tk.select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), (a, b) -> struct(a AS w1, b AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+    val uc = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = bigrams.agg(count(lit(1)).as("nb"))
+    val scored = bc
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .join(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(c12 * nb * 1000000) DIV (c1 * c2)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+    scored.withColumn("rank", row_number().over(
+      Window.orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))))
+  }
+
+  val collocationsSql: String =
+    s"""WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |        FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |        WHERE i + 1 <= len(tk)),
+       | bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+       |        HAVING COUNT(*) >= $CollocMinCount),
+       | uc AS (SELECT w, COUNT(*) AS c FROM
+       |          (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+       | tot AS (SELECT COUNT(*) AS nb FROM bg),
+       | s AS (SELECT w1, w2, c12,
+       |         (c12 * nb * 1000000) // (u1.c * u2.c) AS pmi_scaled
+       |       FROM bc JOIN uc u1 ON bc.w1 = u1.w
+       |               JOIN uc u2 ON bc.w2 = u2.w, tot)
+       |SELECT w1, w2, c12, pmi_scaled, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, w1, w2) AS rank
+       |  FROM s)
+       |WHERE rank <= $CollocTopK""".stripMargin
+
+  // ------------------------------------------------- readability scoring
+  /** Flesch reading-ease per document from three deterministic counts:
+    * sentences (non-empty `[.!?]+` segments), whitespace words, and
+    * vowel-group syllables (`[aeiouy]+` runs — the standard heuristic; a
+    * run never spans whitespace, so one regexp count over the whole text
+    * equals the per-word sum). The score itself is a fixed-order double
+    * expression over integer counts, rounded to 6 decimals at the edge.
+    * Exchange-free narrow scan at any scale. */
+  def readability(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "[.!?]+"), s => trim(s) =!= ""))
+        .cast("long").as("n_sentences"),
+      size(toks(col("text"))).cast("long").as("n_words"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+    .withColumn("flesch",
+      when(col("n_sentences") > 0 && col("n_words") > 0,
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6)))
+
+  val readabilitySql: String =
+    """SELECT doc_id, n_sentences, n_words, n_syllables,
+      |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+      |    ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+      |  END AS flesch
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+      |             s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents)""".stripMargin
+
   // ------------------------------------------------- repetition metrics
   /** Gopher-style repetition quality metrics (Rae et al. 2021, Table A1):
     * excessive n-gram repetition marks low-quality/boilerplate text. Per
@@ -2592,6 +2690,8 @@ object DocQueries {
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
     "doc_vocab_topk"   -> (vocabTopK _),
+    "doc_collocations" -> (collocations _),
+    "doc_readability"  -> (readability _),
     "doc_dedup_exact"     -> (dedupExact _),
     "doc_fingerprint"     -> (fingerprint _),
     "doc_token_stats"     -> (tokenStats _),
@@ -2633,6 +2733,8 @@ object DocQueries {
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,
     "doc_vocab_topk"      -> vocabTopKSql,
+    "doc_collocations"    -> collocationsSql,
+    "doc_readability"     -> readabilitySql,
     "doc_dedup_exact"     -> dedupExactSql,
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,

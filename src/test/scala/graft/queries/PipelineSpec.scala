@@ -118,6 +118,51 @@ class PipelineSpec extends SparkSpec {
     // redistributes or leaks (floor division + dangling loss), never grows
     assert(pr.values.sum <= 1000000000000L)
     assert(pr.values.sum > 300000000000L, "most mass should survive 10 rounds")
+    // driver-loop vs distributed path bit-parity: force the gate shut
+    spark.conf.set("spark.graft.pagerank.maxDriverEdges", "0")
+    try {
+      val dist = EventQueries.pagerank(spark, tmp)
+        .select("event_type", "rank_scaled")
+        .as[(String, Long)].collect().toMap
+      assert(dist === pr, "distributed updates must reproduce the driver loop exactly")
+    } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
+  }
+
+  test("collocations: an always-together pair outranks independent co-occurrences") {
+    // "aa bb" always adjacent and exclusive; filler words pair freely, so
+    // PMI(aa,bb) = nb/c(aa) >> any filler pair's ratio
+    val filler = (0 until 8).map(i => s"f$i")
+    val docs = (0 until 10).map { i =>
+      val mix = (0 until 12).map(j => filler((i * 5 + j * 3) % 8)).mkString(" ")
+      (i.toLong, s"aa bb $mix")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("colloc").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = DocQueries.collocations(spark, tmp)
+      .select("w1", "w2", "rank").as[(String, String, Int)].collect()
+    assert(top.find(_._3 == 1).map(r => (r._1, r._2)) === Some(("aa", "bb")))
+  }
+
+  test("readability: hand-computed Flesch on planted sentences") {
+    // 2 sentences, 8 words, 9 vowel-group syllables
+    // (the-cat-sat-on-a-mat-dogs-ru..i..: "running" has two groups):
+    // 206.835 - 1.015*(8/2) - 84.6*(9/8)
+    val text = "the cat sat on a mat. dogs running!"
+    val tmp = java.nio.file.Files.createTempDirectory("read").toString
+    Seq((1L, text)).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DocQueries.readability(spark, tmp)
+      .select("n_sentences", "n_words", "n_syllables", "flesch")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._1 === 2L)
+    assert(r._2 === 8L)
+    assert(r._3 === 9L)
+    val expected = BigDecimal(206.835 - 1.015 * (8.0 / 2) - 84.6 * (9.0 / 8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._4 === expected)
   }
 
   test("simhash: near-identical docs collide, unrelated docs do not") {
