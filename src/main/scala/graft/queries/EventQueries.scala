@@ -198,6 +198,60 @@ object EventQueries {
       |SELECT event_type, next_type, COUNT(*) AS n_transitions
       |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+  /** Top-k heavy hitters (most active users) from COUNT-MIN point
+    * estimates — the constant-memory frequency path where the exact
+    * per-user count table ([[topUsers]]) would be user-cardinality-sized:
+    * one pass folds every event into a 4×4096 sketch (map-side partial
+    * aggregation, ~128KB regardless of user count), the collected sketch
+    * broadcasts, and the distinct-user probe is a narrow scan +
+    * TakeOrdered. The md5 bucketing is engine-replicable, so the whole
+    * approximate ranking — estimates never undercount, overcount bounded
+    * by the CMS contract — hash-checks against DuckDB. */
+  private val HhTopK = 20
+
+  def heavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val users = ev(spark, d).select(col("user_id").cast("string").as("u"))
+    val bc = MemoCache.getOrElseUpdate(spark, ("cms-hh", d))({
+      val row = users
+        .agg(graft.functions.CountMin.sketch(col("u")).as("cms")).head()
+      spark.sparkContext.broadcast(row.getSeq[Long](0).toArray)
+    })(_.unpersist(blocking = false))
+    val estUdf = udf((u: String) => graft.functions.CountMin.query(bc.value, u))
+    users.distinct()
+      .withColumn("est_count", estUdf(col("u")))
+      .orderBy(col("est_count").desc, col("u"))
+      .limit(HhTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est_count").desc, col("u"))))
+      .withColumnRenamed("u", "user_id")
+  }
+
+  val heavyHittersSql: String = {
+    val w = graft.functions.CountMin.Width
+    val dm = graft.functions.CountMin.Depth - 1
+    s"""WITH v AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+       | r AS (SELECT unnest(generate_series(0, $dm)) AS r),
+       | counters AS (SELECT r,
+       |     (('0x' || substr(md5('cm' || r || ':' || u), 1, 16))::UBIGINT >> 1)
+       |       % $w AS b,
+       |     COUNT(*) AS c
+       |   FROM v, r GROUP BY 1, 2),
+       | dv AS (SELECT DISTINCT u FROM v),
+       | probes AS (SELECT u, r.r,
+       |     (('0x' || substr(md5('cm' || r.r || ':' || u), 1, 16))::UBIGINT >> 1)
+       |       % $w AS b
+       |   FROM dv, r),
+       | est AS (SELECT u, MIN(c) AS est_count
+       |         FROM probes JOIN counters ON probes.r = counters.r
+       |                                  AND probes.b = counters.b
+       |         GROUP BY 1)
+       |SELECT u AS user_id, est_count, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY est_count DESC, u) AS rank
+       |  FROM est)
+       |WHERE rank <= $HhTopK""".stripMargin
+  }
+
   // ------------------------------------------------------------ pagerank
   /** Weighted PageRank over the click-transition graph (damping 0.85,
     * [[PrIters]] fixed iterations) — the classic "which page/state matters"
@@ -962,6 +1016,7 @@ object EventQueries {
     "evt_daily_rollup" -> (dailyRollup _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
+    "evt_heavy_hitters" -> (heavyHitters _),
     "evt_transitions"  -> (transitions _),
     "evt_pagerank"     -> (pagerank _),
     "evt_retention"    -> (retention _),
@@ -983,6 +1038,7 @@ object EventQueries {
     "evt_daily_rollup" -> dailyRollupSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
+    "evt_heavy_hitters" -> heavyHittersSql,
     "evt_transitions"  -> transitionsSql,
     "evt_pagerank"     -> pagerankSql,
     "evt_retention"    -> retentionSql,

@@ -252,6 +252,31 @@ class SketchSpec extends SparkSpec {
     assert(CountMin.query(rows("b"), "y") === 0L)
   }
 
+  test("heavy hitters: estimates never undercount the exact per-user counts") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val hh = EventQueries.queries("evt_heavy_hitters")(spark, sf)
+      .select("user_id", "est_count", "rank")
+      .as[(String, Long, Int)].collect()
+    val expectedLen = math.min(20, exact.size)
+    assert(hh.length === expectedLen)
+    assert(hh.map(_._3).sorted.toSeq === (1 to expectedLen))
+    hh.foreach { case (u, est, _) =>
+      assert(est >= exact(u), s"user $u undercounted: $est < ${exact(u)}")
+    }
+    // the true heaviest user cannot be displaced: its estimate is >= its
+    // exact count, which exceeds every other user's estimate only if
+    // overcounts stay within the CMS bound — assert the top-1 matches
+    val trueTop = exact.toSeq.sortBy { case (u, c) => (-c, u) }.head
+    val n = exact.values.sum
+    val bound = (3 * math.E * n / graft.functions.CountMin.Width).toLong + 1
+    if (trueTop._2 > exact.values.toSeq.sorted.reverse.drop(1).headOption.getOrElse(0L) + bound)
+      assert(hh.head._1 === trueTop._1)
+  }
+
   test("unigram LM scored from the CMS model matches the exact model here") {
     val exact = graft.queries.DocQueries.unigramLm(spark, sf)
       .as[(Long, Int, Double)].collect().sortBy(_._1)
