@@ -252,6 +252,38 @@ class SketchSpec extends SparkSpec {
     assert(CountMin.query(rows("b"), "y") === 0L)
   }
 
+  test("CountMin aggregator works in a streaming windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.CountMin
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("uid", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(CountMin.sketch(col("uid")).as("cms"))
+    val q = agg.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // "hot" appears 60x split across two micro-batches: counter sums must
+    // MERGE exactly across batches (the streaming-safety property)
+    input.addData(((0 until 30).map(_ => ("hot", t0)) ++
+      (0 until 20).map(i => (s"cold$i", t0))): _*)
+    q.processAllAvailable()
+    input.addData(((0 until 30).map(_ => ("hot", t0)) ++
+      (20 until 40).map(i => (s"cold$i", t0))): _*)
+    q.processAllAvailable()
+    val sketch = spark.table("cms_stream")
+      .orderBy(col("window.start").desc).select("cms")
+      .collect().head.getSeq[Long](0).toArray
+    q.stop()
+    // exact merge: the streamed sketch equals a local build of the union
+    val local = new Array[Long](CountMin.Depth * CountMin.Width)
+    (0 until 60).foreach(_ => CountMin.add(local, "hot"))
+    (0 until 40).foreach(i => CountMin.add(local, s"cold$i"))
+    assert(sketch.toSeq === local.toSeq)
+    assert(CountMin.query(sketch, "hot") >= 60L)
+  }
+
   test("heavy hitters: estimates never undercount the exact per-user counts") {
     val sf = "/root/testdata/sf0.001"
     val exact = graft.Tables.events(spark, sf)
