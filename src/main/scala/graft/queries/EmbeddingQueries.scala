@@ -1101,6 +1101,21 @@ object EmbeddingQueries {
     (1 to iters).foldLeft(seed)((c, _) => kmUpdate(kmAssign(e, c)))
   }
 
+  /** Per-cluster inertia (within-cluster sum of squared distances) + sizes
+    * — the clustering-quality evaluation loop, the k-means analog of
+    * [[annRecall]]: run after every training round to keep the cluster
+    * structure honest. Pure rollup of the integer-exact assignment, so the
+    * whole evaluation hash-checks. */
+  def kmeansInertia(spark: SparkSession, d: String): DataFrame =
+    kmeans(spark, d)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist2")).as("inertia"))
+
+  lazy val kmeansInertiaSql: String =
+    s"""WITH base AS ($kmeansSql)
+       |SELECT cluster, COUNT(*) AS n_vectors, CAST(SUM(dist2) AS BIGINT) AS inertia
+       |FROM base GROUP BY 1""".stripMargin
+
   val kmeansSql: String = {
     // one assign CTE + one update CTE pair per round, mirroring the Spark
     // fold exactly (argmin tie-break: dist2, then cluster)
@@ -1221,6 +1236,7 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
+    "emb_kmeans_inertia" -> (kmeansInertia _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
@@ -1238,6 +1254,7 @@ object EmbeddingQueries {
   val oracles: Map[String, String] = Map(
     "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,
+    "emb_kmeans_inertia" -> kmeansInertiaSql,
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,

@@ -198,6 +198,58 @@ object EventQueries {
       |SELECT event_type, next_type, COUNT(*) AS n_transitions
       |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ top paths
+  /** Top-k session journeys: the ordered event-type sequence of each
+    * 30-minute session, counted across the corpus — the clickstream "most
+    * common paths" report. One session_window aggregate (the sessionize
+    * exchange) collects each session's ordered types — sort_array over
+    * (ts, event_id, type) structs makes the order deterministic under
+    * parallel merge — then the path strings count map-side and TakeOrdered
+    * keeps the top 15. Paths are capped at the first [[PathMaxSteps]]
+    * steps so a runaway session cannot blow up the group string. */
+  private val PathMaxSteps = 8
+  private val PathTopK = 15
+
+  def topPaths(spark: SparkSession, d: String): DataFrame = {
+    val sessions = ev(spark, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast("timestamp"), "30 minutes"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_ms"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        slice(expr("transform(evs, e -> e.event_type)"), 1, PathMaxSteps),
+        ">").as("path"))
+    sessions.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+  }
+
+  val topPathsSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
+       |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |), sessioned AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged
+       |), paths AS (
+       |  SELECT array_to_string(
+       |    (list(event_type ORDER BY ts_ms, event_id))[1:$PathMaxSteps],
+       |    '>') AS path
+       |  FROM sessioned GROUP BY user_id, sid
+       |), counted AS (
+       |  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+       |SELECT path, n_sessions, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank
+       |  FROM counted)
+       |WHERE rank <= $PathTopK""".stripMargin
+
   // ------------------------------------------------------ heavy hitters
   /** Top-k heavy hitters (most active users) from COUNT-MIN point
     * estimates — the constant-memory frequency path where the exact
@@ -1017,6 +1069,7 @@ object EventQueries {
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
+    "evt_top_paths"    -> (topPaths _),
     "evt_transitions"  -> (transitions _),
     "evt_pagerank"     -> (pagerank _),
     "evt_retention"    -> (retention _),
@@ -1039,6 +1092,7 @@ object EventQueries {
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,
+    "evt_top_paths"    -> topPathsSql,
     "evt_transitions"  -> transitionsSql,
     "evt_pagerank"     -> pagerankSql,
     "evt_retention"    -> retentionSql,

@@ -128,6 +128,37 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("top paths: planted session journeys count correctly in order") {
+    // 6 users walk view>click>buy, 3 walk view>click — ordered, one session
+    val rows = (0 until 9).flatMap { u =>
+      val steps = if (u < 6) Seq("view", "click", "buy") else Seq("view", "click")
+      steps.zipWithIndex.map { case (t, i) =>
+        (s"e${u}_$i", java.sql.Timestamp.valueOf(f"2024-01-01 10:0$i:00"), s"u$u", t, 1.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.queries("evt_top_paths")(spark, tmp)
+      .select("path", "n_sessions", "rank")
+      .as[(String, Long, Int)].collect()
+    assert(got.toSeq.sortBy(_._3) === Seq(
+      ("view>click>buy", 6L, 1), ("view>click", 3L, 2)))
+  }
+
+  test("kmeans inertia: a pure rollup of the assignment — totals reconcile") {
+    val assign = EmbeddingQueries.kmeans(spark, sf)
+      .select("cluster", "dist2").as[(Int, Long)].collect()
+    val inertia = EmbeddingQueries.kmeansInertia(spark, sf)
+      .select("cluster", "n_vectors", "inertia")
+      .as[(Int, Long, Long)].collect()
+    assert(inertia.map(_._2).sum === assign.length.toLong)
+    assert(inertia.map(_._3).sum === assign.map(_._2).sum)
+    val perCluster = assign.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    inertia.foreach { case (c, n, i) => assert(perCluster(c) === ((n, i))) }
+  }
+
   test("collocations: an always-together pair outranks independent co-occurrences") {
     // "aa bb" always adjacent and exclusive; filler words pair freely, so
     // PMI(aa,bb) = nb/c(aa) >> any filler pair's ratio
