@@ -83,6 +83,55 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ----------------------------------------------------- hard negatives
+  /** Hard-negative mining for contrastive training (DPR/Contriever recipe):
+    * for each query vector, the top-k most similar corpus vectors whose
+    * LABEL differs from the query's — the near-misses that make the best
+    * training negatives. Identical scale shape to [[knnBrute]] (queries
+    * broadcast, corpus streams once, per-query window top-k); the label
+    * inequality rides the broadcast join condition so disqualified pairs
+    * never reach the scorer. */
+  def hardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("norm2").as("q_norm2"))
+    val corpus = e.filter(col("vec_id") >= NQueries)
+    val scored = corpus
+      .join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, SUM(emb[i] * emb[i]) AS norm2 FROM e, idx GROUP BY 1),
+       | q AS (SELECT e.vec_id AS q_id, label AS q_label, emb AS q_emb,
+       |              norm2 AS q_norm2
+       |       FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id < $NQueries),
+       | c AS (SELECT e.vec_id, label, emb, norm2
+       |       FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id >= $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id, c.label,
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM c JOIN q ON c.label <> q.q_label)
+       |SELECT q_id, vec_id, label, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   // ------------------------------------------------------------ centroids
   /** Per-label centroid vectors, exploded to (label, dim, mean) rows with
     * decimal-exact sums. */
@@ -1243,6 +1292,7 @@ object EmbeddingQueries {
     "emb_sq_codes"       -> (sqCodes _),
     "emb_sq_search"      -> (sqSearch _),
     "emb_knn_brute"      -> (knnBrute _),
+    "emb_hard_negatives" -> (hardNegatives _),
     "emb_centroids"      -> (centroids _),
     "emb_ann_lsh"        -> (annLsh _),
     "emb_ann_ivf"        -> (annIvf _),
@@ -1261,6 +1311,7 @@ object EmbeddingQueries {
     "emb_sq_codes"       -> sqCodesSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
+    "emb_hard_negatives" -> hardNegativesSql,
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,
     "emb_ann_ivf"        -> annIvfSql,

@@ -128,6 +128,30 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("hard negatives: never the query's own label; cosines agree with brute kNN") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val hn = EmbeddingQueries.queries("emb_hard_negatives")(spark, sf)
+      .select("q_id", "vec_id", "label", "cosine", "rk")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    hn.foreach { case (q, v, l, _, _) =>
+      assert(l === labels(v))
+      assert(l !== labels(q), s"negative $v shares query $q's label")
+    }
+    hn.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted.toSeq === (1 to 5))
+    }
+    // where a (query, vector) pair also appears in the unrestricted brute
+    // top-k, the cosine must be the identical scaled-int value
+    val brute = EmbeddingQueries.queries("emb_knn_brute")(spark, sf)
+      .select("q_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    hn.foreach { case (q, v, _, c, _) =>
+      brute.get((q, v)).foreach(bc => assert(bc === c))
+    }
+  }
+
   test("top paths: planted session journeys count correctly in order") {
     // 6 users walk view>click>buy, 3 walk view>click — ordered, one session
     val rows = (0 until 9).flatMap { u =>
