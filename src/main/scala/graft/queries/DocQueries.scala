@@ -677,6 +677,32 @@ object DocQueries {
       .filter(col("sample_key") % 5 === 0)
       .select(col("doc_id"), col("lang"), col("sample_key"))
 
+  /** Deterministic train/val/test split assignment (80/10/10 by an
+    * md5-derived bucket of the doc id) — the reproducible split every
+    * training run needs: no RNG, no order dependence, stable under
+    * re-partitioning and re-runs, and any engine recomputes the same
+    * assignment from the id alone. Exchange-free narrow scan. */
+  def splitAssign(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .withColumn("bucket",
+        (conv(substring(md5(concat(lit("split"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
+  val splitAssignSql: String =
+    """SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT) % 100 AS INT) AS bucket
+      |  FROM documents)""".stripMargin
+
   val sampleDeterministicSql: String =
     """SELECT doc_id, lang,
       |  CAST(('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -2686,6 +2712,7 @@ object DocQueries {
     "doc_pii_scrub"    -> (piiScrub _),
     "doc_html_strip"   -> (htmlStrip _),
     "doc_sample"       -> (sampleDeterministic _),
+    "doc_split"        -> (splitAssign _),
     "doc_stratified_sample" -> (stratifiedSample _),
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
@@ -2729,6 +2756,7 @@ object DocQueries {
     "doc_pii_scrub"       -> piiScrubSql,
     "doc_html_strip"      -> htmlStripSql,
     "doc_sample"          -> sampleDeterministicSql,
+    "doc_split"           -> splitAssignSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,

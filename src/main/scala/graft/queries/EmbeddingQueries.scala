@@ -427,9 +427,17 @@ object EmbeddingQueries {
     * Scale: the inputs are the per-query top-K tables (queries x K rows,
     * corpus-size-independent), so the recall join/aggregate is negligible
     * next to the searches that produce them. */
-  def annRecall(spark: SparkSession, d: String): DataFrame = {
-    val exact = knnBrute(spark, d).select(col("q_id"), col("vec_id"))
-    val approx = annLsh(spark, d).select(col("q_id"), col("vec_id"))
+  def annRecall(spark: SparkSession, d: String): DataFrame =
+    recallAgainstExact(knnBrute(spark, d), annLsh(spark, d))
+
+  /** Same honesty loop for the IVF index — every index variant gets its
+    * own recall gate. */
+  def annRecallIvf(spark: SparkSession, d: String): DataFrame =
+    recallAgainstExact(knnBrute(spark, d), annIvf(spark, d))
+
+  private def recallAgainstExact(exactDf: DataFrame, approxDf: DataFrame): DataFrame = {
+    val exact = exactDf.select(col("q_id"), col("vec_id"))
+    val approx = approxDf.select(col("q_id"), col("vec_id"))
     val hits = exact.join(approx, Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     exact.select("q_id").distinct()
@@ -440,15 +448,18 @@ object EmbeddingQueries {
           .as("recall_at_k"))
   }
 
-  val annRecallSql: String =
+  private def recallSqlAgainst(approxSql: String): String =
     s"""WITH ex AS ($knnBruteSql),
-       | ap AS ($annLshSql),
+       | ap AS ($approxSql),
        | hits AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
        |          FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
        |          GROUP BY 1)
        |SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
        |  ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK, 6) AS recall_at_k
        |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
+
+  lazy val annRecallSql: String = recallSqlAgainst(annLshSql)
+  lazy val annRecallIvfSql: String = recallSqlAgainst(annIvfSql)
 
   // ----------------------------------------------- two-stage rerank ANN
   /** Prefix length for the coarse pass and the coarse candidate budget.
@@ -1298,6 +1309,7 @@ object EmbeddingQueries {
     "emb_ann_ivf"        -> (annIvf _),
     "emb_ann_rerank"     -> (annRerank _),
     "emb_ann_recall"     -> (annRecall _),
+    "emb_ann_recall_ivf" -> (annRecallIvf _),
     "emb_linear_probe"   -> (linearProbe _),
     "emb_neardup_cosine" -> (neardupCosine _))
 
@@ -1317,6 +1329,7 @@ object EmbeddingQueries {
     "emb_ann_ivf"        -> annIvfSql,
     "emb_ann_rerank"     -> annRerankSql,
     "emb_ann_recall"     -> annRecallSql,
+    "emb_ann_recall_ivf" -> annRecallIvfSql,
     "emb_linear_probe"   -> linearProbeSql,
     "emb_neardup_cosine" -> neardupCosineSql)
 }

@@ -128,6 +128,34 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("split assignment: stable, exhaustive, and roughly 80/10/10") {
+    val a = DocQueries.queries("doc_split")(spark, sf)
+      .select("doc_id", "bucket", "split").as[(Long, Int, String)].collect()
+    val b = DocQueries.queries("doc_split")(spark, sf)
+      .select("doc_id", "bucket", "split").as[(Long, Int, String)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq, "must be rerun-stable")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 100))
+    val bySplit = a.groupBy(_._3).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    assert(bySplit("val") / n > 0.04 && bySplit("val") / n < 0.16)
+  }
+
+  test("IVF recall evaluation: hits are genuine intersections per query") {
+    val exact = EmbeddingQueries.queries("emb_knn_brute")(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = EmbeddingQueries.queries("emb_ann_ivf")(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = EmbeddingQueries.queries("emb_ann_recall_ivf")(spark, sf)
+      .select("q_id", "n_hits").as[(Long, Long)].collect().toMap
+    exact.foreach { case (q, ex) =>
+      assert(recall(q) === (ex & approx.getOrElse(q, Set.empty)).size.toLong)
+    }
+  }
+
   test("hard negatives: never the query's own label; cosines agree with brute kNN") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label").as[(Long, Int)].collect().toMap
