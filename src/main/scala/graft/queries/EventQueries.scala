@@ -497,6 +497,67 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // ------------------------------------------------------ attribution
+  /** Purchase attribution: each purchase credits the user's LATEST view
+    * within the preceding hour — the bounded as-of join marketing
+    * attribution runs. Same scalable union-window composition as
+    * [[asofTier]] (one user-key shuffle, carry the last view forward),
+    * with the 1-hour bound applied after the carry: a view older than the
+    * window de-attributes rather than crediting stale traffic. The
+    * streaming form is the stream-stream interval join in
+    * [[graft.streaming.Streams.attributionJoin]]. */
+  private val AttribWindowMs = 3600 * 1000L
+
+  def attribution(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms"),
+        col("event_id").as("view_id"), lit(0).as("is_purchase"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"),
+        col("event_id"), lit(1).as("is_purchase"))
+    val tagged = purchases
+      .withColumn("view_id", lit(null).cast(views.schema("view_id").dataType))
+      .unionByName(views.withColumn("event_id",
+        lit(null).cast(purchases.schema("event_id").dataType)))
+    // views sort before purchases at equal ts (is_purchase 0 < 1): a
+    // same-instant view is attributable, matching the oracle's >= bound
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_purchase"), col("view_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts", last(
+        when(col("is_purchase") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        when(col("ts_ms") - col("last_view_ts") <= AttribWindowMs,
+          col("last_view_id")).as("attributed_view_id"),
+        when(col("ts_ms") - col("last_view_ts") <= AttribWindowMs,
+          col("ts_ms") - col("last_view_ts")).as("attribution_lag_ms"))
+  }
+
+  /** Oracle: native ASOF join to the latest same-or-earlier view, then the
+    * window bound. The Spark side breaks same-timestamp view ties by the
+    * LAST view_id carried in (the max view_id at that ts reaches the
+    * window last); the oracle dedupes views per (user, ts) to max view_id
+    * to match. */
+  val attributionSql: String =
+    s"""WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+       |              FROM events),
+       | v AS (SELECT user_id, ts_ms, MAX(event_id) AS view_id
+       |       FROM base WHERE event_type = 'view' GROUP BY 1, 2),
+       | p AS (SELECT user_id, ts_ms, event_id FROM base
+       |       WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.ts_ms,
+       |  CASE WHEN p.ts_ms - v.ts_ms <= $AttribWindowMs THEN v.view_id END
+       |    AS attributed_view_id,
+       |  CASE WHEN p.ts_ms - v.ts_ms <= $AttribWindowMs THEN p.ts_ms - v.ts_ms END
+       |    AS attribution_lag_ms
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts_ms >= v.ts_ms""".stripMargin
+
   // ------------------------------------------------------------ sketches
   private val HllM = 1024 // 2^10 registers
   /** alpha_m · m² · 2^52 — embedded as the SAME double literal in the
@@ -1074,7 +1135,8 @@ object EventQueries {
     "evt_pagerank"     -> (pagerank _),
     "evt_retention"    -> (retention _),
     "evt_session_stats" -> (sessionStats _),
-    "evt_asof_join"    -> (asofTier _))
+    "evt_asof_join"    -> (asofTier _),
+    "evt_attribution"  -> (attribution _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1097,5 +1159,6 @@ object EventQueries {
     "evt_pagerank"     -> pagerankSql,
     "evt_retention"    -> retentionSql,
     "evt_session_stats" -> sessionStatsSql,
-    "evt_asof_join"    -> asofTierSql)
+    "evt_asof_join"    -> asofTierSql,
+    "evt_attribution"  -> attributionSql)
 }

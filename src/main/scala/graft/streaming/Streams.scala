@@ -178,4 +178,30 @@ object Streams {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(typeCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(typeCol), col("n"))
+
+  /** Stream-stream attribution join: every (view, purchase) pair for the
+    * same user where the purchase lands within `windowSpec` after the
+    * view — the streaming form of `EventQueries.attribution` (the batch
+    * form additionally picks the LATEST view; a streaming consumer does
+    * that per-purchase downstream or via a chained max-aggregate).
+    *
+    * Both sides are watermarked so Spark bounds the join state: a
+    * buffered view can be dropped once the purchase-side watermark passes
+    * view_ts + window, which is exactly the interval condition's reach.
+    * State is keyed on user_id and scales with the shuffle like every
+    * other stateful operator here. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      userCol: String = "user_id",
+                      viewTs: String = "view_ts", purchaseTs: String = "purchase_ts",
+                      window: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark(viewTs, watermark)
+    val p = purchases.withWatermark(purchaseTs, watermark)
+    v.join(p,
+      v(userCol) === p(userCol) &&
+        col(purchaseTs) >= col(viewTs) &&
+        col(purchaseTs) <= col(viewTs) + expr(s"INTERVAL $window"),
+      "inner")
+      .drop(p(userCol))
+  }
 }

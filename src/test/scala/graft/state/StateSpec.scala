@@ -73,6 +73,34 @@ class StreamsSpec extends SparkSpec {
     assert(done.contains(("p2", 1L)))
   }
 
+  test("streaming attribution join pairs purchases with in-window views across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(String, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val joined = Streams.attributionJoin(
+      views.toDF.toDF("view_id", "user_id", "view_ts"),
+      purchases.toDF.toDF("purchase_id", "user_id", "purchase_ts"),
+      watermark = "0 seconds")
+    val q = joined.select("view_id", "purchase_id")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    // view arrives in batch 1; its purchase only in batch 2 — the join
+    // state must hold the view across the batch boundary
+    views.addData(("v1", "u1", ts(0)), ("v2", "u2", ts(5)))
+    q.processAllAvailable()
+    // p2 must ride the same batch as p1: once p1 (10:30) advances the
+    // purchase-side watermark, a 10:05 purchase would be late and dropped
+    purchases.addData(("p1", "u1", ts(30)),        // 30 min after v1: in window
+                      ("p2", "u2", ts(5)))         // same instant as v2: in window
+    q.processAllAvailable()
+    views.addData(("v3", "u1", ts(40)))
+    purchases.addData(("p3", "u1", ts(45)))        // pairs with BOTH v1 and v3
+    q.processAllAvailable()
+    val got = spark.table("attrib").as[(String, String)].collect().toSet
+    q.stop()
+    assert(got === Set(("v1", "p1"), ("v2", "p2"), ("v1", "p3"), ("v3", "p3")))
+  }
+
   test("streaming dedup removes within-watermark repeats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
