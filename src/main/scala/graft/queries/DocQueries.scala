@@ -677,6 +677,40 @@ object DocQueries {
       .filter(col("sample_key") % 5 === 0)
       .select(col("doc_id"), col("lang"), col("sample_key"))
 
+  /** One-row dataset card: the corpus-level summary a training-data
+    * release ships — volumes, vocabulary breadth proxies, exact-duplicate
+    * rate. One scan + distinct aggregates (each a two-phase exchange over
+    * its own key); the duplicate rate reuses the exact-text convention of
+    * [[dedupExact]]. */
+  def corpusStats(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs"), 6))
+      .withColumn("mean_tokens_per_doc",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+
+  val corpusStatsSql: String =
+    """SELECT n_docs, n_unique_texts, n_langs, n_sources, n_tokens, n_chars,
+      |  ROUND(CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs, 6) AS dup_rate,
+      |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens_per_doc
+      |FROM (
+      |  SELECT COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT text) AS n_unique_texts,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents)""".stripMargin
+
   /** Deterministic train/val/test split assignment (80/10/10 by an
     * md5-derived bucket of the doc id) — the reproducible split every
     * training run needs: no RNG, no order dependence, stable under
@@ -2713,6 +2747,7 @@ object DocQueries {
     "doc_html_strip"   -> (htmlStrip _),
     "doc_sample"       -> (sampleDeterministic _),
     "doc_split"        -> (splitAssign _),
+    "doc_corpus_stats" -> (corpusStats _),
     "doc_stratified_sample" -> (stratifiedSample _),
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
@@ -2757,6 +2792,7 @@ object DocQueries {
     "doc_html_strip"      -> htmlStripSql,
     "doc_sample"          -> sampleDeterministicSql,
     "doc_split"           -> splitAssignSql,
+    "doc_corpus_stats"    -> corpusStatsSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,

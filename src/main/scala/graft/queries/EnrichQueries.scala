@@ -195,6 +195,31 @@ object EnrichQueries {
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"))
 
+  /** Exact media dedup by content hash — the first pass of any multimodal
+    * pipeline: sha-256 over the raw blob groups byte-identical assets,
+    * the smallest doc_id per digest is canonical, the rest flag as
+    * duplicates (flag-not-drop, as everywhere). One narrow hash stage +
+    * one digest-keyed exchange; the blob itself never shuffles (only the
+    * 32-byte digest and the id do — at 100 TB of media that asymmetry is
+    * the whole ballgame). */
+  def mediaDedup(spark: SparkSession, d: String): DataFrame = {
+    val hashed = media(spark, d)
+      .select(col("doc_id"), sha2(col("blob"), 256).as("content_sha"))
+    val canon = hashed.groupBy(col("content_sha"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"))
+    hashed.join(canon, "content_sha")
+      .select(col("doc_id"), col("content_sha"), col("canonical_doc_id"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_duplicate"))
+  }
+
+  val mediaDedupSql: String =
+    """WITH h AS (SELECT doc_id, sha256(text) AS content_sha FROM documents),
+      | c AS (SELECT content_sha, MIN(doc_id) AS canonical_doc_id
+      |       FROM h GROUP BY 1)
+      |SELECT doc_id, h.content_sha, canonical_doc_id,
+      |  doc_id <> canonical_doc_id AS is_duplicate
+      |FROM h JOIN c ON h.content_sha = c.content_sha""".stripMargin
+
   /** STUB decode: a real decoder would parse the container header here
     * (image/audio libs are absent); the stub derives deterministic metadata
     * from the blob bytes so the full plumbing — binary column in, metadata
@@ -312,7 +337,8 @@ object EnrichQueries {
     "media_decode"   -> (mediaDecode _),
     "media_frames"   -> (mediaFrames _),
     "media_resize"   -> (mediaResize _),
-    "media_features" -> (mediaFeatures _))
+    "media_features" -> (mediaFeatures _),
+    "media_dedup"    -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -320,5 +346,6 @@ object EnrichQueries {
     "media_decode"   -> mediaDecodeSql,
     "media_frames"   -> mediaFramesSql,
     "media_resize"   -> mediaResizeSql,
-    "media_features" -> mediaFeaturesSql)
+    "media_features" -> mediaFeaturesSql,
+    "media_dedup"    -> mediaDedupSql)
 }

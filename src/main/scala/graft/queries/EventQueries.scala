@@ -497,6 +497,57 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // ------------------------------------------------ session features
+  /** Per-session ML feature extraction: the fixed-width numeric row a
+    * churn/conversion model trains on — counts per event type, duration,
+    * value stats, events-per-minute — computed inside the ONE sessionize
+    * exchange (conditional aggregates ride the same groupBy; no
+    * post-session re-join). Decimal value sums keep the row hash-stable. */
+  def sessionFeatures(spark: SparkSession, d: String): DataFrame =
+    ev(spark, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast("timestamp"), "30 minutes"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        round(max(col("value")), 6).as("max_value"))
+      .drop("session_window")
+      .withColumn("events_per_min",
+        round(col("n_events") * 60000.0 /
+          greatest(col("duration_ms"), lit(1L)), 6))
+
+  val sessionFeaturesSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
+      |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+      |), sessioned AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_start_ms, n_events, duration_ms, n_views,
+      |  n_clicks, n_purchases, n_errors, total_value, max_value,
+      |  ROUND(n_events * 60000.0 / GREATEST(duration_ms, 1), 6) AS events_per_min
+      |FROM (
+      |  SELECT user_id, MIN(ts_ms) AS session_start_ms, COUNT(*) AS n_events,
+      |    MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+      |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |    ROUND(MAX(value), 6) AS max_value
+      |  FROM sessioned GROUP BY user_id, sid)""".stripMargin
+
   // ------------------------------------------------------ attribution
   /** Purchase attribution: each purchase credits the user's LATEST view
     * within the preceding hour — the bounded as-of join marketing
@@ -1136,7 +1187,8 @@ object EventQueries {
     "evt_retention"    -> (retention _),
     "evt_session_stats" -> (sessionStats _),
     "evt_asof_join"    -> (asofTier _),
-    "evt_attribution"  -> (attribution _))
+    "evt_attribution"  -> (attribution _),
+    "evt_session_features" -> (sessionFeatures _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1160,5 +1212,6 @@ object EventQueries {
     "evt_retention"    -> retentionSql,
     "evt_session_stats" -> sessionStatsSql,
     "evt_asof_join"    -> asofTierSql,
-    "evt_attribution"  -> attributionSql)
+    "evt_attribution"  -> attributionSql,
+    "evt_session_features" -> sessionFeaturesSql)
 }

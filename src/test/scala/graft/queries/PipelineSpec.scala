@@ -128,6 +128,25 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("media dedup: byte-identical blobs collapse to the smallest id") {
+    val docs = Seq(
+      (5L, "identical media payload"),
+      (9L, "identical media payload"),   // dup of 5
+      (2L, "identical media payload"),   // canonical (smallest id)
+      (7L, "a different payload")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = EnrichQueries.queries("media_dedup")(spark, tmp)
+      .select("doc_id", "canonical_doc_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(2L) === (2L, false))
+    assert(got(5L) === (2L, true))
+    assert(got(9L) === (2L, true))
+    assert(got(7L) === (7L, false))
+  }
+
   test("split assignment: stable, exhaustive, and roughly 80/10/10") {
     val a = DocQueries.queries("doc_split")(spark, sf)
       .select("doc_id", "bucket", "split").as[(Long, Int, String)].collect()
