@@ -278,6 +278,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("attribution: one user-key exchange, no join operators") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_attribution")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the bounded as-of must be the union-window composition, not a range join")
+    val keyed = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        !e.toString.contains("RoundRobin") // fixture-shape input rebalance
+      case _ => false
+    }
+    assert(keyed <= 1, s"attribution must shuffle once on the user key, got $keyed")
+  }
+
+  test("session features: all aggregates ride the one sessionize exchange") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_session_features")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "type counts must be conditional aggregates, not a pivot re-join")
+    val keyed = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        !e.toString.contains("RoundRobin")
+      case _ => false
+    }
+    assert(keyed <= 1, s"one session exchange expected, got $keyed")
+  }
+
+  test("media dedup: the blob never shuffles — only digest and id do") {
+    val nodes = planNodes(
+      graft.queries.EnrichQueries.queries("media_dedup")(spark, sf))
+    nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.exists(_.contains("blob")),
+        s"a shuffle carries the raw media payload: $cols")
+    }
+  }
+
+  test("collocations: keyed joins only, no cartesian pair blow-up") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_collocations")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(plan(graft.queries.DocQueries.queries("doc_collocations")(spark, sf))
+      .contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("sq codes: one stats exchange, then a narrow encode stage") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_sq_codes")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the one-row stats must broadcast, never shuffle-sort")
+    val keyed = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        !e.toString.contains("RoundRobin")
+      case _ => false
+    }
+    assert(keyed <= 2, s"stats build must be the only exchanges, got $keyed")
+  }
+
   test("sq search: stats row and queries broadcast; corpus never shuffle-joins") {
     val nodes = planNodes(
       graft.queries.EmbeddingQueries.queries("emb_sq_search")(spark, sf))
