@@ -680,7 +680,250 @@ object RelationalQueries {
       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ partsupp
+  /** Derived part-supplier dim: the fixture ships no partsupp table, so the
+    * TPC-H shapes that need one (q2/q9/q11/q16/q20) run against a
+    * DETERMINISTIC derivation both engines rebuild identically — 4
+    * suppliers per part, `(p + 7j + p DIV 13) mod |supplier|` (injective
+    * for the fixture's supplier counts: gcd(7, S) = 1 and 4 ≤ S), integer
+    * availqty and supply-cost-in-cents formulas. Cents stay integers
+    * through every aggregate — division by 100 happens only at double
+    * output edges — so all five oracles hash-check exactly. */
+  private def partsupp(spark: SparkSession, d: String): DataFrame = {
+    val sCnt = supplier(spark, d).agg(count(lit(1)).as("S"))
+    part(spark, d).select(col("p_partkey"))
+      .crossJoin(broadcast(sCnt))
+      .select(col("p_partkey"), explode(sequence(lit(0), lit(3))).as("j"), col("S"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + col("j") * 7 + expr("p_partkey DIV 13")) % col("S"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("j") * 11) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 13 + col("j") * 17) % 100000 + 1)
+          .as("ps_supplycost_cents"))
+  }
+
+  private val psSql: String =
+    """ps AS (SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + j * 7 + p_partkey // 13) % S AS ps_suppkey,
+      |         (p_partkey * 7 + j * 11) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 13 + j * 17) % 100000 + 1 AS ps_supplycost_cents
+      |       FROM part, (SELECT unnest(generate_series(0, 3)) AS j),
+      |            (SELECT COUNT(*) AS S FROM supplier))""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** TPC-H Q2-style minimum-cost supplier: for each qualifying part, the
+    * EUROPE supplier(s) quoting the minimum supply cost — the correlated
+    * min-subquery decorrelated into a per-part aggregate joined back
+    * (both sides dim-sized; everything broadcasts). Integer cents make
+    * "equals min" exact. */
+  def q2(spark: SparkSession, d: String): DataFrame = {
+    val n = nation(spark, d).join(
+      broadcast(region(spark, d).filter(col("r_name") === "EUROPE")),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = supplier(spark, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = part(spark, d)
+      .filter(col("p_size") === 15)
+      .select("p_partkey")
+    val offers = partsupp(spark, d)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("ps_supplycost_cents")).as("min_cents"))
+    offers.join(broadcast(minCost),
+        col("p_partkey") === col("mk") &&
+          col("ps_supplycost_cents") === col("min_cents"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"),
+        (col("ps_supplycost_cents").cast("double") / 100).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q2Sql: String =
+    s"""WITH $psSql
+       |SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       |  CAST(ps_supplycost_cents AS DOUBLE) / 100 AS supplycost
+       |FROM ps, part, supplier, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size = 15
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost_cents = (
+       |    SELECT MIN(ps2.ps_supplycost_cents) FROM ps ps2, supplier s2,
+       |      nation n2, region r2
+       |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** TPC-H Q9-style product-type profit: per supplier nation and order
+    * year, revenue minus supply cost for STANDARD parts. The fact scans
+    * once; part/supplier/partsupp broadcast; profit = exact decimal
+    * revenue minus exact integer cost-cents, subtracted in double only at
+    * the output edge. */
+  def q9(spark: SparkSession, d: String): DataFrame = {
+    val p = part(spark, d).filter(col("p_type") === "STANDARD").select("p_partkey")
+    val s = supplier(spark, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val ps = partsupp(spark, d)
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val o = orders(spark, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), revenue.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(ps), col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((sum(col("rev")).cast("double") -
+        sum(col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+          .cast("double") / 100).as("profit"))
+  }
+
+  val q9Sql: String =
+    s"""WITH $psSql
+       |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  CAST(SUM(REVEXPR) AS DOUBLE)
+       |    - CAST(SUM(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+       |      / 100 AS profit
+       |FROM lineitem, orders, part, ps, supplier, nation
+       |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+       |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND p_type = 'STANDARD'
+       |GROUP BY 1, 2""".stripMargin
+      .replace("REVEXPR", revenueSql)
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q11-style important stock: parts whose stock value (cost x
+    * availqty, exact cents) in the chosen nations exceeds 0.1% of the
+    * total — the HAVING-vs-scalar-subquery shape, decided integer-exactly
+    * as `1000 * value > total`. Both aggregates are map-side-combinable;
+    * the one-row total broadcasts. */
+  def q11(spark: SparkSession, d: String): DataFrame = {
+    val picked = Seq(1, 3, 5)
+    val s = supplier(spark, d)
+      .filter(col("s_nationkey").isInCollection(picked))
+      .select("s_suppkey")
+    val values = partsupp(spark, d)
+      .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+    val perPart = values.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("value_cents"))
+    val total = values.agg(sum(col("v")).as("total_cents"))
+    perPart.join(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("ps_partkey"),
+        (col("value_cents").cast("double") / 100).as("stock_value"))
+  }
+
+  val q11Sql: String =
+    s"""WITH $psSql,
+       | v AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+       |       FROM ps, supplier
+       |       WHERE ps_suppkey = s_suppkey AND s_nationkey IN (1, 3, 5)),
+       | t AS (SELECT SUM(v) AS total_cents FROM v)
+       |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS stock_value
+       |FROM (SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+       |      FROM v GROUP BY 1), t
+       |WHERE value_cents * 1000 > total_cents""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** TPC-H Q16-style supplier counts: how many distinct suppliers offer
+    * each (brand, type, size) combination, excluding one brand and
+    * negative-balance suppliers (the complaints stand-in). The distinct
+    * count is the only real exchange; part attributes broadcast onto the
+    * derived partsupp. */
+  def q16(spark: SparkSession, d: String): DataFrame = {
+    val p = part(spark, d)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isInCollection(Seq(1, 4, 9, 14, 19, 23, 36, 45)))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = supplier(spark, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    partsupp(spark, d)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    s"""WITH $psSql
+       |SELECT p_brand, p_type, p_size,
+       |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM ps, part
+       |WHERE p_partkey = ps_partkey
+       |  AND p_brand <> 'Brand#5'
+       |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |                         WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** TPC-H Q20-style potential promotion: NATION_3 suppliers holding more
+    * than half a year's shipments of an ECONOMY part in stock
+    * (`2 * availqty > shipped qty`, integer-vs-decimal exact). The
+    * shipment aggregate is the one fact exchange; everything else
+    * broadcasts; the final step is a semi-join onto suppliers. */
+  def q20(spark: SparkSession, d: String): DataFrame = {
+    val p = part(spark, d).filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val shipped = lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("shipped_qty"))
+    val qualified = partsupp(spark, d)
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(dec(col("ps_availqty") * 2) > col("shipped_qty"))
+      .select(col("ps_suppkey")).distinct()
+    supplier(spark, d)
+      .join(broadcast(nation(spark, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    s"""WITH $psSql,
+       | shipped AS (
+       |   SELECT l_partkey, l_suppkey,
+       |     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS shipped_qty
+       |   FROM lineitem, part
+       |   WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+       |     AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |     AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |   GROUP BY 1, 2),
+       | qualified AS (
+       |   SELECT DISTINCT ps_suppkey FROM ps, shipped
+       |   WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |     AND CAST(ps_availqty * 2 AS DECIMAL(18,2)) > shipped_qty)
+       |SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+       |FROM supplier, nation
+       |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+       |  AND s_suppkey IN (SELECT ps_suppkey FROM qualified)
+       |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supp"   -> (q2 _),
+    "q9_product_profit"  -> (q9 _),
+    "q11_important_stock" -> (q11 _),
+    "q16_supplier_cnt"   -> (q16 _),
+    "q20_promotion_stock" -> (q20 _),
     "q1_pricing_summary" -> (q1 _),
     "q3_top_orders"      -> (q3 _),
     "q4_order_priority"  -> (q4 _),
@@ -702,6 +945,11 @@ object RelationalQueries {
     "rollup_acctbal"     -> (rollupRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supp"   -> q2Sql,
+    "q9_product_profit"  -> q9Sql,
+    "q11_important_stock" -> q11Sql,
+    "q16_supplier_cnt"   -> q16Sql,
+    "q20_promotion_stock" -> q20Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders"      -> q3Sql,
     "q4_order_priority"  -> q4Sql,

@@ -436,6 +436,31 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
   }
 
+  test("q9: one fact scan; part/partsupp/supplier all broadcast") {
+    val df = RelationalQueries.q9(spark, sf)
+    val nodes = planNodes(df)
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 3, s"part/partsupp/supplier sides must broadcast, got $bhj")
+    val factScans = nodes.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(factScans === 1, s"fact table must be scanned once, got $factScans")
+  }
+
+  test("q20: qualification ends in a semi-join; no cartesian") {
+    val nodes = planNodes(RelationalQueries.q20(spark, sf))
+    assert(nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, "supplier qualification must plan as LeftSemi")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("q13: the zero bucket survives — outer join, then two-phase agg") {
     val rows = RelationalQueries.q13(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum ===
