@@ -806,10 +806,13 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q11
   /** TPC-H Q11-style important stock: parts whose stock value (cost x
-    * availqty, exact cents) in the chosen nations exceeds 0.1% of the
-    * total — the HAVING-vs-scalar-subquery shape, decided integer-exactly
-    * as `1000 * value > total`. Both aggregates are map-side-combinable;
-    * the one-row total broadcasts. */
+    * availqty, exact cents) in the chosen nations exceeds TWICE the
+    * average part's — the HAVING-vs-scalar-subquery shape, decided
+    * integer-exactly as `value * n_parts > 2 * total`. (The original's
+    * fixed 0.1%-of-total threshold empties as the part count grows — TPC-H
+    * itself scales it by 1/SF; an average-relative cut is sf-invariant.)
+    * Both aggregates are map-side-combinable; the one-row total
+    * broadcasts. */
   def q11(spark: SparkSession, d: String): DataFrame = {
     val picked = Seq(1, 3, 5)
     val s = supplier(spark, d)
@@ -821,9 +824,10 @@ object RelationalQueries {
         (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
     val perPart = values.groupBy(col("ps_partkey"))
       .agg(sum(col("v")).as("value_cents"))
-    val total = values.agg(sum(col("v")).as("total_cents"))
+    val total = values.agg(sum(col("v")).as("total_cents"),
+      countDistinct(col("ps_partkey")).as("n_parts"))
     perPart.join(broadcast(total))
-      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
       .select(col("ps_partkey"),
         (col("value_cents").cast("double") / 100).as("stock_value"))
   }
@@ -833,11 +837,12 @@ object RelationalQueries {
        | v AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
        |       FROM ps, supplier
        |       WHERE ps_suppkey = s_suppkey AND s_nationkey IN (1, 3, 5)),
-       | t AS (SELECT SUM(v) AS total_cents FROM v)
+       | t AS (SELECT CAST(SUM(v) AS BIGINT) AS total_cents,
+       |              COUNT(DISTINCT ps_partkey) AS n_parts FROM v)
        |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS stock_value
        |FROM (SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
        |      FROM v GROUP BY 1), t
-       |WHERE value_cents * 1000 > total_cents""".stripMargin
+       |WHERE value_cents * n_parts > total_cents * 2""".stripMargin
 
   // ---------------------------------------------------------------- q16
   /** TPC-H Q16-style supplier counts: how many distinct suppliers offer
