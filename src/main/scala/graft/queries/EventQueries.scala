@@ -201,24 +201,35 @@ object EventQueries {
   // ------------------------------------------------------ top paths
   /** Top-k session journeys: the ordered event-type sequence of each
     * 30-minute session, counted across the corpus — the clickstream "most
-    * common paths" report. One session_window aggregate (the sessionize
-    * exchange) collects each session's ordered types — sort_array over
-    * (ts, event_id, type) structs makes the order deterministic under
-    * parallel merge — then the path strings count map-side and TakeOrdered
-    * keeps the top 15. Paths are capped at the first [[PathMaxSteps]]
-    * steps so a runaway session cannot blow up the group string. */
+    * common paths" report. Sessions are assigned by the lag/cumsum gap
+    * window (ONE user-key exchange — the same construction the sessionize
+    * oracle uses, so the session boundaries provably match
+    * `session_window`), events past the first [[PathMaxSteps]] are dropped
+    * BEFORE any collection — a runaway bot session contributes at most 8
+    * rows to the path aggregate, never an unbounded in-group list — then
+    * the per-session path strings count map-side and TakeOrdered keeps the
+    * top 15. */
   private val PathMaxSteps = 8
   private val PathTopK = 15
 
   def topPaths(spark: SparkSession, d: String): DataFrame = {
-    val sessions = ev(spark, d)
-      .groupBy(col("user_id"),
-        session_window(col("ts").cast("timestamp"), "30 minutes"))
-      .agg(sort_array(collect_list(
-        struct(col("ts_ms"), col("event_id"), col("event_type")))).as("evs"))
-      .select(array_join(
-        slice(expr("transform(evs, e -> e.event_type)"), 1, PathMaxSteps),
-        ">").as("path"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sessioned = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
+          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+      .withColumn("step", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("step") <= PathMaxSteps)
+    val sessions = sessioned
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(expr("transform(sort_array(collect_list(" +
+        "struct(step, event_type))), e -> e.event_type)"), ">").as("path"))
     sessions.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
