@@ -179,6 +179,31 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(typeCol), col("n"))
 
+  /** Chained stateful streaming: hourly rollup OVER the sessionization
+    * output — sessions close under the watermark, then a second stateful
+    * aggregate counts closed sessions and their event volume per start
+    * hour (Spark's multiple-stateful-operator support; the batch analog is
+    * `EventQueries.sessionStats`). Demonstrates that session records are
+    * first-class streaming rows: any downstream windowed aggregate
+    * composes without a round trip through storage. */
+  def sessionRollup(events: DataFrame, partyCol: String, tsCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(partyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      // chained stateful op: the watermark PROPAGATES through the first
+      // aggregate, and the event-time tag rides on the session_window
+      // STRUCT — passing that struct to window() (not a plain field of
+      // it) is what makes the second stateful aggregate legal in append
+      // mode; the hourly bucket keys on the session's event time
+      // (window_time = session end - 1µs)
+      .groupBy(window(col("session_window"), "1 hour"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .select(col("window.start").as("hour_start"),
+        col("n_sessions"), col("n_events"))
+
   /** Stream-stream attribution join: every (view, purchase) pair for the
     * same user where the purchase lands within `windowSpec` after the
     * view — the streaming form of `EventQueries.attribution` (the batch

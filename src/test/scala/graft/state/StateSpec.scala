@@ -73,6 +73,31 @@ class StreamsSpec extends SparkSpec {
     assert(done.contains(("p2", 1L)))
   }
 
+  test("chained stateful streaming: hourly rollup over closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val q = Streams.sessionRollup(
+        input.toDF.toDF("partyId", "ts"), "partyId", "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("srollup").outputMode("append").start()
+    // hour 10: p1 has one 3-event session, p2 one 1-event session; hour 12
+    // events close them; a far-future event closes hour 12's too
+    input.addData(("p1", ts(10, 0)), ("p1", ts(10, 10)), ("p1", ts(10, 20)),
+      ("p2", ts(10, 5)))
+    q.processAllAvailable()
+    input.addData(("p1", ts(12, 0)), ("p2", ts(12, 0)))
+    q.processAllAvailable()
+    input.addData(("p1", ts(18, 0)))
+    q.processAllAvailable()
+    val got = spark.table("srollup")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    q.stop()
+    assert(got("2024-01-01 10:00:00.0") === ((2L, 4L)),
+      s"hour 10 must report 2 sessions / 4 events, got $got")
+    assert(got("2024-01-01 12:00:00.0") === ((2L, 2L)))
+  }
+
   test("streaming attribution join pairs purchases with in-window views across batches") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(String, String, java.sql.Timestamp)]
