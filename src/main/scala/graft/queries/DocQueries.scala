@@ -677,6 +677,50 @@ object DocQueries {
       .filter(col("sample_key") % 5 === 0)
       .select(col("doc_id"), col("lang"), col("sample_key"))
 
+  /** WITHIN-document repeated-block removal (the Gopher/C4 "remove
+    * duplicated lines" rule at block granularity — [[paragraphDedup]]'s
+    * corpus-wide cousin, but scoped to one document): later occurrences of
+    * a block already seen in the SAME doc drop, first stays, order is
+    * preserved. Entirely per-row array math — filter-with-index over the
+    * block list — so the operator is exchange-free at any scale; the md5
+    * of the cleaned text pins the exact kept sequence, not just counts. */
+  def lineDedup(spark: SparkSession, d: String): DataFrame = {
+    val tk = toks(col("text"))
+    val nBlocks = ceil(size(tk).cast("double") / ParaTokens).cast("int")
+    val paras = transform(sequence(lit(0), nBlocks - 1), i =>
+      array_join(slice(tk, i * ParaTokens + 1, lit(ParaTokens)), " "))
+    documents(spark, d)
+      .select(col("doc_id"), paras.as("blocks"))
+      .select(col("doc_id"),
+        size(col("blocks")).as("n_blocks"),
+        expr("filter(blocks, (p, i) -> array_position(slice(blocks, 1, i), p) = 0)")
+          .as("kept"))
+      .select(col("doc_id"), col("n_blocks"),
+        (col("n_blocks") - size(col("kept"))).as("n_dup_blocks"),
+        round(size(col("kept")).cast("double") / col("n_blocks"), 6)
+          .as("kept_frac"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+  }
+
+  lazy val lineDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | b AS (SELECT doc_id,
+       |         list_transform(
+       |           range(0, CAST(CEIL(len(tk) / $ParaTokens.0) AS INT)),
+       |           i -> array_to_string(tk[i * $ParaTokens + 1 : (i + 1) * $ParaTokens], ' '))
+       |           AS blocks
+       |       FROM t),
+       | k AS (SELECT doc_id, len(blocks) AS n_blocks,
+       |         list_filter(blocks,
+       |           (p, i) -> list_position(blocks[1:i-1], p) = 0) AS kept
+       |       FROM b)
+       |SELECT doc_id, n_blocks,
+       |  n_blocks - len(kept) AS n_dup_blocks,
+       |  ROUND(CAST(len(kept) AS DOUBLE) / n_blocks, 6) AS kept_frac,
+       |  md5(array_to_string(kept, ' ')) AS cleaned_md5
+       |FROM k""".stripMargin
+
   /** One-row dataset card: the corpus-level summary a training-data
     * release ships — volumes, vocabulary breadth proxies, exact-duplicate
     * rate. One scan + distinct aggregates (each a two-phase exchange over
@@ -2748,6 +2792,7 @@ object DocQueries {
     "doc_sample"       -> (sampleDeterministic _),
     "doc_split"        -> (splitAssign _),
     "doc_corpus_stats" -> (corpusStats _),
+    "doc_line_dedup"   -> (lineDedup _),
     "doc_stratified_sample" -> (stratifiedSample _),
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
@@ -2793,6 +2838,7 @@ object DocQueries {
     "doc_sample"          -> sampleDeterministicSql,
     "doc_split"           -> splitAssignSql,
     "doc_corpus_stats"    -> corpusStatsSql,
+    "doc_line_dedup"      -> lineDedupSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,

@@ -508,6 +508,59 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // ------------------------------------------------------ bot detection
+  /** Heuristic bot flagging per user — the traffic-quality sibling of the
+    * reference's corruption/duplicate flags: machine traffic shows high
+    * sustained event rates and metronomic inter-event gaps. Per user, one
+    * key exchange computes event count, active span, events/min, and the
+    * share of REPEATED inter-event gaps (a human's gap sequence is nearly
+    * all-distinct; a bot's collapses to a few values). Flags, not drops.
+    * All ratios derive from integer counts, rounded at the edge. */
+  def botDetect(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val withGap = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+    val perUser = withGap.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("span_ms"),
+        count(col("gap")).as("n_gaps"),
+        countDistinct(col("gap")).as("n_distinct_gaps"))
+    perUser.select(
+        col("user_id"), col("n_events"),
+        round(col("n_events") * 60000.0 / greatest(col("span_ms"), lit(1L)), 6)
+          .as("events_per_min"),
+        round(when(col("n_gaps") > 0,
+          (col("n_gaps") - col("n_distinct_gaps")).cast("double") / col("n_gaps"))
+          .otherwise(0.0), 6).as("repeated_gap_ratio"))
+      .withColumn("bot_suspect",
+        col("events_per_min") > 30.0 || col("repeated_gap_ratio") > 0.5)
+  }
+
+  val botDetectSql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS gap
+      |  FROM events),
+      | u AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    MAX(ts_ms) - MIN(ts_ms) AS span_ms,
+      |    COUNT(gap) AS n_gaps,
+      |    COUNT(DISTINCT gap) AS n_distinct_gaps
+      |  FROM g GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  ROUND(n_events * 60000.0 / GREATEST(span_ms, 1), 6) AS events_per_min,
+      |  ROUND(CASE WHEN n_gaps > 0
+      |    THEN CAST(n_gaps - n_distinct_gaps AS DOUBLE) / n_gaps
+      |    ELSE 0.0 END, 6) AS repeated_gap_ratio,
+      |  ROUND(n_events * 60000.0 / GREATEST(span_ms, 1), 6) > 30.0 OR
+      |  ROUND(CASE WHEN n_gaps > 0
+      |    THEN CAST(n_gaps - n_distinct_gaps AS DOUBLE) / n_gaps
+      |    ELSE 0.0 END, 6) > 0.5 AS bot_suspect
+      |FROM u""".stripMargin
+
   // ------------------------------------------------ session features
   /** Per-session ML feature extraction: the fixed-width numeric row a
     * churn/conversion model trains on — counts per event type, duration,
@@ -1199,7 +1252,8 @@ object EventQueries {
     "evt_session_stats" -> (sessionStats _),
     "evt_asof_join"    -> (asofTier _),
     "evt_attribution"  -> (attribution _),
-    "evt_session_features" -> (sessionFeatures _))
+    "evt_session_features" -> (sessionFeatures _),
+    "evt_bot_detect"   -> (botDetect _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1224,5 +1278,6 @@ object EventQueries {
     "evt_session_stats" -> sessionStatsSql,
     "evt_asof_join"    -> asofTierSql,
     "evt_attribution"  -> attributionSql,
-    "evt_session_features" -> sessionFeaturesSql)
+    "evt_session_features" -> sessionFeaturesSql,
+    "evt_bot_detect"   -> botDetectSql)
 }

@@ -128,6 +128,42 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("bot detect: metronomic high-rate traffic flags, human-like does not") {
+    val rows =
+      // bot: 100 events, exactly 1s apart (1 repeated gap, 6000 ev/min)
+      (0 until 100).map(i =>
+        (s"b$i", java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i / 60}%02d.${i % 60}%02d"), "bot1", "view", 1.0, "{}")) ++
+      // human: 5 events with distinct, slow gaps
+      Seq(0, 7, 19, 40, 55).zipWithIndex.map { case (m, i) =>
+        (s"h$i", java.sql.Timestamp.valueOf(f"2024-01-01 11:$m%02d:00"), "human1", "view", 1.0, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("bot").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.queries("evt_bot_detect")(spark, tmp)
+      .select("user_id", "bot_suspect").as[(String, Boolean)].collect().toMap
+    assert(got("bot1") === true)
+    assert(got("human1") === false)
+  }
+
+  test("line dedup: a repeated within-doc block drops; counts and digest agree") {
+    val block = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $tail $block"),  // block repeats: 3 blocks, 1 dup
+      (2L, s"$block $tail"))         // no repeats
+    val tmp = java.nio.file.Files.createTempDirectory("linededup").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.queries("doc_line_dedup")(spark, tmp)
+      .select("doc_id", "n_blocks", "n_dup_blocks", "cleaned_md5")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 3 && got(1L)._3 === 1)
+    assert(got(2L)._2 === 2 && got(2L)._3 === 0)
+    // doc 1 cleaned == doc 2's full text: identical digests
+    assert(got(1L)._4 === got(2L)._4)
+  }
+
   test("media dedup: byte-identical blobs collapse to the smallest id") {
     val docs = Seq(
       (5L, "identical media payload"),
