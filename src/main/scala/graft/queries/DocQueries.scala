@@ -1975,6 +1975,30 @@ object DocQueries {
        | ),
        | fin AS (SELECT merges FROM state ORDER BY iter DESC LIMIT 1)""".stripMargin
 
+  /** Tokenizer fertility by language — BPE tokens emitted per whitespace
+    * word, the metric multilingual tokenizer evaluations report (a
+    * language the merges under-serve shows fertility ≫ 1): reuses the
+    * trained-rank encoding of [[bpeEncode]], joins the language, and
+    * aggregates integer-exactly (milli-token ratio via floor division).
+    * Cost = the encode pass + one lang-keyed rollup. */
+  def fertility(spark: SparkSession, d: String): DataFrame =
+    bpeEncode(spark, d)
+      .join(documents(spark, d).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000) DIV n_words").as("fertility_milli"))
+
+  lazy val fertilitySql: String =
+    s"""WITH base AS ($bpeEncodeSql)
+       |SELECT d.lang, CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST((SUM(b.n_bpe_tokens) * 1000) // SUM(b.n_words) AS BIGINT)
+       |    AS fertility_milli
+       |FROM base b JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val bpeTrainSql: String =
     s"""${bpeStateCtes(BpeMerges)}
        |SELECT CAST(i - 1 AS INTEGER) AS rank,
@@ -2793,6 +2817,7 @@ object DocQueries {
     "doc_split"        -> (splitAssign _),
     "doc_corpus_stats" -> (corpusStats _),
     "doc_line_dedup"   -> (lineDedup _),
+    "doc_fertility"    -> (fertility _),
     "doc_stratified_sample" -> (stratifiedSample _),
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
@@ -2839,6 +2864,7 @@ object DocQueries {
     "doc_split"           -> splitAssignSql,
     "doc_corpus_stats"    -> corpusStatsSql,
     "doc_line_dedup"      -> lineDedupSql,
+    "doc_fertility"       -> fertilitySql,
     "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,
