@@ -1153,13 +1153,21 @@ object EmbeddingQueries {
     * from the deterministic first-k seed — the shared trainer behind
     * [[kmeans]] and [[semDedupKmeans]]. */
   private[graft] def trainedCentroids(spark: SparkSession, d: String,
-                                      k: Int, iters: Int): DataFrame = {
-    val e = embeddings(spark, d)
-      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
-    val seed = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cemb"))
-    (1 to iters).foldLeft(seed)((c, _) => kmUpdate(kmAssign(e, c)))
-  }
+                                      k: Int, iters: Int): DataFrame =
+    // a trained MODEL, like the LM/DSIR/sketch builds: memoized per
+    // (dataset, k, iters) in the bounded LRU so every consumer (kmeans,
+    // inertia, semantic dedup) reuses one training run; eviction frees
+    // the persisted table
+    MemoCache.getOrElseUpdate(spark, ("kmeans-centroids", d, k, iters))({
+      val e = embeddings(spark, d)
+        .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      val seed = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cemb"))
+      val trained = (1 to iters).foldLeft(seed)((c, _) => kmUpdate(kmAssign(e, c)))
+        .persist()
+      trained.count()
+      trained
+    })(_.unpersist(blocking = false))
 
   /** Per-cluster inertia (within-cluster sum of squared distances) + sizes
     * — the clustering-quality evaluation loop, the k-means analog of

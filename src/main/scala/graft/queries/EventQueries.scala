@@ -508,6 +508,75 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // -------------------------------------------------- ordered funnel
+  /** STRICTLY-ORDERED session funnel view → click → purchase: a step
+    * counts only when it happens AFTER the previous step inside the same
+    * 30-minute session (the reference's session scope; [[funnel]] is the
+    * looser lifetime variant). The dependency chain (first view, first
+    * click ≥ that view, first purchase ≥ that click) decorrelates into
+    * three keyed aggregates joined on the session id — every pass is
+    * map-side combinable, state per session is three timestamps, never an
+    * event list. Output: one corpus row with per-step reach counts. */
+  def sessionFunnel(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sessioned = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
+          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+      .select("user_id", "sid", "ts_ms", "event_type")
+    val s1 = sessioned.groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("v_ts"))
+    val s2 = sessioned.join(s1, Seq("user_id", "sid"))
+      .filter(col("event_type") === "click" && col("ts_ms") >= col("v_ts"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ms")).as("c_ts"))
+    val s3 = sessioned.join(s2, Seq("user_id", "sid"))
+      .filter(col("event_type") === "purchase" && col("ts_ms") >= col("c_ts"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ms")).as("p_ts"))
+    s1.join(s2, Seq("user_id", "sid"), "left")
+      .join(s3, Seq("user_id", "sid"), "left")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("v_ts")).as("n_viewed"),
+        count(col("c_ts")).as("n_clicked_after_view"),
+        count(col("p_ts")).as("n_purchased_after_click"))
+  }
+
+  val sessionFunnelSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
+      |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), s1 AS (
+      |  SELECT user_id, sid,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS v_ts
+      |  FROM s GROUP BY 1, 2
+      |), s2 AS (
+      |  SELECT s.user_id, s.sid, MIN(ts_ms) AS c_ts
+      |  FROM s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+      |  WHERE event_type = 'click' AND ts_ms >= v_ts GROUP BY 1, 2
+      |), s3 AS (
+      |  SELECT s.user_id, s.sid, MIN(ts_ms) AS p_ts
+      |  FROM s JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+      |  WHERE event_type = 'purchase' AND ts_ms >= c_ts GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_sessions,
+      |  COUNT(v_ts) AS n_viewed,
+      |  COUNT(c_ts) AS n_clicked_after_view,
+      |  COUNT(p_ts) AS n_purchased_after_click
+      |FROM s1
+      |LEFT JOIN s2 USING (user_id, sid)
+      |LEFT JOIN s3 USING (user_id, sid)""".stripMargin
+
   // ------------------------------------------------------ bot detection
   /** Heuristic bot flagging per user — the traffic-quality sibling of the
     * reference's corruption/duplicate flags: machine traffic shows high
@@ -1253,7 +1322,8 @@ object EventQueries {
     "evt_asof_join"    -> (asofTier _),
     "evt_attribution"  -> (attribution _),
     "evt_session_features" -> (sessionFeatures _),
-    "evt_bot_detect"   -> (botDetect _))
+    "evt_bot_detect"   -> (botDetect _),
+    "evt_session_funnel" -> (sessionFunnel _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1279,5 +1349,6 @@ object EventQueries {
     "evt_asof_join"    -> asofTierSql,
     "evt_attribution"  -> attributionSql,
     "evt_session_features" -> sessionFeaturesSql,
-    "evt_bot_detect"   -> botDetectSql)
+    "evt_bot_detect"   -> botDetectSql,
+    "evt_session_funnel" -> sessionFunnelSql)
 }

@@ -128,6 +128,28 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("session funnel: only strictly-ordered steps inside one session count") {
+    def ev(id: String, min: Int, u: String, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), u, t, 1.0, "{}")
+    val rows = Seq(
+      // u1: full ordered funnel in one session
+      ev("a1", 0, "u1", "view"), ev("a2", 5, "u1", "click"), ev("a3", 9, "u1", "purchase"),
+      // u2: purchase BEFORE click — step 3 must not count
+      ev("b1", 0, "u2", "view"), ev("b2", 9, "u2", "click"), ev("b3", 5, "u2", "purchase"),
+      // u3: click before view — steps 2+3 must not count
+      ev("c1", 5, "u3", "click"), ev("c2", 9, "u3", "view"),
+      // u4: view in one session, click 40min later = NEXT session
+      ev("d1", 0, "u4", "view"), ev("d2", 45, "u4", "click"))
+    val tmp = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventQueries.queries("evt_session_funnel")(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().head
+    // sessions: u1(1) u2(1) u3(1) u4(2) = 5; viewed: u1,u2,u3,u4-first = 4;
+    // clicked-after-view: u1, u2 (click 9 >= view 0); purchased: u1 only
+    assert(r === ((5L, 4L, 2L, 1L)))
+  }
+
   test("bot detect: metronomic high-rate traffic flags, human-like does not") {
     val rows =
       // bot: 100 events, exactly 1s apart (1 repeated gap, 6000 ev/min)
