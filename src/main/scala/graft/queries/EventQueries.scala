@@ -508,6 +508,43 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // ------------------------------------------------- cohort analysis
+  /** Signup-cohort revenue triangle: users grouped by first-seen day,
+    * revenue tracked by days-since-cohort — the classic retention/LTV
+    * matrix. Two keyed passes: first-seen day per user (map-side
+    * combinable min), broadcast-joined back onto the fact stream (the
+    * cohort table is user-cardinality-sized: a keyed join at warehouse
+    * scale, AQE picks), then the (cohort, age) rollup. Ages cap at 30
+    * days so the output stays a bounded triangle. */
+  def cohortRevenue(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      col("user_id"),
+      to_date(col("ts").cast("timestamp")).as("day"),
+      col("value"))
+    val cohorts = base.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    base.join(cohorts, "user_id")
+      .withColumn("age_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("age_days") <= 30)
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("age_days"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  val cohortRevenueSql: String =
+    """WITH base AS (
+      |  SELECT user_id, ts::DATE AS day, value FROM events),
+      | c AS (SELECT user_id, MIN(day) AS cohort_day FROM base GROUP BY 1)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  datediff('day', cohort_day, day) AS age_days,
+      |  COUNT(DISTINCT base.user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM base JOIN c ON base.user_id = c.user_id
+      |WHERE datediff('day', cohort_day, day) <= 30
+      |GROUP BY c.cohort_day, 2""".stripMargin
+
   // -------------------------------------------------- ordered funnel
   /** STRICTLY-ORDERED session funnel view → click → purchase: a step
     * counts only when it happens AFTER the previous step inside the same
@@ -1323,7 +1360,8 @@ object EventQueries {
     "evt_attribution"  -> (attribution _),
     "evt_session_features" -> (sessionFeatures _),
     "evt_bot_detect"   -> (botDetect _),
-    "evt_session_funnel" -> (sessionFunnel _))
+    "evt_session_funnel" -> (sessionFunnel _),
+    "evt_cohort_revenue" -> (cohortRevenue _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1350,5 +1388,6 @@ object EventQueries {
     "evt_attribution"  -> attributionSql,
     "evt_session_features" -> sessionFeaturesSql,
     "evt_bot_detect"   -> botDetectSql,
-    "evt_session_funnel" -> sessionFunnelSql)
+    "evt_session_funnel" -> sessionFunnelSql,
+    "evt_cohort_revenue" -> cohortRevenueSql)
 }
