@@ -79,10 +79,18 @@ object Pipeline {
       srcDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val streamIn = spark.readStream
+    val streamIn0 = spark.readStream
       .schema(rawSchema)
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp"))
+    // ts arrives as raw nanos (LongType under nanosAsLong) OR as a real
+    // timestamp, depending on the fixture's parquet precision — branch
+    // exactly like Tables.events does for the batch path
+    val streamIn = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamIn0.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp"))
+      case _ => streamIn0.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val streamOut = graft.streaming.Streams.windowedCounts(streamIn, "ts", "event_type", "1 hour")
     val sq = streamOut.writeStream
       .option("checkpointLocation", s"$outDir/stream-cp")
