@@ -713,7 +713,7 @@ object DocQueries {
        |       FROM t),
        | k AS (SELECT doc_id, len(blocks) AS n_blocks,
        |         list_filter(blocks,
-       |           (p, i) -> list_position(blocks[1:i-1], p) = 0) AS kept
+       |           (p, i) -> NOT list_contains(blocks[1:i-1], p)) AS kept
        |       FROM b)
        |SELECT doc_id, n_blocks,
        |  n_blocks - len(kept) AS n_dup_blocks,
@@ -730,7 +730,7 @@ object DocQueries {
     documents(spark, d)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_unique_texts"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"),
         sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
@@ -747,7 +747,7 @@ object DocQueries {
       |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens_per_doc
       |FROM (
       |  SELECT COUNT(*) AS n_docs,
-      |    COUNT(DISTINCT text) AS n_unique_texts,
+      |    COUNT(DISTINCT md5(text)) AS n_unique_texts,
       |    COUNT(DISTINCT lang) AS n_langs,
       |    COUNT(DISTINCT source) AS n_sources,
       |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

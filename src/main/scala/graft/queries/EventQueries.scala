@@ -27,6 +27,40 @@ object EventQueries {
   private def ev(spark: SparkSession, d: String): DataFrame =
     events(spark, d).withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
 
+  /** Events with a lag/cumsum session id (`sid` per user) — the shared
+    * sessionizer behind the session-scoped analytics (top paths, ordered
+    * funnel). The `gap > SessionGapMs` rule matches `session_window`
+    * INCLUDING the exact-boundary case: Spark merges sessions whose ranges
+    * touch (an event at exactly prev+gap stays in the session — pinned by
+    * PipelineSpec's boundary test), and `exactly-gap` is not `> gap`. */
+  private def sessioned(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
+          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+      .drop("new_s")
+  }
+
+  /** The matching SQL CTE chain (`flagged` → `s` with user_id/ts_ms/
+    * event_id/event_type/sid) for oracles over [[sessioned]]. */
+  private val sessionedSqlCtes: String =
+    """t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
+      |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |)""".stripMargin
+
   // ------------------------------------------------------------ mapping
   /** The per-event "mapping program" analog of the reference's default
     * mapping (`Mapping.java:70-100`): pure projection + JSON parameter
@@ -213,20 +247,12 @@ object EventQueries {
   private val PathTopK = 15
 
   def topPaths(spark: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ms"), col("event_id"))
-    val sessioned = ev(spark, d)
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
-      .withColumn("new_s",
-        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
-          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(byUser))
+    val stepped = sessioned(spark, d)
       .withColumn("step", row_number().over(
         Window.partitionBy(col("user_id"), col("sid"))
           .orderBy(col("ts_ms"), col("event_id"))))
       .filter(col("step") <= PathMaxSteps)
-    val sessions = sessioned
+    val sessions = stepped
       .groupBy(col("user_id"), col("sid"))
       .agg(array_join(expr("transform(sort_array(collect_list(" +
         "struct(step, event_type))), e -> e.event_type)"), ">").as("path"))
@@ -238,22 +264,12 @@ object EventQueries {
         Window.orderBy(col("n_sessions").desc, col("path"))))
   }
 
-  val topPathsSql: String =
-    s"""WITH t AS (
-       |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
-       |), flagged AS (
-       |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
-       |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-       |), sessioned AS (
-       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-       |                             ROWS UNBOUNDED PRECEDING) AS sid
-       |  FROM flagged
-       |), paths AS (
+  lazy val topPathsSql: String =
+    s"""WITH $sessionedSqlCtes, paths AS (
        |  SELECT array_to_string(
        |    (list(event_type ORDER BY ts_ms, event_id))[1:$PathMaxSteps],
        |    '>') AS path
-       |  FROM sessioned GROUP BY user_id, sid
+       |  FROM s GROUP BY user_id, sid
        |), counted AS (
        |  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
        |SELECT path, n_sessions, rank FROM (
@@ -347,6 +363,13 @@ object EventQueries {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
+    if (n == 0) { // no transitions at all: empty result, not a crash
+      edges.unpersist(); nodes.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, rank_scaled BIGINT, rank DOUBLE"))
+    }
     val base = 15L * PrScale / (100L * n) // floor; all positive
     // Gate like the dedup cluster resolver: an edge list that fits the
     // driver iterates there (10 Spark jobs of per-round overhead dwarf the
@@ -555,22 +578,14 @@ object EventQueries {
     * map-side combinable, state per session is three timestamps, never an
     * event list. Output: one corpus row with per-step reach counts. */
   def sessionFunnel(spark: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    val sessioned = ev(spark, d)
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
-      .withColumn("new_s",
-        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
-          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(byUser))
-      .select("user_id", "sid", "ts_ms", "event_type")
-    val s1 = sessioned.groupBy(col("user_id"), col("sid"))
+    val sess = sessioned(spark, d).select("user_id", "sid", "ts_ms", "event_type")
+    val s1 = sess.groupBy(col("user_id"), col("sid"))
       .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("v_ts"))
-    val s2 = sessioned.join(s1, Seq("user_id", "sid"))
+    val s2 = sess.join(s1, Seq("user_id", "sid"))
       .filter(col("event_type") === "click" && col("ts_ms") >= col("v_ts"))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts_ms")).as("c_ts"))
-    val s3 = sessioned.join(s2, Seq("user_id", "sid"))
+    val s3 = sess.join(s2, Seq("user_id", "sid"))
       .filter(col("event_type") === "purchase" && col("ts_ms") >= col("c_ts"))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts_ms")).as("p_ts"))
@@ -583,18 +598,8 @@ object EventQueries {
         count(col("p_ts")).as("n_purchased_after_click"))
   }
 
-  val sessionFunnelSql: String =
-    """WITH t AS (
-      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
-      |), flagged AS (
-      |  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 OR
-      |                      LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-      |), s AS (
-      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |                             ROWS UNBOUNDED PRECEDING) AS sid
-      |  FROM flagged
-      |), s1 AS (
+  lazy val sessionFunnelSql: String =
+    s"""WITH $sessionedSqlCtes, s1 AS (
       |  SELECT user_id, sid,
       |    MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS v_ts
       |  FROM s GROUP BY 1, 2
@@ -634,14 +639,19 @@ object EventQueries {
         count(col("gap")).as("n_gaps"),
         countDistinct(col("gap")).as("n_distinct_gaps"))
     perUser.select(
-        col("user_id"), col("n_events"),
+        col("user_id"), col("n_events"), col("span_ms"),
         round(col("n_events") * 60000.0 / greatest(col("span_ms"), lit(1L)), 6)
           .as("events_per_min"),
         round(when(col("n_gaps") > 0,
           (col("n_gaps") - col("n_distinct_gaps")).cast("double") / col("n_gaps"))
           .otherwise(0.0), 6).as("repeated_gap_ratio"))
       .withColumn("bot_suspect",
-        col("events_per_min") > 30.0 || col("repeated_gap_ratio") > 0.5)
+        // rate only counts over a real active span: a single-event (or
+        // zero-span) user must not flag as a bot on the rate branch —
+        // zero-span MULTI-event bursts still flag via the repeated-gap arm
+        (col("span_ms") > 0 && col("events_per_min") > 30.0) ||
+          col("repeated_gap_ratio") > 0.5)
+      .drop("span_ms")
   }
 
   val botDetectSql: String =
@@ -661,7 +671,8 @@ object EventQueries {
       |  ROUND(CASE WHEN n_gaps > 0
       |    THEN CAST(n_gaps - n_distinct_gaps AS DOUBLE) / n_gaps
       |    ELSE 0.0 END, 6) AS repeated_gap_ratio,
-      |  ROUND(n_events * 60000.0 / GREATEST(span_ms, 1), 6) > 30.0 OR
+      |  (span_ms > 0 AND
+      |   ROUND(n_events * 60000.0 / GREATEST(span_ms, 1), 6) > 30.0) OR
       |  ROUND(CASE WHEN n_gaps > 0
       |    THEN CAST(n_gaps - n_distinct_gaps AS DOUBLE) / n_gaps
       |    ELSE 0.0 END, 6) > 0.5 AS bot_suspect

@@ -128,6 +128,25 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("session boundary: an exact-30-minute gap stays ONE session in both constructions") {
+    // session_window merges touching ranges; the lag rule's strict `>`
+    // agrees — pin both on the same planted corpus so the constructions
+    // can never drift at the boundary
+    val rows = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "u1", "view", 1.0, "{}"),
+      ("e2", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "u1", "click", 1.0, "{}"),
+      // and one gap a millisecond past the boundary: must split
+      ("e3", java.sql.Timestamp.valueOf("2024-01-01 11:00:00.001"), "u1", "view", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val viaWindow = EventQueries.queries("evt_sessionize")(spark, tmp).count()
+    val viaLag = EventQueries.queries("evt_top_paths")(spark, tmp)
+      .agg(sum(col("n_sessions"))).as[Long].head()
+    assert(viaWindow === 2L, "exact-gap event must merge; the later one must split")
+    assert(viaLag === 2L, "the lag/cumsum construction must agree")
+  }
+
   test("session funnel: only strictly-ordered steps inside one session count") {
     def ev(id: String, min: Int, u: String, t: String) =
       (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), u, t, 1.0, "{}")
