@@ -132,6 +132,105 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------ hybrid search
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009) — the modern search-serving shape: a lexical ranking (shared-
+    * token overlap with the query document) and a vector ranking (exact
+    * scaled-int cosine) each produce a top-[[HybridDepth]] candidate list
+    * per query, and the fused score is Σ 1e6 DIV (60 + rank) over the
+    * lists a document appears in — integer arithmetic, so the fusion is
+    * bit-stable and fully oracled. Queries are the docs paired with the
+    * query vectors (`doc_id = vec_id < NQueries`, the fixture's pairing).
+    *
+    * Scale: both retrievals are broadcast-probe scans (query tokens and
+    * query vectors are tiny); candidate truncation to HybridDepth bounds
+    * the fusion join, the standard retrieve-then-fuse serving plan. */
+  private val HybridDepth = 50
+
+  def hybridSearch(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d).select(col("doc_id"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("tk"))
+    val qDocs = docs.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("tk").as("q_tk"))
+    val lexW = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val lex = docs.filter(col("doc_id") >= NQueries)
+      .crossJoin(broadcast(qDocs))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("tk"), col("q_tk"))).as("overlap"))
+      .withColumn("r_lex", row_number().over(lexW))
+      .filter(col("r_lex") <= HybridDepth)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm2").as("q_norm2"))
+    val vecW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vec = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(qv))
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+      .withColumn("r_vec", row_number().over(vecW))
+      .filter(col("r_vec") <= HybridDepth)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_vec"))
+    val fusedW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+         coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L))).as("rrf_score"))
+      .withColumn("rk", row_number().over(fusedW))
+      .filter(col("rk") <= TopK)
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | docs AS (SELECT doc_id,
+       |            list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+       |          FROM documents),
+       | q AS (SELECT doc_id AS q_id, tk AS q_tk FROM docs
+       |       WHERE doc_id < $NQueries),
+       | lex AS (SELECT q_id, doc_id, r_lex FROM (
+       |     SELECT q.q_id, d.doc_id,
+       |       ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |         ORDER BY len(list_intersect(d.tk, q.q_tk)) DESC, d.doc_id)
+       |         AS r_lex
+       |     FROM docs d CROSS JOIN q WHERE d.doc_id >= $NQueries)
+       |   WHERE r_lex <= $HybridDepth),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, SUM(emb[i] * emb[i]) AS norm2 FROM e, idx GROUP BY 1),
+       | qv AS (SELECT e.vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2
+       |        FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id < $NQueries),
+       | c AS (SELECT e.vec_id, emb, norm2
+       |       FROM e JOIN f ON e.vec_id = f.vec_id WHERE e.vec_id >= $NQueries),
+       | vec AS (SELECT q_id, doc_id, r_vec FROM (
+       |     SELECT qv.q_id, c.vec_id AS doc_id,
+       |       ROW_NUMBER() OVER (PARTITION BY qv.q_id ORDER BY
+       |         ROUND(CAST((SELECT SUM(c.emb[i] * qv.q_emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(qv.q_norm2 AS DOUBLE))), 6)
+       |           DESC, c.vec_id) AS r_vec
+       |     FROM c CROSS JOIN qv)
+       |   WHERE r_vec <= $HybridDepth)
+       |SELECT q_id, doc_id, rrf_score, rk FROM (
+       |  SELECT q_id, doc_id, rrf_score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, doc_id) AS rk
+       |  FROM (
+       |    SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+       |      COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       |      COALESCE(1000000 // (60 + r_lex), 0) +
+       |      COALESCE(1000000 // (60 + r_vec), 0) AS rrf_score
+       |    FROM lex FULL OUTER JOIN vec
+       |      ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id))
+       |WHERE rk <= $TopK""".stripMargin
+
   // ------------------------------------------------------------ centroids
   /** Per-label centroid vectors, exploded to (label, dim, mean) rows with
     * decimal-exact sums. */
@@ -1312,6 +1411,7 @@ object EmbeddingQueries {
     "emb_sq_search"      -> (sqSearch _),
     "emb_knn_brute"      -> (knnBrute _),
     "emb_hard_negatives" -> (hardNegatives _),
+    "emb_hybrid_search"  -> (hybridSearch _),
     "emb_centroids"      -> (centroids _),
     "emb_ann_lsh"        -> (annLsh _),
     "emb_ann_ivf"        -> (annIvf _),
@@ -1332,6 +1432,7 @@ object EmbeddingQueries {
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
     "emb_hard_negatives" -> hardNegativesSql,
+    "emb_hybrid_search"  -> hybridSearchSql,
     "emb_centroids"      -> centroidsSql,
     "emb_ann_lsh"        -> annLshSql,
     "emb_ann_ivf"        -> annIvfSql,

@@ -252,6 +252,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hybrid search: a doc that wins both rankings tops the fused list") {
+    // corpus doc 20 duplicates query 0's text AND embedding: r_lex=1 and
+    // r_vec=1 so its RRF score is the maximum possible — rank 1
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((seed * 101 + j * 7) % 256) - 128) / 128.0f)
+    def text(seed: Int): String =
+      (0 until 20).map(j => s"w${(seed * 13 + j * 5) % 40}").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("hybrid").toString
+    (0 until 30).map { id =>
+      (id.toLong, if (id == 20) text(0) else text(id))
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    (0 until 30).map { id =>
+      (id.toLong, if (id == 20) vec(0) else vec(id), id % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = EmbeddingQueries.queries("emb_hybrid_search")(spark, tmp)
+      .select("q_id", "doc_id", "rk").as[(Long, Long, Int)].collect()
+    assert(got.find(r => r._1 == 0L && r._3 == 1).map(_._2) === Some(20L))
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1 to 5))
+    }
+  }
+
   test("hard negatives: never the query's own label; cosines agree with brute kNN") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label").as[(Long, Int)].collect().toMap
