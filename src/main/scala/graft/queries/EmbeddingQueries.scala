@@ -534,6 +534,58 @@ object EmbeddingQueries {
   def annRecallIvf(spark: SparkSession, d: String): DataFrame =
     recallAgainstExact(knnBrute(spark, d), annIvf(spark, d))
 
+  /** Recall@K of PREFIX-TRUNCATED cosine search (first [[TruncDim]] of
+    * [[Dim]] dims) vs the full-dimension exact top-K — the evaluation that
+    * quantifies the Matryoshka/dimension-reduction serving trade before
+    * [[annRerank]] commits to a truncation width. Same brute scan shape
+    * with a shorter vector; the recall join is corpus-size-independent. */
+  def prefixRecall(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), slice(scaled(col("embedding")), 1, TruncDim).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm2").as("q_norm2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val truncated = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    recallAgainstExact(knnBrute(spark, d), truncated)
+  }
+
+  lazy val prefixRecallSql: String = recallSqlAgainst(
+    s"""SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, c.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |      ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i])
+       |                  FROM (SELECT unnest(generate_series(1, $TruncDim)) AS i)) AS DOUBLE)
+       |        / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |        DESC, c.vec_id) AS rk
+       |  FROM (
+       |    SELECT t.vec_id, emb, (SELECT SUM(emb[i] * emb[i])
+       |       FROM (SELECT unnest(generate_series(1, $TruncDim)) AS i)) AS norm2
+       |    FROM (SELECT vec_id,
+       |            list_transform(embedding,
+       |              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+       |              [1:$TruncDim] AS emb
+       |          FROM embeddings) t) c
+       |  CROSS JOIN (
+       |    SELECT t.vec_id AS q_id, emb AS q_emb, (SELECT SUM(emb[i] * emb[i])
+       |       FROM (SELECT unnest(generate_series(1, $TruncDim)) AS i)) AS q_norm2
+       |    FROM (SELECT vec_id,
+       |            list_transform(embedding,
+       |              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+       |              [1:$TruncDim] AS emb
+       |          FROM embeddings) t
+       |    WHERE t.vec_id < $NQueries) q
+       |  WHERE c.vec_id >= $NQueries)
+       |WHERE rk <= $TopK""".stripMargin)
+
   private def recallAgainstExact(exactDf: DataFrame, approxDf: DataFrame): DataFrame = {
     val exact = exactDf.select(col("q_id"), col("vec_id"))
     val approx = approxDf.select(col("q_id"), col("vec_id"))
@@ -1418,6 +1470,7 @@ object EmbeddingQueries {
     "emb_ann_rerank"     -> (annRerank _),
     "emb_ann_recall"     -> (annRecall _),
     "emb_ann_recall_ivf" -> (annRecallIvf _),
+    "emb_prefix_recall"  -> (prefixRecall _),
     "emb_linear_probe"   -> (linearProbe _),
     "emb_neardup_cosine" -> (neardupCosine _))
 
@@ -1439,6 +1492,7 @@ object EmbeddingQueries {
     "emb_ann_rerank"     -> annRerankSql,
     "emb_ann_recall"     -> annRecallSql,
     "emb_ann_recall_ivf" -> annRecallIvfSql,
+    "emb_prefix_recall"  -> prefixRecallSql,
     "emb_linear_probe"   -> linearProbeSql,
     "emb_neardup_cosine" -> neardupCosineSql)
 }
