@@ -2258,6 +2258,28 @@ object DocQueries {
         round(ratioUdf(col("tk")), 6).as("importance"))
   }
 
+  /** The DSIR SELECTION step — the piece that turns importance scores
+    * into a training subset: keep the top 20% of scoreable documents by
+    * target-likelihood-ratio, deterministic ties broken by doc_id. TopN
+    * plans as TakeOrderedAndProject (per-partition partial top-N, no
+    * global sort); N itself is the one driver-side scalar. TakeOrdered
+    * heaps N rows per partition, so at a scale where 20% of the corpus
+    * outgrows executor heaps the selection becomes one extra aggregate —
+    * compute the 80th-percentile score, flag `importance > threshold`,
+    * and resolve the boundary ties by id — trading the heap for a
+    * second scan; the rank form here is the oracle-exact one. */
+  def dsirSelect(spark: SparkSession, d: String): DataFrame = {
+    val scored = importance(spark, d)
+    val n = math.ceil(scored.count() / 5.0).toInt
+    scored.orderBy(col("importance").desc, col("doc_id")).limit(n)
+  }
+
+  lazy val dsirSelectSql: String =
+    s"""WITH scored AS ($importanceSql)
+       |SELECT * FROM scored
+       |ORDER BY importance DESC, doc_id
+       |LIMIT (SELECT CAST(CEIL(COUNT(*) / 5.0) AS BIGINT) FROM scored)""".stripMargin
+
   val importanceSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |           FROM documents),
@@ -2796,6 +2818,7 @@ object DocQueries {
     "doc_hash_classifier"    -> (hashClassifier _),
     "doc_ngram_novelty"      -> (ngramNovelty _),
     "doc_importance"   -> (importance _),
+    "doc_dsir_select"  -> (dsirSelect _),
     "doc_paragraph_dedup" -> (paragraphDedup _),
     "doc_substring_dedup" -> (substringDedup _),
     "doc_chunk"        -> (chunk _),
@@ -2843,6 +2866,7 @@ object DocQueries {
     "doc_hash_classifier"    -> hashClassifierSql,
     "doc_ngram_novelty"      -> ngramNoveltySql,
     "doc_importance"      -> importanceSql,
+    "doc_dsir_select"     -> dsirSelectSql,
     "doc_paragraph_dedup" -> paragraphDedupSql,
     "doc_substring_dedup" -> substringDedupSql,
     "doc_chunk"           -> chunkSql,
