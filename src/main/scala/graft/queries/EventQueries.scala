@@ -92,14 +92,74 @@ object EventQueries {
     * expression runs under a watermark (see graft.streaming). Output: one
     * row per (user, session) with start/end/count/value. */
   def sessionize(spark: SparkSession, d: String): DataFrame =
-    ev(spark, d)
+    sessionizeFrame(ev(spark, d))
+      .withColumn("session_value", col("value_dec").cast("double"))
+      .drop("value_dec")
+
+  /** session_window aggregation with the money sum kept in exact DECIMAL —
+    * shared by [[sessionize]] (casts at the edge) and the incremental
+    * recombination (which must ADD two partial sums exactly before any
+    * double cast, or merged sessions could differ in the last ulp from a
+    * full recompute). */
+  private def sessionizeFrame(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts").cast("timestamp"), "30 minutes"))
       .agg(
         min(col("ts_ms")).as("session_start_ms"),
         max(col("ts_ms")).as("session_end_ms"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        sum(col("value").cast("decimal(18,2)")).as("value_dec"))
       .drop("session_window")
+
+  /** Incremental sessionization — the warehouse pattern for a daily
+    * pipeline: yesterday's result plus today's delta WITHOUT re-scanning
+    * history. Sessions whose end is more than the gap before the cutoff
+    * are final (closed); the remaining "open" tail joins today's FIRST
+    * session per user and merges when the inactivity rule says so (one
+    * exact-decimal recombination per user — no chain is possible, since
+    * consecutive delta sessions are already gap-separated). PipelineSpec
+    * proves bit-exact equivalence with the full recompute across cutoffs.
+    * Scale: the open tail is at most one row per active user, so the
+    * incremental cost is the DELTA scan + a user-keyed join, independent
+    * of history size. */
+  def sessionizeIncremental(spark: SparkSession, d: String, cutoffMs: Long): DataFrame = {
+    val base = ev(spark, d)
+    val s1 = sessionizeFrame(base.filter(col("ts_ms") < cutoffMs))
+    val s2 = sessionizeFrame(base.filter(col("ts_ms") >= cutoffMs))
+    val closed = s1.filter(col("session_end_ms") <= cutoffMs - SessionGapMs)
+    val open = s1.filter(col("session_end_ms") > cutoffMs - SessionGapMs)
+      .select(col("user_id"), col("session_start_ms").as("o_start"),
+        col("session_end_ms").as("o_end"), col("n_events").as("o_n"),
+        col("value_dec").as("o_val"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms"))
+    val s2r = s2.withColumn("rn", row_number().over(w))
+    val s2first = s2r.filter(col("rn") === 1)
+      .select(col("user_id"), col("session_start_ms").as("f_start"),
+        col("session_end_ms").as("f_end"), col("n_events").as("f_n"),
+        col("value_dec").as("f_val"))
+    val s2rest = s2r.filter(col("rn") > 1).drop("rn")
+    // uniform struct field types across the CASE arms: the merged arm's
+    // decimal sum is wider than a single partial, so every arm casts to
+    // the widest money type
+    def mk(st: Column, en: Column, n: Column, v: Column): Column =
+      struct(st.as("session_start_ms"), en.as("session_end_ms"),
+        n.as("n_events"), v.cast("decimal(38,2)").as("value_dec"))
+    val recombined = open.join(s2first, Seq("user_id"), "full_outer")
+      .select(col("user_id"), explode(
+        when(col("o_start").isNull, array(mk(col("f_start"), col("f_end"), col("f_n"), col("f_val"))))
+        .when(col("f_start").isNull, array(mk(col("o_start"), col("o_end"), col("o_n"), col("o_val"))))
+        .when(col("f_start") - col("o_end") <= SessionGapMs,
+          array(mk(col("o_start"), col("f_end"), col("o_n") + col("f_n"),
+            col("o_val") + col("f_val"))))
+        .otherwise(array(
+          mk(col("o_start"), col("o_end"), col("o_n"), col("o_val")),
+          mk(col("f_start"), col("f_end"), col("f_n"), col("f_val"))))).as("s"))
+      .select(col("user_id"), col("s.*"))
+    closed.unionByName(recombined.select(closed.columns.map(col): _*))
+      .unionByName(s2rest.select(closed.columns.map(col): _*))
+      .withColumn("session_value", col("value_dec").cast("double"))
+      .drop("value_dec")
+  }
 
   val sessionizeSql: String =
     """WITH t AS (

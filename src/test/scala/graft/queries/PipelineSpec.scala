@@ -128,6 +128,21 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("incremental sessionization equals the full recompute at every cutoff") {
+    val full = EventQueries.queries("evt_sessionize")(spark, sf)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "session_value")
+      .as[(String, Long, Long, Long, Double)].collect().sorted.toSeq
+    // cutoffs spanning the data range, incl. ones that slice sessions open
+    val (lo, hi) = (full.map(_._2).min, full.map(_._3).max)
+    Seq(0.25, 0.5, 0.8).foreach { f =>
+      val cutoff = lo + ((hi - lo) * f).toLong
+      val inc = EventQueries.sessionizeIncremental(spark, sf, cutoff)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events", "session_value")
+        .as[(String, Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(inc === full, s"cutoff fraction $f diverged")
+    }
+  }
+
   test("session boundary: an exact-30-minute gap stays ONE session in both constructions") {
     // session_window merges touching ranges; the lag rule's strict `>`
     // agrees — pin both on the same planted corpus so the constructions
