@@ -44,4 +44,29 @@ object Bucketing {
       .format("parquet")
       .mode("overwrite")
       .save(path)
+
+  /** Compact a small-files parquet directory into ~`targetBytes` outputs —
+    * the maintenance job every streaming/incremental writer eventually
+    * needs (each micro-batch or task leaves a file; a 100 TB store dies by
+    * a thousand 1 MB footers). The rewrite is one coalesced scan: the
+    * partition count comes from the observed on-disk bytes, data is
+    * written to a sibling dir then atomically swapped in (readers never
+    * see a half-compacted directory; the swap is two renames). Returns
+    * (files before, files after). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val df = spark.read.parquet(path)
+    val files = df.inputFiles
+    val bytes = files.map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val parts = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    df.coalesce(parts).write.mode("overwrite").parquet(tmp)
+    val old = path.stripSuffix("/") + ".compact-old"
+    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    val after = spark.read.parquet(path).inputFiles.length
+    (files.length, after)
+  }
 }

@@ -36,6 +36,22 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("compact merges a small-files directory, preserving every row") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 16 tiny files (repartition by a spread key forces one file per task)
+    spark.range(0, 10000).withColumn("v", col("id") * 3)
+      .repartition(16).write.parquet(tmp)
+    val before = spark.read.parquet(tmp)
+      .select(sum(col("id")), sum(col("v")), count(lit(1))).collect().head
+    val (nBefore, nAfter) = Bucketing.compact(spark, tmp)
+    assert(nBefore === 16)
+    assert(nAfter === 1, s"10k tiny rows must compact to one file, got $nAfter")
+    val after = spark.read.parquet(tmp)
+      .select(sum(col("id")), sum(col("v")), count(lit(1))).collect().head
+    assert(after === before, "compaction must preserve every row exactly")
+  }
+
   test("day-partitioned layout prunes partitions at planning time") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
