@@ -49,8 +49,14 @@ object TopicSources {
   }
 
   private[graft] def fromRecord(rec: GenericRecord, schema: StructType): Row =
-    Row.fromSeq(schema.fields.map(f =>
-      fromAvroValue(rec.get(f.name), f.dataType)).toIndexedSeq)
+    Row.fromSeq(schema.fields.map { f =>
+      // schema evolution: a field the READER knows but this (older) record
+      // lacks resolves to null — the reference's [null,T]+default union
+      // convention; GenericRecord.get(name) THROWS on unknown fields, so
+      // probe the writer schema first
+      if (rec.getSchema.getField(f.name) == null) null
+      else fromAvroValue(rec.get(f.name), f.dataType)
+    }.toIndexedSeq)
 
   /** Recursive Avro→Row value conversion — mirrors the full type surface of
     * [[AvroConversions.toAvroSchema]] (strings arrive as Utf8, arrays as

@@ -57,6 +57,28 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("avro sink: schema evolution — v2 readers resolve v1 files via the null-union default") {
+    // the reference's [null,T]+default convention IS its evolution story:
+    // a reader with an added optional field must consume old container
+    // files, the missing field resolving to null
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("avroevolve").toString
+    val v1 = mapped.select("eventId", "partyId", "ts_ms").limit(5).coalesce(1)
+    AvroFileSink.write(v1, dir, "v1")
+    val v2 = mapped.select("eventId", "partyId", "ts_ms")
+      .withColumn("newField", concat(lit("x-"), col("eventId")))
+      .limit(5).coalesce(1)
+    AvroFileSink.write(v2, dir, "v2")
+    val v2Schema = StructType(Seq(
+      StructField("eventId", StringType), StructField("partyId", StringType),
+      StructField("ts_ms", LongType), StructField("newField", StringType)))
+    val back = AvroFileSink.readBackDf(spark, dir, v2Schema)
+    assert(back.count() === 10)
+    // v1 rows surface with the evolved field absent->null; v2 rows keep it
+    assert(back.filter(col("newField").isNull).count() === 5)
+    assert(back.filter(col("newField").startsWith("x-")).count() === 5)
+  }
+
   test("kafka frame: key is partyId bytes, value decodes as the record") {
     val df = mapped.limit(5)
     val schema = AvroConversions.toAvroSchema(df.schema)
