@@ -1,0 +1,27 @@
+package graft
+
+/** The driver contract itself: registration drift between `queries` and
+  * `oracleSql` silently downgrades a hash-checked operator to nothing (an
+  * oracle without a query) or to rows-only (a query without an oracle) —
+  * pin the two maps to the same key set, and smoke the flagship entry. */
+class ContractSpec extends SparkSpec {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names follow the family naming convention") {
+    val families = Set("q", "evt_", "doc_", "emb_", "dsl_", "src_", "geo_",
+      "media_", "topn_", "rollup_", "uri_")
+    SparkEntry.queries.keys.foreach { k =>
+      assert(families.exists(k.startsWith), s"unexpected family for $k")
+    }
+  }
+
+  test("the flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
