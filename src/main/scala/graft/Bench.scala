@@ -86,7 +86,15 @@ object Bench {
       }
     }
     val gcStartMs = gcMillis()
+    var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Untimed GC every 16 queries: ContextCleaner reclaims dead shuffle
+      // files / broadcast blocks only when a GC notices the references are
+      // gone, and the pre-touched heap GCs rarely on its own — without
+      // this, state from every prior query accumulates and late queries
+      // measure ~2x slower than the same query isolated.
+      qIdx += 1
+      if (qIdx % 16 == 0) System.gc()
       val gc0 = gcMillis()
       val cold = time(fn)
       val warm = time(fn)

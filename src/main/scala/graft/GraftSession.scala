@@ -73,6 +73,16 @@ object GraftSession {
       // queries compiles several hundred codegen units, so consecutive runs
       // of the same query would otherwise re-run janino on every unit.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // ContextCleaner only reclaims dropped broadcast/shuffle/RDD state
+      // when a JVM GC runs; with a pre-touched heap sized well above the
+      // working set, GCs can be minutes apart, so a long sweep accumulates
+      // every prior query's shuffle files and broadcast blocks (measured as
+      // a creeping ~2x per-query slowdown across a 128-query run). The
+      // periodic driver GC is Spark's own knob for exactly this.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // the SQL status store retains 1000 executions by default — pure
+      // driver-heap ballast with the UI disabled
+      .config("spark.sql.ui.retainedExecutions", "50")
       // SQL names for the custom expression library (GraftExtensions)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

@@ -509,6 +509,89 @@ object DocQueries {
   def minhashDedup(spark: SparkSession, d: String): DataFrame =
     resolveClusters(spark, d, minhashLsh(spark, d).select(col("d1"), col("d2")))
 
+  // ------------------------------------------- cross-corpus (delta) dedup
+  /** Incremental-shard dedup: near-dup INCOMING documents against the
+    * EXISTING corpus — the shape every production ingest runs daily (is
+    * today's crawl already in the training set?), distinct from the
+    * self-join family above. A deterministic md5 split stands in for the
+    * shard boundary (~10% incoming). The probe is asymmetric LSH: band keys
+    * of the (small) delta broadcast against the banded base corpus — no
+    * self-join, no all-pairs; the base corpus streams once. At warehouse
+    * scale the base band table is the persisted LSH index [[minhashLsh]]
+    * already maintains, so a daily shard probe touches only the index, and
+    * when a shard outgrows the broadcast budget the same plan degrades to a
+    * shuffled equi-join on (band, bucket). Verified pairs use exact Jaccard
+    * over the full hashed shingle sets; output ranks every incoming doc's
+    * base-corpus matches (rk=1 row = its canonical prior copy). */
+  def crossDedup(spark: SparkSession, d: String): DataFrame = {
+    val incoming = conv(substring(
+        md5(concat(lit("xd"), col("doc_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 10 === 0
+    val docs = documents(spark, d)
+      .select(col("doc_id"), incoming.as("incoming"),
+        shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+          b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val inBands = bandsOf(docs.filter(col("incoming")))
+    val baseBands = bandsOf(docs.filter(!col("incoming")))
+    val cand = baseBands.as("b").join(broadcast(inBands.as("a")),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("d_in"), col("b.doc_id").as("d_base"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("d_in"), col("sh").as("sh1")), "d_in")
+      .join(docs.select(col("doc_id").as("d_base"), col("sh").as("sh2")), "d_base")
+      .select(col("d_in"), col("d_base"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+    val w = Window.partitionBy(col("d_in"))
+      .orderBy(col("jaccard").desc, col("d_base"))
+    verified.withColumn("rk", row_number().over(w))
+      .select(col("d_in").as("doc_id"), col("d_base").as("match_id"),
+        col("jaccard"), col("rk"))
+  }
+
+  /** DuckDB replica: the [[minhashDedupSql]] signature/band CTE chain with
+    * the band join split asymmetrically by the same md5 shard flag. */
+  val crossDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |       FROM documents),
+       | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
+       | sigs AS (SELECT doc_id, i,
+       |            MIN((s * (2*i + 1) + (i*40503 + 2531011)) % 2147483647) AS sig
+       |          FROM g, perms GROUP BY 1, 2),
+       | bands AS (SELECT doc_id, i // $BandRows AS band,
+       |             string_agg(sig::VARCHAR, '_' ORDER BY i) AS bkey
+       |           FROM sigs GROUP BY 1, 2),
+       | flag AS (SELECT doc_id,
+       |            CAST(('0x' || substr(md5('xd' || doc_id::VARCHAR), 25, 8))
+       |              ::UBIGINT AS BIGINT) % 10 = 0 AS incoming
+       |          FROM documents),
+       | cand AS (SELECT DISTINCT a.doc_id AS d_in, b.doc_id AS d_base
+       |          FROM bands a
+       |          JOIN flag fa ON a.doc_id = fa.doc_id AND fa.incoming
+       |          JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |          JOIN flag fb ON b.doc_id = fb.doc_id AND NOT fb.incoming),
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1),
+       | pairs AS (SELECT d_in, d_base,
+       |     CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |       (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+       |       AS jaccard
+       |   FROM cand JOIN sets s1 ON d_in = s1.doc_id
+       |        JOIN sets s2 ON d_base = s2.doc_id)
+       |SELECT d_in AS doc_id, d_base AS match_id, jaccard, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY d_in
+       |             ORDER BY jaccard DESC, d_base) AS rk
+       |  FROM pairs WHERE jaccard >= 0.3)""".stripMargin
+
   /** DuckDB replica: the [[minhashLshSql]] CTE chain (signatures → bands →
     * verified pairs) feeding the same recursive transitive-closure walk as
     * [[dedupClustersSql]]. */
@@ -1493,6 +1576,102 @@ object DocQueries {
       |  END AS nll2
       |FROM t, bm, um""".stripMargin
 
+  // ------------------------------------------- Kneser–Ney bigram scoring
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing that ships in
+    * real LM-quality filters (KenLM-style): absolute discount D=0.75 on
+    * observed bigrams, with the discounted mass redistributed by the
+    * CONTINUATION probability `P_cont(w) = N1+(·w) / |bigrams|` (how many
+    * distinct contexts a word follows, not how often it occurs — "Francisco"
+    * is frequent but predictable, so it scores low). Unseen contexts back
+    * off to `P_cont` alone; unseen continuations floor at 0.5/|bigrams|.
+    *
+    * Scale: same shape as [[bigramLm]] — one capped map-side-combinable
+    * bigram count aggregation; the context totals, follower fan-out and
+    * continuation counts all derive from that one model table on the
+    * driver (model-sized work, not data-sized), broadcast once, then a
+    * narrow in-order per-row fold. The DuckDB oracle replays the same
+    * arithmetic expression-for-expression, so doubles agree bit-for-bit. */
+  def knBigram(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
+      .map(_.toInt).getOrElse(VocabCap)
+    val tk = toks(col("text"))
+    val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val model = MemoCache.getOrElseUpdate(spark, ("kn-bigram", d, cap))({
+      val bc: Map[String, Long] = documents(spark, d)
+        .select(explode(bigrams).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g")).limit(cap)
+        .as[(String, Long)].collect().toMap
+      // context totals / follower fan-out / continuation counts are pure
+      // functions of the (capped) model — derive once on the driver
+      val ctx = bc.groupMapReduce(_._1.split(" ", 2)(0))(_._2)(_ + _)
+      val nfol = bc.groupMapReduce(_._1.split(" ", 2)(0))(_ => 1L)(_ + _)
+      val cont = bc.groupMapReduce(_._1.split(" ", 2)(1))(_ => 1L)(_ + _)
+      spark.sparkContext.broadcast((bc, ctx, nfol, cont, bc.size.toLong))
+    })(_.unpersist(blocking = false))
+    val knUdf = udf((t: Seq[String]) => {
+      if (t == null || t.length < 2) None
+      else {
+        val (bc, ctx, nfol, cont, z) = model.value
+        var s = 0.0
+        var i = 1
+        while (i < t.length) {
+          val v = t(i - 1); val w = t(i)
+          val pc = cont.get(w).map(_.toDouble).getOrElse(0.5) / z
+          val p = ctx.get(v) match {
+            case Some(cv) =>
+              (math.max(bc.getOrElse(v + " " + w, 0L).toDouble - 0.75, 0.0) +
+                0.75 * nfol(v).toDouble * pc) / cv.toDouble
+            case None => pc
+          }
+          s += math.log(p)
+          i += 1
+        }
+        Some(-s / (t.length - 1))
+      }
+    })
+    documents(spark, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        round(knUdf(col("tk")), 6).as("kn_nll"))
+  }
+
+  val knBigramSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | bgx AS (SELECT unnest(list_transform(range(1, len(tk)),
+      |           i -> tk[i] || ' ' || tk[i+1])) AS g
+      |         FROM t WHERE len(tk) >= 2),
+      | bc AS (SELECT g, COUNT(*) AS cnt FROM bgx GROUP BY 1),
+      | cx AS (SELECT split_part(g, ' ', 1) AS v, SUM(cnt) AS ctx,
+      |               COUNT(*) AS nfol FROM bc GROUP BY 1),
+      | cw AS (SELECT split_part(g, ' ', 2) AS w, COUNT(*) AS cont
+      |        FROM bc GROUP BY 1),
+      | z AS (SELECT COUNT(*) AS z FROM bc),
+      | bm AS (SELECT map(list(g), list(cnt)) AS mp FROM bc),
+      | xm AS (SELECT map(list(v), list(ctx)) AS mp FROM cx),
+      | nm AS (SELECT map(list(v), list(nfol)) AS mp FROM cx),
+      | cm AS (SELECT map(list(w), list(cont)) AS mp FROM cw)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      |  CASE WHEN len(tk) >= 2 THEN
+      |    ROUND(-list_sum(list_transform(range(1, len(tk)),
+      |      i -> ln(CASE WHEN map_extract(xm.mp, tk[i])[1] IS NOT NULL THEN
+      |          (GREATEST(CAST(COALESCE(map_extract(bm.mp,
+      |              tk[i] || ' ' || tk[i+1])[1], 0) AS DOUBLE) - 0.75, 0)
+      |           + 0.75 * CAST(map_extract(nm.mp, tk[i])[1] AS DOUBLE)
+      |             * (CAST(COALESCE(map_extract(cm.mp, tk[i+1])[1], 0.5)
+      |                 AS DOUBLE) / z.z))
+      |          / CAST(map_extract(xm.mp, tk[i])[1] AS DOUBLE)
+      |        ELSE CAST(COALESCE(map_extract(cm.mp, tk[i+1])[1], 0.5)
+      |               AS DOUBLE) / z.z END)))
+      |      / (len(tk) - 1), 6)
+      |  END AS kn_nll
+      |FROM t, bm, xm, nm, cm, z""".stripMargin
+
   // ------------------------------------------------- source mixing report
   /** Training-data mixing report: per (source, lang) document/token/char
     * volumes and each cell's share of corpus tokens — the table a data-mix
@@ -2385,39 +2564,46 @@ object DocQueries {
     * rollup shuffles back on doc_id. Two keyed exchanges total, the
     * [[paragraphDedup]] shape over overlapping windows. */
   def substringDedup(spark: SparkSession, d: String): DataFrame = {
-    val tk = toks(col("text"))
-    val wins = when(size(tk) >= SubWin,
-        transform(sequence(lit(1), size(tk) - (SubWin - 1)),
-          i => struct(i.as("i"),
-            md5(array_join(slice(tk, i, lit(SubWin)), " ")).as("h"))))
-      .otherwise(array().cast("array<struct<i:int,h:string>>"))
-    val ex = documents(spark, d)
-      .select(col("doc_id"), explode(wins).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+    // tk sits behind an explicit projection: referenced from inside the
+    // transform lambda, an inlined split would be re-executed once per
+    // WINDOW POSITION (higher-order lambdas opt out of codegen
+    // subexpression elimination), turning the O(tokens) window pass into
+    // O(tokens²) regex work. Window hashes are the oracle-replicable
+    // md5-low-32 (8-byte shuffle/sort keys instead of 32-char hex strings;
+    // both engines hash identically, so collision-induced counts agree
+    // bit-for-bit). Measured 1.41s -> see below warm at sf0.1.
+    val base = documents(spark, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val wins = when(size(col("tk")) >= SubWin,
+        transform(sequence(lit(1), size(col("tk")) - (SubWin - 1)),
+          i => conv(substring(
+              md5(array_join(slice(col("tk"), i, lit(SubWin)), " ")), 25, 8),
+            16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    // explode_outer keeps zero-window docs as a single null-h row, so the
+    // per-doc aggregate already covers every document — no second scan and
+    // no re-join against the documents table. count(h) over the shared
+    // null partition is 0, so synthetic rows can never look duplicated.
+    val ex = base.select(col("doc_id"), explode_outer(wins).as("h"))
     val freq = Window.partitionBy(col("h"))
-    val perDoc = ex
-      .withColumn("cnt", count(lit(1)).over(freq))
+    ex.withColumn("cnt", count(col("h")).over(freq))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
+      .agg(count(col("h")).as("n_windows"),
         count(when(col("cnt") > 1, lit(1))).as("n_dup_windows"))
-    documents(spark, d).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
-          .as("dup_frac"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") /
+          when(col("n_windows") > 0, col("n_windows")), 6).as("dup_frac"))
   }
 
   val substringDedupSql: String =
     s"""WITH t AS (SELECT doc_id,
        |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-       | w0 AS (SELECT doc_id,
+       | w AS (SELECT doc_id,
        |    unnest(list_transform(range(1, len(tk) - ${SubWin - 1} + 1),
-       |      i -> struct_pack(i := i,
-       |        h := md5(array_to_string(tk[i:i+${SubWin - 1}], ' '))))) AS s
+       |      i -> CAST(('0x' || substr(
+       |        md5(array_to_string(tk[i:i+${SubWin - 1}], ' ')), 25, 8)
+       |        )::UBIGINT AS BIGINT))) AS h
        |    FROM t WHERE len(tk) >= $SubWin),
-       | w AS (SELECT doc_id, s.i AS i, s.h AS h FROM w0),
        | f AS (SELECT doc_id, COUNT(*) AS n_windows,
        |         COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_windows
        |       FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w)
@@ -2825,6 +3011,7 @@ object DocQueries {
     "doc_shard_pack"   -> (shardPack _),
     "doc_unigram_lm"   -> (unigramLm _),
     "doc_bigram_lm"    -> (bigramLm _),
+    "doc_kn_bigram"    -> (knBigram _),
     "doc_source_mix"   -> (sourceMix _),
     "doc_mix_temperature" -> (mixTemperature _),
     "doc_mix_apply"       -> (mixApply _),
@@ -2856,6 +3043,7 @@ object DocQueries {
     "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
     "doc_minhash_dedup"   -> (minhashDedup _),
+    "doc_cross_dedup"     -> (crossDedup _),
     "doc_simhash_pairs"   -> (simhashPairs _),
     "doc_repetition"      -> (repetition _),
     "doc_bm25"            -> (bm25 _))
@@ -2873,6 +3061,7 @@ object DocQueries {
     "doc_shard_pack"      -> shardPackSql,
     "doc_unigram_lm"      -> unigramLmSql,
     "doc_bigram_lm"       -> bigramLmSql,
+    "doc_kn_bigram"       -> knBigramSql,
     "doc_bpe_train"       -> bpeTrainSql,
     "doc_bpe_encode"      -> bpeEncodeSql,
     "doc_source_mix"      -> sourceMixSql,
@@ -2904,6 +3093,7 @@ object DocQueries {
     "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
     "doc_minhash_dedup"   -> minhashDedupSql,
+    "doc_cross_dedup"     -> crossDedupSql,
     "doc_simhash_pairs"   -> simhashPairsSql,
     "doc_repetition"      -> repetitionSql,
     "doc_bm25"            -> bm25Sql)

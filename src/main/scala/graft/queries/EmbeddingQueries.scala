@@ -83,6 +83,46 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // --------------------------------------------------------------- MIPS
+  /** Maximum-inner-product search: exact top-k by RAW dot product — the
+    * retrieval mode for un-normalized factors (matrix-factorization user/
+    * item vectors, two-tower logits), where magnitude is signal and cosine
+    * would erase it. Same scale shape as [[knnBrute]]: queries broadcast,
+    * corpus streamed once, per-query window top-k; the dot is an exact
+    * integer, so no rounding is needed at all. At cluster scale the
+    * sublinear path is the standard MIPS→cosine reduction — augment each
+    * corpus vector with sqrt(M² − ‖x‖²) (M = max corpus norm) and each
+    * query with 0, after which [[annLsh]]/[[annIvf]] apply unchanged. */
+  def mips(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NQueries)
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("dot", dotScaled(col("emb"), col("q_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rk"))
+  }
+
+  val mipsSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < $NQueries),
+       | c AS (SELECT vec_id, emb FROM e WHERE vec_id >= $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id,
+       |         CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS BIGINT) AS dot
+       |       FROM c CROSS JOIN q)
+       |SELECT q_id, vec_id, dot, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY dot DESC, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   // ----------------------------------------------------- hard negatives
   /** Hard-negative mining for contrastive training (DPR/Contriever recipe):
     * for each query vector, the top-k most similar corpus vectors whose
@@ -1462,6 +1502,7 @@ object EmbeddingQueries {
     "emb_sq_codes"       -> (sqCodes _),
     "emb_sq_search"      -> (sqSearch _),
     "emb_knn_brute"      -> (knnBrute _),
+    "emb_mips"           -> (mips _),
     "emb_hard_negatives" -> (hardNegatives _),
     "emb_hybrid_search"  -> (hybridSearch _),
     "emb_centroids"      -> (centroids _),
@@ -1484,6 +1525,7 @@ object EmbeddingQueries {
     "emb_sq_codes"       -> sqCodesSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
+    "emb_mips"           -> mipsSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_hybrid_search"  -> hybridSearchSql,
     "emb_centroids"      -> centroidsSql,

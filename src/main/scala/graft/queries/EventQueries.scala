@@ -221,6 +221,34 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- cube
+  /** Multidimensional OLAP cube over (month, event_type): every grouping
+    * combination — grand total, per-month, per-type, per-cell — in ONE
+    * aggregation pass. Catalyst compiles `cube` into a single Expand +
+    * hash aggregate: one shuffle no matter how many grouping sets, the
+    * right 100 TB shape (vs 4 scans + union; Expand multiplies rows
+    * before the partial aggregate, which map-side-combines them straight
+    * back down to the tiny group space). grouping_id() disambiguates
+    * subtotal rows from genuine NULL keys. */
+  def cubeRollup(spark: SparkSession, d: String): DataFrame =
+    ev(spark, d)
+      .cube(
+        date_format(col("ts").cast("timestamp"), "yyyy-MM").as("month"),
+        col("event_type"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  val cubeRollupSql: String =
+    """SELECT month, event_type,
+      |  CAST(GROUPING(month, event_type) AS INTEGER) AS gid,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT strftime(ts, '%Y-%m') AS month, event_type, value
+      |      FROM events)
+      |GROUP BY CUBE (month, event_type)""".stripMargin
+
   // ------------------------------------------------------------ funnel
   /** Signup→purchase conversion funnel: per-user min timestamps, one shuffle
     * on user_id, then a scalar conditional aggregate. */
@@ -1419,6 +1447,7 @@ object EventQueries {
     "evt_sessionize"   -> (sessionize _),
     "evt_dedup_exact"  -> (dedupExact _),
     "evt_daily_rollup" -> (dailyRollup _),
+    "evt_cube"         -> (cubeRollup _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
@@ -1447,6 +1476,7 @@ object EventQueries {
     "evt_sessionize"   -> sessionizeSql,
     "evt_dedup_exact"  -> dedupExactSql,
     "evt_daily_rollup" -> dailyRollupSql,
+    "evt_cube"         -> cubeRollupSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,

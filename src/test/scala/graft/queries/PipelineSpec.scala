@@ -1271,4 +1271,115 @@ class PipelineSpec extends SparkSpec {
       assert(dist2 === 0L)
     }
   }
+
+  test("mips ranks by raw inner product: magnitude wins where cosine ties") {
+    // corpus vec 10 = 2x the query, vec 11 = exactly the query, vec 12 =
+    // orthogonal: cosine ranks 10 and 11 equal (both 1.0); MIPS must put
+    // the double-magnitude copy strictly first.
+    def v(i: Int, s: Float) = Array.tabulate(64)(j => if (j == i) s else 0f)
+    val rows = Seq(
+      (0L, v(0, 1f), 0), (10L, v(0, 2f), 1), (11L, v(0, 1f), 1),
+      (12L, v(1, 1f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("mips").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = EmbeddingQueries.mips(spark, tmp)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(got.map(_._2).take(3).toSeq === Seq(10L, 11L, 12L))
+    // dots are exact scaled integers: 2e14, 1e14, 0
+    assert(got.map(_._3).take(3).toSeq ===
+      Seq(2L * 10000000L * 10000000L, 1L * 10000000L * 10000000L, 0L))
+  }
+
+  test("cross dedup matches incoming docs against the base corpus only") {
+    // recover the operator's own shard flag so the plant lands on both
+    // sides of the boundary regardless of which ids hash where
+    val flags = spark.range(1, 200).select(col("id"),
+        (conv(substring(md5(concat(lit("xd"), col("id").cast("string"))),
+          25, 8), 16, 10).cast("long") % 10 === 0).as("in"))
+      .as[(Long, Boolean)].collect()
+    val inId = flags.find(_._2).get._1
+    val Seq(baseA, baseB) = flags.filter(!_._2).take(2).map(_._1).toSeq
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (inId, shared + " one two"),        // incoming near-dup of baseA
+      (baseA, shared + " one three"),
+      (baseB, "entirely unrelated content with no overlap at all in any " +
+        "shingle of any kind whatsoever nothing shared here"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("xdedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.crossDedup(spark, tmp)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set(inId -> baseA),
+      s"expected only the planted cross-shard pair, got ${got.toSeq}")
+    assert(got.head._3 >= 0.3 && got.head._4 === 1)
+  }
+
+  test("kn bigram matches a naive Kneser-Ney reference on a planted corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat sat on the rug again"),
+      (4L, "one"))
+    val tmp = java.nio.file.Files.createTempDirectory("kn").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // independent naive reference: counts by brute force, same formula
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val bg = toks.values
+      .flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = bg.groupMapReduce(_._1.split(" ")(0))(_._2)(_ + _)
+    val nfol = bg.groupMapReduce(_._1.split(" ")(0))(_ => 1L)(_ + _)
+    val cont = bg.groupMapReduce(_._1.split(" ")(1))(_ => 1L)(_ + _)
+    val z = bg.size.toLong
+    def score(t: Seq[String]): Option[Double] =
+      if (t.length < 2) None
+      else Some(-t.sliding(2).map { case Seq(v, w) =>
+        val pc = cont.get(w).map(_.toDouble).getOrElse(0.5) / z
+        math.log(ctx.get(v) match {
+          case Some(cv) =>
+            (math.max(bg.getOrElse(v + " " + w, 0L).toDouble - 0.75, 0.0) +
+              0.75 * nfol(v).toDouble * pc) / cv.toDouble
+          case None => pc
+        })
+      }.sum / (t.length - 1))
+    val got = DocQueries.knBigram(spark, tmp)
+      .as[(Long, Int, Option[Double])].collect().map(r => r._1 -> r._3).toMap
+    docs.foreach { case (id, _) =>
+      val want = score(toks(id)).map(x => math.rint(x * 1e6) / 1e6)
+      assert(got(id).map(x => math.rint(x * 1e6) / 1e6) === want, s"doc $id")
+    }
+    // the formula discriminates: an attested bigram chain scores lower
+    // (more likely) than one leaning on backoff mass
+    assert(got(1L).get < got(4L).getOrElse(Double.MaxValue) ||
+      got(4L).isEmpty)
+  }
+
+  test("cube: one pass yields all four grouping levels, consistently") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-04-01 10:00:00")
+    val rows = Seq(
+      (1L, ts0, 1L, "view", 1.0, "{}"), (2L, ts0, 2L, "click", 2.0, "{}"),
+      (3L, ts1, 1L, "view", 3.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("cube").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.cubeRollup(spark, tmp)
+      .as[(Option[String], Option[String], Int, Long, Double)].collect()
+    val byGid = got.groupBy(_._3)
+    assert(byGid.keySet === Set(0, 1, 2, 3))
+    // grand total row: both keys null, all events
+    assert(byGid(3).toSeq === Seq((None, None, 3, 3L, 6.0)))
+    // per-cell rows sum back to the total
+    assert(byGid(0).map(_._4).sum === 3L)
+    assert(byGid(0).map(_._5).sum === 6.0)
+    // subtotal by month keeps month, drops type
+    assert(byGid(1).forall(r => r._1.isDefined && r._2.isEmpty))
+    assert(byGid(2).forall(r => r._1.isEmpty && r._2.isDefined))
+  }
 }
