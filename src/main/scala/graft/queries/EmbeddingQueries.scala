@@ -1080,6 +1080,143 @@ object EmbeddingQueries {
        |              ORDER BY approx_dist2, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------------ IVF-PQ (IVFADC)
+  /** The full IVFADC pipeline (Jégou et al. 2011) — coarse cells + product
+    * quantization OF THE RESIDUALS + asymmetric-distance search, i.e. the
+    * architecture FAISS `IndexIVFPQ` ships and every billion-vector
+    * deployment actually runs. Composition of the proven blocks above:
+    * [[annIvf]]'s integer centroids give the cells; residuals are exact
+    * integer subtractions; the residual codebook, encoding argmin and ADC
+    * tables reuse the [[pqCodes]]/[[pqSearch]] machinery. A query probes
+    * its top-NProbe cells, builds one ADC table PER PROBED CELL (residuals
+    * are cell-relative), and scores a corpus vector as the sum of M table
+    * lookups on its stored codes — corpus embeddings are never touched at
+    * query time.
+    *
+    * Scale: centroids + codebook + ADC tables all broadcast (k·M·K tiny
+    * rows); the codes table is ~32× smaller than the embeddings and is the
+    * only thing scanned per query. Every step is integer-exact, so the
+    * whole approximate index has a full DuckDB oracle. */
+  def ivfpqSearch(spark: SparkSession, d: String): DataFrame = {
+    val NProbe = 3
+    val eRaw = embeddings(spark, d)
+      .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
+    val e = eRaw.drop("label")
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val cents = eRaw.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
+      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    val scoredCells = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
+        (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+    val residual = expr("zip_with(emb, cemb, (a, b) -> a - b)")
+    // corpus: nearest cell (map-side argmax, as annIvf), residual vs it
+    val corpusRes = scoredCells.filter(col("vec_id") >= NQueries)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("negcell"),
+        col("cell"), col("emb"), col("cemb"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.emb").as("emb"), col("m.cemb").as("cemb"))
+      .select(col("vec_id"), col("cell"), residual.as("remb"))
+    def rsub(df: DataFrame, idCols: Seq[String]) = df
+      .select(idCols.map(col) :+ posexplode(array(
+        (0 until PqM).map(m => slice(col("remb"), m * PqSubDim + 1, PqSubDim)): _*)): _*)
+      .withColumnRenamed("pos", "subspace")
+    // residual codebook: the first PqK corpus vectors' residual subvectors
+    val cb = rsub(corpusRes.filter(col("vec_id") < NQueries + PqK),
+        Seq("vec_id"))
+      .select(col("vec_id").as("k"), col("subspace"), col("col").as("cv"))
+    val codes = rsub(corpusRes, Seq("vec_id", "cell"))
+      .withColumnRenamed("col", "sv")
+      .join(broadcast(cb), "subspace")
+      .withColumn("dist2", l2sq(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("cell"), col("subspace"))
+      .agg(min(struct(col("dist2"), col("k"))).as("m"))
+      .select(col("vec_id"), col("cell"), col("subspace"), col("m.k").as("code"))
+    // queries: top-NProbe cells, one residual (and ADC table) per cell
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val qRes = scoredCells.filter(col("vec_id") < NQueries)
+      .withColumn("crk", row_number().over(wv))
+      .filter(col("crk") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"), residual.as("remb"))
+    val tables = rsub(qRes, Seq("q_id", "cell"))
+      .withColumnRenamed("col", "qv")
+      .join(broadcast(cb), "subspace")
+      .select(col("q_id"), col("cell"), col("subspace"), col("k"),
+        l2sq(col("qv"), col("cv")).as("t"))
+    val scored = codes.join(broadcast(tables), Seq("cell", "subspace"))
+      .filter(col("code") === col("k"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("t")).as("approx_dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist2"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("approx_dist2"), col("rk"))
+  }
+
+  val ivfpqSearchSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | jdx AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j),
+       | ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       | e AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | cv AS (SELECT label, i,
+       |          CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |        FROM e, idx GROUP BY 1, 2),
+       | cl AS (SELECT label AS cell, list(v ORDER BY i) AS cemb FROM cv GROUP BY 1),
+       | cn AS (SELECT cell, cemb, (SELECT SUM(cemb[i] * cemb[i]) FROM idx) AS cnorm2
+       |        FROM cl),
+       | f AS (SELECT vec_id, emb, (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2
+       |       FROM e),
+       | sim AS (SELECT f.vec_id, f.emb, cn.cell, cn.cemb,
+       |           CAST((SELECT SUM(f.emb[i] * cn.cemb[i]) FROM idx) AS DOUBLE)
+       |             / (sqrt(CAST(f.norm2 AS DOUBLE)) * sqrt(CAST(cn.cnorm2 AS DOUBLE)))
+       |             AS csim
+       |         FROM f CROSS JOIN cn),
+       | ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY csim DESC, cell) AS crk FROM sim),
+       | cres AS (SELECT vec_id, cell,
+       |            list_transform(range(1, ${Dim + 1}), i -> emb[i] - cemb[i]) AS remb
+       |          FROM ranked WHERE crk = 1 AND vec_id >= $NQueries),
+       | rsub AS (SELECT vec_id, cell, m,
+       |            remb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+       |          FROM cres, ms),
+       | cb AS (SELECT vec_id AS k, m, sv AS cv FROM rsub
+       |        WHERE vec_id < ${NQueries + PqK}),
+       | dmat AS (SELECT r.vec_id, r.cell, r.m, cb.k,
+       |            CAST((SELECT SUM((r.sv[j] - cb.cv[j]) * (r.sv[j] - cb.cv[j]))
+       |                  FROM jdx) AS BIGINT) AS dist2
+       |          FROM rsub r JOIN cb ON r.m = cb.m),
+       | codes AS (SELECT vec_id, cell, m, k AS code FROM (
+       |     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                 ORDER BY dist2, k) AS rn FROM dmat)
+       |   WHERE rn = 1),
+       | qres AS (SELECT vec_id AS q_id, cell,
+       |            list_transform(range(1, ${Dim + 1}), i -> emb[i] - cemb[i]) AS remb
+       |          FROM ranked WHERE crk <= 3 AND vec_id < $NQueries),
+       | qsub AS (SELECT q_id, cell, m,
+       |            remb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS qv
+       |          FROM qres, ms),
+       | t AS (SELECT q.q_id, q.cell, q.m, cb.k,
+       |         CAST((SELECT SUM((q.qv[j] - cb.cv[j]) * (q.qv[j] - cb.cv[j]))
+       |               FROM jdx) AS BIGINT) AS t
+       |       FROM qsub q JOIN cb ON q.m = cb.m),
+       | s AS (SELECT t.q_id, codes.vec_id, CAST(SUM(t.t) AS BIGINT) AS approx_dist2
+       |       FROM codes JOIN t ON codes.cell = t.cell AND codes.m = t.m
+       |            AND codes.code = t.k
+       |       GROUP BY 1, 2)
+       |SELECT q_id, vec_id, approx_dist2, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |              ORDER BY approx_dist2, vec_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
   // ------------------------------------------------- scalar quantization
   /** Per-dimension uint8 scalar quantization (SQ8) — the other standard
     * vector-compression scheme next to PQ (FAISS `ScalarQuantizer`, Milvus
@@ -1498,6 +1635,7 @@ object EmbeddingQueries {
     "emb_kmeans_inertia" -> (kmeansInertia _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
+    "emb_ivfpq_search"   -> (ivfpqSearch _),
     "emb_pq_codes"       -> (pqCodes _),
     "emb_sq_codes"       -> (sqCodes _),
     "emb_sq_search"      -> (sqSearch _),
@@ -1522,6 +1660,7 @@ object EmbeddingQueries {
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,
+    "emb_ivfpq_search"   -> ivfpqSearchSql,
     "emb_sq_codes"       -> sqCodesSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,

@@ -221,6 +221,40 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------- stickiness
+  /** DAU/MAU stickiness — the engagement ratio every analytics deployment
+    * reports: distinct daily actives over distinct actives of the calendar
+    * month. Two map-side-combinable distinct aggregations (day grain and
+    * month grain — the month one is NOT derivable from the day one, since
+    * distinct doesn't re-aggregate) and a broadcast join on the tiny month
+    * dimension. At sketch scale the exact countDistinct swaps for the
+    * mergeable HLL register table ([[rollingDistinct]]'s path) without
+    * changing the plan shape. */
+  def stickiness(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      date_format(col("ts").cast("timestamp"), "yyyy-MM").as("month"),
+      col("user_id"))
+    val dau = base.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = base.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), "month")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
+  val stickinessSql: String =
+    """WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |         strftime(ts, '%Y-%m') AS month, user_id FROM events),
+      | dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau
+      |         FROM base GROUP BY 1, 2),
+      | mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+      |         FROM base GROUP BY 1)
+      |SELECT day, dau.dau, mau.mau,
+      |  ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+      |FROM dau JOIN mau USING (month)""".stripMargin
+
   // -------------------------------------------------------------- cube
   /** Multidimensional OLAP cube over (month, event_type): every grouping
     * combination — grand total, per-month, per-type, per-cell — in ONE
@@ -1448,6 +1482,7 @@ object EventQueries {
     "evt_dedup_exact"  -> (dedupExact _),
     "evt_daily_rollup" -> (dailyRollup _),
     "evt_cube"         -> (cubeRollup _),
+    "evt_stickiness"   -> (stickiness _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
@@ -1477,6 +1512,7 @@ object EventQueries {
     "evt_dedup_exact"  -> dedupExactSql,
     "evt_daily_rollup" -> dailyRollupSql,
     "evt_cube"         -> cubeRollupSql,
+    "evt_stickiness"   -> stickinessSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,

@@ -1272,6 +1272,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq: well-formed per-query rankings that recover exact neighbors") {
+    val got = EmbeddingQueries.ivfpqSearch(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val perQ = got.groupBy(_._1)
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length))
+      // approx distance is non-decreasing down the ranking
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    }
+    // candidate generation is shared with annIvf (same cells, same probes),
+    // so recall vs the cell-exact search isolates pure quantization loss;
+    // the synthetic near-uniform embeddings are PQ's worst case (residual
+    // energy is spread evenly across dimensions), so the bounds are modest
+    // by design — the structural assertions above are the correctness
+    // check, recall is a non-degeneracy check.
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val cellExact = EmbeddingQueries.annIvf(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val vsCell = (cellExact & approx).size.toDouble / cellExact.size
+    val exact = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val vsBrute = (exact & approx).size.toDouble / exact.size
+    info(s"ivfpq recall: $vsCell vs cell-exact, $vsBrute vs brute")
+    assert(vsCell > 0.1, s"ivfpq recovers almost nothing of its own candidate set")
+    assert(vsBrute > 0.0)
+  }
+
+  test("stickiness: dau/mau ratios on a planted two-month corpus") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // March: users {1,2} day1, {1} day2 -> mau 2; April: {3} -> mau 1
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-03-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, t("2024-03-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, t("2024-04-05 10:00:00"), 3L, "view", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("stick").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.stickiness(spark, tmp)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("2024-03-01") === ((2L, 2L, 1.0)))
+    assert(got("2024-03-02") === ((1L, 2L, 0.5)))
+    assert(got("2024-04-05") === ((1L, 1L, 1.0)))
+  }
+
   test("mips ranks by raw inner product: magnitude wins where cosine ties") {
     // corpus vec 10 = 2x the query, vec 11 = exactly the query, vec 12 =
     // orthogonal: cosine ranks 10 and 11 equal (both 1.0); MIPS must put
