@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve evidence for the 100 TB design claims: replicate the sf0.1
+  * tables 4x and 16x (ids remapped so keys stay unique, document text
+  * re-tokenized per replica so dedup ops see distinct-but-plausible corpora,
+  * timestamps jittered per replica), run headline shuffle-heavy operators at
+  * each scale, and report the growth ratios. A plan that survives 100 TB
+  * should grow roughly linearly here (constant factors amortize, shuffles
+  * stay keyed, nothing collects to the driver); an operator hiding a
+  * quadratic pair blow-up or a driver-side bottleneck shows up as a
+  * super-linear ratio long before a cluster run would.
+  *
+  * `runMain graft.ScaleProbe [sfDir] [outDir]` — prints one JSON line:
+  * `{"op":{"x1":s,"x4":s,"x16":s,"rows_x16":n,"ratio":r}, ...}` where
+  * `ratio` is x16/x1 warm seconds (ideal linear scaling on fixed cores
+  * = 16.0; below that means fixed overheads still dominate at x16).
+  * Not part of the driver gate — a diagnostic harness. */
+object ScaleProbe {
+
+  private val Factors = Seq(1, 4, 16)
+
+  /** Replicate `df` k-fold. Long id columns in `remap` become
+    * `id + maxId * rep` (unique per replica, originals preserved at rep 0);
+    * `perturb` rewrites replica rows so content-keyed operators (dedup)
+    * see distinct corpora rather than k exact copies. */
+  private def replicate(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rep", explode(sequence(lit(0), lit(k - 1))))
+
+  private def writeScaled(spark: SparkSession, sfDir: String, outDir: String,
+                          k: Int): String = {
+    val dir = s"$outDir/x$k"
+    val done = new java.io.File(s"$dir/_done")
+    if (done.exists()) return dir
+    // static dims: copied untouched (they're broadcast-destined; a bigger
+    // fact side is exactly the asymmetry a warehouse grows with)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // Fact tables land range-clustered on their natural key across many
+    // files — the layout a real warehouse ingest produces (TPC-H dbgen
+    // emits lineitem in orderkey order; event logs arrive time-ordered).
+    // Without it, same-key rows scatter and map-side partial aggregation
+    // degenerates: a replica written as 3 unclustered files made q18's
+    // partial agg emit ~1 row per input row (9.6M instead of 2.4M).
+    val parts = 32
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    replicate(li, k)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(maxOk) * col("rep"))
+      .drop("rep")
+      .repartitionByRange(parts, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    replicate(ord, k)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxOk) * col("rep"))
+      .drop("rep")
+      .repartitionByRange(parts, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    replicate(ev, k)
+      // same users generate k-fold traffic (denser sessions — the
+      // realistic growth mode); event ids stay unique, timestamps may
+      // collide, which every event operator already tolerates
+      .withColumn("event_id", col("event_id") + lit(maxEv) * col("rep"))
+      .drop("rep")
+      .repartitionByRange(parts, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    replicate(docs, k)
+      .withColumn("doc_id", col("doc_id") + lit(maxDoc) * col("rep"))
+      // suffix every token with the replica index: replicas share no
+      // shingles, so dedup corpora grow in genuine content, not copies
+      .withColumn("text", when(col("rep") === 0, col("text"))
+        .otherwise(array_join(transform(
+          split(trim(col("text")), "\\s+"),
+          t => concat(t, lit("_"), col("rep"))), " ")))
+      .drop("rep")
+      .repartitionByRange(parts, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    replicate(emb, k)
+      .filter(col("rep") === 0 || col("vec_id") >= 10) // one query set only
+      .withColumn("vec_id", col("vec_id") + lit(maxVec) * col("rep"))
+      .drop("rep")
+      .repartitionByRange(parts, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    done.getParentFile.mkdirs(); done.createNewFile()
+    dir
+  }
+
+  private val Ops = Seq(
+    "q1_pricing_summary", "q18_bulky_orders", "evt_sessionize",
+    "evt_daily_rollup_approx", "evt_retention", "doc_dedup_exact",
+    "doc_minhash_lsh", "emb_knn_brute")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1)
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scale"
+    val spark = GraftSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val dirs = Factors.map(k => k -> writeScaled(spark, sfDir, outDir, k)).toMap
+    def time(op: String, dir: String): Double = {
+      val fn = SparkEntry.queries(op)
+      fn(spark, dir).queryExecution.toRdd.count() // cold: plan+codegen
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val report = Ops.map { op =>
+      val secs = Factors.map { k =>
+        val s = time(op, dirs(k))
+        System.err.println(f"[scale] $op x$k warm=$s%.2f")
+        k -> s
+      }.toMap
+      val rows = SparkEntry.queries(op)(spark, dirs(16)).count()
+      op -> (secs, rows)
+    }
+    val json = report.map { case (op, (s, rows)) =>
+      f""""$op":{"x1":${s(1)}%.3f,"x4":${s(4)}%.3f,"x16":${s(16)}%.3f,""" +
+        f""""rows_x16":$rows,"ratio":${s(16) / s(1)}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

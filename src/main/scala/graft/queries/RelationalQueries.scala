@@ -276,7 +276,14 @@ object RelationalQueries {
       .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("total_qty"))
       .filter(col("total_qty") > Q18MinQty)
-    bulky
+    // the bulky set is tiny at ANY scale (the quantity filter is Q18's
+    // point), but the optimizer can't see that through the aggregate:
+    // left unhinted it broadcasts ORDERS instead at 16x sf0.1 — whose
+    // pruned-column size estimate slips under the threshold while its ROW
+    // count is the full fact table (a 4.6M-entry driver hash build,
+    // caught by ScaleProbe); at warehouse scale the unhinted plan decays
+    // further, to a full SMJ of orders against the 0.3%-selectivity agg
+    broadcast(bulky)
       .join(orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(spark, d).select("c_custkey", "c_name")),
