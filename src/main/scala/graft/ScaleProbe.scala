@@ -95,10 +95,15 @@ object ScaleProbe {
     dir
   }
 
-  private val Ops = Seq(
-    "q1_pricing_summary", "q18_bulky_orders", "evt_sessionize",
-    "evt_daily_rollup_approx", "evt_retention", "doc_dedup_exact",
-    "doc_minhash_lsh", "emb_knn_brute")
+  /** Default: the headline shuffle-heavy set. `SPARK_GRAFT_SCALE_OPS` (a
+    * comma list) widens the sweep — e.g. every TPC-H analog when hunting
+    * join-strategy decay, or a single op when bisecting one. */
+  private val Ops = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq(
+      "q1_pricing_summary", "q18_bulky_orders", "evt_sessionize",
+      "evt_daily_rollup_approx", "evt_retention", "doc_dedup_exact",
+      "doc_minhash_lsh", "emb_knn_brute"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

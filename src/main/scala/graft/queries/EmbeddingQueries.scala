@@ -1343,6 +1343,17 @@ object EmbeddingQueries {
     * cosines reuse the integer-exact centroid/dot machinery of
     * [[annIvf]]. */
   def semDedup(spark: SparkSession, d: String): DataFrame = {
+    // Label cells are a fixed-count partition (10 on the test tables), so
+    // the within-cell pair pass grows as n²/10 — ScaleProbe measured the
+    // x4→x16 step at 8.3x for 4x the vectors. Past the gate the operator
+    // routes to [[semDedupKmeans]], whose √n cell count bounds pair work
+    // at ~n^1.5 — which is also the paper's actual algorithm (k-means
+    // cells; labels are only a deterministic stand-in at oracle scale).
+    val maxLabelCellVecs = spark.conf
+      .getOption("spark.graft.dedup.maxLabelCellVecs").map(_.toLong)
+      .getOrElse(1L << 14) // n²/(2·10) pairs ≈ 13M at the boundary
+    if (embeddings(spark, d).count() > maxLabelCellVecs)
+      return semDedupKmeans(spark, d)
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
@@ -1368,8 +1379,9 @@ object EmbeddingQueries {
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))
     val kk =
       if (k > 0) k
-      else math.max(KmK, math.ceil(math.sqrt(
-        embeddings(spark, d).count().toDouble)).toInt)
+      else spark.conf.getOption("spark.graft.dedup.semdedupK").map(_.toInt)
+        .getOrElse(math.max(KmK, math.ceil(math.sqrt(
+          embeddings(spark, d).count().toDouble)).toInt))
     val cents = trainedCentroids(spark, d, kk, KmIters)
       .select(col("cluster").cast("long").as("cell"), col("cemb"))
       .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
@@ -1380,14 +1392,22 @@ object EmbeddingQueries {
     * within-cell pair pass, keep-first duplicate flags. `e` carries
     * (vec_id, emb, norm2); `cents` carries (cell, cemb, cnorm2). */
   private def semDedupWithCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = e.crossJoin(broadcast(cents))
+    // slim argmax: only (vec_id, cell, csim) flows through the k·n-row
+    // aggregate, and the winning cell re-joins the embedding frame on
+    // vec_id. `assigned` feeds the self-joined pair pass twice plus the
+    // final flag join, so its recomputed upstream stays narrow three
+    // times over; in single-consumer kmAssign the same reshape loses
+    // (the extra keyed exchange buys nothing there — see its note).
+    val best = e.crossJoin(broadcast(cents))
       .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
         (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+      .select(col("vec_id"), col("cell"), col("csim"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), (-col("cell")).as("negcell"),
-        col("cell"), col("emb"), col("norm2"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"),
-        col("m.emb").as("emb"), col("m.norm2").as("norm2"))
+        col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+    val assigned = e.join(best, "vec_id")
+      .select(col("vec_id"), col("cell"), col("emb"), col("norm2"))
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
@@ -1461,6 +1481,12 @@ object EmbeddingQueries {
   /** One Lloyd assignment round: broadcast centroids, per-vector argmin as
     * a min(struct) partial aggregation (tie-break dist2 then cluster). */
   private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    // the embedding rides through the argmin struct on purpose: partial
+    // aggregation collapses the k·n score rows back to n per partition
+    // BEFORE the exchange, so only n embedding-bearing rows cross the
+    // wire — an argmin-then-rejoin reshape measured slower here (the
+    // extra keyed exchange outweighs the in-stage width for this
+    // single-consumer assignment)
     e.crossJoin(broadcast(cents))
       .withColumn("dist2", l2sq(col("emb"), col("cemb")))
       .groupBy(col("vec_id"))

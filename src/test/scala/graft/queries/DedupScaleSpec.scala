@@ -184,6 +184,24 @@ class DedupScaleSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semDedup routes to k-means cells past the label-cell gate") {
+    import spark.implicits._
+    // forcing the gate on the oracled entry itself must reproduce the
+    // direct k-means-cell call exactly (same cells, same flags)
+    val gated = withConf("spark.graft.dedup.maxLabelCellVecs", "0") {
+      EmbeddingQueries.semDedup(spark, sfSmall)
+        .as[(Long, Long, Boolean, Option[Long])].collect().toSet
+    }
+    val direct = EmbeddingQueries.semDedupKmeans(spark, sfSmall)
+      .as[(Long, Long, Boolean, Option[Long])].collect().toSet
+    assert(gated === direct)
+    // flag semantics survive the reroute: keep-first means every duplicate
+    // points at a strictly smaller vec_id, non-dups carry no pointer
+    gated.foreach { case (v, _, isDup, dupOf) =>
+      if (isDup) assert(dupOf.exists(_ < v)) else assert(dupOf.isEmpty)
+    }
+  }
+
   private implicit class Tuple3Map[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
