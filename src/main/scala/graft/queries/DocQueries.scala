@@ -671,6 +671,83 @@ object DocQueries {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- URL canonical dedup
+  /** URL-canonicalization dedup — the FIRST dedup pass of a web-crawl
+    * pipeline (cheaper than any content hash: two fetches of the same page
+    * usually differ only in URL dressing). Canonical form: lowercased
+    * scheme+authority, default :443 port stripped, fragment dropped,
+    * tracking params (utm_*, ref) filtered out of the query — params that
+    * select different CONTENT (page=2) survive, so this is not "strip the
+    * query". The test tables carry no URLs, so the query synthesizes a
+    * deterministic messy URL per row (three dressing variants per page id,
+    * the [[piiScrub]] pattern) and the oracle replays the synthesis.
+    * Exchange-free narrow map + one keyed window — at 100 TB this is a
+    * pure scan plus one shuffle on the canonical key. */
+  def urlDedup(spark: SparkSession, d: String): DataFrame = {
+    val k = expr("doc_id div 3")
+    val messy = when(col("doc_id") % 3 === 0,
+        concat(lit("https://Example.com/page"), k,
+          lit("?utm_source=x&ref=feed")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/page"), k, lit("/")))
+      .otherwise(concat(lit("https://example.com/page"), k,
+        lit("?page=2#section")))
+    val w = Window.partitionBy(col("canonical_url"))
+    documents(spark, d)
+      .select(col("doc_id"), messy.as("url"))
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("base", regexp_extract(col("nofrag"), "^([^?]*)", 1))
+      .withColumn("qs", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+      .withColumn("auth", regexp_extract(col("base"), "^[^/]*//[^/]*", 0))
+      .withColumn("authlower",
+        concat(lower(col("auth")), expr("substring(base, length(auth) + 1)")))
+      .withColumn("nos", regexp_replace(
+        regexp_replace(col("authlower"), "^(https://[^/:]+):443(/.*)?$", "$1$2"),
+        "/$", ""))
+      .withColumn("kq", expr("array_join(filter(split(qs, '&'), " +
+        "p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%' AND p <> ''), '&')"))
+      .withColumn("canonical_url", concat(col("nos"),
+        when(col("kq") =!= "", concat(lit("?"), col("kq"))).otherwise(lit(""))))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("canonical_doc_id"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_dup"),
+        col("n_variants"))
+  }
+
+  val urlDedupSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      'https://Example.com/page' || (doc_id // 3) || '?utm_source=x&ref=feed'
+      |    WHEN doc_id % 3 = 1 THEN
+      |      'HTTPS://EXAMPLE.COM:443/page' || (doc_id // 3) || '/'
+      |    ELSE 'https://example.com/page' || (doc_id // 3) || '?page=2#section'
+      |    END AS url FROM documents),
+      | p AS (SELECT doc_id, url,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS qs
+      |    FROM m),
+      | c AS (SELECT doc_id, url, qs,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(base, '^[^/]*//[^/]*')) ||
+      |        substring(base, length(regexp_extract(base, '^[^/]*//[^/]*')) + 1),
+      |      '^(https://[^/:]+):443(/.*)?$', '\1\2'),
+      |      '/$', '') AS nos
+      |    FROM p),
+      | f AS (SELECT doc_id, url, nos,
+      |    array_to_string(list_filter(string_split(qs, '&'),
+      |      p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%' AND p <> ''), '&') AS kq
+      |    FROM c),
+      | canon AS (SELECT doc_id, url,
+      |    nos || CASE WHEN kq <> '' THEN '?' || kq ELSE '' END AS canonical_url
+      |    FROM f)
+      |SELECT doc_id, url, canonical_url,
+      |  MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc_id,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup,
+      |  COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants
+      |FROM canon""".stripMargin
+
   // ------------------------------------------------- PII scrubbing
   /** PII scrubbing — the redaction pass a training-data pipeline runs before
     * anything else: find/replace emails and phone numbers, count what was
@@ -3044,6 +3121,7 @@ object DocQueries {
     "doc_minhash_lsh"     -> (minhashLsh _),
     "doc_minhash_dedup"   -> (minhashDedup _),
     "doc_cross_dedup"     -> (crossDedup _),
+    "doc_url_dedup"       -> (urlDedup _),
     "doc_simhash_pairs"   -> (simhashPairs _),
     "doc_repetition"      -> (repetition _),
     "doc_bm25"            -> (bm25 _))
@@ -3094,6 +3172,7 @@ object DocQueries {
     "doc_minhash_lsh"     -> minhashLshSql,
     "doc_minhash_dedup"   -> minhashDedupSql,
     "doc_cross_dedup"     -> crossDedupSql,
+    "doc_url_dedup"       -> urlDedupSql,
     "doc_simhash_pairs"   -> simhashPairsSql,
     "doc_repetition"      -> repetitionSql,
     "doc_bm25"            -> bm25Sql)

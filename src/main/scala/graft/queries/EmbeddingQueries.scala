@@ -652,6 +652,15 @@ object EmbeddingQueries {
   lazy val annRecallSql: String = recallSqlAgainst(annLshSql)
   lazy val annRecallIvfSql: String = recallSqlAgainst(annIvfSql)
 
+  /** Recall@K of the compressed [[ivfpqSearch]] index vs exact cosine —
+    * the honesty loop for the doubly-lossy IVFADC path (cell pruning +
+    * residual quantization), run before trading recall for a 32× smaller
+    * index. */
+  def annRecallIvfpq(spark: SparkSession, d: String): DataFrame =
+    recallAgainstExact(knnBrute(spark, d), ivfpqSearch(spark, d))
+
+  lazy val annRecallIvfpqSql: String = recallSqlAgainst(ivfpqSearchSql)
+
   // ----------------------------------------------- two-stage rerank ANN
   /** Prefix length for the coarse pass and the coarse candidate budget.
     * These embeddings are NOT Matryoshka-trained (no information
@@ -1662,6 +1671,7 @@ object EmbeddingQueries {
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
     "emb_ivfpq_search"   -> (ivfpqSearch _),
+    "emb_ann_recall_ivfpq" -> (annRecallIvfpq _),
     "emb_pq_codes"       -> (pqCodes _),
     "emb_sq_codes"       -> (sqCodes _),
     "emb_sq_search"      -> (sqSearch _),
@@ -1687,6 +1697,7 @@ object EmbeddingQueries {
     "emb_pq_codes"       -> pqCodesSql,
     "emb_pq_search"      -> pqSearchSql,
     "emb_ivfpq_search"   -> ivfpqSearchSql,
+    "emb_ann_recall_ivfpq" -> annRecallIvfpqSql,
     "emb_sq_codes"       -> sqCodesSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,

@@ -1301,6 +1301,39 @@ class PipelineSpec extends SparkSpec {
     assert(vsBrute > 0.0)
   }
 
+  test("url dedup: dressing variants collapse, content params survive") {
+    val got = DocQueries.urlDedup(spark, sf)
+      .as[(Long, String, String, Long, Boolean, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc_ids 0,1 are dressing variants of page0 -> one canonical group
+    assert(byId(0L)._3 === byId(1L)._3)
+    assert(byId(0L)._3 === "https://example.com/page0")
+    assert(!byId(0L)._5 && byId(1L)._5) // keep-first: min id is canonical
+    // doc_id 2 keeps its content param -> its own canonical url
+    assert(byId(2L)._3 === "https://example.com/page0?page=2")
+    assert(!byId(2L)._5)
+    // no canonical form retains tracking params, ports, or fragments
+    got.foreach { case (_, _, c, _, _, _) =>
+      assert(!c.contains("utm_") && !c.contains("ref=") &&
+        !c.contains(":443") && !c.contains("#") && !c.endsWith("/"))
+    }
+  }
+
+  test("ivfpq recall evaluation agrees with a direct overlap count") {
+    val recall = EmbeddingQueries.annRecallIvfpq(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val exact = EmbeddingQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = EmbeddingQueries.ivfpqSearch(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recall.keySet === exact.keySet)
+    recall.foreach { case (q, hits) =>
+      assert(hits === (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong)
+    }
+  }
+
   test("stickiness: dau/mau ratios on a planted two-month corpus") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // March: users {1,2} day1, {1} day2 -> mau 2; April: {3} -> mau 1
