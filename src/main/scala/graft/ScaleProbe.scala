@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Scaling-curve evidence for the 100 TB design claims: replicate the sf0.1
   * tables 4x and 16x (ids remapped so keys stay unique, document text
-  * re-tokenized per replica so dedup ops see distinct-but-plausible corpora,
-  * timestamps jittered per replica), run headline shuffle-heavy operators at
-  * each scale, and report the growth ratios. A plan that survives 100 TB
+  * re-tokenized per replica so dedup ops see distinct-but-plausible
+  * corpora), run headline shuffle-heavy operators at each scale, and
+  * report the growth ratios. A plan that survives 100 TB
   * should grow roughly linearly here (constant factors amortize, shuffles
   * stay keyed, nothing collects to the driver); an operator hiding a
   * quadratic pair blow-up or a driver-side bottleneck shows up as a
@@ -80,13 +80,17 @@ object ScaleProbe {
         .otherwise(array_join(transform(
           split(trim(col("text")), "\\s+"),
           t => concat(t, lit("_"), col("rep"))), " ")))
+      // re-derive the length column for rewritten replicas only
+      .withColumn("n_chars", when(col("rep") === 0, col("n_chars"))
+        .otherwise(length(col("text")).cast("long")))
       .drop("rep")
       .repartitionByRange(parts, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     replicate(emb, k)
-      .filter(col("rep") === 0 || col("vec_id") >= 10) // one query set only
+      .filter(col("rep") === 0 ||
+        col("vec_id") >= graft.queries.EmbeddingQueries.NQueries) // one query set
       .withColumn("vec_id", col("vec_id") + lit(maxVec) * col("rep"))
       .drop("rep")
       .repartitionByRange(parts, col("vec_id"))
@@ -101,9 +105,14 @@ object ScaleProbe {
   private val Ops = sys.env.get("SPARK_GRAFT_SCALE_OPS")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Seq(
-      "q1_pricing_summary", "q18_bulky_orders", "evt_sessionize",
-      "evt_daily_rollup_approx", "evt_retention", "doc_dedup_exact",
-      "doc_minhash_lsh", "emb_knn_brute"))
+      "q1_pricing_summary", "q18_bulky_orders", "q21_waiting_supp",
+      "evt_sessionize", "evt_daily_rollup_approx", "evt_retention",
+      "doc_dedup_exact", "doc_minhash_lsh", "doc_substring_dedup",
+      "doc_tfidf_knn", "emb_knn_brute",
+      // the two that HAVE shown super-linear growth here (q18's fact
+      // broadcast, semDedup's fixed-cell pair pass) stay on the default
+      // watchlist so regressions resurface immediately
+      "emb_semdedup"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -389,6 +389,18 @@ object DocQueries {
   private val minhashSigUdf =
     udf((text: String) => graft.functions.MinHash.signatureFromText(text, MinhashK))
 
+  /** (doc_id, band, bucket) rows from a signature frame — the ONE banding
+    * layout shared by [[minhashLsh]] and [[crossDedup]] (both DuckDB
+    * oracles replay it, so the slicing must never diverge between them).
+    * Band key = the 8 signature values themselves (array equi-join), not a
+    * 32-bit hash of them: the oracles join on the exact values, and a
+    * hash collision between distinct band keys would otherwise create a
+    * Spark-only candidate the oracle never checks. */
+  private def minhashBands(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+        b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
+    .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
     * Jaccard verifies (precision 1 by construction). The signature hash is
     * md5-derived integer math ([[graft.functions.MinHash]]), so the oracle
@@ -407,14 +419,7 @@ object DocQueries {
         minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
       .cache()
-    // band key = the 8 signature values themselves (array equi-join), not a
-    // 32-bit hash of them: the oracle joins on the exact values, and a
-    // murmur collision between distinct band keys would otherwise create a
-    // Spark-only candidate the oracle never checks
-    val bands = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-          b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val bands = minhashBands(docs)
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -532,12 +537,8 @@ object DocQueries {
         shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
       .cache()
-    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-          b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val inBands = bandsOf(docs.filter(col("incoming")))
-    val baseBands = bandsOf(docs.filter(!col("incoming")))
+    val inBands = minhashBands(docs.filter(col("incoming")))
+    val baseBands = minhashBands(docs.filter(!col("incoming")))
     val cand = baseBands.as("b").join(broadcast(inBands.as("a")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("d_in"), col("b.doc_id").as("d_base"))
@@ -704,8 +705,10 @@ object DocQueries {
       .withColumn("nos", regexp_replace(
         regexp_replace(col("authlower"), "^(https://[^/:]+):443(/.*)?$", "$1$2"),
         "/$", ""))
+      // regex, not LIKE: in LIKE patterns `_` is the any-char wildcard, so
+      // 'utm_%' would also strip content params named utma/utm1/...
       .withColumn("kq", expr("array_join(filter(split(qs, '&'), " +
-        "p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%' AND p <> ''), '&')"))
+        "p -> NOT p RLIKE '^utm_' AND NOT p RLIKE '^ref=' AND p <> ''), '&')"))
       .withColumn("canonical_url", concat(col("nos"),
         when(col("kq") =!= "", concat(lit("?"), col("kq"))).otherwise(lit(""))))
       .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
@@ -737,7 +740,8 @@ object DocQueries {
       |    FROM p),
       | f AS (SELECT doc_id, url, nos,
       |    array_to_string(list_filter(string_split(qs, '&'),
-      |      p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%' AND p <> ''), '&') AS kq
+      |      p -> NOT regexp_matches(p, '^utm_') AND NOT regexp_matches(p, '^ref=')
+      |           AND p <> ''), '&') AS kq
       |    FROM c),
       | canon AS (SELECT doc_id, url,
       |    nos || CASE WHEN kq <> '' THEN '?' || kq ELSE '' END AS canonical_url
@@ -2659,10 +2663,13 @@ object DocQueries {
       .otherwise(array().cast("array<bigint>"))
     // explode_outer keeps zero-window docs as a single null-h row, so the
     // per-doc aggregate already covers every document — no second scan and
-    // no re-join against the documents table. count(h) over the shared
-    // null partition is 0, so synthetic rows can never look duplicated.
+    // no re-join against the documents table. Null rows get a synthetic
+    // PER-DOC window key (negative, disjoint from real md5-low-32 hashes,
+    // which are non-negative) so a short-document-heavy corpus doesn't
+    // funnel every null into one reducer; their count(h) is 0 either way,
+    // so synthetic rows can never look duplicated.
     val ex = base.select(col("doc_id"), explode_outer(wins).as("h"))
-    val freq = Window.partitionBy(col("h"))
+    val freq = Window.partitionBy(coalesce(col("h"), -col("doc_id") - 1))
     ex.withColumn("cnt", count(col("h")).over(freq))
       .groupBy(col("doc_id"))
       .agg(count(col("h")).as("n_windows"),

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object EmbeddingQueries {
 
   private val Dim = 64
-  private val NQueries = 10 // vec_id < 10 are the query vectors
+  private[graft] val NQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
 
   /** Floats as scaled integers: floor(x * 1e7) as long. Float→double is an
@@ -40,6 +40,26 @@ object EmbeddingQueries {
     * 64 elems). */
   private def dotScaled(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dotLongArrays(a, b)
+
+  /** Corpus row count, memoized per (session, dataset): the size-gate and
+    * √n-cell-count reads would otherwise launch a Spark job on every
+    * DataFrame CONSTRUCTION (including explain-only paths). */
+  private def embeddingCount(spark: SparkSession, d: String): Long =
+    MemoCache.getOrElseUpdate(spark, ("emb-count", d))(
+      embeddings(spark, d).count())(_ => ())
+
+  /** Per-label integer centroids as (cell, cemb, cnorm2) — the coarse-cell
+    * build shared VERBATIM by [[annIvf]], [[ivfpqSearch]] and [[semDedup]]
+    * (their oracles replay this exact floor(sum/count) arithmetic, so the
+    * three indexes' cells must stay bit-identical). */
+  private def labelCellCentroids(eRaw: DataFrame): DataFrame =
+    eRaw.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
+      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
 
   // ------------------------------------------------------------ brute kNN
   /** Brute-force cosine top-k: decimal-exact dot/norms, cosine rounded to 6
@@ -886,13 +906,7 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))
-    val cents = eRaw.select(col("label"), posexplode(col("emb")))
-      .groupBy(col("label"), col("pos"))
-      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
-      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
-      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    val cents = labelCellCentroids(eRaw)
     // assign every vector to its nearest cell; queries keep top-NProbe cells
     val scoredCells = e.crossJoin(broadcast(cents))
       .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
@@ -1112,13 +1126,7 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))
-    val cents = eRaw.select(col("label"), posexplode(col("emb")))
-      .groupBy(col("label"), col("pos"))
-      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
-      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
-      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
+    val cents = labelCellCentroids(eRaw)
     val scoredCells = e.crossJoin(broadcast(cents))
       .withColumn("csim", dotScaled(col("emb"), col("cemb")).cast("double") /
         (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
@@ -1361,20 +1369,13 @@ object EmbeddingQueries {
     val maxLabelCellVecs = spark.conf
       .getOption("spark.graft.dedup.maxLabelCellVecs").map(_.toLong)
       .getOrElse(1L << 14) // n²/(2·10) pairs ≈ 13M at the boundary
-    if (embeddings(spark, d).count() > maxLabelCellVecs)
+    if (embeddingCount(spark, d) > maxLabelCellVecs)
       return semDedupKmeans(spark, d)
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))
-    val cents = eRaw.select(col("label"), posexplode(col("emb")))
-      .groupBy(col("label"), col("pos"))
-      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("cs"))
-      .select(col("label").as("cell"), transform(col("cs"), _.getField("cv")).as("cemb"))
-      .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
-    semDedupWithCells(e, cents)
+    semDedupWithCells(e, labelCellCentroids(eRaw))
   }
 
   /** SemDeDup over k-means-derived cells — the corpus-scale form: the cell
@@ -1390,7 +1391,7 @@ object EmbeddingQueries {
       if (k > 0) k
       else spark.conf.getOption("spark.graft.dedup.semdedupK").map(_.toInt)
         .getOrElse(math.max(KmK, math.ceil(math.sqrt(
-          embeddings(spark, d).count().toDouble)).toInt))
+          embeddingCount(spark, d).toDouble)).toInt))
     val cents = trainedCentroids(spark, d, kk, KmIters)
       .select(col("cluster").cast("long").as("cell"), col("cemb"))
       .withColumn("cnorm2", dotScaled(col("cemb"), col("cemb")))
