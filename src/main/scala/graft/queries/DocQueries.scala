@@ -693,9 +693,15 @@ object DocQueries {
         concat(lit("HTTPS://EXAMPLE.COM:443/page"), k, lit("/")))
       .otherwise(concat(lit("https://example.com/page"), k,
         lit("?page=2#section")))
+    urlDedupOn(documents(spark, d).select(col("doc_id"), messy.as("url")))
+  }
+
+  /** The canonicalization + keep-first grouping over any (doc_id, url)
+    * frame — split out so tests can feed arbitrary URLs (idempotence and
+    * residue properties live in PropertySpec). */
+  private[graft] def urlDedupOn(urls: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("canonical_url"))
-    documents(spark, d)
-      .select(col("doc_id"), messy.as("url"))
+    urls
       .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
       .withColumn("base", regexp_extract(col("nofrag"), "^([^?]*)", 1))
       .withColumn("qs", regexp_extract(col("nofrag"), "\\?(.*)$", 1))

@@ -221,6 +221,76 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ A/B test
+  /** A/B experiment readout: users bucket into two arms by a deterministic
+    * md5 hash (the stable traffic-order-independent assignment every
+    * experimentation platform uses), conversion = the user ever purchased;
+    * reports per-arm visitors/converters/rates, absolute lift, and the
+    * pooled two-proportion z-score. One shuffle on user_id for the per-user
+    * conversion flag, then a scalar aggregate — at 100 TB the readout costs
+    * one keyed exchange; the z arithmetic runs on exact integer counts, so
+    * even the test statistic hash-checks against the oracle. */
+  def abtest(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val perUser = ev(spark, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"))
+      .withColumn("arm", arm)
+    val s = perUser.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).as("n0"),
+      sum(when(col("arm") === 0, col("c")).otherwise(0)).as("c0"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).as("n1"),
+      sum(when(col("arm") === 1, col("c")).otherwise(0)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    // degenerate readouts go NULL instead of dividing by zero: an empty
+    // arm has no rate, and all-converted/none-converted traffic has zero
+    // pooled variance (z undefined) — guarded identically in the oracle
+    val ok = col("n0") > 0 && col("n1") > 0
+    // z defined iff both arms have traffic AND conversion is mixed
+    // (all-or-none traffic has zero pooled variance); the guard tests only
+    // the integer counts so no division appears outside a taken branch
+    val zok = ok && (col("c0") + col("c1")) > 0 &&
+      (col("c0") + col("c1")) < (col("n0") + col("n1"))
+    val se = sqrt(pp * (lit(1) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    s.select(col("n0"), col("c0"),
+      round(when(col("n0") > 0, p0), 6).as("cvr0"),
+      col("n1"), col("c1"),
+      round(when(col("n1") > 0, p1), 6).as("cvr1"),
+      round(when(ok, p1 - p0), 6).as("lift"),
+      round(when(zok, (p1 - p0) / se), 6).as("z_score"))
+  }
+
+  val abtestSql: String =
+    """WITH cu AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY 1),
+      | armed AS (SELECT
+      |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))
+      |      ::UBIGINT AS BIGINT) % 2 AS arm, c FROM cu),
+      | s AS (SELECT
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS c1
+      |  FROM armed)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+      |  ROUND(CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE) / n0 END, 6) AS cvr0,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      |  ROUND(CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 END, 6) AS cvr1,
+      |  ROUND(CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |    CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 END, 6) AS lift,
+      |  ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+      |             AND c0 + c1 < n0 + n1 THEN
+      |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+      |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |         (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |         (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
+      |FROM s""".stripMargin
+
   // -------------------------------------------------------- stickiness
   /** DAU/MAU stickiness — the engagement ratio every analytics deployment
     * reports: distinct daily actives over distinct actives of the calendar
@@ -1483,6 +1553,7 @@ object EventQueries {
     "evt_daily_rollup" -> (dailyRollup _),
     "evt_cube"         -> (cubeRollup _),
     "evt_stickiness"   -> (stickiness _),
+    "evt_abtest"       -> (abtest _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
@@ -1513,6 +1584,7 @@ object EventQueries {
     "evt_daily_rollup" -> dailyRollupSql,
     "evt_cube"         -> cubeRollupSql,
     "evt_stickiness"   -> stickinessSql,
+    "evt_abtest"       -> abtestSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,

@@ -1319,6 +1319,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("url canonicalization: idempotent fixed point over the variant grid") {
+    // exhaustive 2^5 dressing grid: host case x :443 x utm params x
+    // fragment x trailing slash, across three distinct pages
+    val urls = for {
+      page <- 0 to 2
+      up <- Seq(false, true); port <- Seq(false, true)
+      utm <- Seq(false, true); frag <- Seq(false, true)
+      slash <- Seq(false, true)
+    } yield {
+      val host = if (up) "EXAMPLE.COM" else "example.com"
+      val p = if (port) ":443" else ""
+      val s = if (slash) "/" else ""
+      val q = if (utm) "?utm_campaign=c&id=7&ref=x" else "?id=7"
+      val f = if (frag) "#frag" else ""
+      s"https://$host$p/p$page$s$q$f"
+    }
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val once = DocQueries.urlDedupOn(df)
+      .select(col("doc_id"), col("canonical_url"))
+    val c1 = once.as[(Long, String)].collect().toMap
+    // feeding canonical urls back through must be a fixed point
+    val c2 = DocQueries.urlDedupOn(once.withColumnRenamed("canonical_url", "url"))
+      .select(col("doc_id"), col("canonical_url"))
+      .as[(Long, String)].collect().toMap
+    assert(c1 === c2)
+    // every dressing variant of a page collapses to one canonical form;
+    // the id param survives everywhere
+    assert(c1.values.toSet.size === 3)
+    assert(c1.values.forall(_.endsWith("?id=7")))
+  }
+
   test("ivfpq recall evaluation agrees with a direct overlap count") {
     val recall = EmbeddingQueries.annRecallIvfpq(spark, sf)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
@@ -1332,6 +1364,47 @@ class PipelineSpec extends SparkSpec {
     recall.foreach { case (q, hits) =>
       assert(hits === (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong)
     }
+  }
+
+  test("abtest: readout matches a hand computation; degenerate z is null") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // recover the operator's own arm assignment for user ids 1..40
+    val arms = spark.range(1, 41).select(col("id"),
+        (conv(substring(md5(concat(lit("ab"), col("id").cast("string"))),
+          25, 8), 16, 10).cast("long") % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val a0 = arms.filter(_._2 == 0).keys.toSeq.sorted
+    val a1 = arms.filter(_._2 == 1).keys.toSeq.sorted
+    assert(a0.size >= 3 && a1.size >= 3)
+    // arm 0: exactly one converter; arm 1: all but one convert
+    val rows = (a0.zipWithIndex.map { case (u, i) =>
+      (u * 10, t("2024-03-01 10:00:00"), u,
+        if (i == 0) "purchase" else "view", 1.0, "{}")
+    } ++ a1.zipWithIndex.map { case (u, i) =>
+      (u * 10 + 1, t("2024-03-01 11:00:00"), u,
+        if (i == 0) "view" else "purchase", 1.0, "{}")
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("abtest").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.abtest(spark, tmp)
+      .as[(Long, Long, Double, Long, Long, Double, Double, Double)]
+      .collect().head
+    val (n0, c0, n1, c1) = (a0.size.toLong, 1L, a1.size.toLong, a1.size - 1L)
+    assert((got._1, got._2, got._4, got._5) === ((n0, c0, n1, c1)))
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(got._8 === math.rint(z * 1e6) / 1e6)
+    assert(got._7 === math.rint((p1 - p0) * 1e6) / 1e6)
+    // all-converted traffic: zero pooled variance -> z_score NULL, not a crash
+    val allBuy = rows.map(r => r.copy(_4 = "purchase"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("abtest2").toString
+    allBuy.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    val deg = EventQueries.abtest(spark, tmp2)
+      .select("z_score").as[Option[Double]].collect().head
+    assert(deg.isEmpty)
   }
 
   test("stickiness: dau/mau ratios on a planted two-month corpus") {
