@@ -1368,7 +1368,7 @@ object EmbeddingQueries {
     // cells; labels are only a deterministic stand-in at oracle scale).
     val maxLabelCellVecs = spark.conf
       .getOption("spark.graft.dedup.maxLabelCellVecs").map(_.toLong)
-      .getOrElse(1L << 14) // n²/(2·10) pairs ≈ 13M at the boundary
+      .getOrElse(1L << 12) // n²/(2·10) pairs ≈ 840k at the boundary
     if (embeddingCount(spark, d) > maxLabelCellVecs)
       return semDedupKmeans(spark, d)
     val eRaw = embeddings(spark, d)
