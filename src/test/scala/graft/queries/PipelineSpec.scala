@@ -1366,6 +1366,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline: staged curation shrinks monotonically and audits") {
+    val out = java.nio.file.Files.createTempDirectory("corpus").toString
+    val counts = graft.CorpusPipeline.run(spark, sf, out).toMap
+    assert(counts("raw") > 0)
+    // each stage can only remove documents
+    val order = Seq("raw", "s1_filtered", "s2_deduped", "s3_decontaminated",
+      "s4_sampled")
+    order.zip(order.tail).foreach { case (a, b) =>
+      assert(counts(b) <= counts(a), s"$b grew past $a in $counts")
+    }
+    // stage results agree with the standalone oracled operators re-run
+    // against the materialized stage dirs
+    val s2docs = spark.read.parquet(s"$out/s2_deduped/documents.parquet")
+    assert(s2docs.select("text").distinct().count() === counts("s2_deduped"),
+      "post-dedup stage must contain no duplicate text")
+    val s3 = s"$out/s3_decontaminated"
+    assert(DocQueries.decontaminate(spark, s3)
+      .filter(col("contaminated")).count() === 0L,
+      "decontaminated stage must have no remaining benchmark collisions")
+    // chunks cover exactly the sampled docs
+    val chunkDocs = spark.read.parquet(s"$out/s5_chunks.parquet")
+      .select("doc_id").distinct().count()
+    val nonEmpty = spark.read
+      .parquet(s"$out/s4_sampled/documents.parquet")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(chunkDocs === nonEmpty)
+  }
+
   test("abtest: readout matches a hand computation; degenerate z is null") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // recover the operator's own arm assignment for user ids 1..40
