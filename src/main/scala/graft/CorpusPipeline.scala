@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * context-window chunking. Every stage MATERIALIZES a documents-shaped
   * parquet directory (how production curation actually runs: stages
   * checkpoint to the lake, so reruns resume from any stage and every stage
-  * is independently auditable/oracled — each intermediate dir is readable
-  * by all 137 `SparkEntry.queries`), and the final chunk table is the
+  * is independently auditable — each intermediate dir is readable by every
+  * documents-side operator in `SparkEntry.queries`), and the final chunk
+  * table is the
   * training-row output. Row accounting is printed per stage and the chain
   * re-verified on read-back.
   *

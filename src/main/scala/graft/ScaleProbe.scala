@@ -29,10 +29,15 @@ object ScaleProbe {
   private def replicate(df: DataFrame, k: Int): DataFrame =
     df.withColumn("rep", explode(sequence(lit(0), lit(k - 1))))
 
+  /** Bump when the generator below changes shape: the marker name carries
+    * the version, so stale pre-change fixture dirs regenerate instead of
+    * silently measuring against data the code no longer describes. */
+  private val GenVersion = 2
+
   private def writeScaled(spark: SparkSession, sfDir: String, outDir: String,
                           k: Int): String = {
     val dir = s"$outDir/x$k"
-    val done = new java.io.File(s"$dir/_done")
+    val done = new java.io.File(s"$dir/_done_v$GenVersion")
     if (done.exists()) return dir
     // static dims: copied untouched (they're broadcast-destined; a bigger
     // fact side is exactly the asymmetry a warehouse grows with)
@@ -120,6 +125,10 @@ object ScaleProbe {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scale"
     val spark = GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale")
+    // apples-to-apples across scales: semDedup's label-cell→k-means size
+    // gate would otherwise switch algorithms between x1 and x16, making
+    // the ratio compare two different approximations
+    spark.conf.set("spark.graft.dedup.maxLabelCellVecs", "0")
     spark.range(1000).selectExpr("sum(id)").collect()
     val dirs = Factors.map(k => k -> writeScaled(spark, sfDir, outDir, k)).toMap
     def time(op: String, dir: String): Double = {

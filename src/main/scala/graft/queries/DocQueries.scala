@@ -710,7 +710,7 @@ object DocQueries {
         concat(lower(col("auth")), expr("substring(base, length(auth) + 1)")))
       .withColumn("nos", regexp_replace(
         regexp_replace(col("authlower"), "^(https://[^/:]+):443(/.*)?$", "$1$2"),
-        "/$", ""))
+        "/+$", ""))
       // regex, not LIKE: in LIKE patterns `_` is the any-char wildcard, so
       // 'utm_%' would also strip content params named utma/utm1/...
       .withColumn("kq", expr("array_join(filter(split(qs, '&'), " +
@@ -742,7 +742,7 @@ object DocQueries {
       |      lower(regexp_extract(base, '^[^/]*//[^/]*')) ||
       |        substring(base, length(regexp_extract(base, '^[^/]*//[^/]*')) + 1),
       |      '^(https://[^/:]+):443(/.*)?$', '\1\2'),
-      |      '/$', '') AS nos
+      |      '/+$', '') AS nos
       |    FROM p),
       | f AS (SELECT doc_id, url, nos,
       |    array_to_string(list_filter(string_split(qs, '&'),

@@ -1366,6 +1366,14 @@ object EmbeddingQueries {
     // routes to [[semDedupKmeans]], whose √n cell count bounds pair work
     // at ~n^1.5 — which is also the paper's actual algorithm (k-means
     // cells; labels are only a deterministic stand-in at oracle scale).
+    //
+    // ORACLE CONTRACT: [[semDedupSql]] replays the label-cell form, i.e.
+    // it describes this operator at-or-under the gate (all driver-gate
+    // fixtures qualify: ≤2000 vectors). Past the gate the output keeps
+    // its schema but the cell structure — an index parameter of the
+    // approximation, like annIvf's NProbe — changes to k-means; that
+    // regime is pinned by DedupScaleSpec (gate-forced routing must equal
+    // the direct k-means call bit-for-bit), not by the SQL oracle.
     val maxLabelCellVecs = spark.conf
       .getOption("spark.graft.dedup.maxLabelCellVecs").map(_.toLong)
       .getOrElse(1L << 12) // n²/(2·10) pairs ≈ 840k at the boundary

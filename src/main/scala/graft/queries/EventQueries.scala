@@ -224,7 +224,11 @@ object EventQueries {
   // ------------------------------------------------------------ A/B test
   /** A/B experiment readout: users bucket into two arms by a deterministic
     * md5 hash (the stable traffic-order-independent assignment every
-    * experimentation platform uses), conversion = the user ever purchased;
+    * experimentation platform uses), conversion = the user ever made a
+    * HIGH-VALUE purchase (value > 75 — on the fixtures plain
+    * ever-purchased converts literally everyone, which degenerates the
+    * pooled variance to zero and would leave the z arithmetic
+    * oracle-unexercised);
     * reports per-arm visitors/converters/rates, absolute lift, and the
     * pooled two-proportion z-score. One shuffle on user_id for the per-user
     * conversion flag, then a scalar aggregate — at 100 TB the readout costs
@@ -235,7 +239,8 @@ object EventQueries {
         md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
       .cast("long") % 2
     val perUser = ev(spark, d).groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 75, 1)
+        .otherwise(0)).as("c"))
       .withColumn("arm", arm)
     val s = perUser.agg(
       sum(when(col("arm") === 0, 1).otherwise(0)).as("n0"),
@@ -266,7 +271,8 @@ object EventQueries {
 
   val abtestSql: String =
     """WITH cu AS (SELECT user_id,
-      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 75
+      |        THEN 1 ELSE 0 END) AS c
       |  FROM events GROUP BY 1),
       | armed AS (SELECT
       |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))

@@ -1326,11 +1326,10 @@ class PipelineSpec extends SparkSpec {
       page <- 0 to 2
       up <- Seq(false, true); port <- Seq(false, true)
       utm <- Seq(false, true); frag <- Seq(false, true)
-      slash <- Seq(false, true)
+      s <- Seq("", "/", "//") // incl. multi-slash
     } yield {
       val host = if (up) "EXAMPLE.COM" else "example.com"
       val p = if (port) ":443" else ""
-      val s = if (slash) "/" else ""
       val q = if (utm) "?utm_campaign=c&id=7&ref=x" else "?id=7"
       val f = if (frag) "#frag" else ""
       s"https://$host$p/p$page$s$q$f"
@@ -1381,10 +1380,16 @@ class PipelineSpec extends SparkSpec {
     val s2docs = spark.read.parquet(s"$out/s2_deduped/documents.parquet")
     assert(s2docs.select("text").distinct().count() === counts("s2_deduped"),
       "post-dedup stage must contain no duplicate text")
-    val s3 = s"$out/s3_decontaminated"
-    assert(DocQueries.decontaminate(spark, s3)
-      .filter(col("contaminated")).count() === 0L,
-      "decontaminated stage must have no remaining benchmark collisions")
+    // recompute the stage-3 decision from the stage-2 input and assert the
+    // materialized stage equals exactly the docs it cleared (re-running on
+    // s3 itself would be vacuous: its benchmark slice is already gone)
+    val cleared = DocQueries.decontaminate(spark, s"$out/s2_deduped")
+      .filter(!col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    val s3ids = spark.read
+      .parquet(s"$out/s3_decontaminated/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3ids === cleared)
     // chunks cover exactly the sampled docs
     val chunkDocs = spark.read.parquet(s"$out/s5_chunks.parquet")
       .select("doc_id").distinct().count()
@@ -1404,13 +1409,14 @@ class PipelineSpec extends SparkSpec {
     val a0 = arms.filter(_._2 == 0).keys.toSeq.sorted
     val a1 = arms.filter(_._2 == 1).keys.toSeq.sorted
     assert(a0.size >= 3 && a1.size >= 3)
-    // arm 0: exactly one converter; arm 1: all but one convert
+    // arm 0: exactly one converter; arm 1: all but one convert — and a
+    // cheap purchase (value under the 75 threshold) must NOT convert
     val rows = (a0.zipWithIndex.map { case (u, i) =>
       (u * 10, t("2024-03-01 10:00:00"), u,
-        if (i == 0) "purchase" else "view", 1.0, "{}")
+        if (i == 0) "purchase" else "view", 100.0, "{}")
     } ++ a1.zipWithIndex.map { case (u, i) =>
       (u * 10 + 1, t("2024-03-01 11:00:00"), u,
-        if (i == 0) "view" else "purchase", 1.0, "{}")
+        "purchase", if (i == 0) 10.0 else 100.0, "{}")
     })
     val tmp = java.nio.file.Files.createTempDirectory("abtest").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1426,7 +1432,7 @@ class PipelineSpec extends SparkSpec {
     assert(got._8 === math.rint(z * 1e6) / 1e6)
     assert(got._7 === math.rint((p1 - p0) * 1e6) / 1e6)
     // all-converted traffic: zero pooled variance -> z_score NULL, not a crash
-    val allBuy = rows.map(r => r.copy(_4 = "purchase"))
+    val allBuy = rows.map(r => r.copy(_4 = "purchase", _5 = 100.0))
     val tmp2 = java.nio.file.Files.createTempDirectory("abtest2").toString
     allBuy.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$tmp2/events.parquet")
