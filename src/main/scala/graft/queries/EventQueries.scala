@@ -297,6 +297,97 @@ object EventQueries {
       |         (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- CUPED
+  /** CUPED variance reduction (Deng et al. 2013) — the standard follow-up
+    * to [[abtest]] in every mature experimentation stack: per-user
+    * pre-period spend is the covariate, θ = cov(pre, post)/var(pre), and
+    * each arm's post-period mean is adjusted by θ·(mean_pre_arm −
+    * mean_pre). The pre/post split is the exact midpoint of the observed
+    * time range (integer microseconds).
+    *
+    * Determinism: spend sums use cents-scaled longs and every moment
+    * (cov, var, ρ²) derives from the exact integer sums n·Σxy − Σx·Σy, so
+    * θ and the adjusted means are bit-stable across engines — an
+    * order-dependent double Σxy would flake the hash gate. At warehouse
+    * scale the same sums run in DECIMAL(38,0); one shuffle on user_id,
+    * then scalar aggregates broadcast back over the two arm rows. */
+  def cuped(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d)
+      .withColumn("t_ms", unix_millis(col("ts").cast("timestamp")))
+    val spend = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(0L)
+    val mid = base.agg(min(col("t_ms")).as("mn"), max(col("t_ms")).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid_ms"))
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val perUser = base.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("t_ms") < col("mid_ms"), spend).otherwise(0L)).as("x"),
+        sum(when(col("t_ms") >= col("mid_ms"), spend).otherwise(0L)).as("y"))
+      .withColumn("arm", arm)
+    val g = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val covXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val gStats = g.select(col("n"), col("sx"),
+      when(varX > 0, covXY / varX).otherwise(lit(0.0)).as("theta"),
+      when(varX > 0 && varY > 0, covXY * covXY / (varX * varY))
+        .otherwise(lit(0.0)).as("rho2"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("asx"), sum(col("y")).as("asy"))
+      .crossJoin(broadcast(gStats))
+      .select(col("arm"), col("n_users"),
+        round(col("asy").cast("double") / col("n_users") / 100.0, 6)
+          .as("post_mean"),
+        // adjusted arm mean: ȳ_arm − θ·(x̄_arm − x̄); /100 un-scales cents
+        round((col("asy").cast("double") / col("n_users") -
+          col("theta") * (col("asx").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n"))) / 100.0, 6)
+          .as("cuped_mean"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"))
+  }
+
+  val cupedSql: String =
+    """WITH mid AS (SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2
+      |    AS mid_ms FROM events),
+      | pu AS (SELECT user_id,
+      |    SUM(CASE WHEN epoch_ms(ts) < mid.mid_ms AND event_type = 'purchase'
+      |        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+      |    SUM(CASE WHEN epoch_ms(ts) >= mid.mid_ms AND event_type = 'purchase'
+      |        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events, mid GROUP BY 1),
+      | pa AS (SELECT user_id, x, y,
+      |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))
+      |      ::UBIGINT AS BIGINT) % 2 AS arm FROM pu),
+      | g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM pa),
+      | gs AS (SELECT n, sx,
+      |    CASE WHEN n * sxx - sx * sx > 0 THEN
+      |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    ELSE 0.0 END AS theta,
+      |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |      CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    ELSE 0.0 END AS rho2
+      |  FROM g),
+      | a AS (SELECT arm, COUNT(*) AS n_users, SUM(x) AS asx, SUM(y) AS asy
+      |       FROM pa GROUP BY 1)
+      |SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users,
+      |  ROUND(CAST(asy AS DOUBLE) / n_users / 100.0, 6) AS post_mean,
+      |  ROUND((CAST(asy AS DOUBLE) / n_users -
+      |    gs.theta * (CAST(asx AS DOUBLE) / n_users -
+      |      CAST(gs.sx AS DOUBLE) / gs.n)) / 100.0, 6) AS cuped_mean,
+      |  ROUND(gs.theta, 6) AS theta,
+      |  ROUND(gs.rho2, 6) AS var_reduction
+      |FROM a, gs""".stripMargin
+
   // -------------------------------------------------------- stickiness
   /** DAU/MAU stickiness — the engagement ratio every analytics deployment
     * reports: distinct daily actives over distinct actives of the calendar
@@ -1560,6 +1651,7 @@ object EventQueries {
     "evt_cube"         -> (cubeRollup _),
     "evt_stickiness"   -> (stickiness _),
     "evt_abtest"       -> (abtest _),
+    "evt_cuped"        -> (cuped _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
@@ -1591,6 +1683,7 @@ object EventQueries {
     "evt_cube"         -> cubeRollupSql,
     "evt_stickiness"   -> stickinessSql,
     "evt_abtest"       -> abtestSql,
+    "evt_cuped"        -> cupedSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,

@@ -1441,6 +1441,50 @@ class PipelineSpec extends SparkSpec {
     assert(deg.isEmpty)
   }
 
+  test("cuped: theta and adjusted means match a naive reference") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // recover arms; give each user a pre-period spend correlated with the
+    // post-period spend so theta is meaningfully non-zero
+    val arms = spark.range(1, 13).select(col("id"),
+        (conv(substring(md5(concat(lit("ab"), col("id").cast("string"))),
+          25, 8), 16, 10).cast("long") % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val users = arms.keys.toSeq.sorted
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      val pre = 10.0 + i           // covariate
+      val post = 2 * pre + (if (arms(u) == 1) 5.0 else 0.0) // lift in arm 1
+      Seq(
+        (u * 10, t("2024-03-01 00:00:00"), u, "purchase", pre, "{}"),
+        (u * 10 + 1, t("2024-03-09 00:00:00"), u, "purchase", post, "{}"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("cuped").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.cuped(spark, tmp)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // naive reference over cents-scaled longs (midpoint splits the 8 days)
+    val x = users.map(u => u -> math.round((10.0 + users.indexOf(u)) * 100)).toMap
+    val y = users.map { u =>
+      u -> math.round((2 * (10.0 + users.indexOf(u)) +
+        (if (arms(u) == 1) 5.0 else 0.0)) * 100)
+    }.toMap
+    val n = users.size.toLong
+    val (sx, sy) = (x.values.sum, y.values.sum)
+    val sxx = x.values.map(v => v * v).sum
+    val sxy = users.map(u => x(u) * y(u)).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(got.values.head._5 === math.rint(theta * 1e6) / 1e6)
+    Seq(0L, 1L).foreach { a =>
+      val au = users.filter(arms(_) == a)
+      val adj = (au.map(y).sum.toDouble / au.size -
+        theta * (au.map(x).sum.toDouble / au.size - sx.toDouble / n)) / 100.0
+      assert(got(a)._4 === math.rint(adj * 1e6) / 1e6, s"arm $a")
+    }
+    // the whole point: arm means adjust toward the true +5 lift
+    assert(math.abs((got(1L)._4 - got(0L)._4) - 5.0) < 0.5)
+  }
+
   test("stickiness: dau/mau ratios on a planted two-month corpus") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // March: users {1,2} day1, {1} day2 -> mau 2; April: {3} -> mau 1
