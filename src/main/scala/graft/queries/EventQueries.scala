@@ -297,6 +297,52 @@ object EventQueries {
       |         (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
       |FROM s""".stripMargin
 
+  // ----------------------------------------------------------------- SRM
+  /** Sample-ratio-mismatch guardrail — the sanity check run BEFORE reading
+    * any experiment result: under a 50/50 split the two arms' user counts
+    * should differ only by chance, and χ² = Σ(observed − expected)²/expected
+    * against 1 dof flags broken bucketing (redirect loss, bot filters,
+    * logging gaps). All from two exact integers, so the statistic is
+    * bit-stable; one user-grain shuffle, then a two-row aggregate. The
+    * 3.841 cutoff is the χ²₁ 95th percentile. */
+  def srm(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val s = ev(spark, d).select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("n0"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("n1"))
+    val e = (col("n0") + col("n1")).cast("double") / 2
+    val chi2 = (col("n0") - e) * (col("n0") - e) / e +
+      (col("n1") - e) * (col("n1") - e) / e
+    s.select(col("n0"), col("n1"),
+      round(when(col("n0") + col("n1") > 0, chi2), 6).as("chi2"),
+      coalesce(when(col("n0") + col("n1") > 0, chi2) > 3.841, lit(false))
+        .as("srm_alarm"))
+  }
+
+  val srmSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      | armed AS (SELECT CAST(('0x' || substr(md5('ab' || user_id::VARCHAR),
+      |    25, 8))::UBIGINT AS BIGINT) % 2 AS arm FROM u),
+      | s AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+      |              SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+      |       FROM armed)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  ROUND(CASE WHEN n0 + n1 > 0 THEN
+      |    (n0 - CAST(n0 + n1 AS DOUBLE) / 2) * (n0 - CAST(n0 + n1 AS DOUBLE) / 2)
+      |      / (CAST(n0 + n1 AS DOUBLE) / 2) +
+      |    (n1 - CAST(n0 + n1 AS DOUBLE) / 2) * (n1 - CAST(n0 + n1 AS DOUBLE) / 2)
+      |      / (CAST(n0 + n1 AS DOUBLE) / 2) END, 6) AS chi2,
+      |  COALESCE(CASE WHEN n0 + n1 > 0 THEN
+      |    (n0 - CAST(n0 + n1 AS DOUBLE) / 2) * (n0 - CAST(n0 + n1 AS DOUBLE) / 2)
+      |      / (CAST(n0 + n1 AS DOUBLE) / 2) +
+      |    (n1 - CAST(n0 + n1 AS DOUBLE) / 2) * (n1 - CAST(n0 + n1 AS DOUBLE) / 2)
+      |      / (CAST(n0 + n1 AS DOUBLE) / 2) END > 3.841, FALSE) AS srm_alarm
+      |FROM s""".stripMargin
+
   // --------------------------------------------------------------- CUPED
   /** CUPED variance reduction (Deng et al. 2013) — the standard follow-up
     * to [[abtest]] in every mature experimentation stack: per-user
@@ -1652,6 +1698,7 @@ object EventQueries {
     "evt_stickiness"   -> (stickiness _),
     "evt_abtest"       -> (abtest _),
     "evt_cuped"        -> (cuped _),
+    "evt_srm"          -> (srm _),
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
@@ -1684,6 +1731,7 @@ object EventQueries {
     "evt_stickiness"   -> stickinessSql,
     "evt_abtest"       -> abtestSql,
     "evt_cuped"        -> cupedSql,
+    "evt_srm"          -> srmSql,
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,

@@ -1441,6 +1441,37 @@ class PipelineSpec extends SparkSpec {
     assert(deg.isEmpty)
   }
 
+  test("srm: balanced arms stay quiet, a lopsided split alarms") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val arms = spark.range(1, 200).select(col("id"),
+        (conv(substring(md5(concat(lit("ab"), col("id").cast("string"))),
+          25, 8), 16, 10).cast("long") % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    def corpus(users: Seq[Long]) = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, t("2024-03-01 10:00:00"), u, "view", 1.0, "{}")
+    }
+    // near-balanced pick: 20 users from each arm -> chi2 = 0, no alarm
+    val bal = arms.filter(_._2 == 0).keys.toSeq.sorted.take(20) ++
+      arms.filter(_._2 == 1).keys.toSeq.sorted.take(20)
+    val tmp = java.nio.file.Files.createTempDirectory("srm").toString
+    corpus(bal).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ok = EventQueries.srm(spark, tmp)
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(ok === ((20L, 20L, 0.0, false)))
+    // lopsided pick: 30 vs 5 -> chi2 = 2*12.5^2/17.5 ~ 17.9 -> alarm
+    val bad = arms.filter(_._2 == 0).keys.toSeq.sorted.take(30) ++
+      arms.filter(_._2 == 1).keys.toSeq.sorted.take(5)
+    val tmp2 = java.nio.file.Files.createTempDirectory("srm2").toString
+    corpus(bad).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    val alarm = EventQueries.srm(spark, tmp2)
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(alarm._1 === 30L && alarm._2 === 5L && alarm._4,
+      s"lopsided split must alarm: $alarm")
+    assert(math.abs(alarm._3 - 2 * 12.5 * 12.5 / 17.5) < 1e-6)
+  }
+
   test("cuped: theta and adjusted means match a naive reference") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // recover arms; give each user a pre-period spend correlated with the
