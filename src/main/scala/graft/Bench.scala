@@ -130,6 +130,30 @@ object Bench {
     ).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
       s""""value_warm":$totalWarm,"queries_warm":${obj(_._2)},"sf":"$sfDir","diag":$diag}""")
+    // The driver keeps only the last ~2KB of stdout, which truncated the full
+    // line above in both r4 and r5 (BENCH artifact had parsed:null). Print a
+    // compact, self-contained summary LAST so the surviving tail is always a
+    // parseable JSON line: totals + host diagnostics + the top-20 slowest
+    // queries (cold and warm). Full per-query detail stays in the line above
+    // and in the stderr progress log.
+    def topN(sel: ((Double, Double, Long)) => Double, n: Int): String = results.toSeq
+      .sortBy { case (_, v) => -sel(v) }.take(n)
+      .map { case (k, v) => "\"" + k + "\":" + f"${sel(v)}%.3f" }.mkString("{", ",", "}")
+    val compact = Seq(
+      s""""metric":"total"""",
+      s""""value":$total""",
+      s""""unit":"sec"""",
+      s""""value_warm":$totalWarm""",
+      s""""sf":${jstr(sfDir)}""",
+      s""""n_queries":${results.size}""",
+      s""""wall_sec":$wallSec""",
+      s""""gc_total_ms":${gcMillis() - gcStartMs}""",
+      s""""loadavg_start":[${if (loadStart.isEmpty) "" else loadStart}]""",
+      s""""loadavg_end":[${val l = loadAvg(); if (l.isEmpty) "" else l}]""",
+      s""""queries":${topN(_._1, 20)}""",
+      s""""queries_warm":${topN(_._2, 20)}"""
+    ).mkString("{", ",", "}")
+    println(compact)
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object ScaleProbe {
   /** Bump when the generator below changes shape: the marker name carries
     * the version, so stale pre-change fixture dirs regenerate instead of
     * silently measuring against data the code no longer describes. */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   private def writeScaled(spark: SparkSession, sfDir: String, outDir: String,
                           k: Int): String = {
@@ -53,14 +53,20 @@ object ScaleProbe {
     // partial agg emit ~1 row per input row (9.6M instead of 2.4M).
     val parts = 32
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val ord0 = spark.read.parquet(s"$sfDir/orders.parquet")
+    // offset over BOTH tables' max key: an order with no lineitems would
+    // otherwise push max(o_orderkey) past a lineitem-only offset and make
+    // replica o_orderkeys collide across reps, silently corrupting the
+    // scaled fixture's join integrity
+    val maxOk = math.max(
+      li.agg(max(col("l_orderkey"))).head().getLong(0),
+      ord0.agg(max(col("o_orderkey"))).head().getLong(0)) + 1
     replicate(li, k)
       .withColumn("l_orderkey", col("l_orderkey") + lit(maxOk) * col("rep"))
       .drop("rep")
       .repartitionByRange(parts, col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-    replicate(ord, k)
+    replicate(ord0, k)
       .withColumn("o_orderkey", col("o_orderkey") + lit(maxOk) * col("rep"))
       .drop("rep")
       .repartitionByRange(parts, col("o_orderkey"))
@@ -79,12 +85,20 @@ object ScaleProbe {
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     replicate(docs, k)
       .withColumn("doc_id", col("doc_id") + lit(maxDoc) * col("rep"))
-      // suffix every token with the replica index: replicas share no
-      // shingles, so dedup corpora grow in genuine content, not copies
+      // suffix tokens with the replica index so replicas are distinct
+      // content, not copies — EXCEPT a deterministic ~1/6 of the
+      // vocabulary (md5-low-32 % 6 == 0), which stays shared across all
+      // replicas. Real corpora keep their stopwords as they grow: a
+      // scaled corpus whose every token is replica-private has no
+      // corpus-dense terms at all, which is the artificial part — the
+      // shared slice restores Zipf-hot posting lists (what tfidf's
+      // df-cap prunes) while <1% of 3-token shingles survive intact, so
+      // dedup corpora still grow in genuine content
       .withColumn("text", when(col("rep") === 0, col("text"))
         .otherwise(array_join(transform(
           split(trim(col("text")), "\\s+"),
-          t => concat(t, lit("_"), col("rep"))), " ")))
+          t => when(conv(substring(md5(t), 25, 8), 16, 10).cast("long") % 6 === 0, t)
+            .otherwise(concat(t, lit("_"), col("rep")))), " ")))
       // re-derive the length column for rewritten replicas only
       .withColumn("n_chars", when(col("rep") === 0, col("n_chars"))
         .otherwise(length(col("text")).cast("long")))
@@ -114,6 +128,10 @@ object ScaleProbe {
       "evt_sessionize", "evt_daily_rollup_approx", "evt_retention",
       "doc_dedup_exact", "doc_minhash_lsh", "doc_substring_dedup",
       "doc_tfidf_knn", "emb_knn_brute",
+      // q9 joins the fact to the derived (fact-scale) partsupp: on the
+      // watchlist since r6, when its partsupp broadcast hint was removed —
+      // a replan back to a partsupp broadcast would decay here first
+      "q9_product_profit",
       // the two that HAVE shown super-linear growth here (q18's fact
       // broadcast, semDedup's fixed-cell pair pass) stay on the default
       // watchlist so regressions resurface immediately

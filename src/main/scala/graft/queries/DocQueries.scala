@@ -539,7 +539,18 @@ object DocQueries {
       .cache()
     val inBands = minhashBands(docs.filter(col("incoming")))
     val baseBands = minhashBands(docs.filter(!col("incoming")))
-    val cand = baseBands.as("b").join(broadcast(inBands.as("a")),
+    // Size-gate the broadcast: a normal daily shard broadcasts its band keys
+    // over the streamed base index, but a backfill-sized delta would OOM the
+    // driver if the hint were unconditional — above the threshold the same
+    // equi-join plans as a shuffle on (band, bucket). The count is free-ish:
+    // it populates the cache the rest of the pipeline reuses.
+    val maxBroadcastDelta = spark.conf.getOption(
+      "spark.graft.dedup.maxBroadcastDeltaDocs").map(_.toLong).getOrElse(2000000L)
+    val nIncoming = docs.filter(col("incoming")).count()
+    val probeSide =
+      if (nIncoming <= maxBroadcastDelta) broadcast(inBands.as("a"))
+      else inBands.as("a")
+    val cand = baseBands.as("b").join(probeSide,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("d_in"), col("b.doc_id").as("d_base"))
       .distinct()
@@ -1728,12 +1739,16 @@ object DocQueries {
   }
 
   val knBigramSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
       |           FROM documents),
       | bgx AS (SELECT unnest(list_transform(range(1, len(tk)),
       |           i -> tk[i] || ' ' || tk[i+1])) AS g
       |         FROM t WHERE len(tk) >= 2),
-      | bc AS (SELECT g, COUNT(*) AS cnt FROM bgx GROUP BY 1),
+      | -- replay the Spark side's top-(count,key) model cap so the oracle
+      | -- stays exact even on a corpus whose bigram vocabulary exceeds it
+      | bc AS (SELECT g, cnt FROM (
+      |          SELECT g, COUNT(*) AS cnt FROM bgx GROUP BY 1
+      |          ORDER BY cnt DESC, g LIMIT $VocabCap)),
       | cx AS (SELECT split_part(g, ' ', 1) AS v, SUM(cnt) AS ctx,
       |               COUNT(*) AS nfol FROM bc GROUP BY 1),
       | cw AS (SELECT split_part(g, ' ', 2) AS w, COUNT(*) AS cont
@@ -2842,6 +2857,11 @@ object DocQueries {
   /** Fixed-point scale for the integer idf (see [[tfidfKnn]] determinism
     * note). */
   private val TfidfScale = 1000L
+  /** Default df cap (fraction of corpus) and the degeneracy gate: the cap
+    * auto-applies only when it would drop at most this fraction of the
+    * vocabulary (see [[tfidfKnn]]). */
+  private val TfidfDfCapFrac = 0.5
+  private val TfidfCapMaxDropFrac = 0.2
 
   /** Sparse-vector similarity search: TF-IDF weighted cosine top-k over the
     * corpus vocabulary — the lexical analog of [[EmbeddingQueries.knnBrute]]
@@ -2877,25 +2897,34 @@ object DocQueries {
     * consumers (corpus side, probe broadcast, both norm lookups): measured
     * 2.5s → 0.9s warm at sf0.1. */
   def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
-    // Optional impact pruning (`spark.graft.tfidf.dfCapFrac`): drop terms
-    // whose df exceeds the given fraction of the corpus. On a web corpus
-    // stopword postings dominate the term-keyed exchange while ranking
-    // nothing (bottom-of-scale idf) — production sets ~0.5 (the classic
-    // stopword cap). Default OFF: the synthetic fixture draws from a
-    // 31-term vocabulary where almost every term tops the cap, and the
-    // oracle checks the uncapped form; the cap path is pinned by
-    // PipelineSpec's planted hot-term test.
-    val capFrac = spark.conf.getOption("spark.graft.tfidf.dfCapFrac")
+    // Impact pruning (`spark.graft.tfidf.dfCapFrac`, DEFAULT 0.5): drop
+    // terms whose df exceeds the given fraction of the corpus. On a web
+    // corpus stopword postings dominate the term-keyed exchange while
+    // ranking nothing (bottom-of-scale idf) — 0.5 is the classic stopword
+    // cap, and at warehouse scale it is the default path, not an opt-in.
+    // Degeneracy gate: when the cap is NOT set explicitly, it auto-applies
+    // only if the terms it would drop are <= `capMaxDropFrac` (default 0.2)
+    // of the vocabulary — on a Zipf corpus the >0.5-df terms are a handful
+    // of stopwords, while on a degenerate tiny-vocab corpus (the synthetic
+    // fixture's 31 terms, nearly all corpus-dense) capping would empty the
+    // index, so the gate leaves it uncapped there. The oracle replays the
+    // same gate + cap, so both regimes stay hash-exact; an explicit conf
+    // value applies unconditionally (pinned by PipelineSpec's planted
+    // hot-term test).
+    val capConf = spark.conf.getOption("spark.graft.tfidf.dfCapFrac")
       .map(_.toDouble)
+    val capFrac = capConf.getOrElse(TfidfDfCapFrac)
+    val dropMax = spark.conf.getOption("spark.graft.tfidf.capMaxDropFrac")
+      .map(_.toDouble).getOrElse(TfidfCapMaxDropFrac)
     // evict superseded cap settings for this (session, dataset) eagerly
     // (ahead of LRU pressure): each entry pins two corpus-sized cached
     // frames — sweeping dfCapFrac must not accumulate abandoned index
     // copies in executor memory
     MemoCache.evict(spark, {
-      case ("tfidf-index", `d`, cf) => cf != capFrac
+      case ("tfidf-index", `d`, cfg) => cfg != ((capConf, dropMax))
       case _ => false
     })
-    val (weights, norms) = MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, capFrac))({
+    val (weights, norms) = MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, (capConf, dropMax)))({
       val docs = documents(spark, d)
       val postings = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -2910,10 +2939,18 @@ object DocQueries {
       val joined = postings
         .join(dfTable, "term")
         .crossJoin(broadcast(nDocs))
-      val capped = capFrac match {
-        case Some(f) => joined.filter(col("df") <= col("n_docs") * f)
-        case None    => joined
-      }
+      // model-sized decision (one row over the vocab table), made once per
+      // memoized index build
+      val applyCap = capFrac > 0 && (capConf.isDefined || {
+        val g = dfTable.crossJoin(broadcast(nDocs))
+          .agg(count(lit(1)).as("nv"),
+            sum(when(col("df") > col("n_docs") * capFrac, 1L).otherwise(0L))
+              .as("ncap")).head()
+        g.getLong(0) > 0 && g.getLong(1).toDouble <= g.getLong(0) * dropMax
+      })
+      val capped =
+        if (applyCap) joined.filter(col("df") <= col("n_docs") * capFrac)
+        else joined
       val w = capped
         .selectExpr("doc_id", "term",
           s"tf * ((n_docs * $TfidfScale) DIV df) AS w")
@@ -2949,9 +2986,18 @@ object DocQueries {
        |        FROM p GROUP BY 1, 2),
        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
        | idf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       | -- replay the default df-cap + degeneracy gate of the Spark side:
+       | -- cap terms with df > $TfidfDfCapFrac*N unless that would drop more
+       | -- than $TfidfCapMaxDropFrac of the vocabulary (degenerate corpus)
+       | v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+       |         CAST(SUM(CASE WHEN CAST(df AS DOUBLE) > n.n_docs * $TfidfDfCapFrac
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS ncap
+       |       FROM idf CROSS JOIN n),
        | w AS (SELECT tf.doc_id, tf.term,
        |         tf.tf * ((n.n_docs * $TfidfScale) // idf.df) AS w
-       |       FROM tf CROSS JOIN n JOIN idf ON tf.term = idf.term),
+       |       FROM tf CROSS JOIN n CROSS JOIN v JOIN idf ON tf.term = idf.term
+       |       WHERE CAST(v.ncap AS DOUBLE) > v.nv * $TfidfCapMaxDropFrac
+       |          OR CAST(idf.df AS DOUBLE) <= n.n_docs * $TfidfDfCapFrac),
        | nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2
        |         FROM w GROUP BY 1),
        | dots AS (SELECT pw.doc_id AS probe_id, w.doc_id,

@@ -459,8 +459,8 @@ object RelationalQueries {
 
   val q12Sql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS very_late_count,
-      |  SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS late_count
+      |  CAST(SUM(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS very_late_count,
+      |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count
       |FROM lineitem, orders
       |WHERE l_orderkey = o_orderkey
       |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -770,9 +770,14 @@ object RelationalQueries {
   // ---------------------------------------------------------------- q9
   /** TPC-H Q9-style product-type profit: per supplier nation and order
     * year, revenue minus supply cost for STANDARD parts. The fact scans
-    * once; part/supplier/partsupp broadcast; profit = exact decimal
-    * revenue minus exact integer cost-cents, subtracted in double only at
-    * the output edge. */
+    * once; part/supplier broadcast. partsupp is fact-scale (4 rows per
+    * part — ~8B rows at 100x), so it must NEVER be a broadcast build
+    * side: it is pruned to the STANDARD slice by the same broadcast part
+    * dim the fact uses, then joined on the composite key as a pinned
+    * shuffle-hash join — the shape that survives warehouse scale (both
+    * sides already pruned, no sort, partition-local builds).
+    * Profit = exact decimal revenue minus exact integer cost-cents,
+    * subtracted in double only at the output edge. */
   def q9(spark: SparkSession, d: String): DataFrame = {
     val p = part(spark, d).filter(col("p_type") === "STANDARD").select("p_partkey")
     val s = supplier(spark, d).select("s_suppkey", "s_nationkey")
@@ -780,14 +785,16 @@ object RelationalQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
     val ps = partsupp(spark, d)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
       .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+      .hint("shuffle_hash")
     val o = orders(spark, d).select(col("o_orderkey"),
       year(col("o_orderdate")).as("o_year"))
     lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), revenue.as("rev"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(ps), col("l_partkey") === col("ps_partkey") &&
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))

@@ -436,12 +436,30 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
   }
 
-  test("q9: one fact scan; part/partsupp/supplier all broadcast") {
+  test("q9: one fact scan; dims broadcast; partsupp is NEVER a broadcast " +
+      "build side (fact-scale: ~8B rows at 100x) — it shuffle-hash joins") {
     val df = RelationalQueries.q9(spark, sf)
     val nodes = planNodes(df)
     val bhj = nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-    assert(bhj >= 3, s"part/partsupp/supplier sides must broadcast, got $bhj")
+    assert(bhj >= 3, s"part/supplier/nation sides must broadcast, got $bhj")
+    // The partsupp derivation is q9's only explode (GenerateExec). Walk every
+    // broadcast exchange's subtree: none may contain it — a plan that
+    // broadcasts the derived partsupp OOMs the driver at warehouse scale.
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => subtree(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => subtree(q.plan)
+      case other => other +: other.children.flatMap(subtree)
+    }
+    val broadcastsGenerate = nodes.exists {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        subtree(b).exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+      case _ => false
+    }
+    assert(!broadcastsGenerate, "partsupp must never be a broadcast build side")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "fact x partsupp must be a shuffled hash join on the composite key")
     val factScans = nodes.count {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))

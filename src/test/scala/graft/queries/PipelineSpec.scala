@@ -868,9 +868,12 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Seq((0L, 7L, 0.555556, 1)))
   }
 
-  test("tfidf df cap: a corpus-wide hot term is pruned from the index") {
-    // "the" occurs in every doc: uncapped it links even disjoint docs to
-    // the probe; with the 0.5 cap only genuine term overlap survives
+  test("tfidf df cap: a corpus-wide hot term is pruned BY DEFAULT; " +
+      "dfCapFrac=0 disables") {
+    // "the" occurs in every doc (1 of 13 vocab terms over the 0.5 cap —
+    // well under the 20% degeneracy gate): the default path prunes it, so
+    // only genuine term overlap survives; disabling the cap links even
+    // the disjoint docs to the probe through the stopword
     val docs = Seq(
       (0L, "the apple banana cherry"),
       (7L, "the apple banana mango"),
@@ -880,18 +883,38 @@ class PipelineSpec extends SparkSpec {
       .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
     val tmp = java.nio.file.Files.createTempDirectory("tfidfcap").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val uncapped = DocQueries.tfidfKnn(spark, tmp)
-      .select("doc_id").as[Long].collect().toSet
-    assert(uncapped === Set(7L, 11L, 12L))
-    spark.conf.set("spark.graft.tfidf.dfCapFrac", "0.5")
+    val capped = DocQueries.tfidfKnn(spark, tmp)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(capped.map(_._2).toSet === Set(7L))
+    // apple/banana idf 2000, cherry/mango 4000: dot 8e6 over norms
+    // sqrt(24e6) each -> exactly 1/3
+    assert(capped.head._3 === 0.333333)
+    spark.conf.set("spark.graft.tfidf.dfCapFrac", "0")
     try {
-      val capped = DocQueries.tfidfKnn(spark, tmp)
-        .as[(Long, Long, Double, Int)].collect()
-      assert(capped.map(_._2).toSet === Set(7L))
-      // apple/banana idf 2000, cherry/mango 4000: dot 8e6 over norms
-      // sqrt(24e6) each -> exactly 1/3
-      assert(capped.head._3 === 0.333333)
+      val uncapped = DocQueries.tfidfKnn(spark, tmp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(uncapped === Set(7L, 11L, 12L))
     } finally spark.conf.unset("spark.graft.tfidf.dfCapFrac")
+  }
+
+  test("tfidf df cap degeneracy gate: a tiny-vocab corpus where capping " +
+      "would drop most terms stays uncapped by default") {
+    // vocabulary {aa bb cc x0 x7 x11 x12}: aa/bb/cc are in every doc
+    // (3 of 7 terms over the cap = 43% > the 20% gate) — auto-capping
+    // would gut the index, so the gate must leave it uncapped and the
+    // hot terms still link the disjoint docs to the probe
+    val docs = Seq(
+      (0L, "aa bb cc x0"),
+      (7L, "aa bb cc x7"),
+      (11L, "aa bb cc x11"),
+      (12L, "aa bb cc x12"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("tfidfgate").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.tfidfKnn(spark, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(7L, 11L, 12L))
   }
 
   test("hash classifier: order-invariant, additive, and hash-faithful") {

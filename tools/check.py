@@ -28,6 +28,19 @@ for name, sql in sorted(oracle.items()):
     oc, sc = sorted(odf.columns), sorted(sdf.columns)
     if oc != sc:
         print(f"FAIL {name}: cols oracle={oc} spark={sc}"); fails += 1; continue
+    # Dtype-strict, like the driver: an int64 Spark column vs a float64
+    # oracle column (e.g. DuckDB HUGEINT -> pandas float) must FAIL even
+    # when the values are numerically equal — the driver's hash is over
+    # dtype-rendered values ("1" vs "1.0").
+    def kind(dt):
+        k = dt.kind  # i/u -> int, f -> float, b -> bool, M -> datetime, O -> object
+        return {"i": "int", "u": "int"}.get(k, k)
+    dtype_bad = [c for c in oc if kind(odf[c].dtype) != kind(sdf[c].dtype)
+                 # all-NULL object columns are indistinguishable; skip those
+                 and not (odf[c].isna().all() or sdf[c].isna().all())]
+    if dtype_bad:
+        msg = {c: (str(odf[c].dtype), str(sdf[c].dtype)) for c in dtype_bad}
+        print(f"FAIL {name}: dtype mismatch (oracle,spark) {msg}"); fails += 1; continue
     o = odf[oc].values.tolist(); s = sdf[sc].values.tolist()
     def norm(v):
         if v is None: return "NULL"
