@@ -113,7 +113,11 @@ object EnrichQueries {
     * the struct carries real typed arrays, GeoSurfaceSpec pins the types).
     * Unmatched IPs keep the reference's absent-geo semantics: every field
     * null. */
-  def geoEnrichFull(spark: SparkSession, d: String): DataFrame = {
+  def geoEnrichFull(spark: SparkSession, d: String): DataFrame =
+    enrichFullWith(spark, d, geoDimFull(spark, d))
+
+  private def enrichFullWith(spark: SparkSession, d: String,
+      dim: DataFrame): DataFrame = {
     // event_id-keyed IPs (unlike geo_enrich's user_id): event_id spans the
     // full third octet, so ids with octet 254/255 land OUTSIDE every dim
     // range and the oracle checks absent-geo semantics on real rows
@@ -122,7 +126,7 @@ object EnrichQueries {
       concat(lit("10.0."),
         (col("event_id") % 256).cast("string"), lit("."),
         ((col("event_id") * 7) % 256).cast("string")).as("ip"))
-    val enriched = GeoIp.enrichPrefix(ev, "ip", geoDimFull(spark, d))
+    val enriched = GeoIp.enrichPrefix(ev, "ip", dim)
       .withColumn("geo", GeoIp.cityResponse)
     val g = col("geo")
     val flat = GeoIp.CityResponseFields.map {
@@ -133,6 +137,26 @@ object EnrichQueries {
       case f => g.getField(f).as(f)
     }
     enriched.select(col("event_id") +: col("ip") +: flat: _*)
+  }
+
+  /** The full ip2geo surface driven through a REAL MaxMind-DB file: the
+    * deterministic City dim is serialized to `.mmdb`
+    * ([[graft.sources.MaxMindDbWriter]] — search tree, type-tagged data
+    * section, metadata), parsed back through the binary reader
+    * ([[graft.sources.MaxMindDb.cityDim]]), and broadcast onto the events.
+    * A user with an actual GeoIP2/GeoLite2 file gets exactly this path
+    * (minus the writer). The oracle is [[geoEnrichFullSql]] verbatim: the
+    * write→parse round trip must be enrichment-lossless — ranges re-emerge
+    * CIDR-split but cover the same addresses with the same record (the
+    * reference's mmap lookup semantics, `ip2geo/DatabaseLookupService
+    * .java:78-96`). */
+  def geoMmdbRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val dimRows = geoDimFull(spark, d).collect().toSeq // 25 rows: model-sized
+    val mmdb = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-geo-${Integer.toHexString(d.hashCode)}.mmdb").getAbsolutePath
+    graft.sources.MaxMindDbWriter.write(dimRows, mmdb)
+    enrichFullWith(spark, d, graft.sources.MaxMindDb.cityDim(spark, mmdb))
   }
 
   val geoEnrichFullSql: String =
@@ -334,6 +358,7 @@ object EnrichQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
+    "geo_mmdb_roundtrip" -> (geoMmdbRoundtrip _),
     "media_decode"   -> (mediaDecode _),
     "media_frames"   -> (mediaFrames _),
     "media_resize"   -> (mediaResize _),
@@ -343,6 +368,9 @@ object EnrichQueries {
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
     "geo_enrich_full" -> geoEnrichFullSql,
+    // the round trip must be enrichment-lossless, so the oracle is the
+    // same SQL as geo_enrich_full — any writer/reader defect hash-fails
+    "geo_mmdb_roundtrip" -> geoEnrichFullSql,
     "media_decode"   -> mediaDecodeSql,
     "media_frames"   -> mediaFramesSql,
     "media_resize"   -> mediaResizeSql,

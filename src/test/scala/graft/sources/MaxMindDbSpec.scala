@@ -280,6 +280,51 @@ class MaxMindDbSpec extends SparkSpec {
     assert(viaPrefix.toSeq === got.toSeq)
   }
 
+  test("writer round trip: dim -> mmdb -> cityDim is enrichment-lossless") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mmdbw").toString
+    // unaligned ranges force the CIDR split; every City field populated on
+    // row 1, sparse on row 2 (nulls must survive the round trip as nulls)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1000L, 3599L,
+        77L, "Cityville", "EU", 6000L, "Europe", "NL", 7000L, "Netherlands",
+        52.1, 4.5, 528L, "Europe/Amsterdam", "S2", 92L, "Sub Two", "01234",
+        "RC", 7100L, "RegName", "MIL", 8000L, "Base",
+        Seq("S1", "S2"), Seq(91L, 92L), Seq("Sub One", "Sub Two"),
+        64512L, "AS Org", "ex.example", "ISP X", "Org X", true, false),
+      org.apache.spark.sql.Row(4096L, 4223L,
+        null, null, null, null, null, "US", 6252001L, "United States",
+        null, null, null, null, null, null, null, null,
+        null, null, null, null, null, null,
+        null, null, null, null, null, null, null, null, false, true))
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MaxMindDb.CityDimSchema)
+    val path = s"$tmp/export.mmdb"
+    MaxMindDbWriter.write(dim.collect().toSeq, path) // schema-attached rows
+    val back = MaxMindDb.cityDim(spark, path)
+    // ranges re-emerge CIDR-split; merging contiguous same-record blocks
+    // must reproduce the original bounds
+    val nets = back.select("ip_start", "ip_end", "country_code")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(nets.head._1 === 1000L && nets.last._2 === 4223L)
+    assert(nets.filter(_._3 == "NL").map(n => n._2 - n._1 + 1).sum === 2600L)
+    assert(nets.filter(_._3 == "US").map(n => n._2 - n._1 + 1).sum === 128L)
+    // enrichment through the round-tripped dim == through the original
+    val probes = Seq((1L, "0.0.3.232"), (2L, "0.0.14.15"), (3L, "0.0.16.5"),
+      (4L, "0.0.20.0")).toDF("event_id", "ip")
+    def flat(d: org.apache.spark.sql.DataFrame) =
+      GeoIp.enrich(probes, "ip", d)
+        // the matched block's own bounds legitimately differ (CIDR-split);
+        // every CityResponse value must be identical
+        .drop("ip_start", "ip_end")
+        .withColumn("subdivision_codes", concat_ws("|", col("subdivision_codes")))
+        .withColumn("subdivision_ids",
+          concat_ws("|", transform(col("subdivision_ids"), _.cast("string"))))
+        .withColumn("subdivision_names", concat_ws("|", col("subdivision_names")))
+        .orderBy("event_id").collect().toSeq
+    assert(flat(back) === flat(dim))
+  }
+
   test("refreshableCityDim hot-swaps when the mmdb file changes") {
     val tmp = java.nio.file.Files.createTempDirectory("mmdbhot").toString
     val db = s"$tmp/live.mmdb"
