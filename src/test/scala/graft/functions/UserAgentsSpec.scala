@@ -102,8 +102,9 @@ class UserAgentsSpec extends AnyFunSuite {
       "Firefox", "120.0", "Smartphone", "iOS"),
     Expect("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
       "Chrome", "120.0.6099.119", "Smartphone", "iOS"),
+    // distro-level OS family since r6 (uadetector reports Ubuntu, not Linux)
     Expect("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Ubuntu Chromium/119.0.6045.199 Chrome/119.0.6045.199 Safari/537.36",
-      "Chromium", "119.0.6045.199", "Personal computer", "Linux"),
+      "Chromium", "119.0.6045.199", "Personal computer", "Ubuntu"),
     Expect("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36",
       "Chrome", "119.0.6045.105", "Personal computer", "Linux"),
     Expect("Mozilla/5.0 (Linux; Android 9; KFTRWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/120.2.1 like Chrome/120.0.6099.115 Safari/537.36",
