@@ -149,13 +149,50 @@ object SourceQueries {
       |  'red,blue' AS color_values
       |FROM events""".stripMargin
 
+  /** ETag duplicate-request suppression over a synthetic request log
+    * ([[graft.sources.EtagSuppression]]; reference
+    * `ClientSideCookieEventHandler.java:100-137`): five deterministic
+    * `If-None-Match` shapes — strong sentinel, weak sentinel, sentinel
+    * inside a list, a foreign tag, and no header — annotated with the
+    * suppression flag and HTTP status. Narrow codegen'd pass, zero
+    * exchanges; the oracle pins the analytically-known outcome per shape
+    * (the RFC 7232 parse itself is exercised edge-by-edge in
+    * EtagSuppressionSpec). */
+  def etagSuppress(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.EtagSuppression
+    val hdr = element_at(array(
+      lit(EtagSuppression.SentinelEtag),
+      lit("W/" + EtagSuppression.SentinelEtag),
+      lit("\"deadbeef\" , " + EtagSuppression.SentinelEtag),
+      lit("\"deadbeef\""),
+      lit(null).cast("string")),
+      (col("event_id") % 5 + 1).cast("int"))
+    EtagSuppression.annotate(
+      events(spark, d).select(col("event_id")).withColumn("if_none_match", hdr),
+      "if_none_match")
+  }
+
+  val etagSuppressSql: String =
+    """SELECT event_id,
+      |  CASE event_id % 5
+      |    WHEN 0 THEN '"6b3edc43-20ec-4078-bc47-e965dd76b88a"'
+      |    WHEN 1 THEN 'W/"6b3edc43-20ec-4078-bc47-e965dd76b88a"'
+      |    WHEN 2 THEN '"deadbeef" , "6b3edc43-20ec-4078-bc47-e965dd76b88a"'
+      |    WHEN 3 THEN '"deadbeef"'
+      |  END AS if_none_match,
+      |  event_id % 5 <= 2 AS etag_suppressed,
+      |  CASE WHEN event_id % 5 <= 2 THEN 304 ELSE 200 END AS http_status
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_browser_roundtrip" -> (browserRoundtrip _),
     "src_json_roundtrip"    -> (jsonRoundtrip _),
+    "src_etag_suppress"     -> (etagSuppress _),
     "uri_parse"             -> (uriParse _))
 
   val oracles: Map[String, String] = Map(
     "src_browser_roundtrip" -> browserRoundtripSql,
     "src_json_roundtrip"    -> jsonRoundtripSql,
+    "src_etag_suppress"     -> etagSuppressSql,
     "uri_parse"             -> uriParseSql)
 }
