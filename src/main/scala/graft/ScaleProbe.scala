@@ -32,7 +32,7 @@ object ScaleProbe {
   /** Bump when the generator below changes shape: the marker name carries
     * the version, so stale pre-change fixture dirs regenerate instead of
     * silently measuring against data the code no longer describes. */
-  private val GenVersion = 3
+  private val GenVersion = 4
 
   private def writeScaled(spark: SparkSession, sfDir: String, outDir: String,
                           k: Int): String = {
@@ -93,11 +93,16 @@ object ScaleProbe {
       // corpus-dense terms at all, which is the artificial part — the
       // shared slice restores Zipf-hot posting lists (what tfidf's
       // df-cap prunes) while <1% of 3-token shingles survive intact, so
-      // dedup corpora still grow in genuine content
+      // dedup corpora still grow in genuine content. The FIRST token is
+      // always suffixed: without that, a short doc whose every token is
+      // shared replicates into 16 exact copies, and the dedup probes
+      // measure output growth (16-wide dup cliques), not scaling
       .withColumn("text", when(col("rep") === 0, col("text"))
-        .otherwise(array_join(transform(
+        .otherwise(array_join(zip_with(
           split(trim(col("text")), "\\s+"),
-          t => when(conv(substring(md5(t), 25, 8), 16, 10).cast("long") % 6 === 0, t)
+          sequence(lit(1), size(split(trim(col("text")), "\\s+"))),
+          (t, i) => when(i > 1 &&
+              conv(substring(md5(t), 25, 8), 16, 10).cast("long") % 6 === 0, t)
             .otherwise(concat(t, lit("_"), col("rep")))), " ")))
       // re-derive the length column for rewritten replicas only
       .withColumn("n_chars", when(col("rep") === 0, col("n_chars"))

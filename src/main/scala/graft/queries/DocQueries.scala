@@ -1946,6 +1946,103 @@ object DocQueries {
       |FROM k JOIN th ON k.source = th.source
       |WHERE k.mix_key < th.mix_threshold""".stripMargin
 
+  // ------------------------------------------- domain reweighting (DoReMi)
+  private val ReweightIters = 8
+  private val ReweightEta = 0.1
+  private val ReweightFloor = 1e-9
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023): iteratively
+    * upweight the domains the proxy model finds HARD (excess loss above
+    * the corpus baseline) via multiplicative weights, so the training mix
+    * spends capacity where the model underfits. The proxy loss here is
+    * the corpus-trained [[unigramLm]] NLL (the same CCNet-style scorer
+    * the quality family uses); excess(s) = mean NLL of source s minus the
+    * corpus mean. Update per iteration: `w ← w·(1 + η·excess)` (the
+    * linearized exp(η·excess) multiplicative-weights step — polynomial,
+    * so the oracle replays it exactly), floored at [[ReweightFloor]] and
+    * renormalized left-to-right.
+    *
+    * Determinism: per-source NLL mass is an INTEGER sum of round-6 NLLs
+    * scaled by 1e6 (no distributed double sum); means are integer
+    * divisions; the [[ReweightIters]] iterations run on the driver over
+    * source-cardinality data (model-sized work, the BPE/linear-probe
+    * precedent) with the identical fold order the DuckDB recursive CTE
+    * uses, then broadcast back as a frame.
+    *
+    * Scale: the heavy work is [[unigramLm]]'s one scoring pass; the
+    * reweighting itself touches |sources| rows. At 100 TB the per-source
+    * masses come off that same scan as a map-side-combinable aggregate —
+    * nothing here grows with the corpus. */
+  def domainReweight(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val mass = unigramLm(spark, d)
+      .join(documents(spark, d).select("doc_id", "source"), "doc_id")
+      .filter(col("nll").isNotNull)
+      .groupBy("source")
+      .agg(
+        sum(round(col("nll") * 1000000.0, 0).cast("long")).as("mass"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val totalMass = mass.foldLeft(0L)(_ + _._2)
+    val totalN = mass.foldLeft(0L)(_ + _._3)
+    val baseline = totalMass / totalN // integer mean, exact in both engines
+    val meanNll = mass.map { case (_, m, n) => m / n }
+    val excess = meanNll.map(m => (m - baseline).toDouble / 1000000.0)
+    val s = mass.length
+    var w = Array.fill(s)(1.0 / s)
+    for (_ <- 1 to ReweightIters) {
+      val up = Array.tabulate(s)(i =>
+        math.max(w(i) * (1.0 + ReweightEta * excess(i)), ReweightFloor))
+      val z = up.foldLeft(0.0)(_ + _) // left-to-right, = the oracle's list_sum
+      w = up.map(_ / z)
+    }
+    // rounding happens through Spark's round() so it matches the oracle's
+    val rows = mass.indices.map { i =>
+      (mass(i)._1, mass(i)._3, meanNll(i).toDouble / 1000000.0, excess(i), w(i))
+    }
+    rows.toDF("source", "n_docs", "mean_nll_raw", "excess_raw", "weight_raw")
+      .select(col("source"), col("n_docs"),
+        round(col("mean_nll_raw"), 6).as("mean_nll"),
+        round(col("excess_raw"), 6).as("excess_nll"),
+        round(col("weight_raw"), 6).as("weight"),
+        // how far the mix moves each domain vs uniform
+        round(col("weight_raw") * s, 6).as("boost"))
+  }
+
+  lazy val domainReweightSql: String =
+    s"""WITH RECURSIVE u AS ($unigramLmSql),
+       | sm AS (SELECT d.source,
+       |          CAST(SUM(CAST(ROUND(u.nll * 1000000, 0) AS BIGINT)) AS BIGINT) AS mass,
+       |          CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM u JOIN documents d ON u.doc_id = d.doc_id
+       |        WHERE u.nll IS NOT NULL GROUP BY 1),
+       | b AS (SELECT SUM(mass) // SUM(n) AS b FROM sm),
+       | l AS (SELECT list(source ORDER BY source) AS names,
+       |         list(mass // n ORDER BY source) AS means,
+       |         list(n ORDER BY source) AS ns
+       |       FROM sm),
+       | ex AS (SELECT names, means, ns,
+       |          list_transform(means, m -> CAST(m - b.b AS DOUBLE) / 1000000) AS e
+       |        FROM l, b),
+       | it(i, w) AS (
+       |   SELECT 0, (SELECT list_transform(e, x -> CAST(1 AS DOUBLE) / len(e)) FROM ex)
+       |   UNION ALL
+       |   SELECT i + 1, list_transform(up, u2 -> u2 / z)
+       |   FROM (SELECT i, up, list_sum(up) AS z FROM (
+       |     SELECT it.i, list_transform(range(1, len(it.w) + 1),
+       |       j -> GREATEST(it.w[j] * (1 + CAST($ReweightEta AS DOUBLE) * ex.e[j]),
+       |                     CAST($ReweightFloor AS DOUBLE))) AS up
+       |     FROM it, ex WHERE it.i < $ReweightIters))
+       | ),
+       | wf AS (SELECT w FROM it ORDER BY i DESC LIMIT 1)
+       |SELECT ex.names[j] AS source, ex.ns[j] AS n_docs,
+       |  ROUND(CAST(ex.means[j] AS DOUBLE) / 1000000, 6) AS mean_nll,
+       |  ROUND(ex.e[j], 6) AS excess_nll,
+       |  ROUND(wf.w[j], 6) AS weight,
+       |  ROUND(wf.w[j] * len(ex.names), 6) AS boost
+       |FROM ex, wf, (SELECT unnest(generate_series(1, 100000)) AS j)
+       |WHERE j <= len(ex.names)""".stripMargin
+
   // ------------------------------------------------- curriculum ordering
   /** Curriculum ordering — the deterministic training-order primitive:
     * documents sort best-first WITHIN each source (stopword-density
@@ -3150,6 +3247,7 @@ object DocQueries {
     "doc_kn_bigram"    -> (knBigram _),
     "doc_source_mix"   -> (sourceMix _),
     "doc_mix_temperature" -> (mixTemperature _),
+    "doc_domain_reweight" -> (domainReweight _),
     "doc_mix_apply"       -> (mixApply _),
     "doc_bpe_train"       -> (bpeTrain _),
     "doc_bpe_encode"      -> (bpeEncode _),
@@ -3203,6 +3301,7 @@ object DocQueries {
     "doc_bpe_encode"      -> bpeEncodeSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_mix_temperature" -> mixTemperatureSql,
+    "doc_domain_reweight" -> domainReweightSql,
     "doc_mix_apply"       -> mixApplySql,
     "doc_curriculum"      -> curriculumSql,
     "doc_filter_chain"    -> filterChainSql,

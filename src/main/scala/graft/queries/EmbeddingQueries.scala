@@ -681,6 +681,77 @@ object EmbeddingQueries {
 
   lazy val annRecallIvfpqSql: String = recallSqlAgainst(ivfpqSearchSql)
 
+  // ------------------------------------------- graded ranking evaluation
+  /** NDCG@K + MRR of the LSH index against the exact ranking — the graded
+    * companion to [[annRecall]]'s set overlap: recall answers WHETHER the
+    * true neighbors surfaced, NDCG whether they surfaced in the right
+    * ORDER (gain = K+1-exact_rank of the hit), MRR how early the first
+    * true neighbor appears. Standard IR evaluation over the same per-query
+    * top-K tables (queries x K rows, corpus-size-independent).
+    *
+    * Determinism: discounts use natural log, `gain / ln(pos+1)` — the
+    * `ln 2` of the textbook log2 form cancels in the DCG/IDCG ratio, and
+    * `ln` is the transcendental both engines already agree on bit-for-bit
+    * (every LM oracle leans on it). Per-query DCG terms are folded in
+    * APPROX-RANK ORDER over a sorted collected array (Spark `aggregate`
+    * fold ≡ DuckDB ordered `list_sum`), never a distributed double sum —
+    * the order-dependence footgun the money aggregates document. */
+  def rankEval(spark: SparkSession, d: String): DataFrame =
+    rankEvalAgainstExact(knnBrute(spark, d), annLsh(spark, d))
+
+  private def rankEvalAgainstExact(exactDf: DataFrame, approxDf: DataFrame): DataFrame = {
+    val ex = exactDf.select(col("q_id"), col("vec_id"), col("rk").as("ex_rk"))
+    val ap = approxDf.select(col("q_id"), col("vec_id"), col("rk").as("ap_rk"))
+    val hits = ex.join(ap, Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("ap_rk"),
+        (lit(TopK + 1) - col("ex_rk")).cast("double").as("gain"))
+    val dcg = hits.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("ap_rk"), col("gain")))).as("hl"))
+      .select(col("q_id"),
+        aggregate(col("hl"), lit(0.0), (acc, h) =>
+          acc + h.getField("gain") /
+            log(h.getField("ap_rk").cast("double") + lit(1.0))).as("dcg"),
+        element_at(col("hl"), 1).getField("ap_rk").as("first_hit"),
+        size(col("hl")).cast("long").as("n_hits"))
+    val idcg = ex.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("ex_rk")))).as("el"))
+      .select(col("q_id"),
+        aggregate(col("el"), lit(0.0), (acc, h) =>
+          acc + (lit((TopK + 1).toDouble) - h.getField("ex_rk").cast("double")) /
+            log(h.getField("ex_rk").cast("double") + lit(1.0))).as("idcg"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg_at_k"),
+        round(coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  private def rankEvalSqlAgainst(approxSql: String): String =
+    s"""WITH ex AS ($knnBruteSql),
+       | ap AS ($approxSql),
+       | h AS (SELECT ex.q_id, ap.rk AS ap_rk,
+       |         CAST(${TopK + 1} - ex.rk AS DOUBLE) AS gain
+       |       FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id),
+       | d AS (SELECT q_id,
+       |         list_sum(list_transform(list({'r': ap_rk, 'g': gain} ORDER BY ap_rk),
+       |           x -> x.g / ln(CAST(x.r AS DOUBLE) + 1))) AS dcg,
+       |         MIN(ap_rk) AS first_hit,
+       |         CAST(COUNT(*) AS BIGINT) AS n_hits
+       |       FROM h GROUP BY 1),
+       | i AS (SELECT q_id,
+       |         list_sum(list_transform(list(rk ORDER BY rk),
+       |           r -> CAST(${TopK + 1} - r AS DOUBLE) / ln(CAST(r AS DOUBLE) + 1)))
+       |           AS idcg
+       |       FROM ex GROUP BY 1)
+       |SELECT i.q_id,
+       |  ROUND(COALESCE(d.dcg, 0) / i.idcg, 6) AS ndcg_at_k,
+       |  ROUND(COALESCE(CAST(1 AS DOUBLE) / d.first_hit, 0), 6) AS mrr,
+       |  COALESCE(d.n_hits, 0) AS n_hits
+       |FROM i LEFT JOIN d ON i.q_id = d.q_id""".stripMargin
+
+  lazy val rankEvalSql: String = rankEvalSqlAgainst(annLshSql)
+
   // ----------------------------------------------- two-stage rerank ANN
   /** Prefix length for the coarse pass and the coarse candidate budget.
     * These embeddings are NOT Matryoshka-trained (no information
@@ -1694,6 +1765,7 @@ object EmbeddingQueries {
     "emb_ann_rerank"     -> (annRerank _),
     "emb_ann_recall"     -> (annRecall _),
     "emb_ann_recall_ivf" -> (annRecallIvf _),
+    "emb_rank_eval"      -> (rankEval _),
     "emb_prefix_recall"  -> (prefixRecall _),
     "emb_linear_probe"   -> (linearProbe _),
     "emb_neardup_cosine" -> (neardupCosine _))
@@ -1719,6 +1791,7 @@ object EmbeddingQueries {
     "emb_ann_rerank"     -> annRerankSql,
     "emb_ann_recall"     -> annRecallSql,
     "emb_ann_recall_ivf" -> annRecallIvfSql,
+    "emb_rank_eval"      -> rankEvalSql,
     "emb_prefix_recall"  -> prefixRecallSql,
     "emb_linear_probe"   -> linearProbeSql,
     "emb_neardup_cosine" -> neardupCosineSql)

@@ -849,6 +849,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === ((2L, 4L, 0L, 0.0, false)))
   }
 
+  test("domain reweight: the hard (rare-token) domain is upweighted, " +
+      "weights stay a normalized distribution") {
+    // "easy" docs repeat the corpus-dominant tokens (low unigram NLL);
+    // "hard" docs use singleton tokens (high NLL -> positive excess)
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "the cat sat on the mat", "easy")) ++
+      (9 to 12).map(i => (i.toLong, s"zx$i qv$i wq$i jk$i", "hard")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("reweight").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DocQueries.domainReweight(spark, tmp)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nE, _, exE, wE, bE) = out("easy")
+    val (_, nH, _, exH, wH, bH) = out("hard")
+    assert(nE === 8L && nH === 4L)
+    assert(exH > 0 && exE < 0, "hard domain must show positive excess loss")
+    assert(wH > wE, "multiplicative weights must favor the hard domain")
+    assert(math.abs(wE + wH - 1.0) < 1e-6, "weights normalize to 1")
+    assert(bH > 1.0 && bE < 1.0, "boost is relative to uniform")
+  }
+
   test("tfidf knn: a planted near-copy is the probe's top neighbor") {
     // probe = doc 0 (0 % 101 == 0); doc 7 shares 5 of its 6 terms; docs
     // 11/12 share none, so they must not appear in the probe's result
