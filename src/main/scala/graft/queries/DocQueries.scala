@@ -3231,7 +3231,127 @@ object DocQueries {
       |  END AS novelty_frac
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 
+  // -------------------------------------- prefix-filtered set-similarity
+  /** All-pairs set-similarity join with prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al., WWW'07): every document pair whose distinct 3-token
+    * shingle sets have Jaccard >= 3/5, found WITHOUT the all-pairs product
+    * and with PROVABLY complete recall — unlike [[neardupJaccard]]'s
+    * df-capped inverted index (which trades recall on corpus-dense
+    * shingles for a bounded candidate count), the prefix filter keeps
+    * every qualifying pair by construction.
+    *
+    * The filter: order each document's shingles by ascending corpus
+    * document-frequency (rarest first, ties on the shingle string — any
+    * TOTAL order works, the df order just minimizes candidates); a pair
+    * with Jaccard >= t = p/q must share a shingle among each side's first
+    * n - ceil(t*n) + 1 (suppose not: all common shingles sit in the
+    * ceil(t*n) - 1 < t*n suffix, but J >= t forces overlap >= t*union >=
+    * t*n — contradiction). Only prefixes join; the exact intersection /
+    * union verify runs on candidates alone.
+    *
+    * Scale shape: the df table and per-doc ranking are keyed
+    * aggregations/windows; the candidate join is an inverted index over
+    * PREFIX shingles only (rare by construction, so posting lists stay
+    * short — the AllPairs candidate bound); the verify is two keyed joins
+    * against the shingle-array table. No cartesian anywhere (PlanSpec
+    * asserts). ceil(t*n) is computed in integer arithmetic
+    * ((p*n + q - 1) DIV q) so both engines agree exactly; the Jaccard
+    * test cross-multiplies (q*inter >= p*union) — no floats end to end.
+    * Threshold override: `spark.graft.setsim.p/q` (default 3/5). */
+  def setsimJoin(spark: SparkSession, d: String): DataFrame = {
+    val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
+    val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
+    val tk = toks(col("text"))
+    val sh3 = array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+    val docs = documents(spark, d).filter(size(tk) >= 3)
+      .select(col("doc_id"), sh3.as("s"))
+    val ex = docs.select(col("doc_id"), explode(col("s")).as("g"))
+    val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "g")
+      .select(col("doc_id"), col("g"),
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("g"))).as("rnk"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
+    val pref = ranked
+      .filter(col("rnk") <= col("n") - expr(s"($p*n + ${q - 1}) DIV $q") + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("inter") * q >= col("uni") * p)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** The oracle is the BRUTE-FORCE all-pairs join — deliberately not a
+    * replay of the prefix filter, so the gate independently verifies the
+    * filter's completeness claim, not just arithmetic agreement. */
+  val setsimJoinSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |        FROM t WHERE len(tk) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE 5 * len(list_intersect(a.s, b.s))
+      |   >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
+
+  // ------------------------------------------- blocked edit-distance dedup
+  /** Fuzzy (edit-distance) near-dup pairs with COMPLETE length-band
+    * blocking: every pair with levenshtein(text_a, text_b) <= K, no
+    * all-pairs product. Completeness: lev >= |len(a) - len(b)|, so a
+    * qualifying pair's lengths differ by <= K and their K-wide length
+    * bands by <= 1. The left side carries its own band; the right side
+    * fans out to {band-1, band, band+1}; the equi-join on the band key
+    * then catches every adjacent-band pair EXACTLY ONCE (the left key
+    * occurs at most once in the right doc's key set), so no
+    * dedup-over-text shuffle is needed. The exact `levenshtein` verify
+    * (built-in, codegen'd) runs on in-band candidates only.
+    *
+    * Length alone is a weak blocking key on a web corpus — production
+    * entity resolution composes it with a content key (e.g.
+    * [[fingerprint]] prefixes or [[setsimJoin]] candidates) before the
+    * O(len^2) verify; this operator keeps the single provably-complete
+    * key so its output is EXACT, and documents the composition as the
+    * 100-TB path. K override: `spark.graft.fuzzy.maxDist` (default 40). */
+  def fuzzyDedup(spark: SparkSession, d: String): DataFrame = {
+    val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    val docs = documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
+    val left = docs.withColumn("band", expr(s"n_chars DIV $k"))
+    val right = docs
+      .withColumn("band", explode(array(expr(s"n_chars DIV $k - 1"),
+        expr(s"n_chars DIV $k"), expr(s"n_chars DIV $k + 1"))))
+    left.as("a").join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .filter(abs(col("a.n_chars") - col("b.n_chars")) <= k)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /** Brute-force oracle (with the |len diff| <= K implication of the
+    * metric as a pushdown, not a semantic change) — independently checks
+    * the band blocking's completeness. */
+  val fuzzyDedupSql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 40
+      |WHERE levenshtein(a.text, b.text) <= 40""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_setsim_join"        -> (setsimJoin _),
+    "doc_fuzzy_dedup"        -> (fuzzyDedup _),
     "doc_contamination_rate" -> (contaminationRate _),
     "doc_tfidf_knn"          -> (tfidfKnn _),
     "doc_hash_classifier"    -> (hashClassifier _),
@@ -3284,6 +3404,8 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_setsim_join"        -> setsimJoinSql,
+    "doc_fuzzy_dedup"        -> fuzzyDedupSql,
     "doc_contamination_rate" -> contaminationRateSql,
     "doc_tfidf_knn"          -> tfidfKnnSql,
     "doc_hash_classifier"    -> hashClassifierSql,

@@ -572,4 +572,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct"))
   }
+  test("setsim join / fuzzy dedup: candidate generation is keyed, never a product") {
+    for (op <- Seq("doc_setsim_join", "doc_fuzzy_dedup")) {
+      val nodes = planNodes(graft.queries.DocQueries.queries(op)(spark, sf))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$op: candidates must come from the shingle-prefix/length-band " +
+          "equi-join, not an all-pairs product")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+        s"$op: no nested-loop join anywhere in the pipeline")
+    }
+  }
 }

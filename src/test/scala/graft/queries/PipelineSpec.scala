@@ -1691,4 +1691,71 @@ class PipelineSpec extends SparkSpec {
     assert(byGid(1).forall(r => r._1.isDefined && r._2.isEmpty))
     assert(byGid(2).forall(r => r._1.isEmpty && r._2.isDefined))
   }
+  test("setsim join: prefix filter finds exactly the brute-force pairs (planted)") {
+    // 12-shingle base; one-shingle edits keep jaccard >= 0.6, a half
+    // rewrite drops below it; doc 4 shares nothing
+    val base = "a b c d e f g h i j k l m n"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " o"),                      // superset: J = 12/13 >= 3/5
+      (3L, "a b c d e f g z z z z z z z"),    // tail rewritten: J < 3/5
+      (4L, "q r s t u v w x y z aa bb cc dd")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("setsim").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.setsimJoin(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 12L, 13L)))
+  }
+
+  test("setsim join: complete recall vs in-Spark brute force on sf0.001") {
+    val tk = split(trim(col("text")), "\\s+")
+    val sh = array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(tk) >= 3).select(col("doc_id"), sh.as("s"))
+    val brute = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.s"), col("b.s"))).cast("long"))
+      .withColumn("uni", (size(col("a.s")) + size(col("b.s"))).cast("long") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("inter"), col("uni"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = DocQueries.setsimJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute, "prefix filter must neither miss nor add pairs")
+  }
+
+  test("fuzzy dedup: band-straddling pair is caught; far pair is not") {
+    // K = 40: lengths 79 vs 81 sit in adjacent bands (1 vs 2) but differ
+    // by 2 chars -- the 3-key fan-out must catch the pair exactly once
+    val t79 = "x" * 79
+    val t81 = "x" * 79 + "yy"
+    val docs = Seq(
+      (1L, t79), (2L, t81),
+      (3L, "z" * 300)                          // length gap > K: excluded
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.fuzzyDedup(spark, tmp)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 2L)), "exactly once, distance 2")
+  }
+
+  test("fuzzy dedup: agrees with in-Spark brute force on sf0.001") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val brute = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .filter(col("dist") <= 40)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = DocQueries.fuzzyDedup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute, "length-band blocking must be lossless at K=40")
+  }
 }
