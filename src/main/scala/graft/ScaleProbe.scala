@@ -133,6 +133,10 @@ object ScaleProbe {
       "evt_sessionize", "evt_daily_rollup_approx", "evt_retention",
       "doc_dedup_exact", "doc_minhash_lsh", "doc_substring_dedup",
       "doc_tfidf_knn", "emb_knn_brute",
+      // prefix-filtered set-similarity: the candidate bound rests on
+      // prefix posting lists staying short — super-linear growth here
+      // means the df ordering stopped pruning
+      "doc_setsim_join",
       // q9 joins the fact to the derived (fact-scale) partsupp: on the
       // watchlist since r6, when its partsupp broadcast hint was removed —
       // a replan back to a partsupp broadcast would decay here first

@@ -3258,6 +3258,36 @@ object DocQueries {
     * ((p*n + q - 1) DIV q) so both engines agree exactly; the Jaccard
     * test cross-multiplies (q*inter >= p*union) — no floats end to end.
     * Threshold override: `spark.graft.setsim.p/q` (default 3/5). */
+  /** AllPairs candidate pairs for `docs(doc_id, s: array)` at Jaccard
+    * threshold p/q: rarest-first prefix posting-list join (see
+    * [[setsimJoin]] for the completeness argument). Element type is
+    * whatever the array carries — shingle strings ([[setsimJoin]]) or
+    * md5-low-32 hashes ([[minhashRecall]]'s truth side). */
+  private def prefixCandidates(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    // n rides the explode (it's just size(s)) — a count-over-partition
+    // window here would add a second WindowExec over the full inverted
+    // index for a value the array already knows
+    val ex = docs.select(col("doc_id"), size(col("s")).as("n"),
+      explode(col("s")).as("g"))
+    val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "g")
+      .select(col("doc_id"), col("g"), col("n"),
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("g"))).as("rnk"))
+    val pref = ranked
+      .filter(col("rnk") <= col("n") - expr(s"($p*n + ${q - 1}) DIV $q") + 1)
+      .select(col("doc_id"), col("g"), col("n"))
+    // PPJoin length filter rides the candidate join: J >= p/q forces
+    // inter >= (p/q)*max(|a|,|b|) and inter <= min(|a|,|b|), so any
+    // qualifying pair has q*min >= p*max — size-mismatched pairs never
+    // reach the verify
+    pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * q >= col("b.n") * p && col("b.n") * q >= col("a.n") * p)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def setsimJoin(spark: SparkSession, d: String): DataFrame = {
     val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
     val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
@@ -3267,21 +3297,7 @@ object DocQueries {
         element_at(tk, i + 2))))
     val docs = documents(spark, d).filter(size(tk) >= 3)
       .select(col("doc_id"), sh3.as("s"))
-    val ex = docs.select(col("doc_id"), explode(col("s")).as("g"))
-    val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfTab, "g")
-      .select(col("doc_id"), col("g"),
-        row_number().over(Window.partitionBy("doc_id")
-          .orderBy(col("df"), col("g"))).as("rnk"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
-    val pref = ranked
-      .filter(col("rnk") <= col("n") - expr(s"($p*n + ${q - 1}) DIV $q") + 1)
-      .select(col("doc_id"), col("g"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
+    prefixCandidates(docs, p, q)
       .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
