@@ -57,8 +57,9 @@ object GraftExtensions {
       args => UriParse(args.head) },
     fn("browser_decode", "browser_decode(query_string) - one-pass browser wire decode struct") {
       args => BrowserDecode(args.head) },
-    fn("ua_parse", "ua_parse(user_agent) - user-agent classification struct") {
-      args => UaParse(args.head) },
+    fn("ua_parse", "ua_parse(user_agent[, 'db_path']) - user-agent classification struct; optional uap-core regexes.yaml database path (plan-time literal)") {
+      args => UaParse(args.head,
+        args.drop(1).headOption.map(litStr(_, "ua_parse database path"))) },
     fn("parse_query_string", "parse_query_string(str) - multi-value query-string map") {
       args => ParseQueryString(args.head) },
     fn("split_header_value", "split_header_value(str) - RFC-7230 header value split") {

@@ -48,10 +48,10 @@ object DefaultMapping {
   // Native expression: one InternalRow per parse (per-thread LRU inside),
   // no reflective serializer. Still pinned to evaluate once via a dedicated
   // projection below.
-  private def uaParse(c: org.apache.spark.sql.Column) =
+  private def uaParse(c: org.apache.spark.sql.Column, dbPath: Option[String]) =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.UaParse(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), dbPath))
 
   /** Map a decoded event frame (BrowserSource/JsonSource output; transport
     * columns `requestTimestamp`/`remoteHost`/`userAgentString`/`duplicate`
@@ -64,8 +64,13 @@ object DefaultMapping {
     def bCol(field: String, dt: DataType) =
       if (has("browser")) col(s"browser.$field") else lit(null).cast(dt)
 
+    // `spark.graft.ua.database` (optional): a uap-core regexes.yaml path
+    // refining the built-in UA heuristics — the reference's pluggable
+    // uadetector database slot (`user_agent_parser` config). Resolved at
+    // plan time so the path travels with the serialized plan.
+    val uaDb = events.sparkSession.conf.getOption("spark.graft.ua.database")
     val withUa = events.withColumn("__ua",
-      uaParse(optCol("userAgentString", StringType)))
+      uaParse(optCol("userAgentString", StringType), uaDb))
 
     val mapping = MappingDsl.mapping(schema) { b =>
       b.map(optCol("duplicate", BooleanType)) onto "detectedDuplicate"

@@ -29,8 +29,12 @@ object UserAgents {
 
   /** Hot path: parse straight to an InternalRow (cached per thread) —
     * avoids the reflective case-class serializer per row. */
-  def parseInternal(ua: UTF8String): InternalRow = {
-    val i = parse(if (ua == null) null else ua.toString)
+  def parseInternal(ua: UTF8String): InternalRow = parseInternal(ua, null)
+
+  /** As above, with an optional loaded rule database ([[UaDatabase]],
+    * uap-core `regexes.yaml`) consulted first; null path = built-ins only. */
+  def parseInternal(ua: UTF8String, dbPath: String): InternalRow = {
+    val i = parseWith(if (ua == null) null else ua.toString, dbPath)
     def s(v: String): AnyRef = if (v == null) null else UTF8String.fromString(v)
     new GenericInternalRow(Array[Any](
       s(i.name), s(i.family), s(i.vendor), s(i.uaType), s(i.version),
@@ -210,14 +214,50 @@ object UserAgents {
         size() > CacheSize
     })
 
-  def parse(ua: String): UaInfo = {
+  def parse(ua: String): UaInfo = parseWith(ua, null)
+
+  /** Built-in classification, refined by the loaded rule database at
+    * `dbPath` when given ([[UaDatabase]], uap-core `regexes.yaml`): a
+    * database match overrides name/family/version (and OS fields on an OS
+    * match); a database miss falls back to the built-ins untouched, so
+    * loading a database can only add coverage, never lose it. The LRU key
+    * folds in the database's content stamp — a hot reload invalidates
+    * cached classifications without an explicit flush (the reference
+    * rebuilds its parser+cache pair on update,
+    * `UserAgentParserAndCache.java:58-66`). */
+  def parseWith(ua: String, dbPath: String): UaInfo = {
     if (ua == null) return UaInfo(null, null, null, null, null, null, null, null, null)
+    val db = if (dbPath == null) null else UaDatabase.current(dbPath)
+    val key = if (db == null) ua else db.stamp + " " + ua
     val c = cache.get()
-    val hit = c.get(ua)
+    val hit = c.get(key)
     if (hit != null) return hit
-    val computed = parseUncached(ua)
-    c.put(ua, computed)
+    val base = parseUncached(ua)
+    val computed = if (db == null) base else mergeDb(base, ua, db)
+    c.put(key, computed)
     computed
+  }
+
+  /** Database-over-builtin merge. Vendor is a uadetector-surface field
+    * uap-core doesn't carry, so it survives only when the database agrees
+    * with the built-in family (else absent — never a wrong vendor for a
+    * renamed family). uap-core flags robots through the device section's
+    * "Spider" family. */
+  private def mergeDb(base: UaInfo, ua: String, db: UaDatabase.Db): UaInfo = {
+    val h = UaDatabase.classify(db, ua)
+    val spider = h.deviceFamily == "Spider" || h.deviceBrand == "Spider"
+    val uaHit = h.family != null && h.family != "Other"
+    val osHit = h.osFamily != null && h.osFamily != "Other"
+    UaInfo(
+      name = if (uaHit) h.family else base.name,
+      family = if (uaHit) h.family else base.family,
+      vendor = if (!uaHit || h.family == base.name) base.vendor else null,
+      uaType = if (spider) "Robot" else base.uaType,
+      version = if (uaHit) h.version else base.version,
+      deviceCategory = if (spider) "Other" else base.deviceCategory,
+      osFamily = if (osHit) h.osFamily else base.osFamily,
+      osVersion = if (osHit) h.osVersion else base.osVersion,
+      osVendor = if (!osHit || h.osFamily == base.osFamily) base.osVendor else null)
   }
 
   private def parseUncached(ua: String): UaInfo = {

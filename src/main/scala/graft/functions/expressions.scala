@@ -138,27 +138,38 @@ case class BrowserDecode(child: Expression) extends UnaryExpression {
 
 /** User-agent classification struct (see [[UserAgents]]) — direct
   * InternalRow construction with a per-thread LRU behind it. Tolerates null
-  * input (null UA → all-null struct, reference absent semantics). */
-case class UaParse(child: Expression) extends UnaryExpression {
+  * input (null UA → all-null struct, reference absent semantics).
+  * `dbPath` (plan-time constant) points at a loaded [[UaDatabase]]
+  * (uap-core `regexes.yaml`) consulted ahead of the built-in heuristics;
+  * the path ships with the serialized plan, so every executor loads the
+  * same database from shared storage. */
+case class UaParse(child: Expression, dbPath: Option[String] = None)
+    extends UnaryExpression {
   override def dataType: DataType = UserAgents.schema
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any =
-    UserAgents.parseInternal(child.eval(input).asInstanceOf[UTF8String])
+    UserAgents.parseInternal(
+      child.eval(input).asInstanceOf[UTF8String], dbPath.orNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
     val c = child.genCode(ctx)
     val row = ctx.freshName("uaRow")
+    val pathRef = dbPath match {
+      case Some(p) => ctx.addReferenceObj("uaDbPath", p, "java.lang.String")
+      case None => "(java.lang.String) null"
+    }
     ev.copy(
       code = code"""
         |${c.code}
         |InternalRow $row = graft.functions.UserAgents.parseInternal(
-        |  ${c.isNull} ? null : ${c.value});
+        |  ${c.isNull} ? null : ${c.value}, $pathRef);
         """.stripMargin,
       isNull = FalseLiteral,
       value = JavaCode.variable(row, dataType))
   }
-  override protected def withNewChildInternal(c: Expression): UaParse = copy(c)
+  override protected def withNewChildInternal(c: Expression): UaParse =
+    copy(child = c)
   override def prettyName: String = "ua_parse"
 }
 
