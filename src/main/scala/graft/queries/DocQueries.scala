@@ -3260,9 +3260,8 @@ object DocQueries {
     * Threshold override: `spark.graft.setsim.p/q` (default 3/5). */
   /** AllPairs candidate pairs for `docs(doc_id, s: array)` at Jaccard
     * threshold p/q: rarest-first prefix posting-list join (see
-    * [[setsimJoin]] for the completeness argument). Element type is
-    * whatever the array carries — shingle strings ([[setsimJoin]]) or
-    * md5-low-32 hashes ([[minhashRecall]]'s truth side). */
+    * [[setsimJoin]] for the completeness argument). Element-type agnostic
+    * (works on any array column with distinct elements). */
   private def prefixCandidates(docs: DataFrame, p: Int, q: Int): DataFrame = {
     // n rides the explode (it's just size(s)) — a count-over-partition
     // window here would add a second WindowExec over the full inverted
@@ -3276,14 +3275,26 @@ object DocQueries {
           .orderBy(col("df"), col("g"))).as("rnk"))
     val pref = ranked
       .filter(col("rnk") <= col("n") - expr(s"($p*n + ${q - 1}) DIV $q") + 1)
-      .select(col("doc_id"), col("g"), col("n"))
-    // PPJoin length filter rides the candidate join: J >= p/q forces
-    // inter >= (p/q)*max(|a|,|b|) and inter <= min(|a|,|b|), so any
-    // qualifying pair has q*min >= p*max — size-mismatched pairs never
-    // reach the verify
+      .select(col("doc_id"), col("g"), col("n"), col("rnk"))
+    // Two PPJoin prunes ride the candidate join (both from the published
+    // algorithm — Xiao/Wang/Lin/Yu, "Efficient Similarity Joins for Near
+    // Duplicate Detection", WWW'08):
+    //  - length filter: J >= p/q forces inter >= (p/q)*max(|a|,|b|) and
+    //    inter <= min(|a|,|b|), so any qualifying pair has q*min >= p*max
+    //    — size-mismatched pairs never reach the verify;
+    //  - positional filter: tokens common to a and b all sit at rank >= the
+    //    matched token's rank (ranks follow ONE global (df, g) order), so
+    //    inter <= 1 + min(|a|-rnk_a, |b|-rnk_b); a qualifying pair needs
+    //    inter >= ceil(p*(|a|+|b|)/(p+q)). Pruning matches that fail the
+    //    bound is completeness-safe: the pair's MINIMAL common token is in
+    //    both prefixes whenever any common token is (prefixes are prefixes
+    //    of the same global order) and at that token the bound >= the true
+    //    intersection, so at least one generating match always survives.
     pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * q >= col("b.n") * p && col("b.n") * q >= col("a.n") * p)
+          col("a.n") * q >= col("b.n") * p && col("b.n") * q >= col("a.n") * p &&
+          lit(1) + least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk")) >=
+            expr(s"(CAST($p AS BIGINT) * (a.n + b.n) + ${p + q - 1}) DIV ${p + q}"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
