@@ -228,7 +228,9 @@ object UserAgents {
   def parseWith(ua: String, dbPath: String): UaInfo = {
     if (ua == null) return UaInfo(null, null, null, null, null, null, null, null, null)
     val db = if (dbPath == null) null else UaDatabase.current(dbPath)
-    val key = if (db == null) ua else db.stamp + " " + ua
+    // distinct leading tags keep the builtin and db-stamped key spaces
+    // disjoint (a raw UA resembling "stamp\u0000ua" must not collide)
+    val key = if (db == null) "B" + ua else "D" + db.stamp + "\u0000" + ua
     val c = cache.get()
     val hit = c.get(key)
     if (hit != null) return hit
