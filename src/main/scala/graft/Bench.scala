@@ -87,7 +87,12 @@ object Bench {
     }
     val gcStartMs = gcMillis()
     var qIdx = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset knob (the driver never sets it): regex over names —
+    // lets a single query be timed in bench shape (toRdd.count, warm JVM).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       // Untimed GC every 16 queries: ContextCleaner reclaims dead shuffle
       // files / broadcast blocks only when a GC notices the references are
       // gone, and the pre-touched heap GCs rarely on its own — without

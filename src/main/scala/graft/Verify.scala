@@ -14,7 +14,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): the compare wants one file, but
+      // coalesce would collapse every un-shuffled upstream stage into one
+      // task (a verify-heavy query like fuzzy dedup then runs serially);
+      // the explicit exchange keeps upstream parallelism and only the
+      // final file write is single-threaded.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -3299,15 +3299,24 @@ object DocQueries {
       .distinct()
   }
 
+  /** Distinct 3-token shingles in tight JVM code
+    * ([[graft.functions.MinHash.ngrams]]): the column formulation
+    * (`transform(sequence(...), i -> concat_ws(element_at(tk, ...))`)
+    * re-evaluates the regex tokenizer inside the un-codegen'd lambda for
+    * every element reference (~150x per doc), and the docs subtree feeds
+    * candidate generation plus both verify joins — measured 9.4s -> 1.1s
+    * warm at sf0.1 (same fix as [[contamNgramsUdf]]). */
+  private val shingles3Udf = udf((text: String) =>
+    if (text == null) Array.empty[String]
+    else graft.functions.MinHash.ngrams(text, 3))
+
   def setsimJoin(spark: SparkSession, d: String): DataFrame = {
     val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
     val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
-    val tk = toks(col("text"))
-    val sh3 = array_distinct(transform(sequence(lit(1), size(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2))))
-    val docs = documents(spark, d).filter(size(tk) >= 3)
-      .select(col("doc_id"), sh3.as("s"))
+    // >= 1 shingle ≡ >= 3 tokens: the oracle's `WHERE len(tk) >= 3`
+    val docs = documents(spark, d)
+      .select(col("doc_id"), shingles3Udf(col("text")).as("s"))
+      .filter(size(col("s")) >= 1)
     prefixCandidates(docs, p, q)
       .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
@@ -3362,12 +3371,41 @@ object DocQueries {
   def fuzzyDedup(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
     val docs = documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
-    val left = docs.withColumn("band", expr(s"n_chars DIV $k"))
+    // The verify runs inside the candidate join, so its parallelism is the
+    // PROBE side's partitioning — which the fixture rebalance sizes by
+    // bytes. Verify cost is candidate-pair volume, not bytes: spread the
+    // probe side to the full core count when the scan under-splits. At
+    // warehouse scale the scan already yields >= parallelism splits and
+    // this branch never fires.
+    val par = spark.sparkContext.defaultParallelism
+    val probe = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val left = probe.withColumn("band", expr(s"n_chars DIV $k"))
     val right = docs
       .withColumn("band", explode(array(expr(s"n_chars DIV $k - 1"),
         expr(s"n_chars DIV $k"), expr(s"n_chars DIV $k + 1"))))
-    left.as("a").join(right.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+    val cond = col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id")
+    // Band keys are FEW and HOT (a 300-char corpus has ~14 bands at K=40),
+    // so a plain shuffled equi-join on band would pile the whole pair space
+    // onto a handful of reducers. Within the broadcast budget, pin the
+    // build side explicitly (the probe-side repartition above hides the
+    // scan-size estimate that would otherwise let the planner pick the
+    // skewed sort-merge join). Beyond it, salt: the probe side keys by
+    // hash(doc_id) % par, the build side replicates across all salts —
+    // every qualifying pair still meets exactly once, and the hot bands
+    // spread over `par` reducers instead of one.
+    val maxBroadcastDocs = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(1L << 20)
+    val joined =
+      if (docs.count() <= maxBroadcastDocs)
+        left.as("a").join(broadcast(right.as("b")), cond)
+      else {
+        val sl = left.withColumn("salt", pmod(hash(col("doc_id")), lit(par)))
+        val sr = right.withColumn("salt",
+          explode(sequence(lit(0), lit(par - 1))))
+        sl.as("a").join(sr.as("b"), cond && col("a.salt") === col("b.salt"))
+      }
+    joined
       .filter(abs(col("a.n_chars") - col("b.n_chars")) <= k)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.text"), col("b.text"), k).cast("long").as("dist"))

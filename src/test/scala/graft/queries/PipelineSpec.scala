@@ -1758,4 +1758,17 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === brute, "length-band blocking must be lossless at K=40")
   }
+
+  test("fuzzy dedup: salted shuffle path (above the broadcast gate) is " +
+       "bit-identical to the broadcast path") {
+    val viaBroadcast = DocQueries.fuzzyDedup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.dedup.maxBroadcastDocs", "1")
+    try {
+      val viaSalt = DocQueries.fuzzyDedup(spark, sf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaSalt === viaBroadcast,
+        "hash(doc_id)-salted probe x replicated build must meet every pair exactly once")
+    } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
+  }
 }
