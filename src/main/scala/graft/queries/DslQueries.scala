@@ -236,10 +236,10 @@ object DslQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsl_default_mapping" -> (defaultMapping _),
     "dsl_digest"          -> (digestFields _),
-    "ua_db_enrich"        -> (uaDbEnrich _))
+    "dsl_ua_db_enrich"        -> (uaDbEnrich _))
 
   val oracles: Map[String, String] = Map(
     "dsl_default_mapping" -> defaultMappingSql,
     "dsl_digest"          -> digestFieldsSql,
-    "ua_db_enrich"        -> uaDbEnrichSql)
+    "dsl_ua_db_enrich"        -> uaDbEnrichSql)
 }
