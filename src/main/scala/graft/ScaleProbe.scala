@@ -137,6 +137,11 @@ object ScaleProbe {
       // prefix posting lists staying short — super-linear growth here
       // means the df ordering stopped pruning
       "doc_setsim_join",
+      // composite-blocked fuzzy dedup: LSH band collisions keep candidates
+      // ~linear where the exact operator's length-band key is quadratic-ish
+      // on tight length distributions; decay here means band collisions
+      // went corpus-dense
+      "doc_fuzzy_blocked",
       // q9 joins the fact to the derived (fact-scale) partsupp: on the
       // watchlist since r6, when its partsupp broadcast hint was removed —
       // a replan back to a partsupp broadcast would decay here first

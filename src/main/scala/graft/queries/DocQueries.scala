@@ -476,7 +476,10 @@ object DocQueries {
     * the band key on BOTH sides (Spark joins the slice arrays, the oracle
     * a canonical string of the same values), band-collision candidates,
     * exact-Jaccard verification. */
-  val minhashLshSql: String =
+  /** The signatures → bands → band-collision-candidates CTE chain, shared
+    * verbatim by [[minhashLshSql]] and the blocked-fuzzy oracles so the
+    * candidate set can never diverge between them. */
+  private val lshCandCtes: String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
        | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
@@ -492,7 +495,10 @@ object DocQueries {
        |           FROM sigs GROUP BY 1, 2),
        | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |          FROM bands a JOIN bands b
-       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""$lshCandCtes,
        | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1)
        |SELECT d1, d2,
        |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
@@ -3422,9 +3428,97 @@ object DocQueries {
       |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 40
       |WHERE levenshtein(a.text, b.text) <= 40""".stripMargin
 
+  /** The PRODUCTION-scale fuzzy dedup: candidates = MinHash-LSH band
+    * collisions ([[minhashBands]], the persisted-signature path) further
+    * cut by the length bound, then the threshold-levenshtein verify. Where
+    * [[fuzzyDedup]]'s single length key is provably complete but
+    * quadratic-ish on corpora with tight length distributions, this
+    * composite is O(docs x bands) — the same shape that makes
+    * [[minhashLsh]] 100-TB-safe — at the price of LSH misses near the
+    * similarity threshold. Precision stays 1 (every emitted pair passed
+    * the exact verify); the recall give-up is MEASURED, not assumed:
+    * [[fuzzyRecall]] scores this operator against the exact one, and its
+    * oracle replays LSH's misses rather than wishing them away.
+    *
+    * Measured at sf0.1 (K=40, ~300-char docs): 255/256 of the pairs with
+    * dist <= 20 (the genuine near-duplicate regime) are caught; the 1477
+    * barely-under-K pairs at dist 21-40 — ~13% edit budget, where nearly
+    * every 3-token shingle is destroyed — are all missed (aggregate
+    * recall 0.147). That is the intended shape: at production edit
+    * budgets (K ~ 3-7% of length) the blocked path is near-complete and
+    * ~8x cheaper here; the loose-K tail belongs to the exact operator. */
+  def fuzzyDedupBlocked(spark: SparkSession, d: String): DataFrame = {
+    val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    val docs = documents(spark, d)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
+      .filter(size(col("sh")) > 0)
+    val bands = minhashBands(docs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n_chars").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n_chars").as("nb")), "doc_b")
+      .filter(abs(col("na") - col("nb")) <= k)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  val fuzzyDedupBlockedSql: String =
+    s"""$lshCandCtes
+       |SELECT cand.d1 AS doc_a, cand.d2 AS doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       |FROM cand JOIN documents a ON cand.d1 = a.doc_id
+       |          JOIN documents b ON cand.d2 = b.doc_id
+       |WHERE abs(a.n_chars - b.n_chars) <= 40
+       |  AND levenshtein(a.text, b.text) <= 40""".stripMargin
+
+  /** Honesty loop for [[fuzzyDedupBlocked]]: recall vs the provably
+    * complete [[fuzzyDedup]] (blocked ⊆ exact because both verify the same
+    * threshold, so recall = |blocked| / |exact| and precision is 1 by
+    * construction). One row: pair counts + recall. */
+  def fuzzyRecall(spark: SparkSession, d: String): DataFrame = {
+    val e = fuzzyDedup(spark, d)
+      .agg(count(lit(1)).cast("long").as("exact_pairs"))
+    val b = fuzzyDedupBlocked(spark, d)
+      .agg(count(lit(1)).cast("long").as("blocked_pairs"))
+    e.crossJoin(broadcast(b))
+      .select(col("exact_pairs"), col("blocked_pairs"),
+        when(col("exact_pairs") > 0,
+          col("blocked_pairs").cast("double") / col("exact_pairs"))
+          .as("recall"))
+  }
+
+  val fuzzyRecallSql: String =
+    s"""$lshCandCtes,
+       | blocked AS (
+       |   SELECT cand.d1, cand.d2
+       |   FROM cand JOIN documents a ON cand.d1 = a.doc_id
+       |             JOIN documents b ON cand.d2 = b.doc_id
+       |   WHERE abs(a.n_chars - b.n_chars) <= 40
+       |     AND levenshtein(a.text, b.text) <= 40),
+       | exact AS (
+       |   SELECT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM documents a JOIN documents b
+       |     ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 40
+       |   WHERE levenshtein(a.text, b.text) <= 40)
+       |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS exact_pairs,
+       |  CAST((SELECT count(*) FROM blocked) AS BIGINT) AS blocked_pairs,
+       |  CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+       |    CAST((SELECT count(*) FROM blocked) AS DOUBLE)
+       |      / (SELECT count(*) FROM exact) END AS recall""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_setsim_join"        -> (setsimJoin _),
     "doc_fuzzy_dedup"        -> (fuzzyDedup _),
+    "doc_fuzzy_blocked"      -> (fuzzyDedupBlocked _),
+    "doc_fuzzy_recall"       -> (fuzzyRecall _),
     "doc_contamination_rate" -> (contaminationRate _),
     "doc_tfidf_knn"          -> (tfidfKnn _),
     "doc_hash_classifier"    -> (hashClassifier _),
@@ -3479,6 +3573,8 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "doc_setsim_join"        -> setsimJoinSql,
     "doc_fuzzy_dedup"        -> fuzzyDedupSql,
+    "doc_fuzzy_blocked"      -> fuzzyDedupBlockedSql,
+    "doc_fuzzy_recall"       -> fuzzyRecallSql,
     "doc_contamination_rate" -> contaminationRateSql,
     "doc_tfidf_knn"          -> tfidfKnnSql,
     "doc_hash_classifier"    -> hashClassifierSql,

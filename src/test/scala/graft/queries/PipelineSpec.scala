@@ -1759,6 +1759,20 @@ class PipelineSpec extends SparkSpec {
     assert(got === brute, "length-band blocking must be lossless at K=40")
   }
 
+  test("blocked fuzzy dedup: precision 1 (subset of the exact pairs) and " +
+       "the recall row reports exactly the subset ratio") {
+    val exact = DocQueries.fuzzyDedup(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val blocked = DocQueries.fuzzyDedupBlocked(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact),
+      "every blocked pair passed the same exact verify, so blocked ⊆ exact")
+    val Array(row) = DocQueries.fuzzyRecall(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(row._1 === exact.size.toLong && row._2 === blocked.size.toLong)
+    assert(row._3.contains(blocked.size.toDouble / exact.size))
+  }
+
   test("fuzzy dedup: salted shuffle path (above the broadcast gate) is " +
        "bit-identical to the broadcast path") {
     val viaBroadcast = DocQueries.fuzzyDedup(spark, sf)
