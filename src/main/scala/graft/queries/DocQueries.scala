@@ -3514,7 +3514,85 @@ object DocQueries {
        |    CAST((SELECT count(*) FROM blocked) AS DOUBLE)
        |      / (SELECT count(*) FROM exact) END AS recall""".stripMargin
 
+  // ------------------------------------------------------------ dict tag
+  /** Demo dictionary for the tagging operators: words and phrases from the
+    * fixture vocabulary (frequent singles, sparse phrases) plus one term
+    * that never matches, exercising the zero-count path. Shared verbatim
+    * by the SQL oracles. */
+  private[graft] val DictTerms: Seq[String] = Seq(
+    "spark", "hash", "merge batch", "fast table", "customer query",
+    "slow scan", "zz_never_matches")
+
+  private def dictTermsValues: String =
+    DictTerms.map(t => s"('$t')").mkString(", ")
+
+  /** Dictionary tagging (blocklist / taxonomy scan): per document, total
+    * and distinct dictionary-term occurrences, via a broadcast
+    * [[graft.functions.AhoCorasick]] automaton — ONE O(|text|) pass per
+    * document regardless of dictionary size, vs the O(terms × |text|)
+    * LIKE-per-term plan. Counting is greedy non-overlapping per term
+    * (left-to-right `replace` semantics), which the DuckDB oracle
+    * reproduces exactly as (len(text) − len(replace(text,t,''))) / len(t).
+    *
+    * Scale: the automaton is built once on the driver from the (bounded)
+    * dictionary and broadcast; the query itself is a narrow per-row map —
+    * NO shuffle, no join, scales linearly with corpus bytes. */
+  def dictTag(spark: SparkSession, d: String): DataFrame = {
+    val bc = spark.sparkContext.broadcast(graft.functions.AhoCorasick.build(DictTerms))
+    val tag = udf { (text: String) =>
+      val c = bc.value.countGreedy(text)
+      (c.sum, c.count(_ > 0L).toLong)
+    }
+    documents(spark, d)
+      .select(col("doc_id"), tag(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("hits"), col("t._2").as("distinct_terms"))
+  }
+
+  def dictTagSql: String =
+    s"""WITH terms(term) AS (VALUES $dictTermsValues),
+       |per AS (
+       |  SELECT d.doc_id,
+       |    (length(d.text) - length(replace(d.text, t.term, ''))) // length(t.term) AS c
+       |  FROM documents d CROSS JOIN terms t)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_terms
+       |FROM per GROUP BY doc_id""".stripMargin
+
+  /** Per-term rollup of the same scan: document frequency and total
+    * occurrences for every dictionary term, zero-hit terms included.
+    * Only MATCHED (term, count) pairs are exploded — the shuffle carries
+    * at most |dict| × partitions rows after map-side partial aggregation,
+    * never docs × dict — and the zero-hit completion is a broadcast left
+    * join from the tiny term list. */
+  def dictTerms(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(graft.functions.AhoCorasick.build(DictTerms))
+    val counts = udf((text: String) => bc.value.countGreedy(text))
+    val hit = documents(spark, d)
+      .select(posexplode(counts(col("text"))).as(Seq("term_idx", "c")))
+      .filter(col("c") > 0)
+      .groupBy(col("term_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("occurrences"))
+    DictTerms.zipWithIndex.toDF("term", "term_idx")
+      .join(broadcast(hit), Seq("term_idx"), "left")
+      .select(col("term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("occurrences"), lit(0L)).as("occurrences"))
+  }
+
+  def dictTermsSql: String =
+    s"""WITH terms(term) AS (VALUES $dictTermsValues),
+       |per AS (
+       |  SELECT t.term,
+       |    (length(d.text) - length(replace(d.text, t.term, ''))) // length(t.term) AS c
+       |  FROM documents d CROSS JOIN terms t)
+       |SELECT term, CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(c) AS BIGINT) AS occurrences
+       |FROM per GROUP BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dict_tag"           -> (dictTag _),
+    "doc_dict_terms"         -> (dictTerms _),
     "doc_setsim_join"        -> (setsimJoin _),
     "doc_fuzzy_dedup"        -> (fuzzyDedup _),
     "doc_fuzzy_blocked"      -> (fuzzyDedupBlocked _),
@@ -3571,6 +3649,8 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_dict_tag"           -> dictTagSql,
+    "doc_dict_terms"         -> dictTermsSql,
     "doc_setsim_join"        -> setsimJoinSql,
     "doc_fuzzy_dedup"        -> fuzzyDedupSql,
     "doc_fuzzy_blocked"      -> fuzzyDedupBlockedSql,
