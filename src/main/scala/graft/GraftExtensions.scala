@@ -72,6 +72,14 @@ object GraftExtensions {
       args => DotLongArrays(args(0), args(1)) },
     fn("ewma_fold", "ewma_fold(array<long>) - truncated dyadic EWMA, oldest first, newest weighs 1/2") {
       args => EwmaFold(args.head) },
+    fn("levenshtein_bounded", "levenshtein_bounded(a, b, k) - edit distance if <= k else -1, early-abandoning; k is a plan-time integer literal") {
+      args => LevenshteinBounded(args(0), args(1), {
+        val e = args(2)
+        require(e.foldable, "levenshtein_bounded threshold must be a literal")
+        val v = e.eval(null)
+        require(v != null, "levenshtein_bounded threshold must not be NULL")
+        v.toString.toInt
+      }) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

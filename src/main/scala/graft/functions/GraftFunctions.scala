@@ -27,6 +27,11 @@ object GraftFunctions {
   /** 64-bit SimHash of a text (md5-low-64 token hash, tf-weighted votes). */
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 
+  /** Threshold levenshtein with early abandon; contract-identical to the
+    * built-in `levenshtein(a, b, k)` (distance if <= k, else -1). */
+  def levenshteinBounded(a: Column, b: Column, k: Int): Column =
+    column(LevenshteinBounded(expression(a), expression(b), k))
+
   /** Embedded epoch-millis of a DivolteIdentifier (`0:<base36 ms>:<random>`). */
   def divolteIdTimestamp(c: Column): Column = column(DivolteIdTimestamp(expression(c)))
 

@@ -367,3 +367,32 @@ case class DigestPieces(
     copy(children = cs)
   override def prettyName: String = "digest_pieces"
 }
+
+/** Threshold levenshtein with early abandon — contract-identical to the
+  * built-in `levenshtein(l, r, k)` (distance if <= k, else -1; see
+  * [[ThresholdLevenshtein]] for the parity argument) but abandons a pair
+  * as soon as the DP band minimum exceeds k, which is what makes the
+  * fuzzy-dedup verify joins candidate-volume-bound instead of
+  * text-length-bound. Stays in whole-stage codegen as one static call. */
+case class LevenshteinBounded(left: Expression, right: Expression, threshold: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(threshold >= 0, "threshold must be >= 0")
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ThresholdLevenshtein.distance(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"${ev.value} = graft.functions.ThresholdLevenshtein" +
+        s".distance($l, $r, $threshold).intValue();"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevenshteinBounded =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "levenshtein_bounded"
+}
