@@ -34,6 +34,14 @@ object GraftExtensions {
     v.toString
   }
 
+  /** A plan-time integer literal argument (same compile-time contract). */
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal")
+    val v = e.eval(null)
+    require(v != null, s"$what must not be NULL")
+    v.toString.toInt
+  }
+
   private def fn(name: String, usage: String)(b: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
@@ -80,6 +88,15 @@ object GraftExtensions {
         require(v != null, "levenshtein_bounded threshold must not be NULL")
         v.toString.toInt
       }) },
+    fn("synth_bmp", "synth_bmp(k) - deterministic real 24bpp BMP container bytes for seed k") {
+      args => SynthBmp(args.head) },
+    fn("synth_wav", "synth_wav(k) - deterministic real RIFF/WAVE PCM container bytes for seed k") {
+      args => SynthWav(args.head) },
+    fn("bmp_decode_stats", "bmp_decode_stats(blob, outW, outH) - real BMP parse -> struct(width,height,n_bytes,pixel_sum,resized_sum); null on corrupt bytes") {
+      args => BmpDecodeStats(args(0), litInt(args(1), "bmp_decode_stats outW"),
+        litInt(args(2), "bmp_decode_stats outH")) },
+    fn("wav_decode_stats", "wav_decode_stats(blob) - real RIFF/WAVE parse -> struct(sample_rate,channels,bits,n_frames,duration_ms,energy); null on corrupt bytes") {
+      args => WavDecodeStats(args.head) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

@@ -32,6 +32,19 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** Deterministic real-container BMP/WAV demo payloads ([[MediaCodec]]). */
+  def synthBmp(k: Column): Column = column(SynthBmp(expression(k)))
+  def synthWav(k: Column): Column = column(SynthWav(expression(k)))
+
+  /** One real BMP parse per row → metadata/feature struct (null on corrupt
+    * bytes); `outW`×`outH` is the nearest-neighbour thumbnail geometry. */
+  def bmpDecodeStats(blob: Column, outW: Int, outH: Int): Column =
+    column(BmpDecodeStats(expression(blob), outW, outH))
+
+  /** One real RIFF/WAVE parse per row → metadata/energy struct. */
+  def wavDecodeStats(blob: Column): Column =
+    column(WavDecodeStats(expression(blob)))
+
   /** Embedded epoch-millis of a DivolteIdentifier (`0:<base36 ms>:<random>`). */
   def divolteIdTimestamp(c: Column): Column = column(DivolteIdTimestamp(expression(c)))
 

@@ -1,0 +1,229 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the multimodal column model (SURVEY.md
+  * training-pipeline extensions): real byte-level BMP and WAV (RIFF/PCM)
+  * container parsing, no external image/audio libraries.
+  *
+  * The container formats are chosen precisely because they are fully
+  * specified, dependency-free and uncompressed: the Windows BMP format
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp BI_RGB) and the RIFF WAVE
+  * format (fmt/data chunks, 16-bit PCM). That makes the decode step REAL —
+  * the operator parses actual header bytes, walks actual chunk lists,
+  * unpacks actual pixel/sample payloads — while staying honest about the
+  * sandbox (no JPEG/PNG/MP4 codecs are present; those would slot in behind
+  * the same byte-in/struct-out contract).
+  *
+  * Malformed input returns null from every decode entry point — the
+  * absent-semantics convention used across the mapping DSL (a corrupt blob
+  * yields absent metadata, never an exception that kills the stage).
+  */
+object MediaCodec {
+
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Int]) {
+    /** 0xRRGGBB at (x, y), top-down row-major. */
+    def pixel(x: Int, y: Int): Int = pixels(y * width + x)
+  }
+
+  final case class WavClip(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Short])
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Encode a 24bpp bottom-up BI_RGB BMP. `pixel(x, y)` returns 0xRRGGBB
+    * with (0,0) the TOP-left corner (rows are written bottom-up as the
+    * format requires). */
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp dims must be positive")
+    val stride = (width * 3 + 3) & ~3
+    val imageSize = stride * height
+    val fileSize = 54 + imageSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(imageSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = height - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, row)
+        buf.put((p & 0xff).toByte)            // B
+        buf.put(((p >> 8) & 0xff).toByte)     // G
+        buf.put(((p >> 16) & 0xff).toByte)    // R
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0: Byte); pad -= 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24bpp uncompressed BMP (positive height = bottom-up, negative
+    * = top-down; both occur in the wild). Returns null on anything
+    * malformed: wrong magic, truncated header, unsupported bpp/compression,
+    * or a pixel array that runs past the buffer. */
+  def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    if (bytes == null || bytes.length < 54) return null
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.get(0) != 'B' || buf.get(1) != 'M') return null
+    val dataOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    if (headerSize < 40) return null
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return null
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val stride = (width * 3 + 3) & ~3
+    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length)
+      return null
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var off = dataOffset + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val b = bytes(off) & 0xff
+        val g = bytes(off + 1) & 0xff
+        val r = bytes(off + 2) & 0xff
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        off += 3
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, pixels)
+  }
+
+  /** Nearest-neighbour resample to `outW`×`outH` (the thumbnailer kernel;
+    * integer source mapping `srcX = x*W/outW` so any replayed oracle
+    * agrees bit-exactly). */
+  def resizeNearest(img: BmpImage, outW: Int, outH: Int): Array[Int] = {
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = img.pixel(x * img.width / outW, sy)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Encode a mono/stereo 16-bit PCM RIFF WAVE file (44-byte canonical
+    * header + interleaved little-endian samples). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "wav params must be positive")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                       // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort)  // block align
+    buf.putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decode a RIFF WAVE container: walks the chunk list generically
+    * (unknown chunks — LIST/INFO/fact — are skipped by their declared
+    * size, as a real reader must), requires a PCM `fmt ` chunk with
+    * 16-bit samples, and unpacks the `data` payload. Null on malformed
+    * or unsupported input. */
+  def decodeWav(bytes: Array[Byte]): WavClip = {
+    if (bytes == null || bytes.length < 44) return null
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return null
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmtSeen = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(bytes, pos)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size.toLong > bytes.length) return null
+      id match {
+        case "fmt " =>
+          if (size < 16) return null
+          val audioFormat = buf.getShort(pos + 8)
+          channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+          if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0)
+            return null
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return null     // fmt must precede data
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => ()                    // skip LIST/fact/bext/...
+      }
+      pos += 8 + size + (size & 1)      // RIFF chunks are word-aligned
+    }
+    if (!fmtSeen || samples == null) return null
+    WavClip(sampleRate, channels, bits, samples)
+  }
+
+  private def tag(bytes: Array[Byte], off: Int): String =
+    new String(bytes, off, 4, "US-ASCII")
+
+  // ------------------------------------------ deterministic demo payloads
+
+  /** Deterministic synthetic BMP for document `k` — REAL container bytes
+    * whose geometry and pixels are integer functions of `k`, so a SQL
+    * oracle can replay what the decoder must recover. (The fixture corpus
+    * carries no binary media; synthesis-then-real-decode keeps the decoder
+    * the honest system under test.) */
+  def synthBmp(k: Long): Array[Byte] = {
+    val w = (16 + Math.floorMod(k * 5, 48)).toInt
+    val h = (16 + Math.floorMod(k * 7, 48)).toInt
+    encodeBmp(w, h, (x, y) => {
+      val r = Math.floorMod(x * 3 + y * 5 + k, 256).toInt
+      val g = Math.floorMod(x * 7 + y + 2 * k, 256).toInt
+      val b = Math.floorMod(x + y * 11 + 3 * k, 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
+  /** Deterministic synthetic WAV for document `k` (mono 16-bit PCM;
+    * rate cycles 8/16/44.1 kHz; `sample(i) = (i*31 + k*17) % 4096 - 2048`). */
+  def synthWav(k: Long): Array[Byte] = {
+    val n = (400 + Math.floorMod(k, 17) * 100).toInt
+    val rate = (Math.floorMod(k, 3): @unchecked) match {
+      case 0 => 8000
+      case 1 => 16000
+      case 2 => 44100
+    }
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (Math.floorMod(i * 31 + k * 17, 4096) - 2048).toShort
+      i += 1
+    }
+    encodeWav(rate, 1, samples)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions wrapping [[MediaCodec]] — the multimodal
+  * byte-in/struct-out contract: a BINARY column goes in, one parse
+  * recovers every metadata/feature field as a struct (the parse-once
+  * pattern shared with `UriParse`/the UA struct). Decode failures yield a
+  * null struct — absent semantics, a corrupt blob never kills the stage.
+  *
+  * All four are `CodegenFallback`: their cost is the per-row pixel/sample
+  * loop inside the static decoder, not interpreter dispatch (same
+  * rationale as the digest expressions in `expressions.scala`).
+  */
+case class SynthBmp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any): Any = MediaCodec.synthBmp(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): SynthBmp = copy(c)
+  override def prettyName: String = "synth_bmp"
+}
+
+case class SynthWav(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any): Any = MediaCodec.synthWav(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): SynthWav = copy(c)
+  override def prettyName: String = "synth_wav"
+}
+
+/** One real BMP parse per row → all image metadata + features:
+  * header geometry, byte size, full-resolution pixel mass, and the
+  * nearest-neighbour `outW`×`outH` thumbnail's pixel mass (the resize
+  * happens here, on the decoded pixels — not header arithmetic). */
+case class BmpDecodeStats(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(outW > 0 && outH > 0, "resize dims must be positive")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override val dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("resized_sum", LongType, nullable = false)))
+
+  override def nullSafeEval(blob: Any): Any = {
+    val bytes = blob.asInstanceOf[Array[Byte]]
+    val img = MediaCodec.decodeBmp(bytes)
+    if (img == null) return null
+    var pixelSum = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      pixelSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    val resized = MediaCodec.resizeNearest(img, outW, outH)
+    var resizedSum = 0L
+    i = 0
+    while (i < resized.length) {
+      val p = resized(i)
+      resizedSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    InternalRow(img.width, img.height, bytes.length, pixelSum, resizedSum)
+  }
+  override protected def withNewChildInternal(c: Expression): BmpDecodeStats =
+    copy(child = c)
+  override def prettyName: String = "bmp_decode_stats"
+}
+
+/** One real RIFF/WAVE parse per row → audio metadata + energy features:
+  * fmt-chunk fields, frame count, integer-exact duration, and the PCM
+  * energy Σ s² (the loudness feature a filter pipeline thresholds on). */
+case class WavDecodeStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override val dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  override def nullSafeEval(blob: Any): Any = {
+    val clip = MediaCodec.decodeWav(blob.asInstanceOf[Array[Byte]])
+    if (clip == null) return null
+    var energy = 0L
+    var i = 0
+    while (i < clip.samples.length) {
+      val s = clip.samples(i).toLong
+      energy += s * s
+      i += 1
+    }
+    val nFrames = clip.samples.length / clip.channels
+    val durationMs = nFrames.toLong * 1000L / clip.sampleRate
+    InternalRow(clip.sampleRate, clip.channels, clip.bitsPerSample,
+      nFrames, durationMs, energy)
+  }
+  override protected def withNewChildInternal(c: Expression): WavDecodeStats =
+    copy(child = c)
+  override def prettyName: String = "wav_decode_stats"
+}

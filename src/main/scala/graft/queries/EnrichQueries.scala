@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * image/audio libs in this container) while the Spark-side plumbing
   * (binary column, schema, per-partition batch shape, explode of sampled
   * frames) is real and oracle-checked.
+  *
+  * media_bmp_decode / media_wav_decode go further: REAL byte-level
+  * container decoding ([[graft.functions.MediaCodec]] — BMP and RIFF/WAVE
+  * are fully specified and dependency-free, so the parser is genuine, no
+  * codec library needed). The fixture corpus has no binary media, so each
+  * query first synthesizes real container bytes deterministically from
+  * doc_id, then the decoder — the system under test — must recover
+  * geometry/rate/features by parsing those bytes; the oracle replays only
+  * the synthesis arithmetic, so any parser defect hash-fails.
   */
 object EnrichQueries {
 
@@ -355,6 +364,83 @@ object EnrichQueries {
       |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_cp
       |FROM b""".stripMargin
 
+  /** REAL image decode: synthesize genuine 24bpp BMP bytes per document,
+    * then parse them back — header geometry, full-resolution pixel mass,
+    * and a 16×16 nearest-neighbour thumbnail computed from the DECODED
+    * pixels. One narrow stage, one parse per row (the parse-once struct);
+    * the blob never shuffles. At 100 TB this is the shape of any
+    * decode-featurize pass: binary in, fixed-width struct out, perfectly
+    * partition-parallel. */
+  def mediaBmpDecode(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bmpDecodeStats, synthBmp}
+    documents(spark, d)
+      .select(col("doc_id"), synthBmp(col("doc_id")).as("blob"))
+      .select(col("doc_id"), bmpDecodeStats(col("blob"), 16, 16).as("m"))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_bytes").as("n_bytes"),
+        col("m.pixel_sum").as("pixel_sum"),
+        col("m.resized_sum").as("resized_sum"))
+  }
+
+  /** Oracle = the synthesis arithmetic only (dims `16 + k*5 % 48` ×
+    * `16 + k*7 % 48`; pixel channels are mod-256 linear forms of x, y, k;
+    * BMP rows pad to 4 bytes). The Spark side must RECOVER these by
+    * parsing actual bytes — agreement proves the decoder. */
+  val mediaBmpDecodeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(16 + (doc_id*5) % 48 AS INT) AS w,
+      |    CAST(16 + (doc_id*7) % 48 AS INT) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      |xy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      |px AS (SELECT doc_id,
+      |    SUM((x*3 + y*5 + doc_id) % 256 + (x*7 + y + 2*doc_id) % 256
+      |        + (x + y*11 + 3*doc_id) % 256) AS pixel_sum
+      |  FROM xy GROUP BY 1),
+      |ri AS (SELECT doc_id, w, h, unnest(generate_series(0, 15)) AS i FROM d),
+      |rij AS (SELECT doc_id, w, h, i, unnest(generate_series(0, 15)) AS j FROM ri),
+      |rz AS (SELECT doc_id,
+      |    SUM(((i*w//16)*3 + (j*h//16)*5 + doc_id) % 256
+      |      + ((i*w//16)*7 + (j*h//16) + 2*doc_id) % 256
+      |      + ((i*w//16) + (j*h//16)*11 + 3*doc_id) % 256) AS resized_sum
+      |  FROM rij GROUP BY 1)
+      |SELECT d.doc_id, w AS width, h AS height,
+      |  CAST(54 + ((w*3 + 3) // 4 * 4) * h AS INT) AS n_bytes,
+      |  CAST(pixel_sum AS BIGINT) AS pixel_sum,
+      |  CAST(resized_sum AS BIGINT) AS resized_sum
+      |FROM d JOIN px USING (doc_id) JOIN rz USING (doc_id)""".stripMargin
+
+  /** REAL audio decode: synthesize genuine RIFF/WAVE PCM bytes, walk the
+    * chunk list back (fmt → rate/channels/bits, data → samples), compute
+    * integer-exact duration and PCM energy Σs² from the DECODED samples. */
+  def mediaWavDecode(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{synthWav, wavDecodeStats}
+    documents(spark, d)
+      .select(col("doc_id"), synthWav(col("doc_id")).as("blob"))
+      .select(col("doc_id"), wavDecodeStats(col("blob")).as("m"))
+      .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"), col("m.bits").as("bits"),
+        col("m.n_frames").as("n_frames"),
+        col("m.duration_ms").as("duration_ms"), col("m.energy").as("energy"))
+  }
+
+  val mediaWavDecodeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(400 + (doc_id % 17) * 100 AS INT) AS n,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         ELSE 44100 END AS INT) AS rate
+      |  FROM documents),
+      |s AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d),
+      |e AS (SELECT doc_id,
+      |    SUM(CAST(((i*31 + doc_id*17) % 4096 - 2048)
+      |      * ((i*31 + doc_id*17) % 4096 - 2048) AS BIGINT)) AS energy
+      |  FROM s GROUP BY 1)
+      |SELECT d.doc_id, rate AS sample_rate, 1 AS channels, 16 AS bits,
+      |  n AS n_frames,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(energy AS BIGINT) AS energy
+      |FROM d JOIN e USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
@@ -363,7 +449,9 @@ object EnrichQueries {
     "media_frames"   -> (mediaFrames _),
     "media_resize"   -> (mediaResize _),
     "media_features" -> (mediaFeatures _),
-    "media_dedup"    -> (mediaDedup _))
+    "media_dedup"    -> (mediaDedup _),
+    "media_bmp_decode" -> (mediaBmpDecode _),
+    "media_wav_decode" -> (mediaWavDecode _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -375,5 +463,7 @@ object EnrichQueries {
     "media_frames"   -> mediaFramesSql,
     "media_resize"   -> mediaResizeSql,
     "media_features" -> mediaFeaturesSql,
-    "media_dedup"    -> mediaDedupSql)
+    "media_dedup"    -> mediaDedupSql,
+    "media_bmp_decode" -> mediaBmpDecodeSql,
+    "media_wav_decode" -> mediaWavDecodeSql)
 }

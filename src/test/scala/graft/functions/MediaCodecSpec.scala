@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The media decoders are REAL byte-level parsers; this spec pins the
+  * parts the oracle can't see — encode→decode round trips on arbitrary
+  * content, wire-format details (bottom-up rows, stride padding, chunk
+  * walking), and corrupt-input absent semantics. */
+class MediaCodecSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- BMP
+
+  test("bmp round trip recovers every pixel, including stride-padded widths") {
+    val rnd = new scala.util.Random(11L)
+    // widths chosen to hit all four stride paddings (w*3 % 4 = 0..3)
+    for (w <- Seq(4, 5, 6, 7, 16, 33); h <- Seq(1, 3, 8)) {
+      val src = Array.fill(w * h)(rnd.nextInt(0x1000000))
+      val bytes = MediaCodec.encodeBmp(w, h, (x, y) => src(y * w + x))
+      val img = MediaCodec.decodeBmp(bytes)
+      assert(img != null && img.width == w && img.height == h)
+      assert(img.pixels.sameElements(src), s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("bmp decode handles top-down files (negative height)") {
+    val w = 5; val h = 4
+    val src = Array.tabulate(w * h)(i => i * 31 % 0x1000000)
+    val bottomUp = MediaCodec.encodeBmp(w, h, (x, y) => src(y * w + x))
+    // flip to top-down: negate height, reverse row order in the payload
+    val stride = (w * 3 + 3) & ~3
+    val td = bottomUp.clone()
+    val buf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -h)
+    for (r <- 0 until h; i <- 0 until stride)
+      td(54 + r * stride + i) = bottomUp(54 + (h - 1 - r) * stride + i)
+    val img = MediaCodec.decodeBmp(td)
+    assert(img != null && img.pixels.sameElements(src))
+  }
+
+  test("bmp decode rejects corrupt input with null, never an exception") {
+    val good = MediaCodec.encodeBmp(8, 8, (_, _) => 0xababab)
+    assert(MediaCodec.decodeBmp(null) == null)
+    assert(MediaCodec.decodeBmp(Array[Byte]()) == null)
+    assert(MediaCodec.decodeBmp(good.take(40)) == null)           // truncated header
+    assert(MediaCodec.decodeBmp(good.take(60)) == null)           // truncated pixels
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(MediaCodec.decodeBmp(badMagic) == null)
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(MediaCodec.decodeBmp(bpp8) == null)                    // unsupported bpp
+    val rle = good.clone(); rle(30) = 1
+    assert(MediaCodec.decodeBmp(rle) == null)                     // compressed
+  }
+
+  test("nearest-neighbour resize matches the integer source mapping") {
+    val img = MediaCodec.BmpImage(4, 2, Array(
+      1, 2, 3, 4,
+      5, 6, 7, 8))
+    assert(MediaCodec.resizeNearest(img, 2, 2).toSeq == Seq(1, 3, 5, 7))
+    assert(MediaCodec.resizeNearest(img, 4, 2).toSeq == img.pixels.toSeq)
+    assert(MediaCodec.resizeNearest(img, 1, 1).toSeq == Seq(1))
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  test("wav round trip recovers rate, channels and every sample") {
+    val rnd = new scala.util.Random(13L)
+    for (rate <- Seq(8000, 44100); ch <- Seq(1, 2)) {
+      val samples = Array.fill(301 * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val clip = MediaCodec.decodeWav(MediaCodec.encodeWav(rate, ch, samples))
+      assert(clip != null && clip.sampleRate == rate && clip.channels == ch
+        && clip.bitsPerSample == 16)
+      assert(clip.samples.sameElements(samples))
+    }
+  }
+
+  test("wav decode skips unknown chunks (LIST before data) like a real reader") {
+    val samples = Array.tabulate(64)(i => (i * 100 - 3200).toShort)
+    val canonical = MediaCodec.encodeWav(16000, 1, samples)
+    // splice a LIST chunk between fmt and data: [RIFF..fmt ][LIST+7pad][data..]
+    val listBody = "INFOetc".getBytes("US-ASCII") // 7 bytes -> odd, word-pad
+    val head = canonical.slice(0, 36)             // through end of fmt chunk
+    val tail = canonical.slice(36, canonical.length)
+    val out = java.nio.ByteBuffer
+      .allocate(head.length + 8 + listBody.length + 1 + tail.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(head)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    out.put(0: Byte)                              // RIFF word alignment
+    out.put(tail)
+    val bytes = out.array()
+    // patch RIFF size
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, bytes.length - 8)
+    val clip = MediaCodec.decodeWav(bytes)
+    assert(clip != null && clip.sampleRate == 16000)
+    assert(clip.samples.sameElements(samples))
+  }
+
+  test("wav decode rejects corrupt/unsupported input with null") {
+    val good = MediaCodec.encodeWav(8000, 1, Array.tabulate(32)(_.toShort))
+    assert(MediaCodec.decodeWav(null) == null)
+    assert(MediaCodec.decodeWav(good.take(20)) == null)
+    val notRiff = good.clone(); notRiff(0) = 'X'.toByte
+    assert(MediaCodec.decodeWav(notRiff) == null)
+    val float32 = good.clone(); float32(20) = 3   // IEEE-float audio format
+    assert(MediaCodec.decodeWav(float32) == null)
+    val overrun = good.clone()
+    java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 30)                        // data size past buffer
+    assert(MediaCodec.decodeWav(overrun) == null)
+  }
+
+  // ------------------------------------------------- expressions + SQL
+
+  test("decode expressions agree between Column API and SQL registration") {
+    import spark.implicits._
+    val df = spark.range(0, 50).toDF("doc_id")
+    val viaCol = df.select(
+      GraftFunctions.bmpDecodeStats(GraftFunctions.synthBmp($"doc_id"), 16, 16)
+        .as("b"),
+      GraftFunctions.wavDecodeStats(GraftFunctions.synthWav($"doc_id")).as("w"))
+      .selectExpr("b.width", "b.pixel_sum", "b.resized_sum",
+        "w.sample_rate", "w.energy")
+    df.createOrReplaceTempView("media_ids")
+    val viaSql = spark.sql(
+      """SELECT b.width, b.pixel_sum, b.resized_sum, w.sample_rate, w.energy
+        |FROM (SELECT bmp_decode_stats(synth_bmp(doc_id), 16, 16) AS b,
+        |             wav_decode_stats(synth_wav(doc_id)) AS w
+        |      FROM media_ids)""".stripMargin)
+    assert(viaCol.collect().toSeq == viaSql.collect().toSeq)
+  }
+
+  test("corrupt blobs yield null structs through the expression (absent semantics)") {
+    import spark.implicits._
+    val rows = Seq(Array[Byte](1, 2, 3), null).toDF("blob")
+      .select(GraftFunctions.bmpDecodeStats($"blob", 4, 4).as("b"),
+        GraftFunctions.wavDecodeStats($"blob").as("w"))
+      .collect()
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+}
