@@ -215,6 +215,69 @@ object Streams {
     * view_ts + window, which is exactly the interval condition's reach.
     * State is keyed on user_id and scales with the shuffle like every
     * other stateful operator here. */
+  /** Streaming MinHash/LSH near-duplicate detection — the stream-shaped
+    * form of the batch `DocQueries.crossDedup` daily-ingest pattern: the
+    * persisted base index becomes keyed state store entries, one per LSH
+    * band bucket, and every arriving document probes the buckets its
+    * signature lands in.
+    *
+    * State per bucket is ONE (canonical doc_id, 64-long signature) — the
+    * first document ever seen in that bucket — so state size tracks the
+    * number of distinct band buckets (sublinear in documents, the same
+    * asymptotics as the batch base index), never the stream length. A
+    * colliding arrival emits a candidate row `(doc_id, canonical_doc_id,
+    * est_jaccard)` where est_jaccard is the MinHash estimate (matching
+    * signature positions / k — the unbiased Jaccard estimator), computed
+    * against the state-resident signature with no second lookup.
+    *
+    * Output is the CANDIDATE stream, at most `bands` rows per document;
+    * the per-document verdict (any candidate with est >= threshold) is one
+    * ordinary batch `groupBy(doc_id)` away in the consumer — kept out of
+    * this operator so the query needs a single stateful stage (append
+    * mode, no watermark coupling). Band layout (k=64, 8 rows x 8 bands)
+    * matches the batch operators, so a document near-dups here iff it
+    * would band-collide in `minhashLsh`'s candidate stage.
+    *
+    * Ordering: within a micro-batch, bucket occupants process in doc_id
+    * order (deterministic replay); across batches, arrival order rules —
+    * exactly the incremental-ingest semantics of crossDedup. */
+  def nearDupStream(docs: org.apache.spark.sql.Dataset[(Long, String)],
+                    k: Int = 64, bandRows: Int = 8)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bands = k / bandRows
+    docs
+      .flatMap { case (docId, text) =>
+        val sig = graft.functions.MinHash.signatureFromText(text, k)
+        (0 until bands).map { b =>
+          val key = new StringBuilder().append(b)
+          var i = b * bandRows
+          while (i < (b + 1) * bandRows) { key.append(':').append(sig(i)); i += 1 }
+          (key.toString, docId, sig)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, Array[Long])],
+         state: GroupState[(Long, Array[Long])]) => {
+          val arrivals = rows.toSeq.sortBy(_._2)
+          var canon = state.getOption.orNull
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          arrivals.foreach { case (_, docId, sig) =>
+            if (canon == null) canon = (docId, sig)
+            else if (docId != canon._1) {
+              var matches = 0
+              var i = 0
+              while (i < k) { if (sig(i) == canon._2(i)) matches += 1; i += 1 }
+              out += ((docId, canon._1, matches.toDouble / k))
+            }
+          }
+          state.update(canon)
+          out.result().iterator
+        })
+  }
+
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       userCol: String = "user_id",
                       viewTs: String = "view_ts", purchaseTs: String = "purchase_ts",
