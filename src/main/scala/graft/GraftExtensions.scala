@@ -97,6 +97,10 @@ object GraftExtensions {
         litInt(args(2), "bmp_decode_stats outH")) },
     fn("wav_decode_stats", "wav_decode_stats(blob) - real RIFF/WAVE parse -> struct(sample_rate,channels,bits,n_frames,duration_ms,energy); null on corrupt bytes") {
       args => WavDecodeStats(args.head) },
+    fn("synth_bmp_seeded", "synth_bmp_seeded(k) - seeded demo BMP; k and k^1 share identical images") {
+      args => SynthBmpSeeded(args.head) },
+    fn("bmp_dhash", "bmp_dhash(blob) - real BMP decode -> perceptual difference-hash as 4x16-bit int chunks; null on corrupt bytes") {
+      args => BmpDHash(args.head) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

@@ -36,6 +36,12 @@ object GraftFunctions {
   def synthBmp(k: Column): Column = column(SynthBmp(expression(k)))
   def synthWav(k: Column): Column = column(SynthWav(expression(k)))
 
+  /** Seeded demo BMP (docs 2s/2s+1 share images — see [[MediaCodec]]). */
+  def synthBmpSeeded(k: Column): Column = column(SynthBmpSeeded(expression(k)))
+
+  /** Real decode + perceptual difference-hash → 4×16-bit chunk array. */
+  def bmpDhash(blob: Column): Column = column(BmpDHash(expression(blob)))
+
   /** One real BMP parse per row → metadata/feature struct (null on corrupt
     * bytes); `outW`×`outH` is the nearest-neighbour thumbnail geometry. */
   def bmpDecodeStats(blob: Column, outW: Int, outH: Int): Column =

@@ -209,6 +209,57 @@ object MediaCodec {
     })
   }
 
+  /** Difference-hash (dHash) of a decoded image: nearest-resample to 9×8,
+    * integer BT.601 luma `(299r + 587g + 114b) / 1000`, then one bit per
+    * horizontal luma gradient (`luma(x+1,y) > luma(x,y)`), packed into 4
+    * little-endian 16-bit chunks (bit index `y*8 + x`). Chunked — not one
+    * long — because the near-dup join blocks on chunk equality (pigeonhole:
+    * Hamming ≤ 3 ⇒ some chunk is identical, same exactness argument as the
+    * SimHash blocking) and 16-bit values replay exactly in any SQL engine
+    * without signed-bit-63 contortions. */
+  def dhashChunks(img: BmpImage): Array[Int] = {
+    val resized = resizeNearest(img, 9, 8)
+    val luma = new Array[Int](9 * 8)
+    var i = 0
+    while (i < luma.length) {
+      val p = resized(i)
+      luma(i) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000
+      i += 1
+    }
+    val chunks = new Array[Int](4)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(y * 9 + x + 1) > luma(y * 9 + x)) {
+          val idx = y * 8 + x
+          chunks(idx >> 4) |= 1 << (idx & 15)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    chunks
+  }
+
+  /** Seeded synthetic BMP: documents `2s` and `2s+1` share seed `s` and so
+    * carry byte-identical images — planted exact-duplicate PAIRS for the
+    * perceptual-hash dedup (linear in corpus size, never quadratic).
+    * Pixels are nonlinear integer forms of (x, y, s) so different seeds
+    * produce effectively uncorrelated gradient bits. */
+  def synthBmpSeeded(k: Long): Array[Byte] = {
+    val s = k / 2
+    val w = (16 + Math.floorMod(s * 5, 48)).toInt
+    val h = (16 + Math.floorMod(s * 7, 48)).toInt
+    encodeBmp(w, h, (x, y) => {
+      val r = Math.floorMod((x + s) * (y + 2 * s) + x.toLong * x, 256).toInt
+      val g = Math.floorMod((2 * x + s) * (y + s) + y.toLong * y, 256).toInt
+      val b = Math.floorMod(x.toLong * y + s * s + 3 * x, 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
   /** Deterministic synthetic WAV for document `k` (mono 16-bit PCM;
     * rate cycles 8/16/44.1 kHz; `sample(i) = (i*31 + k*17) % 4096 - 2048`). */
   def synthWav(k: Long): Array[Byte] = {

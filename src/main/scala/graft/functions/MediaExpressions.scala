@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Catalyst expressions wrapping [[MediaCodec]] — the multimodal
@@ -31,6 +32,34 @@ case class SynthWav(child: Expression)
   override def nullSafeEval(k: Any): Any = MediaCodec.synthWav(k.asInstanceOf[Long])
   override protected def withNewChildInternal(c: Expression): SynthWav = copy(c)
   override def prettyName: String = "synth_wav"
+}
+
+case class SynthBmpSeeded(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any): Any =
+    MediaCodec.synthBmpSeeded(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): SynthBmpSeeded =
+    copy(c)
+  override def prettyName: String = "synth_bmp_seeded"
+}
+
+/** Real decode + perceptual difference-hash: BMP bytes in, the 4×16-bit
+  * dHash chunk array out (null on corrupt bytes). See
+  * [[MediaCodec.dhashChunks]] for the bit layout. */
+case class BmpDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(blob: Any): Any = {
+    val img = MediaCodec.decodeBmp(blob.asInstanceOf[Array[Byte]])
+    if (img == null) null
+    else new GenericArrayData(MediaCodec.dhashChunks(img))
+  }
+  override protected def withNewChildInternal(c: Expression): BmpDHash = copy(c)
+  override def prettyName: String = "bmp_dhash"
 }
 
 /** One real BMP parse per row → all image metadata + features:

@@ -441,6 +441,75 @@ object EnrichQueries {
       |  CAST(energy AS BIGINT) AS energy
       |FROM d JOIN e USING (doc_id)""".stripMargin
 
+  /** Perceptual-hash near-dup over REAL decoded images: synthesize seeded
+    * BMPs (documents 2s and 2s+1 share a seed → planted duplicate pairs,
+    * linear in corpus size), REAL-decode each, dHash the decoded pixels
+    * (9×8 nearest resample → BT.601 luma → horizontal-gradient bits), and
+    * block the pair search on 16-bit chunk equality — Hamming ≤ 3 implies
+    * a shared chunk (pigeonhole), so the blocking is exact, the same
+    * argument as `doc_simhash_pairs`. O(docs × 4) band rows, never
+    * all-pairs; only the 8-byte chunk array shuffles, never the image. */
+  def mediaPhashDedup(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bmpDhash, synthBmpSeeded}
+    val hashed = documents(spark, d).repartition(col("doc_id"))
+      .select(col("doc_id"), bmpDhash(synthBmpSeeded(col("doc_id"))).as("ch"))
+    val chunks = hashed.select(col("doc_id"), col("ch"), posexplode(col("ch")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val ham = (0 until 4).map(i =>
+        bit_count(element_at(col("a.ch"), i + 1)
+          .bitwiseXOR(element_at(col("b.ch"), i + 1))))
+      .reduce(_ + _)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Oracle replays synthesis arithmetic → luma grid → gradient bits →
+    * chunk packing → chunk-blocked pairs; the Spark side must arrive at
+    * the same chunks by PARSING the container bytes it encoded. */
+  val mediaPhashDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id // 2 AS s,
+      |    CAST(16 + (doc_id // 2 * 5) % 48 AS INT) AS w,
+      |    CAST(16 + (doc_id // 2 * 7) % 48 AS INT) AS h
+      |  FROM documents),
+      |gi AS (SELECT doc_id, s, w, h, unnest(generate_series(0, 8)) AS i FROM d),
+      |gij AS (SELECT doc_id, s, w, h, i, unnest(generate_series(0, 7)) AS j FROM gi),
+      |lum AS (SELECT doc_id, i, j,
+      |    (((( (i*w//9) + s) * ((j*h//8) + 2*s) + (i*w//9)*(i*w//9)) % 256) * 299
+      |     + (((2*(i*w//9) + s) * ((j*h//8) + s) + (j*h//8)*(j*h//8)) % 256) * 587
+      |     + (((i*w//9)*(j*h//8) + s*s + 3*(i*w//9)) % 256) * 114) // 1000 AS luma
+      |  FROM gij),
+      |bits AS (SELECT a.doc_id, a.j*8 + a.i AS idx
+      |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+      |  WHERE a.i < 8 AND b.luma > a.luma),
+      |chunks AS (SELECT d.doc_id, c.c,
+      |    CAST(COALESCE(SUM(1 << (idx % 16)), 0) AS INT) AS v
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+      |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.idx // 16 = c.c
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id),
+      |wide AS (SELECT doc_id,
+      |    MAX(CASE WHEN c = 0 THEN v END) AS c0, MAX(CASE WHEN c = 1 THEN v END) AS c1,
+      |    MAX(CASE WHEN c = 2 THEN v END) AS c2, MAX(CASE WHEN c = 3 THEN v END) AS c3
+      |  FROM chunks GROUP BY 1)
+      |SELECT cand.doc_a, cand.doc_b,
+      |  CAST(bit_count(xor(CAST(a.c0 AS BIGINT), b.c0))
+      |     + bit_count(xor(CAST(a.c1 AS BIGINT), b.c1))
+      |     + bit_count(xor(CAST(a.c2 AS BIGINT), b.c2))
+      |     + bit_count(xor(CAST(a.c3 AS BIGINT), b.c3)) AS BIGINT) AS hamming
+      |FROM cand JOIN wide a ON cand.doc_a = a.doc_id
+      |          JOIN wide b ON cand.doc_b = b.doc_id
+      |WHERE bit_count(xor(CAST(a.c0 AS BIGINT), b.c0))
+      |    + bit_count(xor(CAST(a.c1 AS BIGINT), b.c1))
+      |    + bit_count(xor(CAST(a.c2 AS BIGINT), b.c2))
+      |    + bit_count(xor(CAST(a.c3 AS BIGINT), b.c3)) <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
@@ -451,7 +520,8 @@ object EnrichQueries {
     "media_features" -> (mediaFeatures _),
     "media_dedup"    -> (mediaDedup _),
     "media_bmp_decode" -> (mediaBmpDecode _),
-    "media_wav_decode" -> (mediaWavDecode _))
+    "media_wav_decode" -> (mediaWavDecode _),
+    "media_phash_dedup" -> (mediaPhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -465,5 +535,6 @@ object EnrichQueries {
     "media_features" -> mediaFeaturesSql,
     "media_dedup"    -> mediaDedupSql,
     "media_bmp_decode" -> mediaBmpDecodeSql,
-    "media_wav_decode" -> mediaWavDecodeSql)
+    "media_wav_decode" -> mediaWavDecodeSql,
+    "media_phash_dedup" -> mediaPhashDedupSql)
 }

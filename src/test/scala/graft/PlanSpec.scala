@@ -316,6 +316,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("phash dedup: chunk-blocked equi-join — no cartesian, image bytes never shuffle") {
+    val nodes = planNodes(
+      graft.queries.EnrichQueries.queries("media_phash_dedup")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "pair search planned as a cartesian product")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "pair search planned as a nested-loop join")
+    nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c.contains("blob") || c.contains("synth_bmp")),
+        s"a shuffle carries the raw image payload: $cols")
+    }
+  }
+
   test("collocations: keyed joins only, no cartesian pair blow-up") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_collocations")(spark, sf))

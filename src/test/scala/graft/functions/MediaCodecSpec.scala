@@ -111,6 +111,27 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeWav(overrun) == null)
   }
 
+  // ------------------------------------------------------------- dHash
+
+  test("dhash is gradient-sensitive: identical images collide, light edits stay near, heavy edits drift far") {
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val base = MediaCodec.decodeBmp(MediaCodec.synthBmpSeeded(42L))
+    val same = MediaCodec.decodeBmp(MediaCodec.synthBmpSeeded(43L)) // partner seed
+    assert(hamming(MediaCodec.dhashChunks(base), MediaCodec.dhashChunks(same)) == 0)
+    // a light edit: brighten one 9x8 cell's worth of pixels -> few bits move
+    val light = base.pixels.clone()
+    for (y <- 0 until base.height / 8; x <- 0 until base.width / 9)
+      light(y * base.width + x) = 0xffffff
+    val dLight = hamming(MediaCodec.dhashChunks(base),
+      MediaCodec.dhashChunks(MediaCodec.BmpImage(base.width, base.height, light)))
+    assert(dLight <= 6, s"light edit moved $dLight bits")
+    // a different seed: effectively uncorrelated -> many bits differ
+    val other = MediaCodec.decodeBmp(MediaCodec.synthBmpSeeded(400L))
+    val dOther = hamming(MediaCodec.dhashChunks(base), MediaCodec.dhashChunks(other))
+    assert(dOther > 10, s"distinct images only $dOther bits apart")
+  }
+
   // ------------------------------------------------- expressions + SQL
 
   test("decode expressions agree between Column API and SQL registration") {
