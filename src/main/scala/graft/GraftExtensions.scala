@@ -101,6 +101,10 @@ object GraftExtensions {
       args => SynthBmpSeeded(args.head) },
     fn("bmp_dhash", "bmp_dhash(blob) - real BMP decode -> perceptual difference-hash as 4x16-bit int chunks; null on corrupt bytes") {
       args => BmpDHash(args.head) },
+    fn("synth_wav_seeded", "synth_wav_seeded(k) - seeded demo WAV; k and k^1 share PCM content but differ at byte level") {
+      args => SynthWavSeeded(args.head) },
+    fn("wav_fingerprint", "wav_fingerprint(blob) - real RIFF/WAVE decode -> struct(sig,energy,n_frames) audio content fingerprint; null on corrupt bytes") {
+      args => WavFingerprint(args.head) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

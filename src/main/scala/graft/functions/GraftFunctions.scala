@@ -51,6 +51,12 @@ object GraftFunctions {
   def wavDecodeStats(blob: Column): Column =
     column(WavDecodeStats(expression(blob)))
 
+  /** Seeded demo WAV (docs 2s/2s+1: identical PCM, byte-distinct container). */
+  def synthWavSeeded(k: Column): Column = column(SynthWavSeeded(expression(k)))
+
+  /** Real decode + audio content fingerprint → struct(sig, energy, n_frames). */
+  def wavFingerprint(blob: Column): Column = column(WavFingerprint(expression(blob)))
+
   /** Embedded epoch-millis of a DivolteIdentifier (`0:<base36 ms>:<random>`). */
   def divolteIdTimestamp(c: Column): Column = column(DivolteIdTimestamp(expression(c)))
 

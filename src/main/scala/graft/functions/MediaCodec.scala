@@ -191,6 +191,52 @@ object MediaCodec {
   private def tag(bytes: Array[Byte], off: Int): String =
     new String(bytes, off, 4, "US-ASCII")
 
+  /** Splice a LIST metadata chunk between `fmt ` and `data` of a canonical
+    * 44-byte-header WAV — byte-level different, content-identical (the
+    * decoder skips LIST). Word-pads odd bodies per RIFF. */
+  def withListChunk(wav: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    require(wav.length >= 44 && tag(wav, 0) == "RIFF", "canonical wav expected")
+    val pad = body.length & 1
+    val out = ByteBuffer.allocate(wav.length + 8 + body.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(wav, 0, 36)                     // RIFF..WAVE + fmt chunk
+    out.put("LIST".getBytes("US-ASCII")).putInt(body.length).put(body)
+    if (pad == 1) out.put(0: Byte)
+    out.put(wav, 36, wav.length - 36)       // data chunk
+    val bytes = out.array()
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(4, bytes.length - 8)
+    bytes
+  }
+
+  /** Audio content fingerprint of a decoded clip: 16 equal sample windows
+    * (integer boundaries `w*n/16`), per-window energy Σs², one bit per
+    * adjacent-window energy gradient (bit w set iff `E(w+1) > E(w)`) — a
+    * 15-bit loudness-envelope signature, robust to container-level byte
+    * differences because it sees only DECODED samples. */
+  def audioFingerprint(clip: WavClip): (Int, Long) = {
+    val n = clip.samples.length
+    if (n == 0) return (0, 0L)
+    val energies = new Array[Long](16)
+    // sample i belongs to window floor(i*16/n) — the one integer mapping
+    // both this kernel and any SQL replay can state identically
+    var i = 0
+    while (i < n) {
+      val s = clip.samples(i).toLong
+      energies((i.toLong * 16 / n).toInt) += s * s
+      i += 1
+    }
+    var sig = 0
+    var total = 0L
+    var w = 0
+    while (w < 16) { total += energies(w); w += 1 }
+    w = 0
+    while (w < 15) {
+      if (energies(w + 1) > energies(w)) sig |= 1 << w
+      w += 1
+    }
+    (sig, total)
+  }
+
   // ------------------------------------------ deterministic demo payloads
 
   /** Deterministic synthetic BMP for document `k` — REAL container bytes
@@ -258,6 +304,18 @@ object MediaCodec {
       val b = Math.floorMod(x.toLong * y + s * s + 3 * x, 256).toInt
       (r << 16) | (g << 8) | b
     })
+  }
+
+  /** Seeded synthetic WAV: documents `2s` and `2s+1` share seed `s` and
+    * carry IDENTICAL PCM content, but the odd partner additionally gets a
+    * LIST metadata chunk spliced in — byte-level distinct, content-equal.
+    * Exactly the pair a content fingerprint must group and a byte hash
+    * cannot. */
+  def synthWavSeeded(k: Long): Array[Byte] = {
+    val canonical = synthWav(k / 2)
+    if ((k & 1L) == 0L) canonical
+    else withListChunk(canonical,
+      s"INFOISFT tagged-copy-${k / 2}".getBytes("US-ASCII"))
   }
 
   /** Deterministic synthetic WAV for document `k` (mono 16-bit PCM;

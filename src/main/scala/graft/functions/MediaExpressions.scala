@@ -62,6 +62,40 @@ case class BmpDHash(child: Expression)
   override def prettyName: String = "bmp_dhash"
 }
 
+case class SynthWavSeeded(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any): Any =
+    MediaCodec.synthWavSeeded(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): SynthWavSeeded =
+    copy(c)
+  override def prettyName: String = "synth_wav_seeded"
+}
+
+/** Real decode + audio content fingerprint: RIFF/WAVE bytes in,
+  * struct(sig 15-bit loudness-envelope signature, energy Σs², n_frames)
+  * out — computed from DECODED samples, so container-level byte noise
+  * (metadata chunks, padding) cannot split content-identical clips. */
+case class WavFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override val dataType: DataType = StructType(Seq(
+    StructField("sig", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+  override def nullSafeEval(blob: Any): Any = {
+    val clip = MediaCodec.decodeWav(blob.asInstanceOf[Array[Byte]])
+    if (clip == null) return null
+    val (sig, energy) = MediaCodec.audioFingerprint(clip)
+    InternalRow(sig, energy, clip.samples.length / clip.channels)
+  }
+  override protected def withNewChildInternal(c: Expression): WavFingerprint =
+    copy(child = c)
+  override def prettyName: String = "wav_fingerprint"
+}
+
 /** One real BMP parse per row → all image metadata + features:
   * header geometry, byte size, full-resolution pixel mass, and the
   * nearest-neighbour `outW`×`outH` thumbnail's pixel mass (the resize

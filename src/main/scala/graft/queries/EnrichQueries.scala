@@ -510,6 +510,50 @@ object EnrichQueries {
       |    + bit_count(xor(CAST(a.c2 AS BIGINT), b.c2))
       |    + bit_count(xor(CAST(a.c3 AS BIGINT), b.c3)) <= 3""".stripMargin
 
+  /** Audio CONTENT dedup over real decoded PCM: seeded WAVs where partner
+    * docs carry identical samples but byte-distinct containers (the odd
+    * partner gets a LIST metadata chunk spliced in — the canonical reason
+    * byte-hash dedup under-groups media). The fingerprint — 16-window
+    * loudness-envelope gradient bits + total energy, computed from DECODED
+    * samples — sees through the container noise and groups them anyway.
+    * One keyed exchange on the ~20-byte fingerprint; the audio bytes never
+    * shuffle (same asymmetry as media_dedup, but content-level). */
+  def mediaAudioDedup(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{synthWavSeeded, wavFingerprint}
+    val keyed = documents(spark, d).repartition(col("doc_id"))
+      .select(col("doc_id"),
+        wavFingerprint(synthWavSeeded(col("doc_id"))).as("fp"))
+      .select(col("doc_id"), col("fp.sig").as("sig"),
+        col("fp.energy").as("energy"), col("fp.n_frames").as("n_frames"))
+    val canon = keyed.groupBy(col("sig"), col("energy"), col("n_frames"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"))
+    keyed.join(canon, Seq("sig", "energy", "n_frames"))
+      .select(col("doc_id"), col("sig"), col("energy"), col("canonical_doc_id"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_duplicate"))
+  }
+
+  val mediaAudioDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id // 2 AS s,
+      |    CAST(400 + (doc_id // 2 % 17) * 100 AS INT) AS n
+      |  FROM documents),
+      |si AS (SELECT doc_id, s, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+      |we AS (SELECT doc_id, (i * 16) // n AS w,
+      |    SUM(CAST(((i*31 + s*17) % 4096 - 2048)
+      |      * ((i*31 + s*17) % 4096 - 2048) AS BIGINT)) AS e
+      |  FROM si GROUP BY 1, 2),
+      |fp AS (SELECT a.doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN b.e > a.e THEN 1 << a.w END), 0) AS INT) AS sig
+      |  FROM we a JOIN we b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 15 GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS energy FROM we GROUP BY 1),
+      |keyed AS (SELECT d.doc_id, fp.sig, tot.energy, d.n
+      |  FROM d JOIN fp USING (doc_id) JOIN tot USING (doc_id)),
+      |canon AS (SELECT sig, energy, n, MIN(doc_id) AS canonical_doc_id
+      |  FROM keyed GROUP BY 1, 2, 3)
+      |SELECT k.doc_id, k.sig, k.energy, canonical_doc_id,
+      |  k.doc_id <> canonical_doc_id AS is_duplicate
+      |FROM keyed k JOIN canon USING (sig, energy, n)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
@@ -521,7 +565,8 @@ object EnrichQueries {
     "media_dedup"    -> (mediaDedup _),
     "media_bmp_decode" -> (mediaBmpDecode _),
     "media_wav_decode" -> (mediaWavDecode _),
-    "media_phash_dedup" -> (mediaPhashDedup _))
+    "media_phash_dedup" -> (mediaPhashDedup _),
+    "media_audio_dedup" -> (mediaAudioDedup _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -536,5 +581,6 @@ object EnrichQueries {
     "media_dedup"    -> mediaDedupSql,
     "media_bmp_decode" -> mediaBmpDecodeSql,
     "media_wav_decode" -> mediaWavDecodeSql,
-    "media_phash_dedup" -> mediaPhashDedupSql)
+    "media_phash_dedup" -> mediaPhashDedupSql,
+    "media_audio_dedup" -> mediaAudioDedupSql)
 }

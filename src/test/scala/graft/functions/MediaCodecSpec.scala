@@ -132,6 +132,21 @@ class MediaCodecSpec extends SparkSpec {
     assert(dOther > 10, s"distinct images only $dOther bits apart")
   }
 
+  // ------------------------------------------------ audio fingerprint
+
+  test("audio fingerprint groups content-identical clips that byte hashing cannot") {
+    val even = MediaCodec.synthWavSeeded(10L)
+    val odd = MediaCodec.synthWavSeeded(11L)     // same PCM + LIST chunk
+    assert(!even.sameElements(odd), "partners must be byte-distinct")
+    assert(java.util.Arrays.hashCode(even) != java.util.Arrays.hashCode(odd))
+    val fpEven = MediaCodec.audioFingerprint(MediaCodec.decodeWav(even))
+    val fpOdd = MediaCodec.audioFingerprint(MediaCodec.decodeWav(odd))
+    assert(fpEven === fpOdd, "content fingerprint must see through the container")
+    val otherSeed = MediaCodec.audioFingerprint(
+      MediaCodec.decodeWav(MediaCodec.synthWavSeeded(12L)))
+    assert(fpEven !== otherSeed, "different content must not collide")
+  }
+
   // ------------------------------------------------- expressions + SQL
 
   test("decode expressions agree between Column API and SQL registration") {
