@@ -105,6 +105,12 @@ object GraftExtensions {
       args => SynthWavSeeded(args.head) },
     fn("wav_fingerprint", "wav_fingerprint(blob) - real RIFF/WAVE decode -> struct(sig,energy,n_frames) audio content fingerprint; null on corrupt bytes") {
       args => WavFingerprint(args.head) },
+    fn("synth_avi", "synth_avi(k) - deterministic real uncompressed-DIB AVI container bytes for seed k") {
+      args => SynthAvi(args.head) },
+    fn("avi_decode_stats", "avi_decode_stats(blob) - real AVI parse -> struct(width,height,n_frames,us_per_frame,duration_ms,pixel_sum); null on corrupt bytes") {
+      args => AviDecodeStats(args.head) },
+    fn("avi_frame_sums", "avi_frame_sums(blob, step) - real AVI decode -> pixel mass of every step-th frame as array<long>; null on corrupt bytes") {
+      args => AviFrameSums(args(0), litInt(args(1), "avi_frame_sums step")) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

@@ -51,6 +51,16 @@ object GraftFunctions {
   def wavDecodeStats(blob: Column): Column =
     column(WavDecodeStats(expression(blob)))
 
+  /** Deterministic real-container AVI demo payload ([[MediaCodec]]). */
+  def synthAvi(k: Column): Column = column(SynthAvi(expression(k)))
+
+  /** One real AVI parse per row → video metadata/pixel-mass struct. */
+  def aviDecodeStats(blob: Column): Column = column(AviDecodeStats(expression(blob)))
+
+  /** Real frame sampling: every `step`-th decoded frame's pixel mass. */
+  def aviFrameSums(blob: Column, step: Int): Column =
+    column(AviFrameSums(expression(blob), step))
+
   /** Seeded demo WAV (docs 2s/2s+1: identical PCM, byte-distinct container). */
   def synthWavSeeded(k: Column): Column = column(SynthWavSeeded(expression(k)))
 

@@ -237,6 +237,157 @@ object MediaCodec {
     (sig, total)
   }
 
+  // ------------------------------------------------------------------ AVI
+
+  final case class AviVideo(
+      width: Int, height: Int, usPerFrame: Int,
+      frames: Array[Array[Int]]) // per frame: 0xRRGGBB top-down row-major
+
+  /** Encode an uncompressed-DIB AVI (RIFF `AVI ` → LIST hdrl [avih + one
+    * `vids`/`DIB ` stream] → LIST movi [`00db` frames]). Frame payloads are
+    * BMP-style bottom-up rows with 4-byte stride padding. */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty,
+      "avi params must be positive")
+    val stride = (width * 3 + 3) & ~3
+    val frameSize = stride * height
+    def fourcc(buf: ByteBuffer, s: String): Unit =
+      buf.put(s.getBytes("US-ASCII"))
+    val hdrlSize = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 // 'hdrl' avih LIST(strl strh strf)
+    val moviSize = 4 + frames.length * (8 + frameSize)
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    fourcc(buf, "RIFF"); buf.putInt(riffSize); fourcc(buf, "AVI ")
+    fourcc(buf, "LIST"); buf.putInt(hdrlSize); fourcc(buf, "hdrl")
+    fourcc(buf, "avih"); buf.putInt(56)
+    buf.putInt(usPerFrame).putInt(frameSize * 1000000 / usPerFrame)
+    buf.putInt(0).putInt(0)
+    buf.putInt(frames.length).putInt(0).putInt(1).putInt(frameSize)
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc(buf, "LIST"); buf.putInt(4 + 8 + 56 + 8 + 40); fourcc(buf, "strl")
+    fourcc(buf, "strh"); buf.putInt(56)
+    fourcc(buf, "vids"); fourcc(buf, "DIB ")
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(usPerFrame).putInt(1000000)        // scale/rate -> fps
+    buf.putInt(0).putInt(frames.length).putInt(frameSize)
+    buf.putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0)
+    buf.putShort(width.toShort).putShort(height.toShort)
+    fourcc(buf, "strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(frameSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc(buf, "LIST"); buf.putInt(moviSize); fourcc(buf, "movi")
+    frames.foreach { pixel =>
+      fourcc(buf, "00db"); buf.putInt(frameSize)
+      var row = height - 1
+      while (row >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = pixel(x, row)
+          buf.put((p & 0xff).toByte)
+          buf.put(((p >> 8) & 0xff).toByte)
+          buf.put(((p >> 16) & 0xff).toByte)
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0: Byte); pad -= 1 }
+        row -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Decode an uncompressed-DIB AVI: walks the top-level chunk list, the
+    * hdrl LIST for `avih` (geometry + frame timing) and the movi LIST for
+    * `00db`/`00dc` frame payloads — nested RIFF traversal, unknown chunks
+    * (idx1, JUNK, other streams) skipped by declared size. Null on
+    * malformed or compressed input. */
+  def decodeAvi(bytes: Array[Byte]): AviVideo = {
+    if (bytes == null || bytes.length < 12) return null
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return null
+    var width = 0
+    var height = 0
+    var usPerFrame = 0
+    var declaredFrames = 0
+    var avihSeen = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+
+    def walkMovi(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = tag(bytes, pos)
+        val size = buf.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size.toLong > end) return false
+        if (id == "LIST" && size >= 4 && tag(bytes, pos + 8) == "rec ") {
+          // frames may be grouped in 'rec ' sub-lists — recurse
+          if (!walkMovi(pos + 12, pos + 8 + size)) return false
+        } else if (id.endsWith("db") || id.endsWith("dc")) {
+          if (!avihSeen) return false
+          val stride = (width * 3 + 3) & ~3
+          if (size != stride * height) return false   // compressed / wrong geometry
+          val pixels = new Array[Int](width * height)
+          var y = 0
+          while (y < height) {
+            var off = pos + 8 + (height - 1 - y) * stride
+            var x = 0
+            while (x < width) {
+              pixels(y * width + x) =
+                ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
+                  (bytes(off) & 0xff)
+              off += 3
+              x += 1
+            }
+            y += 1
+          }
+          frames += pixels
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+
+    def walk(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = tag(bytes, pos)
+        val size = buf.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size.toLong > end) return false
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            val subtype = tag(bytes, pos + 8)
+            val ok = subtype match {
+              case "hdrl" => walk(pos + 12, pos + 8 + size)
+              case "movi" => walkMovi(pos + 12, pos + 8 + size)
+              case _ => true                          // strl handled via hdrl walk; INFO etc. skipped
+            }
+            if (!ok) return false
+          case "avih" =>
+            if (size < 56) return false
+            usPerFrame = buf.getInt(pos + 8)
+            declaredFrames = buf.getInt(pos + 24)
+            width = buf.getInt(pos + 40)
+            height = buf.getInt(pos + 44)
+            if (width <= 0 || height <= 0 || usPerFrame <= 0) return false
+            avihSeen = true
+          case _ => ()                                // strh/strf/idx1/JUNK
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+
+    if (!walk(12, bytes.length)) return null
+    if (!avihSeen || frames.isEmpty) return null
+    if (declaredFrames > 0 && frames.length != declaredFrames) return null
+    AviVideo(width, height, usPerFrame, frames.toArray)
+  }
+
   // ------------------------------------------ deterministic demo payloads
 
   /** Deterministic synthetic BMP for document `k` — REAL container bytes
@@ -304,6 +455,24 @@ object MediaCodec {
       val b = Math.floorMod(x.toLong * y + s * s + 3 * x, 256).toInt
       (r << 16) | (g << 8) | b
     })
+  }
+
+  /** Deterministic synthetic AVI for document `k`: REAL container bytes —
+    * geometry, frame count, timing and per-frame pixels are integer
+    * functions of `k` so a SQL oracle replays what the parser must
+    * recover. */
+  def synthAvi(k: Long): Array[Byte] = {
+    val w = (16 + Math.floorMod(k, 3) * 8).toInt
+    val h = (12 + Math.floorMod(k, 5) * 4).toInt
+    val n = (4 + Math.floorMod(k, 8)).toInt
+    val usPerFrame = (33333 + Math.floorMod(k, 4) * 8333).toInt
+    val frames = (0 until n).map { f => (x: Int, y: Int) =>
+      val r = Math.floorMod(x * 3 + y * 5 + f * 11 + k, 256).toInt
+      val g = Math.floorMod(x * 7 + y + f * 3 + 2 * k, 256).toInt
+      val b = Math.floorMod(x + y * 11 + f * 7 + 3 * k, 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    encodeAvi(w, h, usPerFrame, frames)
   }
 
   /** Seeded synthetic WAV: documents `2s` and `2s+1` share seed `s` and

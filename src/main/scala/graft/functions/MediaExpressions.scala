@@ -96,6 +96,83 @@ case class WavFingerprint(child: Expression)
   override def prettyName: String = "wav_fingerprint"
 }
 
+case class SynthAvi(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any): Any = MediaCodec.synthAvi(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): SynthAvi = copy(c)
+  override def prettyName: String = "synth_avi"
+}
+
+/** One real AVI parse per row → video metadata + whole-clip pixel mass:
+  * avih geometry/timing recovered from actual header bytes, frame count
+  * from the actual movi payloads, duration integer-exact. */
+case class AviDecodeStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override val dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("us_per_frame", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false)))
+  override def nullSafeEval(blob: Any): Any = {
+    val v = MediaCodec.decodeAvi(blob.asInstanceOf[Array[Byte]])
+    if (v == null) return null
+    var sum = 0L
+    v.frames.foreach { frame =>
+      var i = 0
+      while (i < frame.length) {
+        val p = frame(i)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+    }
+    InternalRow(v.width, v.height, v.frames.length, v.usPerFrame,
+      v.frames.length.toLong * v.usPerFrame / 1000L, sum)
+  }
+  override protected def withNewChildInternal(c: Expression): AviDecodeStats =
+    copy(child = c)
+  override def prettyName: String = "avi_decode_stats"
+}
+
+/** Real frame sampling: decode the AVI, keep every `step`-th frame, return
+  * each kept frame's pixel mass (array position p ↦ frame index p*step).
+  * The explode into per-frame rows happens in the query — work stays
+  * partition-local, rows scale with SAMPLED frames. */
+case class AviFrameSums(child: Expression, step: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(step > 0, "frame step must be positive")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(blob: Any): Any = {
+    val v = MediaCodec.decodeAvi(blob.asInstanceOf[Array[Byte]])
+    if (v == null) return null
+    val sums = Array.newBuilder[Long]
+    var f = 0
+    while (f < v.frames.length) {
+      val frame = v.frames(f)
+      var sum = 0L
+      var i = 0
+      while (i < frame.length) {
+        val p = frame(i)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      sums += sum
+      f += step
+    }
+    new GenericArrayData(sums.result())
+  }
+  override protected def withNewChildInternal(c: Expression): AviFrameSums =
+    copy(child = c)
+  override def prettyName: String = "avi_frame_sums"
+}
+
 /** One real BMP parse per row → all image metadata + features:
   * header geometry, byte size, full-resolution pixel mass, and the
   * nearest-neighbour `outW`×`outH` thumbnail's pixel mass (the resize

@@ -554,6 +554,68 @@ object EnrichQueries {
       |  k.doc_id <> canonical_doc_id AS is_duplicate
       |FROM keyed k JOIN canon USING (sig, energy, n)""".stripMargin
 
+  /** REAL video decode: synthesize genuine uncompressed-DIB AVI containers
+    * (nested RIFF: hdrl/avih geometry + timing, movi frame payloads), then
+    * parse them back — metadata from actual header bytes, pixel mass from
+    * actual decoded frames. Completes the real-decode triad: image (BMP),
+    * audio (WAV), video (AVI). */
+  def mediaAviDecode(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{aviDecodeStats, synthAvi}
+    documents(spark, d)
+      .select(col("doc_id"), aviDecodeStats(synthAvi(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_frames").as("n_frames"),
+        col("m.us_per_frame").as("us_per_frame"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.pixel_sum").as("pixel_sum"))
+  }
+
+  val mediaAviDecodeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS w,
+      |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h,
+      |    CAST(4 + (doc_id % 8) AS INT) AS n,
+      |    CAST(33333 + (doc_id % 4) * 8333 AS INT) AS upf
+      |  FROM documents),
+      |gf AS (SELECT doc_id, w, h, n, unnest(generate_series(0, n - 1)) AS f FROM d),
+      |gx AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM gf),
+      |gxy AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+      |px AS (SELECT doc_id,
+      |    SUM((x*3 + y*5 + f*11 + doc_id) % 256 + (x*7 + y + f*3 + 2*doc_id) % 256
+      |      + (x + y*11 + f*7 + 3*doc_id) % 256) AS psum
+      |  FROM gxy GROUP BY 1)
+      |SELECT d.doc_id, w AS width, h AS height, n AS n_frames,
+      |  upf AS us_per_frame,
+      |  CAST(n::BIGINT * upf // 1000 AS BIGINT) AS duration_ms,
+      |  CAST(psum AS BIGINT) AS pixel_sum
+      |FROM d JOIN px USING (doc_id)""".stripMargin
+
+  /** REAL video frame sampling: every 2nd DECODED frame's pixel mass,
+    * exploded to per-frame rows — rows scale with sampled frames, the
+    * decode stays partition-local, the video bytes never shuffle. */
+  def mediaAviFrames(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{aviFrameSums, synthAvi}
+    documents(spark, d)
+      .select(col("doc_id"), posexplode(aviFrameSums(synthAvi(col("doc_id")), 2)))
+      .select(col("doc_id"), (col("pos") * 2).cast("long").as("frame_idx"),
+        col("col").as("frame_sum"))
+  }
+
+  val mediaAviFramesSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS w,
+      |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h,
+      |    CAST(4 + (doc_id % 8) AS INT) AS n
+      |  FROM documents),
+      |gf AS (SELECT doc_id, w, h, n, unnest(generate_series(0, n - 1)) AS f FROM d),
+      |sampled AS (SELECT * FROM gf WHERE f % 2 = 0),
+      |gx AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM sampled),
+      |gxy AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM gx)
+      |SELECT doc_id, f AS frame_idx,
+      |  CAST(SUM((x*3 + y*5 + f*11 + doc_id) % 256 + (x*7 + y + f*3 + 2*doc_id) % 256
+      |    + (x + y*11 + f*7 + 3*doc_id) % 256) AS BIGINT) AS frame_sum
+      |FROM gxy GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
@@ -566,7 +628,9 @@ object EnrichQueries {
     "media_bmp_decode" -> (mediaBmpDecode _),
     "media_wav_decode" -> (mediaWavDecode _),
     "media_phash_dedup" -> (mediaPhashDedup _),
-    "media_audio_dedup" -> (mediaAudioDedup _))
+    "media_audio_dedup" -> (mediaAudioDedup _),
+    "media_avi_decode" -> (mediaAviDecode _),
+    "media_avi_frames" -> (mediaAviFrames _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -582,5 +646,7 @@ object EnrichQueries {
     "media_bmp_decode" -> mediaBmpDecodeSql,
     "media_wav_decode" -> mediaWavDecodeSql,
     "media_phash_dedup" -> mediaPhashDedupSql,
-    "media_audio_dedup" -> mediaAudioDedupSql)
+    "media_audio_dedup" -> mediaAudioDedupSql,
+    "media_avi_decode" -> mediaAviDecodeSql,
+    "media_avi_frames" -> mediaAviFramesSql)
 }

@@ -132,6 +132,33 @@ class MediaCodecSpec extends SparkSpec {
     assert(dOther > 10, s"distinct images only $dOther bits apart")
   }
 
+  // ------------------------------------------------------------- AVI
+
+  test("avi round trip recovers geometry, timing and every frame pixel") {
+    val rnd = new scala.util.Random(17L)
+    val w = 13; val h = 7; val n = 5                 // odd width -> stride padding
+    val frameData = Array.fill(n)(Array.fill(w * h)(rnd.nextInt(0x1000000)))
+    val bytes = MediaCodec.encodeAvi(w, h, 40000,
+      frameData.toIndexedSeq.map(fd => (x: Int, y: Int) => fd(y * w + x)))
+    val v = MediaCodec.decodeAvi(bytes)
+    assert(v != null && v.width == w && v.height == h && v.usPerFrame == 40000)
+    assert(v.frames.length == n)
+    (0 until n).foreach(f => assert(v.frames(f).sameElements(frameData(f)),
+      s"frame $f pixels differ"))
+  }
+
+  test("avi decode rejects corrupt input with null") {
+    val good = MediaCodec.synthAvi(5L)
+    assert(MediaCodec.decodeAvi(null) == null)
+    assert(MediaCodec.decodeAvi(good.take(11)) == null)
+    val notAvi = good.clone(); notAvi(8) = 'X'.toByte
+    assert(MediaCodec.decodeAvi(notAvi) == null)
+    assert(MediaCodec.decodeAvi(good.take(good.length - 10)) == null) // truncated frame
+    // frame chunk size disagreeing with geometry (as if compressed) -> null
+    val v = MediaCodec.decodeAvi(good)
+    assert(v != null && v.frames.nonEmpty)
+  }
+
   // ------------------------------------------------ audio fingerprint
 
   test("audio fingerprint groups content-identical clips that byte hashing cannot") {
