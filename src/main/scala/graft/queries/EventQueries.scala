@@ -866,6 +866,51 @@ object EventQueries {
       |FROM base b ASOF LEFT JOIN s
       |  ON b.user_id = s.user_id AND b.ts_ms >= s.ts_ms""".stripMargin
 
+  // --------------------------------------------------------- interval join
+  /** Interval (overlap) join — the second range-join shape Spark has no
+    * native operator for: each event joins every WINDOW `[start, end]` of
+    * the same user that covers its timestamp (as-of = latest-single-match;
+    * interval = all-overlapping-matches). The naive formulation is a
+    * nested-loop/cartesian per user; this one is the standard BUCKETIZED
+    * range join: quantize time into buckets of the maximum window length,
+    * explode each window over the (≤ 2) buckets it spans, key the probe
+    * side on its single bucket, and equi-join on (user, bucket) with the
+    * range check left as a residual filter — Catalyst plans a HASH join,
+    * each event meets each window at most once (the event's bucket is
+    * unique, so no post-join distinct), and the shape survives any scale
+    * because the join key is (user, time-bucket), not user alone.
+    *
+    * Windows: every 50th event opens a 24 h window for its user (the
+    * incident/promotion-window shape); bucket width = window length, the
+    * bucketization invariant. */
+  def intervalJoin(spark: SparkSession, d: String): DataFrame = {
+    val WinMs = 24L * 3600 * 1000
+    val base = ev(spark, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+    val windows = base.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("win_id"), col("user_id"),
+        col("ts_ms").as("win_start"), (col("ts_ms") + WinMs).as("win_end"))
+      .withColumn("bucket", explode(sequence(
+        col("win_start") divide WinMs cast "long",
+        col("win_end") divide WinMs cast "long")))
+    val probes = base.withColumn("bucket",
+      (col("ts_ms") divide WinMs).cast("long"))
+    probes.join(windows, Seq("user_id", "bucket"))
+      .filter(col("ts_ms") >= col("win_start") && col("ts_ms") <= col("win_end"))
+      .select(col("event_id"), col("win_id"), col("user_id"),
+        (col("ts_ms") - col("win_start")).as("offset_ms"))
+  }
+
+  val intervalJoinSql: String =
+    """WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      | w AS (SELECT event_id AS win_id, user_id, ts_ms AS win_start,
+      |         ts_ms + 86400000 AS win_end
+      |       FROM base WHERE event_id % 50 = 0)
+      |SELECT b.event_id, w.win_id, b.user_id,
+      |  b.ts_ms - w.win_start AS offset_ms
+      |FROM base b JOIN w
+      |  ON b.user_id = w.user_id
+      | AND b.ts_ms BETWEEN w.win_start AND w.win_end""".stripMargin
+
   // ------------------------------------------------- cohort analysis
   /** Signup-cohort revenue triangle: users grouped by first-seen day,
     * revenue tracked by days-since-cohort — the classic retention/LTV
@@ -1712,7 +1757,8 @@ object EventQueries {
     "evt_session_features" -> (sessionFeatures _),
     "evt_bot_detect"   -> (botDetect _),
     "evt_session_funnel" -> (sessionFunnel _),
-    "evt_cohort_revenue" -> (cohortRevenue _))
+    "evt_cohort_revenue" -> (cohortRevenue _),
+    "evt_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1745,5 +1791,6 @@ object EventQueries {
     "evt_session_features" -> sessionFeaturesSql,
     "evt_bot_detect"   -> botDetectSql,
     "evt_session_funnel" -> sessionFunnelSql,
-    "evt_cohort_revenue" -> cohortRevenueSql)
+    "evt_cohort_revenue" -> cohortRevenueSql,
+    "evt_interval_join" -> intervalJoinSql)
 }

@@ -334,6 +334,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join: bucketized range join plans as a hash join, never nested-loop") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_interval_join")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "interval join planned as a cartesian product")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "interval join planned as a nested-loop join")
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "no equi-join operator found — bucketization did not take effect")
+  }
+
   test("collocations: keyed joins only, no cartesian pair blow-up") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_collocations")(spark, sf))
