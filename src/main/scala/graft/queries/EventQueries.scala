@@ -890,10 +890,8 @@ object EventQueries {
       .select(col("event_id").as("win_id"), col("user_id"),
         col("ts_ms").as("win_start"), (col("ts_ms") + WinMs).as("win_end"))
       .withColumn("bucket", explode(sequence(
-        col("win_start") divide WinMs cast "long",
-        col("win_end") divide WinMs cast "long")))
-    val probes = base.withColumn("bucket",
-      (col("ts_ms") divide WinMs).cast("long"))
+        expr(s"win_start DIV ${WinMs}L"), expr(s"win_end DIV ${WinMs}L"))))
+    val probes = base.withColumn("bucket", expr(s"ts_ms DIV ${WinMs}L"))
     probes.join(windows, Seq("user_id", "bucket"))
       .filter(col("ts_ms") >= col("win_start") && col("ts_ms") <= col("win_end"))
       .select(col("event_id"), col("win_id"), col("user_id"),
@@ -910,6 +908,53 @@ object EventQueries {
       |FROM base b JOIN w
       |  ON b.user_id = w.user_id
       | AND b.ts_ms BETWEEN w.win_start AND w.win_end""".stripMargin
+
+  // ------------------------------------------------ multi-touch attribution
+  /** Linear multi-touch attribution — the all-touches generalization of
+    * `evt_attribution`'s last-touch rule: every view within 24 h BEFORE a
+    * purchase (same user) shares the credit equally. Uses the same
+    * bucketized range-join shape as [[intervalJoin]] (each view opens a
+    * window, purchases probe by time bucket, hash join + residual), then
+    * one purchase-keyed window to count touches. Credit is integer ppm
+    * (`1000000 DIV n`) so both engines split bit-exactly. */
+  def multitouch(spark: SparkSession, d: String): DataFrame = {
+    val WinMs = 24L * 3600 * 1000
+    val base = ev(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ms").as("view_ts"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"view_ts DIV ${WinMs}L"),
+        expr(s"(view_ts + ${WinMs}L) DIV ${WinMs}L"))))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ms"))
+      .withColumn("bucket", expr(s"ts_ms DIV ${WinMs}L"))
+    val matched = purchases.join(views, Seq("user_id", "bucket"))
+      .filter(col("ts_ms") >= col("view_ts") &&
+        col("ts_ms") <= col("view_ts") + WinMs)
+    val w = Window.partitionBy(col("purchase_id"))
+    matched
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("n_touches"),
+        expr("1000000L DIV n_touches").as("credit_ppm"))
+  }
+
+  val multitouchSql: String =
+    """WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+      |              FROM events),
+      | v AS (SELECT event_id AS view_id, user_id, ts_ms AS view_ts
+      |       FROM base WHERE event_type = 'view'),
+      | p AS (SELECT event_id AS purchase_id, user_id, ts_ms
+      |       FROM base WHERE event_type = 'purchase'),
+      | m AS (SELECT p.purchase_id, v.view_id, p.user_id
+      |       FROM p JOIN v ON p.user_id = v.user_id
+      |         AND p.ts_ms BETWEEN v.view_ts AND v.view_ts + 86400000)
+      |SELECT purchase_id, view_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+      |  1000000 // COUNT(*) OVER (PARTITION BY purchase_id) AS credit_ppm
+      |FROM m""".stripMargin
 
   // ------------------------------------------------- cohort analysis
   /** Signup-cohort revenue triangle: users grouped by first-seen day,
@@ -1758,7 +1803,8 @@ object EventQueries {
     "evt_bot_detect"   -> (botDetect _),
     "evt_session_funnel" -> (sessionFunnel _),
     "evt_cohort_revenue" -> (cohortRevenue _),
-    "evt_interval_join" -> (intervalJoin _))
+    "evt_interval_join" -> (intervalJoin _),
+    "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
     "evt_anomaly"             -> anomalySql,
@@ -1792,5 +1838,6 @@ object EventQueries {
     "evt_bot_detect"   -> botDetectSql,
     "evt_session_funnel" -> sessionFunnelSql,
     "evt_cohort_revenue" -> cohortRevenueSql,
-    "evt_interval_join" -> intervalJoinSql)
+    "evt_interval_join" -> intervalJoinSql,
+    "evt_multitouch" -> multitouchSql)
 }
