@@ -146,6 +146,10 @@ object ScaleProbe {
       // watchlist since r6, when its partsupp broadcast hint was removed —
       // a replan back to a partsupp broadcast would decay here first
       "q9_product_profit",
+      // bucketized range join (multitouch shares the shape): candidates are
+      // bounded by events-per-(user,bucket) — decay means bucket occupancy
+      // went dense and the hash join degenerated toward all-pairs per key
+      "evt_interval_join",
       // the two that HAVE shown super-linear growth here (q18's fact
       // broadcast, semDedup's fixed-cell pair pass) stay on the default
       // watchlist so regressions resurface immediately
