@@ -22,6 +22,26 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
     catch { case _: Throwable => "" }
 
+  /** Host-wide busy jiffies (all cpus, user+nice+sys+irq+steal...) from the
+    * aggregate `cpu` line of /proc/stat. Together with our own process CPU
+    * time this isolates EXTERNAL load exactly: external busy seconds over an
+    * interval = hostBusyDelta - processCpuDelta. -1 when unreadable. */
+  private def hostBusyJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L) // idle+iowait
+        cols.sum - idle
+      } finally f.close()
+    } catch { case _: Throwable => -1L }
+
+  private def processCpuNanos(): Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -40,15 +60,16 @@ object Bench {
       .orElse(sys.props.get("java.io.tmpdir")).getOrElse("/tmp")
     val localFree = try new java.io.File(localDir).getUsableSpace catch { case _: Throwable => -1L }
     val rt = Runtime.getRuntime
+    val hostCores = rt.availableProcessors
     // Warm the JVM/session once so the first timed query isn't charged for
     // infra startup: a parquet scan (FileIndex/footer machinery), a shuffle
     // + window + join (exchange and sort JIT), and a first whole-stage
     // codegen compile (janino classloader warm). Measured ~2.5s charged to
     // whichever query happened to run first without this.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val warm = spark.read.parquet(s"$sfDir/region.parquet")
+    val warmup = spark.read.parquet(s"$sfDir/region.parquet")
       .selectExpr("r_regionkey", "r_name")
-    warm.join(warm.selectExpr("r_regionkey").limit(2), "r_regionkey")
+    warmup.join(warmup.selectExpr("r_regionkey").limit(2), "r_regionkey")
       .groupBy("r_name").count()
       .selectExpr("r_name", "count",
         "row_number() over (partition by r_name order by count) rk")
@@ -69,7 +90,16 @@ object Bench {
     // `queries_warm` report steady state, which is the scale-relevant number
     // (a cluster query amortizes its ~1s planning over minutes of execution,
     // and the reference's 12-15k req/s/thread is itself a sustained rate).
-    def time(fn: (SparkSession, String) => DataFrame): Double = {
+    //
+    // Every sample also carries its EXTERNAL-load fraction for the interval:
+    // (host busy CPU seconds - this JVM's CPU seconds) / (cores * wall).
+    // On a dedicated host it sits near 0; a co-tenant burning cores shows up
+    // directly, and the warm sample is then RE-TIMED (best-of, bounded) so
+    // the artifact reports steady state instead of host contention. r6's
+    // driver artifact started at loadavg 19.7 and inflated the slowest
+    // queries 2-5x; the re-time loop makes the artifact self-adjudicating.
+    def timeOnce(fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+      val j0 = hostBusyJiffies(); val c0 = processCpuNanos()
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column — a plain count()
       // would let Catalyst prune the projections under narrow queries and
@@ -78,18 +108,40 @@ object Bench {
       // indistinguishable from a fast success in the JSON).
       try {
         fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val j1 = hostBusyJiffies(); val c1 = processCpuNanos()
+        val ext =
+          if (j0 < 0 || j1 < 0 || c0 < 0 || c1 < 0 || wall <= 0) -1.0
+          else {
+            // USER_HZ is 100 on every mainstream linux; a wrong constant only
+            // mis-scales the diagnostic, never the timing itself.
+            val hostBusySec = (j1 - j0) / 100.0
+            val selfSec = (c1 - c0) / 1e9
+            math.max(0.0, (hostBusySec - selfSec) / (hostCores * wall))
+          }
+        (wall, ext)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query failed: $e")
-          -1.0
+          (-1.0, -1.0)
       }
     }
+    // A warm sample counts as contaminated when external load ate a
+    // non-trivial core share AND the query is long enough for that to
+    // matter. Re-time up to `maxRetries`; keep the fastest sample (a slow
+    // wall under contention is an overestimate, never an underestimate, so
+    // min is the honest pick). A global retry budget bounds the run.
+    val extThreshold = sys.env.getOrElse("SPARK_GRAFT_EXT_THRESHOLD", "0.15").toDouble
+    val minRetimeSec = 0.3
+    val maxRetries = 2
+    var retryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "180").toDouble
     val gcStartMs = gcMillis()
     var qIdx = 0
     // Dev-only subset knob (the driver never sets it): regex over names —
     // lets a single query be timed in bench shape (toRdd.count, warm JVM).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // per-query quality: (retries, lastExt, cleanFinal)
+    val quality = scala.collection.mutable.LinkedHashMap[String, (Int, Double, Boolean)]()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
@@ -101,35 +153,65 @@ object Bench {
       qIdx += 1
       if (qIdx % 16 == 0) System.gc()
       val gc0 = gcMillis()
-      val cold = time(fn)
-      val warm = time(fn)
+      val (cold, coldExt) = timeOnce(fn)
+      var (warm, warmExt) = timeOnce(fn)
+      var retries = 0
+      var bestExt = warmExt
+      while (warm >= 0 && warmExt >= 0 && bestExt > extThreshold &&
+             warm > minRetimeSec && retries < maxRetries &&
+             retryBudgetSec > 0) {
+        retries += 1
+        val (w2, e2) = timeOnce(fn)
+        retryBudgetSec -= math.max(0.0, w2)
+        if (w2 >= 0 && w2 < warm) { warm = w2; bestExt = e2 }
+        else if (e2 >= 0 && e2 < bestExt) bestExt = e2
+        warmExt = e2
+      }
+      val clean = bestExt >= 0 && bestExt <= extThreshold
+      quality(name) = (retries, bestExt, clean)
       val gcDelta = gcMillis() - gc0
       // live progress on stderr: localizes any whole-JVM degradation to the
       // point in the run where it starts (the final JSON only shows totals)
-      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f gc=${gcDelta}ms")
-      name -> (cold, warm, gcDelta)
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f " +
+        f"gc=${gcDelta}ms ext=$bestExt%.2f retries=$retries")
+      name -> (cold, warm, gcDelta, coldExt)
     }
-    def obj(sel: ((Double, Double, Long)) => Double): String = results
+    def obj(sel: ((Double, Double, Long, Double)) => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     val gcObj = results
       .map { case (k, v) => s"\"" + k + "\":" + v._3 }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalWarm = results.values.map(_._2).sum
     val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val nRetried = quality.values.count(_._1 > 0)
+    val nDirty = quality.values.count(q => !q._3 && q._2 >= 0)
+    // Non-clean queries only (keeps the artifact small on a healthy host):
+    // every query whose best warm sample still overlapped external load, or
+    // that needed retries, with the external-core fraction it saw.
+    val qualObj = quality.toSeq
+      .filter { case (_, (r, _, clean)) => r > 0 || !clean }
+      .map { case (k, (r, ext, clean)) =>
+        "\"" + k + f"""\":{"retries":$r,"ext":$ext%.3f,"clean":$clean}""" }
+      .mkString("{", ",", "}")
     // Diagnostics preamble: enough embedded evidence to adjudicate a slow run.
     // A contaminated-host artifact shows high loadavg and/or wall ≫ cold+warm
     // totals with modest GC; a genuine regression shows the slowdown inside
-    // the per-query timings with a quiet host.
+    // the per-query timings with a quiet host. Per-query `quality` pinpoints
+    // WHICH timings overlapped external load even after the retry loop.
     val diag = Seq(
       s""""loadavg_start":[${if (loadStart.isEmpty) "" else loadStart}]""",
       s""""loadavg_end":[${val l = loadAvg(); if (l.isEmpty) "" else l}]""",
       s""""gc_total_ms":${gcMillis() - gcStartMs}""",
       s""""gc_count":${gcCount()}""",
       s""""gc_ms_per_query":$gcObj""",
+      s""""cold_ext_frac":${obj(_._4)}""",
+      s""""quality":$qualObj""",
+      s""""n_retried":$nRetried""",
+      s""""n_contaminated":$nDirty""",
       s""""local_dir":${jstr(localDir)}""",
       s""""local_dir_free_bytes":$localFree""",
       s""""heap_max_bytes":${rt.maxMemory}""",
-      s""""available_processors":${rt.availableProcessors}""",
+      s""""available_processors":$hostCores""",
       s""""jvm_args":${jstr(ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.mkString(" "))}""",
       s""""wall_sec":$wallSec"""
     ).mkString("{", ",", "}")
@@ -141,7 +223,7 @@ object Bench {
     // parseable JSON line: totals + host diagnostics + the top-20 slowest
     // queries (cold and warm). Full per-query detail stays in the line above
     // and in the stderr progress log.
-    def topN(sel: ((Double, Double, Long)) => Double, n: Int): String = results.toSeq
+    def topN(sel: ((Double, Double, Long, Double)) => Double, n: Int): String = results.toSeq
       .sortBy { case (_, v) => -sel(v) }.take(n)
       .map { case (k, v) => "\"" + k + "\":" + f"${sel(v)}%.3f" }.mkString("{", ",", "}")
     val compact = Seq(
@@ -151,6 +233,8 @@ object Bench {
       s""""value_warm":$totalWarm""",
       s""""sf":${jstr(sfDir)}""",
       s""""n_queries":${results.size}""",
+      s""""n_retried":$nRetried""",
+      s""""n_contaminated":$nDirty""",
       s""""wall_sec":$wallSec""",
       s""""gc_total_ms":${gcMillis() - gcStartMs}""",
       s""""loadavg_start":[${if (loadStart.isEmpty) "" else loadStart}]""",

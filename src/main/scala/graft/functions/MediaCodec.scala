@@ -374,6 +374,13 @@ object MediaCodec {
             width = buf.getInt(pos + 40)
             height = buf.getInt(pos + 44)
             if (width <= 0 || height <= 0 || usPerFrame <= 0) return false
+            // Hostile-header bound: stride/pixel-count arithmetic below runs
+            // in Int, so huge declared dims would wrap (false size match,
+            // NegativeArraySizeException). One frame can't exceed the input,
+            // and the pixel array must index as Int.
+            val strideL = (3L * width + 3L) & ~3L
+            if (strideL * height > bytes.length.toLong ||
+                width.toLong * height > Int.MaxValue) return false
             avihSeen = true
           case _ => ()                                // strh/strf/idx1/JUNK
         }

@@ -263,9 +263,21 @@ object UaDatabase {
         val d = deadline.get()
         if (now - d < 0 || !deadline.compareAndSet(d, now + refreshNanos)) db
         else {
-          val stamp = statStamp(path)
-          if (stamp == db.stamp) db
-          else { val fresh = load(path); cache.put(path, (fresh, deadline)); fresh }
+          // A refresh failure (transient FS error, half-written / invalid
+          // yaml mid-republish) must never fail a live task: keep serving
+          // the cached Db, like the reference's reloadDatabase catch-and-
+          // keep-old (ExternalDatabaseLookupService). Only the *initial*
+          // load (None branch below) fails loudly.
+          try {
+            val stamp = statStamp(path)
+            if (stamp == db.stamp) db
+            else { val fresh = load(path); cache.put(path, (fresh, deadline)); fresh }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"ua database refresh failed for $path; keeping cached copy: $e")
+              db
+          }
         }
       case None =>
         val fresh = load(path)

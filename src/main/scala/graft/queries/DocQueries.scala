@@ -396,10 +396,11 @@ object DocQueries {
     * 32-bit hash of them: the oracles join on the exact values, and a
     * hash collision between distinct band keys would otherwise create a
     * Spark-only candidate the oracle never checks. */
-  private def minhashBands(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
-        b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))))
-    .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  private def minhashBands(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    df.select(col("doc_id") +: carry.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(MinhashK / BandRows - 1)),
+          b => slice(col("sig"), b * BandRows + 1, lit(BandRows)))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** MinHash+LSH near-dup: band-bucket join produces candidates, exact
     * Jaccard verifies (precision 1 by construction). The signature hash is
@@ -3377,7 +3378,11 @@ object DocQueries {
     * K override: `spark.graft.fuzzy.maxDist` (default 40). */
   def fuzzyDedup(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    // One cached scan feeds the gate probe and BOTH join sides (the
+    // crossDedup pattern): the stats action below populates the cache, so
+    // the plan reads parquet exactly once per invocation.
     val docs = documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
+      .cache()
     // The verify runs inside the candidate join, so its parallelism is the
     // PROBE side's partitioning — which the fixture rebalance sizes by
     // bytes. Verify cost is candidate-pair volume, not bytes: spread the
@@ -3400,11 +3405,21 @@ object DocQueries {
     // hash(doc_id) % par, the build side replicates across all salts —
     // every qualifying pair still meets exactly once, and the hot bands
     // spread over `par` reducers instead of one.
+    // The gate is BYTES-based: the build side is the full corpus TEXT
+    // fanned out 3x, so a doc-count gate alone would let a long-document
+    // corpus broadcast multi-GB. Estimate = 3 * sum(n_chars); one agg
+    // action yields both count and bytes and warms the cache.
     val maxBroadcastDocs = spark.conf
       .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
       .getOrElse(1L << 20)
+    val maxBroadcastBytes = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastBytes").map(_.toLong)
+      .getOrElse(128L << 20)
+    val stats = docs.agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+      .head()
+    val (nDocs, textBytes) = (stats.getLong(0), stats.getLong(1))
     val joined =
-      if (docs.count() <= maxBroadcastDocs)
+      if (nDocs <= maxBroadcastDocs && 3L * textBytes <= maxBroadcastBytes)
         left.as("a").join(broadcast(right.as("b")), cond)
       else {
         val sl = left.withColumn("salt", pmod(hash(col("doc_id")), lit(par)))
@@ -3456,18 +3471,21 @@ object DocQueries {
       .select(col("doc_id"), col("text"), col("n_chars"),
         shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
-    val bands = minhashBands(docs)
+    // The length bound rides the candidate join as a residual on the hash
+    // join (n_chars travels with the band keys): |len(a)-len(b)| > K pairs
+    // can never verify (lev >= |len diff|), and dropping them HERE — before
+    // the distinct and the two text-fetch joins — cuts the dominant cost in
+    // hot LSH buckets, where pair volume is quadratic in bucket size.
+    val bands = minhashBands(docs, carry = Seq("n_chars"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= k)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-        col("n_chars").as("na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-        col("n_chars").as("nb")), "doc_b")
-      .filter(abs(col("na") - col("nb")) <= k)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.GraftFunctions
           .levenshteinBounded(col("ta"), col("tb"), k)
