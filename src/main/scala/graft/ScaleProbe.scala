@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   * Not part of the driver gate — a diagnostic harness. */
 object ScaleProbe {
 
-  private val Factors = Seq(1, 4, 16)
+  /** Replication factors to sweep; `SPARK_GRAFT_SCALE_FACTORS` (comma
+    * list, e.g. "1,64") overrides — the x64 spot-check that decides
+    * whether a high x16 ratio is fixture density (flattens) or genuine
+    * growth (doesn't). */
+  private val Factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(1, 4, 16))
 
   /** Replicate `df` k-fold. Long id columns in `remap` become
     * `id + maxId * rep` (unique per replica, originals preserved at rep 0);
@@ -174,18 +180,20 @@ object ScaleProbe {
       fn(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    val kLo = Factors.min
+    val kHi = Factors.max
     val report = Ops.map { op =>
       val secs = Factors.map { k =>
         val s = time(op, dirs(k))
         System.err.println(f"[scale] $op x$k warm=$s%.2f")
         k -> s
       }.toMap
-      val rows = SparkEntry.queries(op)(spark, dirs(16)).count()
+      val rows = SparkEntry.queries(op)(spark, dirs(kHi)).count()
       op -> (secs, rows)
     }
     val json = report.map { case (op, (s, rows)) =>
-      f""""$op":{"x1":${s(1)}%.3f,"x4":${s(4)}%.3f,"x16":${s(16)}%.3f,""" +
-        f""""rows_x16":$rows,"ratio":${s(16) / s(1)}%.2f}"""
+      val points = Factors.map(k => f""""x$k":${s(k)}%.3f""").mkString(",")
+      f""""$op":{$points,"rows_x$kHi":$rows,"ratio":${s(kHi) / s(kLo)}%.2f}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()

@@ -16,6 +16,16 @@ object GraftFunctions {
   /** Guava-compatible murmur3_32 over the string's UTF-8 bytes. */
   def murmur3Utf8(c: Column): Column = column(Murmur3Utf8(expression(c)))
 
+  /** Rightmost X-Forwarded-For IP literal (normalized), null if absent or
+    * not a literal ([[XffPeerAddress]]). */
+  def xffPeerAddress(xff: Column): Column = column(XffPeerAddress(expression(xff)))
+
+  /** Effective peer address behind proxies: the rightmost XFF entry when it
+    * is a valid IP literal, else the transport remote host unchanged — the
+    * reference's ProxyAdjacentPeerAddressHandler, as one codegen'd column. */
+  def resolvePeerAddress(xff: Column, remoteHost: Column): Column =
+    coalesce(xffPeerAddress(xff), remoteHost)
+
   /** Reference tryParse base-36 semantics: null on malformed/overflow. */
   def base36ToLong(c: Column): Column = column(Base36ToLong(expression(c)))
   def base36ToInt(c: Column): Column = column(Base36ToInt(expression(c)))

@@ -62,6 +62,24 @@ case class MincodeToJson(child: Expression) extends StaticCallUnary {
   override def prettyName: String = "mincode_to_json"
 }
 
+/** Rightmost X-Forwarded-For entry → normalized IP literal, null when the
+  * header is absent/blank or the entry is not an IP literal (reference
+  * `ProxyAdjacentPeerAddressHandler.java:40-59`; keep-old-on-failure is
+  * `coalesce(xff_peer_address(h), remoteHost)` so it stays codegen'd). */
+case class XffPeerAddress(child: Expression) extends StaticCallUnary {
+  override def dataType: DataType = StringType
+  override def staticCall: String = "graft.functions.PeerAddresses.resolveXff"
+  override def resultJavaType: String = "String"
+  override def boxToCatalyst(v: String): String =
+    s"org.apache.spark.unsafe.types.UTF8String.fromString($v)"
+  override def evalImpl(s: String): Any = {
+    val r = PeerAddresses.resolveXff(s)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def withNewChildInternal(c: Expression): XffPeerAddress = copy(c)
+  override def prettyName: String = "xff_peer_address"
+}
+
 /** Guava-compatible murmur3_32 of a string's UTF-8 bytes (reference checksum,
   * `ClientSideCookieEventHandler.java:206-216`). */
 case class Murmur3Utf8(child: Expression) extends StaticCallUnary {

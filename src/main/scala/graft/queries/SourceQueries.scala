@@ -184,15 +184,139 @@ object SourceQueries {
       |  CASE WHEN event_id % 5 <= 2 THEN 304 ELSE 200 END AS http_status
       |FROM events""".stripMargin
 
+  /** X-Forwarded-For peer resolution through the REAL source path
+    * ([[graft.sources.PeerAddress]] inside BrowserSource.decode; reference
+    * `ProxyAdjacentPeerAddressHandler.java:40-59` wired at
+    * `Server.java:135-138`): seven deterministic header shapes — absent,
+    * single IP, multi-hop (rightmost wins), hostname (not resolved: no
+    * per-row DNS, address kept), bracketed IPv6 (normalized to Java's
+    * uncompressed form), IP:port (getByName-unparseable, address kept),
+    * and v4-mapped IPv6 (collapses to the IPv4 literal). Scheme comes from
+    * X-Forwarded-Proto (first value). Narrow codegen'd pass, zero
+    * exchanges; the oracle pins the expected address per shape. */
+  def xffResolve(spark: SparkSession, d: String): DataFrame = {
+    val f = base(spark, d).select(col("event_id"), col("user_id"))
+      .withColumn("remoteHost",
+        concat(lit("10.0."), (col("user_id") % 256).cast("string"), lit(".1")))
+      .withColumn("xForwardedFor", element_at(array(
+        lit(null).cast("string"),
+        lit("203.0.113.7"),
+        lit("10.0.0.1, 203.0.113.9"),
+        lit("evil.example.com"),
+        lit("10.0.0.1,[2001:db8::2]"),
+        lit("203.0.113.9:8080"),
+        lit("::ffff:203.0.113.77")), (col("event_id") % 7 + 1).cast("int")))
+      .withColumn("xForwardedProto",
+        when(col("event_id") % 2 === 0, "https").otherwise("http, https"))
+      .withColumn("scheme", lit("http"))
+      .withColumn("qs", concat(lit("e="), col("event_id").cast("string")))
+    BrowserSource.decode(f, "qs").select(
+      col("event_id"),
+      col("xForwardedFor").as("xff"),
+      col("remoteHost").as("remote_host"),
+      col("scheme"))
+  }
+
+  val xffResolveSql: String =
+    """SELECT event_id,
+      |  CASE event_id % 7
+      |    WHEN 1 THEN '203.0.113.7'
+      |    WHEN 2 THEN '10.0.0.1, 203.0.113.9'
+      |    WHEN 3 THEN 'evil.example.com'
+      |    WHEN 4 THEN '10.0.0.1,[2001:db8::2]'
+      |    WHEN 5 THEN '203.0.113.9:8080'
+      |    WHEN 6 THEN '::ffff:203.0.113.77'
+      |  END AS xff,
+      |  CASE event_id % 7
+      |    WHEN 1 THEN '203.0.113.7'
+      |    WHEN 2 THEN '203.0.113.9'
+      |    WHEN 4 THEN '2001:db8:0:0:0:0:0:2'
+      |    WHEN 6 THEN '203.0.113.77'
+      |    ELSE '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
+      |  END AS remote_host,
+      |  CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme
+      |FROM events""".stripMargin
+
+  /** JSON body-size limit through the real decode path
+    * ([[graft.sources.JsonSource]]; reference
+    * `AsyncRequestBodyReceiver.java:100-104` rejects with 413 before
+    * parsing, cutoff = `maximum_body_size` rounded up to the 4096-byte
+    * chunk): four deterministic body shapes around the boundary — well
+    * under, exactly 4096 bytes (accepted), 4097 bytes (rejected), and a
+    * multi-byte UTF-8 body whose CHAR count is under the limit but whose
+    * BYTE count is over (proves the check is on octets). Oversized rows
+    * come back flagged with every decoded field null — the flag-not-drop
+    * analog of the event the reference never emits. */
+  def jsonOversize(spark: SparkSession, d: String): DataFrame = {
+    val eid = col("event_id").cast("string")
+    val pre = concat(
+      lit("{\"session_id\":\"sess-"), eid,
+      lit("\",\"event_id\":\"ev-"), eid,
+      lit("\",\"is_new_party\":"),
+      when(col("event_id") % 2 === 0, "true").otherwise("false"),
+      lit(",\"is_new_session\":false,\"client_timestamp_iso\":" +
+        "\"2023-05-06T07:08:09.123Z\",\"parameters\":{\"pad\":\""))
+    val suf = lit("\"}}")
+    val target = element_at(
+      array(lit(2048), lit(4096), lit(4097), lit(0)),
+      (col("event_id") % 4 + 1).cast("int"))
+    val pad = when(col("event_id") % 4 === 3, repeat(lit("é"), 2100))
+      .otherwise(repeat(lit("x"),
+        (target - octet_length(pre) - octet_length(suf)).cast("int")))
+    val fixture = base(spark, d).select(col("event_id"))
+      .withColumn("body", concat(pre, pad, suf))
+      .withColumn("pid", concat(lit("party-"), eid))
+    val decoded = JsonSource.decode(fixture, "body", "pid")
+    decoded.select(
+      col("event_id"),
+      octet_length(col("body")).cast("long").as("body_bytes"),
+      col("bodyOversized").as("oversized"),
+      col("partyId").as("party_id"),
+      col("sessionId").as("session_id"),
+      col("newPartyId").as("new_party"),
+      col("clientTime").as("client_ms"),
+      length(get_json_object(col("eventParameters"), "$.pad"))
+        .cast("long").as("pad_chars"))
+  }
+
+  val jsonOversizeSql: String =
+    """WITH f AS (
+      |  SELECT event_id,
+      |    '{"session_id":"sess-' || event_id || '","event_id":"ev-' || event_id ||
+      |    '","is_new_party":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+      |    ',"is_new_session":false,"client_timestamp_iso":"2023-05-06T07:08:09.123Z","parameters":{"pad":"' AS pre,
+      |    '"}}' AS suf,
+      |    CASE event_id % 4 WHEN 0 THEN 2048 WHEN 1 THEN 4096 WHEN 2 THEN 4097 ELSE 0 END AS target
+      |  FROM events),
+      | b AS (
+      |  SELECT event_id, target, pre, suf,
+      |    pre || CASE WHEN event_id % 4 = 3 THEN repeat('é', 2100)
+      |                ELSE repeat('x', target - strlen(pre) - strlen(suf)) END || suf AS body
+      |  FROM f)
+      |SELECT event_id,
+      |  CAST(strlen(body) AS BIGINT) AS body_bytes,
+      |  strlen(body) > 4096 AS oversized,
+      |  CASE WHEN strlen(body) <= 4096 THEN 'party-' || event_id END AS party_id,
+      |  CASE WHEN strlen(body) <= 4096 THEN 'sess-' || event_id END AS session_id,
+      |  CASE WHEN strlen(body) <= 4096 THEN event_id % 2 = 0 END AS new_party,
+      |  CASE WHEN strlen(body) <= 4096 THEN 1683356889123 END AS client_ms,
+      |  CASE WHEN strlen(body) <= 4096
+      |       THEN CAST(target - strlen(pre) - strlen(suf) AS BIGINT) END AS pad_chars
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_browser_roundtrip" -> (browserRoundtrip _),
     "src_json_roundtrip"    -> (jsonRoundtrip _),
     "src_etag_suppress"     -> (etagSuppress _),
+    "src_xff_resolve"       -> (xffResolve _),
+    "src_json_oversize"     -> (jsonOversize _),
     "uri_parse"             -> (uriParse _))
 
   val oracles: Map[String, String] = Map(
     "src_browser_roundtrip" -> browserRoundtripSql,
     "src_json_roundtrip"    -> jsonRoundtripSql,
     "src_etag_suppress"     -> etagSuppressSql,
+    "src_xff_resolve"       -> xffResolveSql,
+    "src_json_oversize"     -> jsonOversizeSql,
     "uri_parse"             -> uriParseSql)
 }

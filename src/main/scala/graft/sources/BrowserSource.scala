@@ -37,7 +37,11 @@ object BrowserSource {
     "newPartyId", "firstInSession", "clientTime", "partyIdTime",
     "sessionIdTime", "eventParameters", "browser")
 
-  def decode(raw: DataFrame, queryStringCol: String): DataFrame = {
+  def decode(raw0: DataFrame, queryStringCol: String): DataFrame = {
+    // Proxy-adjacent peer resolution FIRST (reference Server.java:135-138:
+    // the XFF handler wraps every source handler) — a frame carrying an
+    // xForwardedFor column gets remoteHost rewritten before any mapping.
+    val raw = PeerAddress.rewrite(raw0)
     // exactly two projections: one evaluates the decode UDF once, the next
     // fans the struct out into columns (a withColumn chain would stack one
     // uncollapsible projection per field behind the nondeterministic UDF)

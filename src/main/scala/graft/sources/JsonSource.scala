@@ -24,11 +24,32 @@ object JsonSource {
     StructField("is_new_session", BooleanType, nullable = false),
     StructField("client_timestamp_iso", StringType, nullable = false)))
 
-  def decode(raw: DataFrame, bodyCol: String, partyIdCol: String): DataFrame =
-    raw
-      .withColumn("__c", from_json(col(bodyCol), containerSchema))
+  /** Default `maximum_body_size`
+    * (`config/JsonSourceConfiguration.java:35`) and the receive-buffer
+    * chunk granularity (`ChunkyByteBuffer.java:34`) the rejection check
+    * actually operates at: the reference compares CHUNK counts
+    * (`AsyncRequestBodyReceiver.java:69,100-104`), so the effective cutoff
+    * is the limit rounded up to a chunk multiple — with both defaults
+    * 4096, a body of exactly 4096 bytes is accepted and 4097 rejected. */
+  val DefaultMaximumBodySize = 4096
+  val ChunkSize = 4096
+
+  def decode(raw: DataFrame, bodyCol: String, partyIdCol: String,
+             maximumBodySize: Int = DefaultMaximumBodySize): DataFrame = {
+    // Oversized bodies are rejected at transport (413,
+    // AsyncRequestBodyReceiver.java:100-104) before any parsing — the
+    // engine's flag-not-drop stance keeps the row, marks it
+    // `bodyOversized`, and leaves every decoded field null (the event the
+    // reference never produced). Bytes, not chars: the wire check is on
+    // octets, so a multi-byte UTF-8 body can reject below 4096 characters.
+    val capBytes = math.max((maximumBodySize - 1) / ChunkSize + 1, 1).toLong * ChunkSize
+    PeerAddress.rewrite(raw)
+      .withColumn("bodyOversized",
+        coalesce(octet_length(col(bodyCol)) > capBytes, lit(false)))
+      .withColumn("__c",
+        when(!col("bodyOversized"), from_json(col(bodyCol), containerSchema)))
       .withColumn("corrupt", lit(false))
-      .withColumn("partyId", col(partyIdCol))
+      .withColumn("partyId", when(!col("bodyOversized"), col(partyIdCol)))
       .withColumn("sessionId", col("__c.session_id"))
       .withColumn("eventId", col("__c.event_id"))
       .withColumn("eventSource", lit("json"))
@@ -37,6 +58,8 @@ object JsonSource {
       .withColumn("firstInSession", col("__c.is_new_session"))
       .withColumn("clientTime",
         unix_millis(to_timestamp(col("__c.client_timestamp_iso"))))
-      .withColumn("eventParameters", get_json_object(col(bodyCol), "$.parameters"))
+      .withColumn("eventParameters",
+        when(!col("bodyOversized"), get_json_object(col(bodyCol), "$.parameters")))
       .drop("__c")
+  }
 }

@@ -292,4 +292,37 @@ object Streams {
       "inner")
       .drop(p(userCol))
   }
+
+  /** Streaming linear multi-touch attribution — the stream-stream form of
+    * the batch `evt_multitouch` operator
+    * ([[graft.queries.EventQueries.multitouch]]): every view within
+    * `window` BEFORE a purchase of the same user shares that purchase's
+    * credit equally. Two chained stateful operators: the
+    * watermark-bounded interval join ([[attributionJoin]]) emits every
+    * (purchase, view) match as it becomes known; a downstream per-purchase
+    * event-time aggregation closes once the watermark passes the
+    * purchase's tumbling window, counts the touches, and fans the matches
+    * back out with integer-ppm credit (`1000000 DIV n` — the batch
+    * operator's bit-exact split). A purchase's touch set is complete when
+    * its window closes because qualifying views all precede the purchase.
+    *
+    * State is watermark-bounded on both levels: the join holds `window` of
+    * views per user; the aggregation holds one in-flight row per open
+    * purchase. Both shuffle on keys that scale with the stream (user;
+    * purchase), never on a global key. */
+  def multitouchStream(views: DataFrame, purchases: DataFrame,
+                       userCol: String = "user_id",
+                       viewId: String = "view_id", purchaseId: String = "purchase_id",
+                       viewTs: String = "view_ts", purchaseTs: String = "purchase_ts",
+                       window: String = "24 hours",
+                       watermark: String = "0 seconds"): DataFrame =
+    attributionJoin(views, purchases, userCol, viewTs, purchaseTs, window, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(purchaseTs), window),
+        col(purchaseId), col(userCol))
+      .agg(sort_array(collect_list(col(viewId))).as("views"),
+        count(lit(1)).as("n_touches"))
+      .select(col(purchaseId), col(userCol),
+        explode(col("views")).as(viewId),
+        col("n_touches"),
+        expr("1000000L DIV n_touches").as("credit_ppm"))
 }

@@ -108,6 +108,34 @@ class SourcesSpec extends SparkSpec {
     assert(row.getAs[String]("eventParameters") === """{"a":[1,2],"b":"x"}""")
   }
 
+  test("json body-size limit: 4096-byte boundary, octet semantics") {
+    // cutoff = maximum_body_size rounded up to the 4096-byte receive chunk
+    // (AsyncRequestBodyReceiver.java:69,100-104): 4096 accepted, 4097 not
+    def bodyOf(padBytes: Int, pad: String): String = {
+      val pre = """{"session_id":"s","event_id":"e","is_new_party":true,""" +
+        """"is_new_session":false,"client_timestamp_iso":"2023-05-06T07:08:09Z",""" +
+        """"parameters":{"pad":""""
+      val suf = "\"}}"
+      pre + pad * (padBytes / pad.getBytes("UTF-8").length) + suf
+    }
+    val base = bodyOf(0, "x").getBytes("UTF-8").length
+    val atLimit = bodyOf(4096 - base, "x")
+    val overByOne = bodyOf(4097 - base, "x")
+    // 2100 'é' = 4200 bytes but only 2100 chars: rejects iff check is octets
+    val multibyte = bodyOf(4200, "é")
+    assert(atLimit.getBytes("UTF-8").length == 4096)
+    assert(overByOne.getBytes("UTF-8").length == 4097)
+    assert(multibyte.length < 4096 && multibyte.getBytes("UTF-8").length > 4096)
+    val rows = JsonSource.decode(
+      Seq(("p1", atLimit), ("p2", overByOne), ("p3", multibyte))
+        .toDF("pid", "body"), "body", "pid")
+      .select("partyId", "bodyOversized", "sessionId")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(rows(0) == (("p1", false, "s")))
+    assert(rows(1) == ((null, true, null)))
+    assert(rows(2) == ((null, true, null)))
+  }
+
   // ------------------------------------------------------------------
   // Replay of the reference's RECORDED wire requests
   // (`RequestChecksumTest.java:44-94`): real query strings with known

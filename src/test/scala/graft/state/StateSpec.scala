@@ -126,6 +126,55 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set(("v1", "p1"), ("v2", "p2"), ("v1", "p3"), ("v3", "p3")))
   }
 
+  test("streaming multi-touch splits credit across batches, batch-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val views = MemoryStream[(String, String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(String, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val out = Streams.multitouchStream(
+      views.toDF.toDF("view_id", "user_id", "view_ts"),
+      purchases.toDF.toDF("purchase_id", "user_id", "purchase_ts"),
+      window = "1 hour", watermark = "0 seconds")
+    val q = out.select("purchase_id", "view_id", "n_touches", "credit_ppm")
+      .writeStream.format("memory").queryName("mtouch").outputMode("append").start()
+    // touches for p1 arrive across TWO batches before the purchase; the
+    // join state must hold both until p1 lands, and the aggregation must
+    // not emit p1 until the watermark passes its window
+    views.addData(("v1", "u1", ts(0)), ("v2", "u2", ts(5)))
+    q.processAllAvailable()
+    views.addData(("v3", "u1", ts(20)))
+    purchases.addData(("p1", "u1", ts(30)), ("p2", "u2", ts(6)))
+    q.processAllAvailable()
+    assert(spark.table("mtouch").isEmpty,
+      "nothing may emit before the watermark closes the purchase windows")
+    // far-future events on BOTH streams push the min watermark past 11:00
+    views.addData(("vLate", "u9", ts(0 + 180)))
+    purchases.addData(("pLate", "u9", ts(0 + 190)))
+    q.processAllAvailable()
+    val got = spark.table("mtouch")
+      .as[(String, String, Long, Long)].collect().toSet
+    q.stop()
+    val expected = Set(
+      ("p1", "v1", 2L, 500000L), ("p1", "v3", 2L, 500000L),
+      ("p2", "v2", 1L, 1000000L))
+    assert(got === expected)
+    // batch parity: the same rows through the batch operator's shape
+    val vB = Seq(("v1", "u1", ts(0)), ("v2", "u2", ts(5)), ("v3", "u1", ts(20)))
+      .toDF("view_id", "user_id", "view_ts")
+    val pB = Seq(("p1", "u1", ts(30)), ("p2", "u2", ts(6)))
+      .toDF("purchase_id", "user_id", "purchase_ts")
+    val w = Window.partitionBy(col("purchase_id"))
+    val batch = pB.join(vB, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 hour"))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("view_id"), col("n_touches"),
+        expr("1000000L DIV n_touches").as("credit_ppm"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(batch === expected)
+  }
+
   test("streaming dedup removes within-watermark repeats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
