@@ -173,6 +173,12 @@ object ScaleProbe {
     spark.conf.set("spark.graft.dedup.maxLabelCellVecs", "0")
     spark.range(1000).selectExpr("sum(id)").collect()
     val dirs = Factors.map(k => k -> writeScaled(spark, sfDir, outDir, k)).toMap
+    // The fixture-write phase (first run only) leaves shuffle files,
+    // broadcast blocks and a dirty heap behind; without a collection the
+    // FIRST timed operator pays that debt and the x1 point inflates (seen
+    // as x4 < x1 — impossible under clean conditions). Same hygiene as
+    // Bench's periodic untimed GC.
+    System.gc()
     def time(op: String, dir: String): Double = {
       val fn = SparkEntry.queries(op)
       fn(spark, dir).queryExecution.toRdd.count() // cold: plan+codegen
@@ -183,6 +189,7 @@ object ScaleProbe {
     val kLo = Factors.min
     val kHi = Factors.max
     val report = Ops.map { op =>
+      System.gc() // per-op hygiene: prior op's shuffle/broadcast debris
       val secs = Factors.map { k =>
         val s = time(op, dirs(k))
         System.err.println(f"[scale] $op x$k warm=$s%.2f")

@@ -511,4 +511,43 @@ object MediaCodec {
     }
     encodeWav(rate, 1, samples)
   }
+
+  // ------------------------------------------------- golden wire fixtures
+  /** HAND-AUTHORED container bytes (hex), written field-by-field from the
+    * public format specs — NOT produced by the encoders above. They break
+    * the encode/decode self-agreement loop: a mirrored encoder+decoder bug
+    * would still agree on synthesized payloads, but cannot reproduce these
+    * bytes' independently hand-computed stats (pinned in MediaCodecSpec
+    * and the `media_golden_decode` oracle).
+    *
+    * GoldenBmp: 3x2 bottom-up 24bpp BI_RGB, stride 12 (3-byte pad).
+    * Top-down pixels: (FF0000, 00FF00, 0000FF) / (FFFFFF, 000000, 123456).
+    * GoldenWav: canonical 44-byte RIFF/WAVE, mono 8 kHz 16-bit, samples
+    * [1, -1, 32767, -32768].
+    * GoldenAvi: RIFF/AVI, hdrl(avih 56 B: 40000 us/frame, 1 frame, 2x1)
+    * + movi(one 00db frame, stride 8), pixels (112233, 445566). */
+  val GoldenBmpHex: String =
+    "424D4E0000000000000036000000280000000300000002000000010018000000" +
+    "000018000000130B0000130B00000000000000000000" +
+    "FFFFFF000000563412000000" +  // bottom row (top-down y=1) + pad
+    "0000FF00FF00FF0000000000"    // top row + pad
+
+  val GoldenWavHex: String =
+    "524946462C00000057415645666D74201000000001000100401F0000803E0000" +
+    "02001000" +
+    "646174610800000001" + "00FFFFFF7F0080"
+
+  val GoldenAviHex: String =
+    "52494646" + "6C000000" + "41564920" +
+    "4C495354" + "44000000" + "6864726C" +
+    "61766968" + "38000000" +
+      "409C0000" + "00000000" + "00000000" + "00000000" +  // usPerFrame 40000
+      "01000000" + "00000000" + "01000000" + "00000000" +  // totalFrames 1
+      "02000000" + "01000000" +                            // width 2, height 1
+      "00000000" * 4 +                                     // reserved
+    "4C495354" + "14000000" + "6D6F7669" +
+    "30306462" + "08000000" + "332211665544" + "0000"
+
+  def fromHex(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }

@@ -441,6 +441,52 @@ object EnrichQueries {
       |  CAST(energy AS BIGINT) AS energy
       |FROM d JOIN e USING (doc_id)""".stripMargin
 
+  /** Golden-byte decode: the three decoders run against HAND-AUTHORED
+    * wire fixtures ([[graft.functions.MediaCodec.GoldenBmpHex]] etc. —
+    * bytes written field-by-field from the public specs, never produced
+    * by a repo encoder), and the oracle pins the independently
+    * hand-computed stats as constants. This breaks the encode/decode
+    * self-agreement of the synthesized media oracles: a mirrored
+    * encoder+decoder bug agrees on synthesized payloads but cannot
+    * reproduce these constants. One row; the driver hash-compares every
+    * decoded figure. */
+  def mediaGoldenDecode(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{aviDecodeStats, bmpDecodeStats, wavDecodeStats}
+    import graft.functions.MediaCodec
+    spark.range(1).select(
+        bmpDecodeStats(unhex(lit(MediaCodec.GoldenBmpHex)), 16, 16).as("b"),
+        wavDecodeStats(unhex(lit(MediaCodec.GoldenWavHex))).as("w"),
+        aviDecodeStats(unhex(lit(MediaCodec.GoldenAviHex))).as("v"))
+      .select(
+        col("b.width").as("bmp_width"), col("b.height").as("bmp_height"),
+        col("b.n_bytes").as("bmp_bytes"),
+        col("b.pixel_sum").as("bmp_pixel_sum"),
+        col("b.resized_sum").as("bmp_resized_sum"),
+        col("w.sample_rate").as("wav_rate"), col("w.channels").as("wav_channels"),
+        col("w.bits").as("wav_bits"), col("w.n_frames").as("wav_frames"),
+        col("w.energy").as("wav_energy"),
+        col("v.width").as("avi_width"), col("v.height").as("avi_height"),
+        col("v.n_frames").as("avi_frames"),
+        col("v.us_per_frame").as("avi_us_per_frame"),
+        col("v.duration_ms").as("avi_duration_ms"),
+        col("v.pixel_sum").as("avi_pixel_sum"))
+  }
+
+  /** Hand-computed constants — see MediaCodecSpec's golden tests for the
+    * per-pixel/per-sample derivations. */
+  val mediaGoldenDecodeSql: String =
+    """SELECT CAST(3 AS INT) AS bmp_width, CAST(2 AS INT) AS bmp_height,
+      |  CAST(78 AS INT) AS bmp_bytes,
+      |  CAST(1686 AS BIGINT) AS bmp_pixel_sum,
+      |  CAST(75600 AS BIGINT) AS bmp_resized_sum,
+      |  CAST(8000 AS INT) AS wav_rate, CAST(1 AS INT) AS wav_channels,
+      |  CAST(16 AS INT) AS wav_bits, CAST(4 AS INT) AS wav_frames,
+      |  CAST(2147418115 AS BIGINT) AS wav_energy,
+      |  CAST(2 AS INT) AS avi_width, CAST(1 AS INT) AS avi_height,
+      |  CAST(1 AS INT) AS avi_frames, CAST(40000 AS INT) AS avi_us_per_frame,
+      |  CAST(40 AS BIGINT) AS avi_duration_ms,
+      |  CAST(357 AS BIGINT) AS avi_pixel_sum""".stripMargin
+
   /** Perceptual-hash near-dup over REAL decoded images: synthesize seeded
     * BMPs (documents 2s and 2s+1 share a seed → planted duplicate pairs,
     * linear in corpus size), REAL-decode each, dHash the decoded pixels
@@ -620,6 +666,7 @@ object EnrichQueries {
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
     "geo_mmdb_roundtrip" -> (geoMmdbRoundtrip _),
+    "media_golden_decode" -> (mediaGoldenDecode _),
     "media_decode"   -> (mediaDecode _),
     "media_frames"   -> (mediaFrames _),
     "media_resize"   -> (mediaResize _),
@@ -635,6 +682,7 @@ object EnrichQueries {
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
     "geo_enrich_full" -> geoEnrichFullSql,
+    "media_golden_decode" -> mediaGoldenDecodeSql,
     // the round trip must be enrichment-lossless, so the oracle is the
     // same SQL as geo_enrich_full — any writer/reader defect hash-fails
     "geo_mmdb_roundtrip" -> geoEnrichFullSql,

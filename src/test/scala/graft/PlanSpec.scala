@@ -607,7 +607,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
   test("setsim join / fuzzy dedup: candidate generation is keyed, never a product") {
-    for (op <- Seq("doc_setsim_join", "doc_fuzzy_dedup")) {
+    for (op <- Seq("doc_setsim_join", "doc_fuzzy_dedup", "doc_fuzzy_blocked")) {
       val nodes = planNodes(graft.queries.DocQueries.queries(op)(spark, sf))
       assert(!nodes.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
@@ -616,6 +616,27 @@ class PlanSpec extends SparkSpec {
       assert(!nodes.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
         s"$op: no nested-loop join anywhere in the pipeline")
+    }
+  }
+
+  test("fuzzy blocked: the length bound rides the candidate join, not a later filter") {
+    // the x16 ratio fell 12.6 → 3.7 when |n_chars diff| <= K moved into the
+    // band-bucket hash join as a residual; a regression that re-splits it
+    // into a post-distinct filter silently restores the quadratic tail
+    val df = graft.queries.DocQueries.queries("doc_fuzzy_blocked")(spark, sf)
+    val joins = planNodes(df).filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(joins.exists(_.toString.contains("n_chars")),
+      "no join carries the n_chars length residual — the bound was " +
+        "pushed out of candidate generation")
+  }
+
+  test("xff resolve / json oversize: source decode stays exchange-free") {
+    for (op <- Seq("src_xff_resolve", "src_json_oversize")) {
+      val p = plan(graft.queries.SourceQueries.queries(op)(spark, sf))
+      assert(!p.contains("Exchange"), s"$op must stay a narrow decode pipeline")
     }
   }
 }

@@ -202,4 +202,72 @@ class MediaCodecSpec extends SparkSpec {
       .collect()
     assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
+
+  // ------------------------------------------------- golden wire fixtures
+  // Every byte hand-written from the public specs, every expected value
+  // hand-computed — the decoders are judged against fixtures that no repo
+  // encoder produced, so a mirrored encode/decode bug cannot pass here.
+
+  test("golden BMP bytes decode to the hand-computed image") {
+    val img = MediaCodec.decodeBmp(MediaCodec.fromHex(MediaCodec.GoldenBmpHex))
+    assert(img != null)
+    assert(img.width == 3 && img.height == 2)
+    // top-down pixels as authored in the (bottom-up) byte rows
+    assert(img.pixel(0, 0) == 0xFF0000)
+    assert(img.pixel(1, 0) == 0x00FF00)
+    assert(img.pixel(2, 0) == 0x0000FF)
+    assert(img.pixel(0, 1) == 0xFFFFFF)
+    assert(img.pixel(1, 1) == 0x000000)
+    assert(img.pixel(2, 1) == 0x123456)
+    // channel mass: 3*255 (r,g,b rows) + 765 (white) + 0 + (18+52+86)
+    assert(img.pixels.map(p =>
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).sum == 1686)
+    // 16x16 nearest resize: srcX counts 6/5/5, srcY counts 8/8
+    val rz = MediaCodec.resizeNearest(img, 16, 16)
+    assert(rz.map(p =>
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).sum.toLong == 75600L)
+  }
+
+  test("golden WAV bytes decode to the hand-computed clip") {
+    val clip = MediaCodec.decodeWav(MediaCodec.fromHex(MediaCodec.GoldenWavHex))
+    assert(clip != null)
+    assert(clip.sampleRate == 8000 && clip.channels == 1 && clip.bitsPerSample == 16)
+    assert(clip.samples.toSeq == Seq[Short](1, -1, 32767, -32768))
+  }
+
+  test("golden AVI bytes decode to the hand-computed video") {
+    val v = MediaCodec.decodeAvi(MediaCodec.fromHex(MediaCodec.GoldenAviHex))
+    assert(v != null)
+    assert(v.width == 2 && v.height == 1 && v.usPerFrame == 40000)
+    assert(v.frames.length == 1)
+    assert(v.frames(0).toSeq == Seq(0x112233, 0x445566))
+  }
+
+  test("golden fixtures reject mutation: truncation, magic, geometry") {
+    val bmp = MediaCodec.fromHex(MediaCodec.GoldenBmpHex)
+    val wav = MediaCodec.fromHex(MediaCodec.GoldenWavHex)
+    val avi = MediaCodec.fromHex(MediaCodec.GoldenAviHex)
+    assert(MediaCodec.decodeBmp(bmp.dropRight(1)) == null)  // truncated pixels
+    assert(MediaCodec.decodeWav(wav.dropRight(1)) == null)  // truncated data chunk
+    val badMagic = bmp.clone(); badMagic(0) = 'X'.toByte
+    assert(MediaCodec.decodeBmp(badMagic) == null)
+    val badWidth = bmp.clone(); badWidth(18) = 5  // width 5: stride overruns file
+    assert(MediaCodec.decodeBmp(badWidth) == null)
+    val badRiff = wav.clone(); badRiff(0) = 'X'.toByte
+    assert(MediaCodec.decodeWav(badRiff) == null)
+    val badAviW = avi.clone(); badAviW(64) = 3    // avih width 3: frame size mismatch
+    assert(MediaCodec.decodeAvi(badAviW) == null)
+  }
+
+  test("hostile avih dimensions that wrap Int arithmetic return null, not a crash") {
+    // width 0x55555556: 3*w wraps to 2 in Int, stride wraps to 4, and with
+    // height 2 the wrapped stride*height equals the declared frame size (8)
+    // — the false-pass ADVICE flagged; w*h also wraps negative, so the
+    // pixel allocation would throw NegativeArraySizeException unguarded
+    val avi = MediaCodec.fromHex(MediaCodec.GoldenAviHex)
+    avi(64) = 0x56.toByte; avi(65) = 0x55.toByte
+    avi(66) = 0x55.toByte; avi(67) = 0x55.toByte   // width = 0x55555556
+    avi(68) = 2; avi(69) = 0; avi(70) = 0; avi(71) = 0 // height = 2
+    assert(MediaCodec.decodeAvi(avi) == null)
+  }
 }

@@ -56,4 +56,44 @@ class UaDatabaseStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("a failed refresh keeps serving the cached rules instead of failing " +
+       "the task (reference reloadDatabase catch-and-keep-old)") {
+    val prev = sys.props.put("graft.ua.db.refresh.ms", "1")
+    val file = java.io.File.createTempFile("ua-fail", ".yaml")
+    try {
+      java.nio.file.Files.writeString(file.toPath, yamlFor("Edge One"))
+      val path = file.getAbsolutePath
+      assert(UaDatabase.classify(UaDatabase.current(path), "z Edg/120.0 q").family == "Edge One")
+      Thread.sleep(5)
+      // refresh window expired AND the file is gone: statStamp throws
+      // inside the elected refresher — rows must keep classifying
+      assert(file.delete())
+      val hit = UaDatabase.classify(UaDatabase.current(path), "z Edg/120.0 q")
+      assert(hit.family == "Edge One",
+        "vanished file mid-refresh must fall back to the cached database")
+      Thread.sleep(5)
+      // the file returns with new rules: the NEXT refresh picks them up
+      // (the failure must not wedge the refresh loop)
+      java.nio.file.Files.writeString(file.toPath, yamlFor("Edge Two"))
+      file.setLastModified(System.currentTimeMillis() + 3000) // defeat mtime granularity
+      Thread.sleep(5)
+      var fam = ""
+      // two current() calls: the first past-deadline call re-stats (may
+      // still observe the old stamp on coarse mtime clocks), the loop
+      // tolerates clock granularity
+      val deadline = System.nanoTime() + 2000000000L
+      while (fam != "Edge Two" && System.nanoTime() < deadline) {
+        Thread.sleep(5)
+        fam = UaDatabase.classify(UaDatabase.current(path), "z Edg/120.0 q").family
+      }
+      assert(fam == "Edge Two", "refresh loop must recover after a failure")
+    } finally {
+      file.delete()
+      prev match {
+        case Some(v) => sys.props.put("graft.ua.db.refresh.ms", v)
+        case None => sys.props.remove("graft.ua.db.refresh.ms")
+      }
+    }
+  }
 }
