@@ -3181,6 +3181,212 @@ object DocQueries {
       |       THEN ROUND(CAST(logit AS DOUBLE) / n_tokens, 6) END AS margin
       |FROM s""".stripMargin
 
+  // ------------------------------------------------- naive Bayes classify
+  /** TRAINED multinomial Naive Bayes over the corpus — the classical
+    * language-ID / quality-filter training loop the hash classifier above
+    * only serves: an 80% deterministic split (doc_id % 5 != 0) trains
+    * per-class token counts with add-one smoothing, the 20% holdout is
+    * scored `log prior(c) + Σ_tokens log p(w|c)` and labeled argmax.
+    * Unseen tokens get the smoothed 1/(tokens_c + V) mass — the standard
+    * estimator, so the oracle replays training AND inference exactly.
+    *
+    * Scale: training is one (token, class) groupBy (map-side partials);
+    * the model stays DISTRIBUTED — inference joins exploded holdout tokens
+    * against the count table on (token, class) (shuffle hash join at
+    * vocab scale, no driver materialization, unlike the broadcast LM
+    * models), fanned across the 5-row class dim; one doc-keyed aggregate
+    * and a per-doc argmax window finish it. Every stage is linear in
+    * token postings. */
+  def nbClassify(spark: SparkSession, d: String): DataFrame = {
+    val tk = documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+    val train = tk.filter(col("doc_id") % 5 =!= 0)
+    val test = tk.filter(col("doc_id") % 5 === 0)
+    val cls = train.groupBy(col("lang").as("c"))
+      .agg(countDistinct(col("doc_id")).as("dc"), count(lit(1)).as("tc"))
+    val tot = train.agg(countDistinct(col("doc_id")).as("td"))
+    val voc = train.agg(countDistinct(col("w")).as("v"))
+    val wc = train.groupBy(col("w"), col("lang").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = test
+      .crossJoin(broadcast(cls))
+      .crossJoin(broadcast(voc))
+      .crossJoin(broadcast(tot))
+      .join(wc, Seq("w", "c"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("doc_id"), col("lang"), col("c"),
+        col("tc"), col("dc"), col("v"), col("td"))
+      .agg(sum(log((col("cnt") + 1).cast("double") / (col("tc") + col("v"))))
+        .as("ll"))
+      .select(col("doc_id"), col("lang").as("true_lang"), col("c"),
+        (col("ll") + log(col("dc").cast("double") / col("td"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("c").as("predicted"),
+        (col("c") === col("true_lang")).as("correct"),
+        round(col("score"), 3).as("score"))
+  }
+
+  /** Exact replay: same split, same counts, same smoothing, same argmax
+    * tie-break (score desc, class asc). */
+  val nbClassifySql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      | train AS (SELECT * FROM tk WHERE doc_id % 5 != 0),
+      | test AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+      | cls AS (SELECT lang AS c, COUNT(DISTINCT doc_id) AS dc, COUNT(*) AS tc
+      |   FROM train GROUP BY 1),
+      | tot AS (SELECT COUNT(DISTINCT doc_id) AS td FROM train),
+      | voc AS (SELECT COUNT(DISTINCT w) AS v FROM train),
+      | wc AS (SELECT w, lang AS c, COUNT(*) AS cnt FROM train GROUP BY 1, 2),
+      | sc AS (SELECT t.doc_id, t.lang AS true_lang, cls.c,
+      |     SUM(ln((COALESCE(wc.cnt, 0) + 1)::DOUBLE / (cls.tc + voc.v)))
+      |       + ln(cls.dc::DOUBLE / tot.td) AS score
+      |   FROM test t
+      |   CROSS JOIN cls CROSS JOIN voc CROSS JOIN tot
+      |   LEFT JOIN wc ON wc.w = t.w AND wc.c = cls.c
+      |   GROUP BY t.doc_id, t.lang, cls.c, cls.tc, cls.dc, voc.v, tot.td),
+      | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |     ORDER BY score DESC, c) AS rn FROM sc)
+      |SELECT doc_id, true_lang, c AS predicted,
+      |  c = true_lang AS correct, ROUND(score, 3) AS score
+      |FROM rk WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------- RAKE keyphrases
+  /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword Extraction
+    * from Individual Documents", 2010): candidate phrases are maximal
+    * stopword-delimited token runs (runs longer than 4 tokens are not
+    * candidates — the standard length cap), each word scores
+    * degree/frequency over all candidate-phrase instances (degree = sum of
+    * hosting-phrase lengths, frequency = instance count), and a phrase
+    * scores the sum of its words' scores. Corpus-wide top-20 by
+    * (score desc, phrase asc).
+    *
+    * Scale: run segmentation is one per-doc cumulative-sum window (doc
+    * key); word stats one token-keyed groupBy; phrase scoring explodes
+    * only DISTINCT phrases against the word-score table (token-keyed hash
+    * join); the final top-20 is a TakeOrdered, not a global sort. Linear
+    * in token postings throughout. */
+  private val RakeStop = Seq("a", "the", "of", "and", "in", "to", "is", "on")
+  private val RakeMaxLen = 4
+  private val RakeTopK = 20
+
+  def rakeKeywords(spark: SparkSession, d: String): DataFrame = {
+    val tk = documents(spark, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isInCollection(RakeStop))
+    val runs = tk
+      .withColumn("run", sum(col("stop").cast("int"))
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(!col("stop"))
+    val inst = runs.groupBy(col("doc_id"), col("run"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= RakeMaxLen)
+    val ws = inst
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val distinctPh = inst.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    val scored = distinctPh
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(ws, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum(col("deg").cast("double") / col("freq")).as("score"))
+    // top-k BEFORE the rank window (the vocabTopK idiom): orderBy+limit
+    // plans TakeOrderedAndProject — per-partition partial top-k, no global
+    // sort — and the unpartitioned window then ranks 20 rows, not the vocab
+    val top = scored.orderBy(col("score").desc, col("phrase")).limit(RakeTopK)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))))
+      .select(col("rank"), col("phrase"), col("n_occ"),
+        round(col("score"), 3).as("score"))
+  }
+
+  val rakeKeywordsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       | tk AS (SELECT doc_id, i AS pos, tks[i] AS w,
+       |    tks[i] IN (${RakeStop.map("'" + _ + "'").mkString(", ")}) AS stop
+       |  FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) g
+       |  WHERE i <= len(tks)),
+       | runs AS (SELECT doc_id, pos, w, stop,
+       |    SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |  FROM tk),
+       | inst AS (SELECT doc_id, run,
+       |    array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+       |    COUNT(*) AS len
+       |  FROM runs WHERE NOT stop GROUP BY doc_id, run
+       |  HAVING COUNT(*) <= $RakeMaxLen),
+       | pw AS (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM inst),
+       | ws AS (SELECT w, COUNT(*) AS freq, SUM(len) AS deg FROM pw GROUP BY 1),
+       | dp AS (SELECT phrase, COUNT(*) AS n_occ FROM inst GROUP BY 1),
+       | dpw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+       |  FROM dp),
+       | sc AS (SELECT phrase, n_occ,
+       |    SUM(deg::DOUBLE / freq) AS score
+       |  FROM dpw JOIN ws USING (w) GROUP BY 1, 2)
+       |SELECT rank, phrase, n_occ, ROUND(score, 3) AS score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS INT)
+       |    AS rank FROM sc)
+       |WHERE rank <= $RakeTopK""".stripMargin
+
+  // ------------------------------------------------- Zipf / Heaps fit
+  /** Corpus-statistics fit: the Zipf exponent via ordinary least squares of
+    * ln(freq) on ln(rank) over the top-1000 vocabulary, plus Heaps-law
+    * inputs (vocab size vs token mass). A natural-text corpus fits
+    * slope ≈ -1; a synthetic or templated corpus shows up immediately in
+    * the slope and R² — the cheap corpus-health gauge run before heavier
+    * curation.
+    *
+    * Scale: one token groupBy (map-side partials), top-1000 by
+    * TakeOrdered, the regression a single aggregate over 1000 rows.
+    * One row out. */
+  def zipfFit(spark: SparkSession, d: String): DataFrame = {
+    val counts = documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("w")).limit(1000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("w"))))
+    val fit = top.agg(
+      count(lit(1)).as("n_ranks"),
+      round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+      round(expr("regr_intercept(ln(n), ln(rank))"), 4).as("zipf_intercept"),
+      round(expr("regr_r2(ln(n), ln(rank))"), 4).as("zipf_r2"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("n")).as("token_mass"))
+    fit.crossJoin(broadcast(totals))
+  }
+
+  val zipfFitSql: String =
+    """WITH c AS (SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents) GROUP BY 1),
+      | top AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT)
+      |     AS rank
+      |   FROM c ORDER BY n DESC, w LIMIT 1000),
+      | fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+      |    ROUND(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+      |    ROUND(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+      |    ROUND(regr_r2(ln(n), ln(rank)), 4) AS zipf_r2
+      |  FROM top),
+      | tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |    CAST(SUM(n) AS BIGINT) AS token_mass FROM c)
+      |SELECT * FROM fit CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------- n-gram novelty
   /** N-gram novelty scoring — per-document fraction of its distinct 3-gram
     * shingles that occur FIRST in this document (corpus-wide min-doc_id
@@ -3623,6 +3829,9 @@ object DocQueries {
     "doc_contamination_rate" -> (contaminationRate _),
     "doc_tfidf_knn"          -> (tfidfKnn _),
     "doc_hash_classifier"    -> (hashClassifier _),
+    "doc_nb_classify"        -> (nbClassify _),
+    "doc_rake_keywords"      -> (rakeKeywords _),
+    "doc_zipf_fit"           -> (zipfFit _),
     "doc_ngram_novelty"      -> (ngramNovelty _),
     "doc_importance"   -> (importance _),
     "doc_dsir_select"  -> (dsirSelect _),
@@ -3681,6 +3890,9 @@ object DocQueries {
     "doc_contamination_rate" -> contaminationRateSql,
     "doc_tfidf_knn"          -> tfidfKnnSql,
     "doc_hash_classifier"    -> hashClassifierSql,
+    "doc_nb_classify"        -> nbClassifySql,
+    "doc_rake_keywords"      -> rakeKeywordsSql,
+    "doc_zipf_fit"           -> zipfFitSql,
     "doc_ngram_novelty"      -> ngramNoveltySql,
     "doc_importance"      -> importanceSql,
     "doc_dsir_select"     -> dsirSelectSql,

@@ -612,6 +612,158 @@ object EventQueries {
        |  FROM counted)
        |WHERE rank <= $PathTopK""".stripMargin
 
+  // -------------------------------------------- position-based attribution
+  /** U-shaped (position-based) attribution — the 40/20/40 rule on the same
+    * bucketized range-join candidates as [[multitouch]]: the FIRST and
+    * LAST view before a purchase take 40% each, the middles split the
+    * remaining 20% evenly; 1 touch takes all, 2 touches split 50/50.
+    * Credit is integer ppm (`DIV`) so both engines split bit-exactly;
+    * position order is (view_ts, view_id) — fully deterministic under
+    * timestamp ties. Same scale shape as multitouch: hash join + residual,
+    * one purchase-keyed window. */
+  def positionAttribution(spark: SparkSession, d: String): DataFrame = {
+    val WinMs = 24L * 3600 * 1000
+    val base = ev(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ms").as("view_ts"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"view_ts DIV ${WinMs}L"),
+        expr(s"(view_ts + ${WinMs}L) DIV ${WinMs}L"))))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ms"))
+      .withColumn("bucket", expr(s"ts_ms DIV ${WinMs}L"))
+    val matched = purchases.join(views, Seq("user_id", "bucket"))
+      .filter(col("ts_ms") >= col("view_ts") &&
+        col("ts_ms") <= col("view_ts") + WinMs)
+    val w = Window.partitionBy(col("purchase_id"))
+    val ow = w.orderBy(col("view_ts"), col("view_id"))
+    matched
+      .withColumn("pos", row_number().over(ow))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("credit_ppm",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+          .otherwise(expr("200000L DIV (n - 2)")))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("pos").cast("long").as("pos"), col("n"), col("credit_ppm"))
+  }
+
+  val positionAttributionSql: String =
+    """WITH base AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+      |              FROM events),
+      | v AS (SELECT event_id AS view_id, user_id, ts_ms AS view_ts
+      |       FROM base WHERE event_type = 'view'),
+      | p AS (SELECT event_id AS purchase_id, user_id, ts_ms
+      |       FROM base WHERE event_type = 'purchase'),
+      | m AS (SELECT p.purchase_id, v.view_id, p.user_id, v.view_ts
+      |       FROM p JOIN v ON p.user_id = v.user_id
+      |         AND p.ts_ms BETWEEN v.view_ts AND v.view_ts + 86400000),
+      | r AS (SELECT purchase_id, view_id, user_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |      ORDER BY view_ts, view_id) AS BIGINT) AS pos,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      |  FROM m)
+      |SELECT purchase_id, view_id, user_id, pos, n,
+      |  CASE WHEN n = 1 THEN 1000000
+      |       WHEN n = 2 THEN 500000
+      |       WHEN pos = 1 OR pos = n THEN 400000
+      |       ELSE 200000 // (n - 2) END AS credit_ppm
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------- KMV audience algebra
+  /** Audience-overlap analytics over KMV (k-minimum-values / theta-style)
+    * sketches — the sketch SET ALGEBRA the HLL/CMS family here doesn't
+    * cover: per event type, the audience (distinct (user, day) pairs) is
+    * summarized as its k smallest 60-bit hash values, and pairwise
+    * union / intersection / Jaccard estimates come from sketch algebra
+    * alone (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD'07): union sketch = k smallest of
+    * the merged sketches; Jaccard = fraction of the union sketch present
+    * in both inputs; intersection = Jaccard × union estimate.
+    *
+    * Scale shape: KMV is MERGEABLE — per-(type, salt) partial k-smallest
+    * first (map-side bounded at k values per group), then one tiny
+    * per-type merge; the pair stage joins a #types-row frame against
+    * itself (broadcast, trivially small at any corpus size). Nothing
+    * user-cardinality-sized ever aggregates on one reducer. The md5-based
+    * hash makes every estimate ENGINE-REPLICABLE: the oracle replays the
+    * sketch math exactly, so the gate checks the estimator, not an
+    * approximation band. */
+  private val KmvK = 256
+  private val KmvScale = 1152921504606846976L // 2^60: hashes are 15 hex chars
+
+  def kmvOverlap(spark: SparkSession, d: String): DataFrame = {
+    val keyed = ev(spark, d).select(col("event_type").as("t"),
+      concat(col("user_id").cast("string"), lit("-"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("string")).as("key"))
+    val hashed = keyed
+      .select(col("t"),
+        conv(substring(md5(col("key")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val partial = hashed.withColumn("salt", pmod(col("h"), lit(32)))
+      .groupBy("t", "salt")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, KmvK).as("part"))
+    val est = (sk: Column, cnt: Column) => when(cnt < KmvK, cnt.cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvScale.toDouble) /
+        element_at(sk, KmvK).cast("double"))
+    val sketches = partial.groupBy("t")
+      .agg(slice(array_sort(flatten(collect_list(col("part")))), 1, KmvK).as("sk"))
+      .withColumn("cnt", size(col("sk")))
+      .withColumn("est", est(col("sk"), col("cnt")))
+    val pairs = sketches.as("a")
+      .join(broadcast(sketches.as("b")), col("a.t") < col("b.t"))
+      .withColumn("usk",
+        slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, KmvK))
+      .withColumn("ucnt", size(col("usk")))
+      .withColumn("uest", est(col("usk"), col("ucnt")))
+      .withColumn("inter_n", size(array_intersect(col("usk"),
+        array_intersect(col("a.sk"), col("b.sk")))))
+      .withColumn("jacc", col("inter_n").cast("double") / col("ucnt"))
+    pairs.select(
+      col("a.t").as("type_a"), col("b.t").as("type_b"),
+      col("a.est").as("est_a"), col("b.est").as("est_b"),
+      col("uest").as("est_union"),
+      col("jacc").as("jaccard"),
+      (col("jacc") * col("uest")).as("est_intersection"))
+  }
+
+  /** Exact replay of the KMV pipeline: same 60-bit md5 hash, same
+    * k-smallest, same estimators — bit-identical doubles. */
+  val kmvOverlapSql: String =
+    s"""WITH k AS (SELECT DISTINCT event_type AS t,
+       |    CAST(user_id AS VARCHAR) || '-' ||
+       |      CAST(ts::DATE - DATE '1970-01-01' AS VARCHAR) AS key
+       |  FROM events),
+       | h AS (SELECT DISTINCT t,
+       |    CAST(('0x' || substr(md5(key), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM k),
+       | r AS (SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) rn
+       |  FROM h),
+       | s AS (SELECT t, list_sort(list(h)) AS sk FROM r
+       |  WHERE rn <= $KmvK GROUP BY t),
+       | e AS (SELECT t, sk, len(sk) AS cnt,
+       |    CASE WHEN len(sk) < $KmvK THEN len(sk)::DOUBLE
+       |         ELSE ${KmvK - 1}.0 * $KmvScale.0 / sk[$KmvK] END AS est
+       |  FROM s),
+       | p AS (SELECT a.t ta, b.t tb, a.est ea, b.est eb,
+       |    list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:$KmvK] AS usk,
+       |    a.sk ask, b.sk bsk
+       |  FROM e a JOIN e b ON a.t < b.t),
+       | q AS (SELECT ta, tb, ea, eb, usk, len(usk) AS ucnt,
+       |    CASE WHEN len(usk) < $KmvK THEN len(usk)::DOUBLE
+       |         ELSE ${KmvK - 1}.0 * $KmvScale.0 / usk[$KmvK] END AS uest,
+       |    len(list_intersect(usk, list_intersect(ask, bsk))) AS inter_n
+       |  FROM p)
+       |SELECT ta AS type_a, tb AS type_b, ea AS est_a, eb AS est_b,
+       |  uest AS est_union,
+       |  inter_n::DOUBLE / ucnt AS jaccard,
+       |  (inter_n::DOUBLE / ucnt) * uest AS est_intersection
+       |FROM q""".stripMargin
+
   // ------------------------------------------------------ heavy hitters
   /** Top-k heavy hitters (most active users) from COUNT-MIN point
     * estimates — the constant-memory frequency path where the exact
@@ -1792,6 +1944,8 @@ object EventQueries {
     "evt_funnel"       -> (funnel _),
     "evt_top_users"    -> (topUsers _),
     "evt_heavy_hitters" -> (heavyHitters _),
+    "evt_kmv_overlap" -> (kmvOverlap _),
+    "evt_position_attribution" -> (positionAttribution _),
     "evt_top_paths"    -> (topPaths _),
     "evt_transitions"  -> (transitions _),
     "evt_pagerank"     -> (pagerank _),
@@ -1827,6 +1981,8 @@ object EventQueries {
     "evt_funnel"       -> funnelSql,
     "evt_top_users"    -> topUsersSql,
     "evt_heavy_hitters" -> heavyHittersSql,
+    "evt_kmv_overlap" -> kmvOverlapSql,
+    "evt_position_attribution" -> positionAttributionSql,
     "evt_top_paths"    -> topPathsSql,
     "evt_transitions"  -> transitionsSql,
     "evt_pagerank"     -> pagerankSql,

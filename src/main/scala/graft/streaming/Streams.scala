@@ -293,6 +293,40 @@ object Streams {
       .drop(p(userCol))
   }
 
+  /** Streaming KMV distinct-count — the cross-batch form of the batch
+    * `evt_kmv_overlap` sketches: per group (e.g. event type), state is the
+    * k smallest 60-bit md5 hashes seen so far (KMV is trivially mergeable,
+    * so each micro-batch folds into the same bounded array), and every
+    * batch emits the group's refreshed distinct estimate — exact below k,
+    * (k-1)/kth-fraction above. State is k longs per group regardless of
+    * stream length; the same hash as the batch operator, so a streaming
+    * estimate equals the batch estimate over the union of all batches
+    * (StateSpec pins this). Update output mode. */
+  def kmvDistinctStream(events: DataFrame, typeCol: String = "event_type",
+                        keyCol: String = "key", k: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val scale = 1152921504606846976.0 // 2^60
+    events
+      .select(col(typeCol).cast("string").as("t"),
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (t: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) => {
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else (k - 1).toDouble * scale / merged(k - 1)
+          (t, merged.length, est)
+        })
+      .toDF("event_type", "sketch_size", "distinct_est")
+  }
+
   /** Streaming linear multi-touch attribution — the stream-stream form of
     * the batch `evt_multitouch` operator
     * ([[graft.queries.EventQueries.multitouch]]): every view within

@@ -175,6 +175,42 @@ class StreamsSpec extends SparkSpec {
     assert(batch === expected)
   }
 
+  test("streaming KMV distinct matches the batch sketch over all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // replicate the operator's hash (first 15 md5 hex chars as a long) so
+    // the expected estimate is computed independently of any Spark code
+    def kmvOf(keys: Seq[String], k: Int): (Int, Double) = {
+      val hs = keys.distinct.map { key =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }.distinct.sorted.take(k)
+      val est = if (hs.length < k) hs.length.toDouble
+                else (k - 1).toDouble * 1152921504606846976.0 / hs(k - 1)
+      (hs.length, est)
+    }
+    val input = MemoryStream[(String, String)]
+    val q = Streams.kmvDistinctStream(
+        input.toDF.toDF("event_type", "key"), k = 4)
+      .writeStream.format("memory").queryName("kmv").outputMode("update").start()
+    // batch 1: type A below k (exact), then batch 2 pushes it past k
+    // (estimator engages) and must merge with batch-1 state
+    input.addData(("A", "u1"), ("A", "u2"), ("A", "u1"), ("B", "x1"))
+    q.processAllAvailable()
+    input.addData(("A", "u3"), ("A", "u4"), ("A", "u5"), ("A", "u6"))
+    q.processAllAvailable()
+    val rows = spark.table("kmv")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).map { case (t, g) => t -> g.maxBy(_._2) } // latest = fullest sketch
+    q.stop()
+    val expA = kmvOf(Seq("u1", "u2", "u3", "u4", "u5", "u6"), 4)
+    val expB = kmvOf(Seq("x1"), 4)
+    assert(rows("A")._2 == expA._1 && rows("A")._3 == expA._2,
+      s"A: got ${rows("A")}, want $expA — streaming state must equal the " +
+        "batch sketch over the union of batches")
+    assert(rows("B")._2 == expB._1 && rows("B")._3 == expB._2)
+  }
+
   test("streaming dedup removes within-watermark repeats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
