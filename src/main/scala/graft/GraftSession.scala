@@ -69,6 +69,16 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces DOWN from initialPartitionNum but never splits UP
+      // from it: with the default (= shuffle.partitions = cores) a
+      // fact-scale intermediate — e.g. the setsim verify join's
+      // pairs-with-shingle-arrays shuffle — is stuck at `cpus` oversized
+      // sort partitions and spills (measured: the x64 scale probe's setsim
+      // segment ran 2.5x over linear purely from this). 8x cores gives big
+      // intermediates room while AQE coalesces small ones back to a
+      // handful — the same asymmetry a real cluster configures.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus * 8).toString)
       // The generated-code cache defaults to 100 entries; a corpus of ~60
       // queries compiles several hundred codegen units, so consecutive runs
       // of the same query would otherwise re-run janino on every unit.

@@ -42,6 +42,11 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** Textbook Jaro-Winkler similarity, byte-level ([[JaroWinkler]] —
+    * semantics pinned to DuckDB's native implementation for oracle parity). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(JaroWinklerSim(expression(a), expression(b)))
+
   /** Deterministic real-container BMP/WAV demo payloads ([[MediaCodec]]). */
   def synthBmp(k: Column): Column = column(SynthBmp(expression(k)))
   def synthWav(k: Column): Column = column(SynthWav(expression(k)))

@@ -865,6 +865,46 @@ object DocQueries {
       .filter(col("sample_key") % 5 === 0)
       .select(col("doc_id"), col("lang"), col("sample_key"))
 
+  /** Weighted reservoir sample (Efraimidis-Spirakis A-ES, IPL 2006): a
+    * deterministic weight-proportional sample WITHOUT replacement — each doc
+    * draws a seeded uniform u and the k smallest `-ln(u)/weight` keys win,
+    * which is exactly weighted sampling w/o replacement (the exponential-
+    * clocks argument). The classic sequential reservoir becomes, in Spark,
+    * a pure TakeOrdered: key is a narrow per-row expression, `orderBy(key)
+    * .limit(k)` plans per-partition partial top-k + driver merge of k — no
+    * global sort, no RNG state, reproducible under repartitioning. This is
+    * THE quality-weighted subset selector of a training pipeline (sample
+    * 1M docs proportional to quality score from 10B candidates).
+    *
+    * u derives from md5(doc_id) exactly as [[sampleDeterministic]]: 13 hex
+    * chars = 52 bits, (v + 0.5) / 2^52 — exact in doubles, never 0 or 1;
+    * weight is n_chars (>= 1 in the fixture). `ln` is the one libm call:
+    * JVM and DuckDB may differ in the last ulp, but selection flips only
+    * if the k-th/k+1-th keys collide within ~1e-15 relative — the fixture
+    * gaps are ~1e-3, and the emitted key value itself is compared at the
+    * driver's 9 significant digits. */
+  def weightedSample(spark: SparkSession, d: String): DataFrame = {
+    val v = conv(substring(md5(concat(lit("res:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    val u = (v + lit(0.5)) / lit(4503599627370496.0) // 2^52, exact scaling
+    val key = -log(u) / col("n_chars").cast("double")
+    val top = documents(spark, d)
+      .select(col("doc_id"), col("n_chars"), key.as("sel_key"))
+      .orderBy(col("sel_key"), col("doc_id")).limit(100)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("sel_key"), col("doc_id"))))
+  }
+
+  val weightedSampleSql: String =
+    """WITH k AS (SELECT doc_id, n_chars,
+      |    -ln((('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+      |         + 0.5) / 4503599627370496.0) / n_chars AS sel_key
+      |  FROM documents)
+      |SELECT doc_id, n_chars, sel_key, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sel_key, doc_id) AS INT) AS rank
+      |  FROM k)
+      |WHERE rank <= 100""".stripMargin
+
   /** WITHIN-document repeated-block removal (the Gopher/C4 "remove
     * duplicated lines" rule at block granularity — [[paragraphDedup]]'s
     * corpus-wide cousin, but scoped to one document): later occurrences of
@@ -3555,6 +3595,111 @@ object DocQueries {
       |WHERE 5 * len(list_intersect(a.s, b.s))
       |   >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
 
+  // ------------------------------------------- vocabulary spelling linkage
+  /** Character-occurrence symbols of a word — 'banana' -> [b1,a1,n1,a2,n2,a3]
+    * — the multiset-as-set encoding the prefix filter needs: two words'
+    * symbol-set intersection equals their character-multiset intersection
+    * (sum over chars of min(count_a, count_b)). */
+  private val charSymsUdf = udf((w: String) => {
+    val counts = scala.collection.mutable.HashMap.empty[Char, Int]
+    val out = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      val k = counts.getOrElse(c, 0) + 1
+      counts(c) = k
+      out(i) = s"$c$k"
+      i += 1
+    }
+    out
+  })
+
+  /** Spelling-variant linkage over the corpus vocabulary — the
+    * entity-resolution / typo-canonicalization operator: every pair of
+    * frequent tokens with Jaro-Winkler similarity >= 0.94, found WITHOUT an
+    * all-pairs product and with provably complete recall. Real pipelines run
+    * exactly this to collapse OCR noise / spelling variants before
+    * vocabulary-sensitive stages (LM training, dictionary tagging).
+    *
+    * Candidate generation is an AllPairs prefix filter ([[setsimJoin]]'s
+    * machinery) over CHARACTER-OCCURRENCE symbols, justified by a chain of
+    * integer-exact bounds from the JW definition (m = jaro matches,
+    * a = min(|w1|,|w2|), b = max):
+    *  - jw >= 0.94 forces jaro j >= 0.9: jw = j + l*0.1*(1-j) with l <= 4,
+    *    so jw <= 0.6*j + 0.4;
+    *  - j <= (m/a + m/b + 1)/3 and m <= a give 20*m >= 17*a and
+    *    10*m >= 7*b (cross-multiplied — no floats);
+    *  - the character-multiset intersection is >= m (jaro matches are a 1-1
+    *    matching on equal bytes), so qualifying pairs overlap in >=
+    *    t(a,b) = max(ceil(17a/20), ceil(7b/10)) symbols, and the standard
+    *    prefix-filter lemma applies with per-word prefix length
+    *    L - ceil(7L/10) + 1 (>= L - t + 1 for every admissible partner).
+    * Length filter (10a >= 7b) and the PPJoin positional bound ride the
+    * candidate join exactly as in [[prefixCandidates]].
+    *
+    * The verify is the custom codegen'd [[graft.functions.JaroWinklerSim]]
+    * expression, byte-level to match DuckDB's native
+    * `jaro_winkler_similarity` — the ORACLE IS AN INDEPENDENT ENGINE'S
+    * IMPLEMENTATION over brute-forced pairs, so the gate checks both the
+    * filter's completeness and the JW arithmetic against foreign code, not
+    * a replay. The linked unit is the corpus PHRASE vocabulary — the
+    * deterministic top-1500 ASCII 3-token shingles by (doc-frequency desc,
+    * phrase), a total order, so both engines select identical sets (the
+    * fixture's word list is a small fixed vocabulary, so single words have
+    * no spelling variants — phrases are where near-identical strings
+    * actually live, and phrase-variant linkage is the same operator a real
+    * pipeline points at names/titles/queries). The threshold is applied as
+    * `jw > 0.94 - 1e-9` in both engines so a last-ulp disagreement on a
+    * pair sitting exactly at the boundary cannot flip membership.
+    *
+    * Scale shape: vocab build is one map-side-combinable count + TakeOrdered;
+    * symbol df/rank are vocabulary-keyed aggregations; the candidate join is
+    * an inverted index over prefix symbols only. At a 100-TB corpus the
+    * vocabulary (~10^7 rows) stays a rounding error next to the token scan,
+    * and nothing here touches document text after the vocab build. */
+  def vocabLink(spark: SparkSession, d: String): DataFrame = {
+    val vocab = documents(spark, d)
+      .select(explode(shingles3Udf(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z ]{6,}$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(1500)
+      .select(col("w"), length(col("w")).as("len"), charSymsUdf(col("w")).as("s"))
+    val ex = vocab.select(col("w"), col("len"), explode(col("s")).as("g"))
+    val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "g").select(col("w"), col("g"), col("len"),
+      row_number().over(Window.partitionBy("w")
+        .orderBy(col("df"), col("g"))).as("rnk"))
+    val pref = ranked.filter(col("rnk") <= col("len") - expr("(7*len + 9) DIV 10") + 1)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.w") < col("b.w") &&
+          least(col("a.len"), col("b.len")) * 10 >=
+            greatest(col("a.len"), col("b.len")) * 7 &&
+          lit(1) + least(col("a.len") - col("a.rnk"), col("b.len") - col("b.rnk")) >=
+            greatest(expr("(17 * least(a.len, b.len) + 19) DIV 20"),
+                     expr("(7 * greatest(a.len, b.len) + 9) DIV 10")))
+      .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+    cand
+      .withColumn("jw", graft.functions.GraftFunctions.jaroWinkler(col("w1"), col("w2")))
+      .filter(col("jw") > 0.9399999990)
+      .select(col("w1"), col("w2"), col("jw"))
+  }
+
+  /** Brute-force pairs + DuckDB's OWN jaro_winkler_similarity — independent
+    * of both the prefix filter and the repo's JW arithmetic. */
+  val vocabLinkSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |           FROM documents),
+      | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
+      |       FROM t, (SELECT unnest(generate_series(1, 2000)) AS i)
+      |       WHERE i + 2 <= len(tk)),
+      | v0 AS (SELECT w, COUNT(*) AS n FROM g
+      |        WHERE regexp_matches(w, '^[a-z ]{6,}$') GROUP BY 1),
+      | v AS (SELECT w FROM v0 ORDER BY n DESC, w LIMIT 1500)
+      |SELECT a.w AS w1, b.w AS w2,
+      |  jaro_winkler_similarity(a.w, b.w) AS jw
+      |FROM v a JOIN v b ON a.w < b.w
+      |WHERE jaro_winkler_similarity(a.w, b.w) > 0.9399999990""".stripMargin
+
   // ------------------------------------------- blocked edit-distance dedup
   /** Fuzzy (edit-distance) near-dup pairs with COMPLETE length-band
     * blocking: every pair with levenshtein(text_a, text_b) <= K, no
@@ -3823,6 +3968,7 @@ object DocQueries {
     "doc_dict_tag"           -> (dictTag _),
     "doc_dict_terms"         -> (dictTerms _),
     "doc_setsim_join"        -> (setsimJoin _),
+    "doc_vocab_link"         -> (vocabLink _),
     "doc_fuzzy_dedup"        -> (fuzzyDedup _),
     "doc_fuzzy_blocked"      -> (fuzzyDedupBlocked _),
     "doc_fuzzy_recall"       -> (fuzzyRecall _),
@@ -3860,6 +4006,7 @@ object DocQueries {
     "doc_line_dedup"   -> (lineDedup _),
     "doc_fertility"    -> (fertility _),
     "doc_stratified_sample" -> (stratifiedSample _),
+    "doc_weighted_sample" -> (weightedSample _),
     "doc_quality_buckets"   -> (qualityBuckets _),
     "doc_decontaminate" -> (decontaminate _),
     "doc_vocab_topk"   -> (vocabTopK _),
@@ -3884,6 +4031,7 @@ object DocQueries {
     "doc_dict_tag"           -> dictTagSql,
     "doc_dict_terms"         -> dictTermsSql,
     "doc_setsim_join"        -> setsimJoinSql,
+    "doc_vocab_link"         -> vocabLinkSql,
     "doc_fuzzy_dedup"        -> fuzzyDedupSql,
     "doc_fuzzy_blocked"      -> fuzzyDedupBlockedSql,
     "doc_fuzzy_recall"       -> fuzzyRecallSql,
@@ -3921,6 +4069,7 @@ object DocQueries {
     "doc_line_dedup"      -> lineDedupSql,
     "doc_fertility"       -> fertilitySql,
     "doc_stratified_sample" -> stratifiedSampleSql,
+    "doc_weighted_sample" -> weightedSampleSql,
     "doc_quality_buckets"   -> qualityBucketsSql,
     "doc_decontaminate"   -> decontaminateSql,
     "doc_vocab_topk"      -> vocabTopKSql,

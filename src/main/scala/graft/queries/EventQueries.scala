@@ -1923,7 +1923,76 @@ object EventQueries {
       |        / SUM(1.0 / CAST(1::BIGINT << (l - j + 1) AS DOUBLE)), 6) AS ewma
       |FROM u GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------ exact quantiles (CDF)
+  /** EXACT per-group quantiles via the compressed CDF — the distributed
+    * formulation that never globally sorts the fact table: aggregate
+    * (group, value) counts (map-side combinable — the shuffle carries the
+    * compressed value histogram, not rows), cumulative-sum per group over
+    * the distinct values, then pick rank ceil(q*n) per quantile in one
+    * conditional aggregation. `percentile_approx`/[[rollingP95]] is the
+    * 100-TB default for full-precision continuous metrics; the exact path
+    * is for the bounded-cardinality case (ms-granular latencies, prices),
+    * where the CDF frame is |groups| x |distinct values| — executor-sized
+    * long after the fact table isn't.
+    *
+    * Rank rule pinned to DuckDB's `quantile_disc`: rank = ceil(q*n)
+    * computed in IEEE doubles (probed this session: n=100,q=0.99 -> 99
+    * because 0.99*100 rounds BELOW 99; q=0.25,n=100 -> 25, ruling out
+    * floor+1) — both engines do the identical double multiply, so the
+    * boundary cases agree bit-for-bit. */
+  def exactQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val qs = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75, 90 -> 0.9, 99 -> 0.99)
+    val counts = ev(spark, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    val aggs = qs.map { case (pct, q) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n").cast("double")), col("value")))
+        .as(s"p$pct")
+    }
+    cum.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val exactQuantilesSql: String =
+    """SELECT event_type,
+      |  quantile_disc(value, 0.25) AS p25,
+      |  quantile_disc(value, 0.50) AS p50,
+      |  quantile_disc(value, 0.75) AS p75,
+      |  quantile_disc(value, 0.90) AS p90,
+      |  quantile_disc(value, 0.99) AS p99
+      |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ top-k via aggregation
+  /** Top-5 events by value per type through [[graft.functions.TopK]] — the
+    * partial-aggregating top-k: map-side partials carry <= 5 rows per
+    * (split, group), the exchange moves |groups| x 5 rows, and no sort
+    * ever sees more than 5 elements. The window-rank oracle it is checked
+    * against is the formulation this REPLACES at scale (it sorts every
+    * group member on one reducer). */
+  def topkAgg(spark: SparkSession, d: String): DataFrame = {
+    val top = ev(spark, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopK.topKByValue(5, col("value"), col("event_id")).as("top"))
+    top.select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("event_id"),
+        col("col._1").as("value"))
+  }
+
+  val topkAggSql: String =
+    """SELECT event_type, rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS INT) AS rank
+      |  FROM events WHERE value IS NOT NULL)
+      |WHERE rank <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_exact_quantiles"     -> (exactQuantiles _),
+    "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
     "evt_rolling_distinct"    -> (rollingDistinct _),
@@ -1961,6 +2030,8 @@ object EventQueries {
     "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
+    "evt_exact_quantiles"     -> exactQuantilesSql,
+    "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
     "evt_rolling_distinct"    -> rollingDistinctSql,
