@@ -47,6 +47,10 @@ object GraftFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinklerSim(expression(a), expression(b)))
 
+  /** Unrestricted Damerau-Levenshtein distance, byte-level ([[DamerauLev]]). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    column(DamerauLevDistance(expression(a), expression(b)))
+
   /** Deterministic real-container BMP/WAV demo payloads ([[MediaCodec]]). */
   def synthBmp(k: Column): Column = column(SynthBmp(expression(k)))
   def synthWav(k: Column): Column = column(SynthWav(expression(k)))

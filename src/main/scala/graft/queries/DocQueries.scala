@@ -3657,7 +3657,12 @@ object DocQueries {
     * an inverted index over prefix symbols only. At a 100-TB corpus the
     * vocabulary (~10^7 rows) stays a rounding error next to the token scan,
     * and nothing here touches document text after the vocab build. */
-  def vocabLink(spark: SparkSession, d: String): DataFrame = {
+  /** Deterministic top-1500 ASCII phrase vocabulary (3-token shingles,
+    * doc-frequency order) with per-phrase character-occurrence symbols,
+    * symbol df-ranked for prefix filtering — shared by [[vocabLink]] and
+    * [[typoPairs]]. Columns: w, len, g (symbol), rnk (1 = globally rarest
+    * symbol of the phrase). */
+  private def phraseSymbols(spark: SparkSession, d: String): DataFrame = {
     val vocab = documents(spark, d)
       .select(explode(shingles3Udf(lower(col("text")))).as("w"))
       .filter(col("w").rlike("^[a-z ]{6,}$"))
@@ -3666,9 +3671,13 @@ object DocQueries {
       .select(col("w"), length(col("w")).as("len"), charSymsUdf(col("w")).as("s"))
     val ex = vocab.select(col("w"), col("len"), explode(col("s")).as("g"))
     val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfTab, "g").select(col("w"), col("g"), col("len"),
+    ex.join(dfTab, "g").select(col("w"), col("g"), col("len"),
       row_number().over(Window.partitionBy("w")
         .orderBy(col("df"), col("g"))).as("rnk"))
+  }
+
+  def vocabLink(spark: SparkSession, d: String): DataFrame = {
+    val ranked = phraseSymbols(spark, d)
     val pref = ranked.filter(col("rnk") <= col("len") - expr("(7*len + 9) DIV 10") + 1)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.w") < col("b.w") &&
@@ -3699,6 +3708,58 @@ object DocQueries {
       |  jaro_winkler_similarity(a.w, b.w) AS jw
       |FROM v a JOIN v b ON a.w < b.w
       |WHERE jaro_winkler_similarity(a.w, b.w) > 0.9399999990""".stripMargin
+
+  /** Typo-pair mining: phrase-vocabulary pairs within UNRESTRICTED
+    * Damerau-Levenshtein distance 2 — the edit model that counts
+    * adjacent-character swaps ('teh'/'the') as one operation, i.e. the
+    * canonical keyboard-typo metric. Complements [[vocabLink]] (JW rewards
+    * shared prefixes; DL catches same-cost edits anywhere).
+    *
+    * Blocking is complete by two metric facts (independent of any
+    * implementation): DL >= |len(a) - len(b)|, and each unit of edit cost
+    * changes the character multiset's symmetric difference by <= 2
+    * (insert/delete 1, substitution 2, transposition 0 — the
+    * Lowrance-Wagner transpose branch charges its intervening
+    * inserts/deletes individually), so a DL<=2 pair overlaps in >=
+    * ceil((len_a+len_b)/2) - 2 symbols. With partner lengths within +-2
+    * that bound is always >= len - 3, so a FOUR-symbol rarest-first prefix
+    * satisfies the prefix-filter lemma for every admissible pair.
+    *
+    * The verify is [[graft.functions.DamerauLev]] (Lowrance-Wagner,
+    * byte-level); the oracle is DuckDB's NATIVE damerau_levenshtein over
+    * the brute-forced length-banded pairs — again an independent engine's
+    * implementation of the metric, not a replay (the length band in the
+    * oracle is the metric's own lower bound, not our filter). Integer
+    * distances — the compare is exact. */
+  def typoPairs(spark: SparkSession, d: String): DataFrame = {
+    val ranked = phraseSymbols(spark, d)
+    val pref = ranked.filter(col("rnk") <= 4)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.w") < col("b.w") &&
+          abs(col("a.len") - col("b.len")) <= 2)
+      .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+    cand
+      .withColumn("dist",
+        graft.functions.GraftFunctions.damerauLevenshtein(col("w1"), col("w2")))
+      .filter(col("dist") <= 2)
+      .select(col("w1"), col("w2"), col("dist"))
+  }
+
+  val typoPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |           FROM documents),
+      | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
+      |       FROM t, (SELECT unnest(generate_series(1, 2000)) AS i)
+      |       WHERE i + 2 <= len(tk)),
+      | v0 AS (SELECT w, COUNT(*) AS n FROM g
+      |        WHERE regexp_matches(w, '^[a-z ]{6,}$') GROUP BY 1),
+      | v AS (SELECT w FROM v0 ORDER BY n DESC, w LIMIT 1500)
+      |SELECT w1, w2, dist FROM (
+      |  SELECT a.w AS w1, b.w AS w2,
+      |    CAST(damerau_levenshtein(a.w, b.w) AS INT) AS dist
+      |  FROM v a JOIN v b
+      |    ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 2)
+      |WHERE dist <= 2""".stripMargin
 
   // ------------------------------------------- blocked edit-distance dedup
   /** Fuzzy (edit-distance) near-dup pairs with COMPLETE length-band
@@ -3969,6 +4030,7 @@ object DocQueries {
     "doc_dict_terms"         -> (dictTerms _),
     "doc_setsim_join"        -> (setsimJoin _),
     "doc_vocab_link"         -> (vocabLink _),
+    "doc_typo_pairs"         -> (typoPairs _),
     "doc_fuzzy_dedup"        -> (fuzzyDedup _),
     "doc_fuzzy_blocked"      -> (fuzzyDedupBlocked _),
     "doc_fuzzy_recall"       -> (fuzzyRecall _),
@@ -4032,6 +4094,7 @@ object DocQueries {
     "doc_dict_terms"         -> dictTermsSql,
     "doc_setsim_join"        -> setsimJoinSql,
     "doc_vocab_link"         -> vocabLinkSql,
+    "doc_typo_pairs"         -> typoPairsSql,
     "doc_fuzzy_dedup"        -> fuzzyDedupSql,
     "doc_fuzzy_blocked"      -> fuzzyDedupBlockedSql,
     "doc_fuzzy_recall"       -> fuzzyRecallSql,

@@ -106,4 +106,26 @@ class RankSampleSpec extends SparkSpec {
     assert(got === brute, "prefix filter must be COMPLETE, not just precise")
     assert(got.nonEmpty)
   }
+
+  test("typoPairs: 4-symbol prefix block equals brute force over the vocabulary") {
+    import spark.implicits._
+    val got = DocQueries.typoPairs(spark, sf)
+      .as[(String, String, Int)].collect().toSet
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(udf((t: String) =>
+        if (t == null) Array.empty[String]
+        else graft.functions.MinHash.ngrams(t.toLowerCase, 3)).apply(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z ]{6,}$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(1500)
+      .as[(String, Long)].collect().map(_._1)
+    val brute = (for {
+      i <- vocab.indices; j <- vocab.indices if vocab(i) < vocab(j)
+      dist = graft.functions.DamerauLev.dist(
+        vocab(i).getBytes("UTF-8"), vocab(j).getBytes("UTF-8"))
+      if dist <= 2
+    } yield (vocab(i), vocab(j), dist)).toSet
+    assert(got === brute, "blocking must be COMPLETE for DL <= 2")
+    assert(got.nonEmpty)
+  }
 }
