@@ -159,7 +159,15 @@ object ScaleProbe {
       // the two that HAVE shown super-linear growth here (q18's fact
       // broadcast, semDedup's fixed-cell pair pass) stay on the default
       // watchlist so regressions resurface immediately
-      "emb_semdedup"))
+      "emb_semdedup",
+      // partial-aggregating top-k: the shuffle must stay |groups| x k —
+      // decay means the partial stopped combining (e.g. an encoder change
+      // silently demoting ObjectHashAggregate to a sort-based fallback)
+      "evt_topk_agg",
+      // CDF exact quantiles: the (type, value) count shuffle compresses
+      // with value cardinality; decay means the map-side combine is gone
+      // or the per-type window started sorting raw rows
+      "evt_exact_quantiles"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -327,6 +327,40 @@ object Streams {
       .toDF("event_type", "sketch_size", "distinct_est")
   }
 
+  /** Streaming cross-batch top-k per group — the stream form of the batch
+    * `evt_topk_agg` operator, and deliberately the SAME buffer logic: state
+    * is [[graft.functions.TopK.TopKByValue]]'s <= k descending (value, id)
+    * array, each micro-batch folds in through the aggregator's own
+    * `reduce`, and every batch emits the group's refreshed ranking. Because
+    * the state IS the batch aggregator's buffer, the streaming result
+    * after any prefix of batches equals the batch operator over the union
+    * of those batches — bit-exact, not approximately (spec pins this).
+    * State is k pairs per group regardless of stream length. Update mode. */
+  def topKStream(events: DataFrame, typeCol: String = "event_type",
+                 idCol: String = "event_id", valueCol: String = "value",
+                 k: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val agg = new graft.functions.TopK.TopKByValue(k)
+    events
+      .select(col(typeCol).cast("string").as("t"),
+        col(valueCol).cast("double").as("v"), col(idCol).cast("long").as("id"))
+      .where(col("v").isNotNull)
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (t: String, rows: Iterator[(String, Double, Long)],
+         state: GroupState[Array[(Double, Long)]]) => {
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (b, (_, v, id)) => agg.reduce(b, (v, id))
+          }
+          state.update(buf)
+          buf.iterator.zipWithIndex.map { case ((v, id), i) => (t, i + 1, id, v) }
+        })
+      .toDF("event_type", "rank", "event_id", "value")
+  }
+
   /** Streaming linear multi-touch attribution — the stream-stream form of
     * the batch `evt_multitouch` operator
     * ([[graft.queries.EventQueries.multitouch]]): every view within

@@ -639,4 +639,40 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$op must stay a narrow decode pipeline")
     }
   }
+
+  test("topk agg: map-side partial top-k runs BEFORE the exchange") {
+    // the whole point vs the window-rank formulation: the shuffle carries
+    // |groups| x k rows, so the partial aggregate must appear under it
+    val p = plan(graft.queries.EventQueries.queries("evt_topk_agg")(spark, sf))
+    assert(p.contains("partial_topkbyvalue"),
+      "TopK UDAF lost its map-side partial — the shuffle now moves the fact table")
+    assert(!p.contains("Window"), "no window sort may sneak back in")
+  }
+
+  test("exact quantiles: the CDF compresses map-side; two keyed exchanges total") {
+    val df = graft.queries.EventQueries.queries("evt_exact_quantiles")(spark, sf)
+    assert(plan(df).contains("partial_count"),
+      "(group, value) counts must combine map-side before shuffling")
+    val shuffles = planNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 2,
+      s"expected <= 2 exchanges ((type,value) counts; per-type CDF), got $shuffles")
+  }
+
+  test("weighted sample: A-ES selection is a TakeOrdered, not a global sort") {
+    val p = plan(graft.queries.DocQueries.queries("doc_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("vocab link / typo pairs: candidate generation is keyed, never a product") {
+    for (op <- Seq("doc_vocab_link", "doc_typo_pairs")) {
+      val nodes = planNodes(graft.queries.DocQueries.queries(op)(spark, sf))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$op: candidates must come from the symbol-prefix equi-join")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+        s"$op: no nested-loop join anywhere in the pipeline")
+    }
+  }
 }
