@@ -1744,7 +1744,110 @@ object EmbeddingQueries {
        |       FROM d, st)
        |SELECT vec_id, dist2, z, z > 3 AS is_outlier FROM z""".stripMargin
 
+  // ------------------------------------------------------- MMR selection
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR'98): greedily select the candidate maximizing
+    * `sim(q, d) - max_{s in S} sim(d, s)` — relevance minus redundancy
+    * (lambda = 1/2, scaled by 2: same argmax, all-INTEGER scores on the
+    * scaled-int dot products, so both engines agree exactly; empty-set
+    * redundancy is 0 by convention, making pick #1 the plain MIPS argmax).
+    * This is the diversity-aware subset selector of retrieval/data-curation
+    * pipelines (dedup-aware context packing, diverse training-batch mining).
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, so the
+    * driver runs k rounds of one distributed argmax each (the
+    * [[graft.queries.DocQueries]] pagerank/BPE driver-loop pattern): the
+    * selected set is MODEL-sized (k vectors, broadcast), each round is one
+    * narrow corpus pass + TakeOrdered(1), and the corpus is cached across
+    * rounds. The redundancy scorer is a broadcast tight-loop UDF (max over
+    * <= k dot products per row — the interpreted-lambda column form would
+    * re-walk nested arrays per element). Oracle: full greedy replay in a
+    * recursive CTE with the argmax as a correlated ORDER BY/LIMIT 1, the
+    * BPE-oracle pattern. */
+  def mmrSelect(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val qEmb = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Long]]("emb").toArray
+    val cand = e.filter(col("vec_id") >= NQueries)
+      .withColumn("sim_q", dotScaled(col("emb"), typedLit(qEmb.toSeq)))
+      .cache()
+    var selected = Vector.empty[(Int, Long, Long, Long)] // rank, id, simq, score
+    var selEmbs = Vector.empty[Array[Long]]
+    for (r <- 1 to k) {
+      val bc = spark.sparkContext.broadcast(selEmbs.toArray)
+      val redundancy = udf((emb: scala.collection.Seq[Long]) => {
+        val a = emb.toArray
+        val sel = bc.value
+        var best = 0L
+        var s = 0
+        while (s < sel.length) {
+          val v = sel(s)
+          var dot = 0L
+          var i = 0
+          while (i < a.length) { dot += a(i) * v(i); i += 1 }
+          if (s == 0 || dot > best) best = dot
+          s += 1
+        }
+        best
+      })
+      val picked = selected.map(_._2)
+      val pick = cand.filter(if (picked.isEmpty) lit(true)
+                             else !col("vec_id").isin(picked: _*))
+        .withColumn("score", col("sim_q") - redundancy(col("emb")))
+        .orderBy(col("score").desc, col("vec_id"))
+        .select(col("vec_id"), col("emb"), col("sim_q"), col("score"))
+        .head()
+      selected :+= ((r, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
+      selEmbs :+= pick.getAs[scala.collection.Seq[Long]]("emb").toArray
+    }
+    selected.toDF("rank", "vec_id", "sim_q", "score")
+  }
+
+  val mmrSelectSql: String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+       | c AS (SELECT vec_id, emb,
+       |         CAST(list_sum(list_transform(range(1, $Dim + 1),
+       |           i -> emb[i] * q_emb[i])) AS BIGINT) AS simq
+       |       FROM e, q WHERE vec_id >= $NQueries),
+       | state(iter, sel) AS (
+       |   SELECT 0,
+       |     CAST([] AS STRUCT(id BIGINT, emb BIGINT[], simq BIGINT, score BIGINT)[])
+       |   UNION ALL
+       |   -- DuckDB 1.0 lambda binder can't see CORRELATED columns, so the
+       |   -- redundancy dot hoists both arrays into the subquery's own FROM
+       |   -- (unnest(st.sel) + c.emb projection) before the list_transform.
+       |   SELECT iter + 1, list_append(sel, (
+       |     SELECT {'id': vec_id, 'emb': emb, 'simq': simq, 'score': score}
+       |     FROM (
+       |       SELECT c.vec_id, c.emb, c.simq,
+       |              c.simq - COALESCE((
+       |                SELECT MAX(CAST(list_sum(list_transform(range(1, $Dim + 1),
+       |                  i -> x.cemb[i] * x.u.emb[i])) AS BIGINT))
+       |                FROM (SELECT unnest(st.sel) AS u, c.emb AS cemb) x), 0)
+       |                AS score
+       |       FROM c
+       |       WHERE NOT EXISTS (SELECT 1 FROM (SELECT unnest(st.sel) AS u) y
+       |                         WHERE y.u.id = c.vec_id)
+       |     )
+       |     ORDER BY score DESC, vec_id
+       |     LIMIT 1))
+       |   FROM state st WHERE iter < 10
+       | ),
+       | fin AS (SELECT sel FROM state ORDER BY iter DESC LIMIT 1)
+       |SELECT CAST(i AS INT) AS rank, sel[i].id AS vec_id,
+       |       sel[i].simq AS sim_q, sel[i].score AS score
+       |FROM fin, (SELECT unnest(generate_series(1, 10)) AS i)
+       |WHERE i <= len(sel)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mmr_select"     -> (mmrSelect _),
     "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
     "emb_kmeans_inertia" -> (kmeansInertia _),
@@ -1771,6 +1874,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_mmr_select"     -> mmrSelectSql,
     "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,
     "emb_kmeans_inertia" -> kmeansInertiaSql,

@@ -128,4 +128,37 @@ class RankSampleSpec extends SparkSpec {
     assert(got === brute, "blocking must be COMPLETE for DL <= 2")
     assert(got.nonEmpty)
   }
+
+  test("mmrSelect equals brute-force sequential greedy MMR") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(x => math.floor(x.toDouble * 1e7).toLong)) }
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val q = vecs.find(_._1 == 0L).get._2
+    var cand = vecs.filter(_._1 >= 10L)
+      .map { case (id, e) => (id, e, dot(e, q)) }.toVector
+    var sel = Vector.empty[(Int, Long, Long, Long)]
+    var selE = Vector.empty[Array[Long]]
+    for (r <- 1 to 10) {
+      val pick = cand.map { case (id, e, sq) =>
+        val red = if (selE.isEmpty) 0L else selE.map(dot(e, _)).max
+        (id, e, sq, sq - red)
+      }.minBy { case (id, _, _, sc) => (-sc, id) }
+      sel :+= ((r, pick._1, pick._3, pick._4))
+      selE :+= pick._2
+      cand = cand.filterNot(_._1 == pick._1)
+    }
+    val got = EmbeddingQueries.queries("emb_mmr_select")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toVector.sortBy(_._1)
+    assert(got === sel)
+    // diversity sanity: greedy MMR must deviate from plain MIPS top-10
+    val mips = vecs.filter(_._1 >= 10L).map { case (id, e) => (id, dot(e, q)) }
+      .sortBy { case (id, sq) => (-sq, id) }.take(10).map(_._1).toSet
+    assert(sel.map(_._2).toSet !== mips, "MMR should reorder vs pure relevance")
+  }
 }
