@@ -1744,6 +1744,103 @@ object EmbeddingQueries {
        |       FROM d, st)
        |SELECT vec_id, dist2, z, z > 3 AS is_outlier FROM z""".stripMargin
 
+  // --------------------------------------- Johnson-Lindenstrauss recall
+  /** Random-projection (Johnson-Lindenstrauss / Achlioptas ±1) dimension
+    * reduction 64 → 32 with the two-stage retrieve-then-rerank honesty
+    * loop: fetch CandK = 4K candidates by PROJECTED dot, and measure what
+    * fraction of the exact top-K the candidate set retains — exactly what
+    * a production JL sketch costs you, since the exact rerank of the
+    * candidates recovers precisely the retained members. The sign matrix
+    * is derived from md5("i,j") parity, so both engines materialize the
+    * IDENTICAL matrix without shipping state; projections of scaled-int
+    * embeddings are exact integer sums (|p_j| <= 64 * 5.3e6, proj dots
+    * < 2^61 — no overflow), making ranks engine-exact.
+    *
+    * Honesty note: the fixture's embeddings are near-isotropic, so exact
+    * dot gaps are tiny and measured recall (~0.4-0.5 here) is a WORST
+    * CASE — clustered real-world embeddings separate far better under the
+    * same sketch. That is the point of measuring instead of assuming.
+    *
+    * Scale: the matrix is a 64x32 constant (broadcast), projection is one
+    * narrow map over the corpus, and the scoring join broadcasts only the
+    * NQueries query vectors — same shape as [[knnBrute]]. */
+  def jlRecall(spark: SparkSession, d: String): DataFrame = {
+    val ProjDim = 32
+    val CandK = 4 * TopK
+    val signs: Array[Array[Long]] = Array.tabulate(Dim, ProjDim) { (i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i,$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(13), 16) % 2 == 0) 1L else -1L
+    }
+    val bc = spark.sparkContext.broadcast(signs)
+    val project = udf((emb: scala.collection.Seq[Long]) => {
+      val m = bc.value
+      val a = emb.toArray
+      val out = new Array[Long](ProjDim)
+      var j = 0
+      while (j < ProjDim) {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += m(i)(j) * a(i); i += 1 }
+        out(j) = s; j += 1
+      }
+      out.toSeq
+    })
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("p", project(col("emb")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("p").as("q_p"))
+    val scored = e.filter(col("vec_id") >= NQueries).crossJoin(broadcast(q))
+      .withColumn("dot_exact", dotScaled(col("emb"), col("q_emb")))
+      .withColumn("dot_proj", dotScaled(col("p"), col("q_p")))
+    def top(dotCol: String, k: Int) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(dotCol).desc, col("vec_id"))))
+      .filter(col("rk") <= k).select(col("q_id"), col("vec_id"))
+    // both top-k frames are NQueries x K rows — broadcast, never sort-merge
+    val hits = top("dot_exact", TopK)
+      .join(broadcast(top("dot_proj", CandK)), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("q_id")).join(broadcast(hits), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(TopK))
+  }
+
+  val jlRecallSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | jdx AS (SELECT unnest(generate_series(1, 32)) AS j),
+       | e AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | m AS (SELECT i, j, CASE WHEN CAST('0x' || substr(
+       |         md5((i - 1) || ',' || (j - 1)), 1, 13) AS UBIGINT) % 2 = 0
+       |         THEN 1 ELSE -1 END AS s
+       |       FROM idx, jdx),
+       | p AS (SELECT vec_id, j, CAST(SUM(s * emb[i]) AS BIGINT) AS pj
+       |       FROM e, m GROUP BY vec_id, j),
+       | pl AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM p GROUP BY 1),
+       | ep AS (SELECT e.vec_id, emb, p FROM e JOIN pl ON e.vec_id = pl.vec_id),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb, p AS q_p FROM ep
+       |       WHERE vec_id < $NQueries),
+       | s AS (SELECT q.q_id, c.vec_id,
+       |         CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS BIGINT)
+       |           AS dot_exact,
+       |         CAST((SELECT SUM(c.p[j] * q.q_p[j]) FROM jdx) AS BIGINT)
+       |           AS dot_proj
+       |       FROM ep c CROSS JOIN q WHERE c.vec_id >= $NQueries),
+       | te AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER()
+       |         OVER (PARTITION BY q_id ORDER BY dot_exact DESC, vec_id) AS rk
+       |         FROM s) WHERE rk <= $TopK),
+       | tp AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER()
+       |         OVER (PARTITION BY q_id ORDER BY dot_proj DESC, vec_id) AS rk
+       |         FROM s) WHERE rk <= ${4 * TopK}),
+       | h AS (SELECT te.q_id, COUNT(*) AS n_hit FROM te
+       |       JOIN tp ON te.q_id = tp.q_id AND te.vec_id = tp.vec_id
+       |       GROUP BY 1)
+       |SELECT q.q_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $TopK AS recall
+       |FROM q LEFT JOIN h ON q.q_id = h.q_id""".stripMargin
+
   // ------------------------------------------------------- MMR selection
   /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
     * SIGIR'98): greedily select the candidate maximizing
@@ -1847,6 +1944,7 @@ object EmbeddingQueries {
        |WHERE i <= len(sel)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_jl_recall"      -> (jlRecall _),
     "emb_mmr_select"     -> (mmrSelect _),
     "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
@@ -1874,6 +1972,7 @@ object EmbeddingQueries {
     "emb_neardup_cosine" -> (neardupCosine _))
 
   val oracles: Map[String, String] = Map(
+    "emb_jl_recall"      -> jlRecallSql,
     "emb_mmr_select"     -> mmrSelectSql,
     "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,

@@ -1990,7 +1990,185 @@ object EventQueries {
       |  FROM events WHERE value IS NOT NULL)
       |WHERE rank <= 5""".stripMargin
 
+  // ------------------------------------------------------------ SCD2
+  /** Slowly-changing-dimension (type 2) build from the event stream — the
+    * standard warehouse pattern for turning an append-only fact into a
+    * versioned dimension: per user, collapse consecutive runs of an
+    * attribute (here the `props.k` value bucketed into tiers of 25) into
+    * `[valid_from, valid_to)` intervals; the open interval is the current
+    * row. Gaps-and-islands via lag + change-filter + re-rank, never a
+    * self-join.
+    *
+    * Scale: one shuffle on user_id; both window passes reuse the same
+    * (user_id, ts) ordering so Spark plans ONE sort. The dimension output
+    * is |changes|, not |events| — the compaction is what makes the
+    * downstream SCD2 point-in-time join (see [[asofTier]]) broadcastable
+    * at fact scale. */
+  def scd2(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val tiered = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        floor(get_json_object(col("props"), "$.k").cast("long") / lit(25.0))
+          .cast("long").as("tier"))
+      .filter(col("tier").isNotNull)
+    tiered
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("tier"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("ts_ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    CAST(FLOOR(CAST(props->>'$.k' AS BIGINT) / 25.0) AS BIGINT) AS tier
+      |  FROM events WHERE props->>'$.k' IS NOT NULL),
+      | c AS (SELECT user_id, ts_ms, event_id, tier, LAG(tier) OVER w AS prev
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      | ch AS (SELECT user_id, ts_ms, event_id, tier FROM c
+      |  WHERE prev IS NULL OR prev <> tier)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version, tier,
+      |  ts_ms AS valid_from, LEAD(ts_ms) OVER w AS valid_to,
+      |  LEAD(ts_ms) OVER w IS NULL AS is_current
+      |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""".stripMargin
+
+  // ------------------------------------------------ Kaplan-Meier survival
+  /** Kaplan-Meier survival estimate of "days from first activity to first
+    * error", right-censoring users who never error at their last-seen day —
+    * the churn/time-to-event curve of product analytics. S(t) is the
+    * product over event times t_i <= t of (n_i - d_i)/n_i with censored
+    * subjects kept in the risk set through their censoring time.
+    *
+    * Determinism: the factors are IEEE doubles, so S(t) is only
+    * reproducible if both engines multiply them in the SAME order — the
+    * prefix list is built by an ORDER BY t window and folded left-to-right
+    * (Spark `aggregate`, DuckDB `list_aggregate('product')`), the
+    * [[graft.queries.EmbeddingQueries.rankEval]] ordered-fold discipline.
+    *
+    * Scale: the per-user reduction is one shuffle on user_id; everything
+    * after operates on the day-grain life table (|distinct durations| rows
+    * — bounded by the observation window, not the corpus), so the
+    * single-partition windows run on a model-sized frame. */
+  def survival(spark: SparkSession, d: String): DataFrame = {
+    val per = ev(spark, d).groupBy(col("user_id")).agg(
+      min(col("ts_ms")).as("start_ms"),
+      min(when(col("event_type") === "error", col("ts_ms"))).as("err_ms"),
+      max(col("ts_ms")).as("last_ms"))
+    val dur = per.select(
+      floor((coalesce(col("err_ms"), col("last_ms")) - col("start_ms"))
+        / lit(86400000.0)).cast("long").as("t"),
+      col("err_ms").isNotNull.cast("int").as("observed"))
+    val times = dur.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    times
+      .withColumn("n", sum(col("cnt")).over(
+        Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("d") > 0)
+      .withColumn("factor",
+        (col("n") - col("d")).cast("double") / col("n").cast("double"))
+      .withColumn("hist", collect_list(col("factor")).over(
+        Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t").as("t_days"), col("n").as("n_risk"),
+        col("d").as("n_events"),
+        aggregate(col("hist"), lit(1.0), (acc, x) => acc * x).as("survival"))
+  }
+
+  val survivalSql: String =
+    """WITH per AS (SELECT user_id, min(epoch_ms(ts)) AS start_ms,
+      |    min(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END) AS err_ms,
+      |    max(epoch_ms(ts)) AS last_ms
+      |  FROM events GROUP BY 1),
+      | dur AS (SELECT CAST(FLOOR((COALESCE(err_ms, last_ms) - start_ms)
+      |      / 86400000.0) AS BIGINT) AS t,
+      |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS observed FROM per),
+      | times AS (SELECT t, COUNT(*) AS cnt, CAST(SUM(observed) AS BIGINT) AS d
+      |  FROM dur GROUP BY 1),
+      | risk AS (SELECT t, cnt, d, CAST(SUM(cnt) OVER (ORDER BY t DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+      |  FROM times),
+      | evs AS (SELECT t, n, d,
+      |    CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS factor
+      |  FROM risk WHERE d > 0),
+      | fold AS (SELECT t, n, d, list(factor) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist FROM evs)
+      |SELECT t AS t_days, n AS n_risk, d AS n_events,
+      |  list_aggregate(hist, 'product') AS survival FROM fold""".stripMargin
+
+  // --------------------------------------------- Holt linear forecasting
+  /** Holt double-exponential smoothing (level + trend) over the daily
+    * purchase-revenue series, one-step-ahead forecast per day — the
+    * capacity-planning/anomaly-baseline primitive. alpha = beta = 1/2 and
+    * cents-scaled integer inputs make every level/trend value an exactly-
+    * representable dyadic rational (<= t halvings of < 2^22 magnitudes:
+    * well under 53 mantissa bits), so the result is bit-identical across
+    * engines REGARDLESS of evaluation structure — Spark folds a prefix
+    * list, the oracle iterates a recursive CTE, and they agree exactly.
+    * Init: l_1 = x_1, b_1 = 0; forecast_t = l_{t-1} + b_{t-1} (NULL on day
+    * one).
+    *
+    * Scale: the distributed work is the daily aggregation (one shuffle);
+    * the smoothing runs on the day-grain series — model-sized by
+    * construction — via an O(T) prefix list + O(T) fold per row (T^2 total
+    * on T = |days|, negligible against the scan). */
+  def holtForecast(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d).filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+    val wAll = Window.orderBy(col("day"))
+    val st = expr(
+      """aggregate(hist, named_struct('l', 0.0D, 'b', 0.0D, 'i', 0),
+        |  (acc, x) -> IF(acc.i = 0,
+        |    named_struct('l', CAST(x AS DOUBLE), 'b', 0.0D, 'i', 1),
+        |    named_struct(
+        |      'l', (CAST(x AS DOUBLE) + acc.l + acc.b) / 2,
+        |      'b', (((CAST(x AS DOUBLE) + acc.l + acc.b) / 2 - acc.l) + acc.b) / 2,
+        |      'i', acc.i + 1)))""".stripMargin)
+    daily
+      .withColumn("hist", collect_list(col("x")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_hist", collect_list(col("x")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st", st)
+      .withColumn("prev", expr(
+        """aggregate(prev_hist, named_struct('l', 0.0D, 'b', 0.0D, 'i', 0),
+          |  (acc, x) -> IF(acc.i = 0,
+          |    named_struct('l', CAST(x AS DOUBLE), 'b', 0.0D, 'i', 1),
+          |    named_struct(
+          |      'l', (CAST(x AS DOUBLE) + acc.l + acc.b) / 2,
+          |      'b', (((CAST(x AS DOUBLE) + acc.l + acc.b) / 2 - acc.l) + acc.b) / 2,
+          |      'i', acc.i + 1)))""".stripMargin))
+      .select(col("day"), col("x"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        when(col("prev.i") > 0, col("prev.l") + col("prev.b")).as("forecast"))
+  }
+
+  val holtForecastSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      | idx AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS i
+      |  FROM daily),
+      | holt(i, day, x, l, b, f) AS (
+      |   SELECT i, day, x, CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(NULL AS DOUBLE) FROM idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT idx.i, idx.day, idx.x,
+      |     (CAST(idx.x AS DOUBLE) + h.l + h.b) / 2,
+      |     (((CAST(idx.x AS DOUBLE) + h.l + h.b) / 2 - h.l) + h.b) / 2,
+      |     h.l + h.b
+      |   FROM holt h JOIN idx ON idx.i = h.i + 1)
+      |SELECT day, x, l AS level, b AS trend, f AS forecast FROM holt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_scd2"                -> (scd2 _),
+    "evt_survival"            -> (survival _),
+    "evt_holt_forecast"       -> (holtForecast _),
     "evt_exact_quantiles"     -> (exactQuantiles _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
@@ -2030,6 +2208,9 @@ object EventQueries {
     "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
+    "evt_scd2"                -> scd2Sql,
+    "evt_survival"            -> survivalSql,
+    "evt_holt_forecast"       -> holtForecastSql,
     "evt_exact_quantiles"     -> exactQuantilesSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,

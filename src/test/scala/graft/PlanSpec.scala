@@ -664,6 +664,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("scd2: one user-key exchange, no joins — the sessionize shape") {
+    val df = graft.queries.EventQueries.queries("evt_scd2")(spark, sf)
+    val nodes = planNodes(df)
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 1,
+      s"change-detect + re-rank must reuse ONE user_id exchange, got $shuffles")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "gaps-and-islands must not self-join")
+  }
+
+  test("survival: per-user reduction combines map-side; life table never joins") {
+    val df = graft.queries.EventQueries.queries("evt_survival")(spark, sf)
+    assert(plan(df).contains("partial_min"),
+      "the user_id reduction must partial-aggregate before its exchange")
+    assert(!planNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the KM fold must ride windows on the model-sized life table, not joins")
+  }
+
+  test("holt forecast: daily aggregation combines map-side before the fold") {
+    val p = plan(graft.queries.EventQueries.queries("evt_holt_forecast")(spark, sf))
+    assert(p.contains("partial_sum"),
+      "daily revenue must partial-aggregate; the smoothing sees only the series")
+  }
+
+  test("jl recall: queries broadcast; corpus never sort-merges or products") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_jl_recall")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "corpus side must not shuffle-sort against the NQueries probe rows")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the scoring join must be the broadcast nested loop over tiny q, not a product")
+  }
+
   test("vocab link / typo pairs: candidate generation is keyed, never a product") {
     for (op <- Seq("doc_vocab_link", "doc_typo_pairs")) {
       val nodes = planNodes(graft.queries.DocQueries.queries(op)(spark, sf))

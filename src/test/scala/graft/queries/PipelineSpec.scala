@@ -1581,6 +1581,72 @@ class PipelineSpec extends SparkSpec {
     assert(got("2024-04-05") === ((1L, 1L, 1.0)))
   }
 
+  test("scd2: consecutive runs collapse; validity intervals chain per user") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: tiers 0,0,1,0 -> 3 versions (the middle run collapses);
+    // user 2: one constant tier -> a single open version
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "view", 1.0, """{"k": 5}"""),
+      (2L, t("2024-01-01 01:00:00"), 1L, "view", 1.0, """{"k": 10}"""),
+      (3L, t("2024-01-01 02:00:00"), 1L, "view", 1.0, """{"k": 30}"""),
+      (4L, t("2024-01-01 03:00:00"), 1L, "view", 1.0, """{"k": 0}"""),
+      (5L, t("2024-01-01 00:30:00"), 2L, "view", 1.0, """{"k": 99}"""))
+    val tmp = java.nio.file.Files.createTempDirectory("scd2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.scd2(spark, tmp)
+      .as[(Long, Int, Long, Long, Option[Long], Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val u1 = got(1L)
+    assert(u1.map(v => (v._2, v._3)).toSeq === Seq((1, 0L), (2, 1L), (3, 0L)))
+    // intervals chain: each valid_to is the next valid_from; last is open
+    assert(u1(0)._5 === Some(u1(1)._4))
+    assert(u1(1)._5 === Some(u1(2)._4))
+    assert(u1(2)._5 === None && u1(2)._6)
+    assert(!u1(0)._6 && !u1(1)._6)
+    assert(got(2L).map(v => (v._2, v._3, v._5, v._6)).toSeq ===
+      Seq((1, 3L, None, true)))
+  }
+
+  test("survival: censored users stay in the risk set; S(t) is the KM product") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A: first event day 0, error day 2 (dur 2, observed)
+    // B: active day 0 .. day 4, never errors (censored at 4)
+    // C: errors immediately (dur 0, observed)
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-03 00:00:00"), 1L, "error", 1.0, "{}"),
+      (3L, t("2024-01-01 00:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, t("2024-01-05 00:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, t("2024-01-01 00:00:00"), 3L, "error", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("km").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.survival(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // t=0: 3 at risk, 1 event -> 2/3; t=2: 2 at risk (A and censored-later
+    // B), 1 event -> 1/3. The censored duration (4) emits NO row.
+    assert(got.toSeq === Seq((0L, 3L, 1L, 2.0 / 3), (2L, 2L, 1L, (2.0 / 3) * 0.5)))
+  }
+
+  test("holt forecast: hand-computed level/trend recursion on a 3-day series") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, t("2024-01-02 10:00:00"), 1L, "purchase", 2.0, "{}"),
+      (3L, t("2024-01-03 10:00:00"), 1L, "purchase", 3.0, "{}"),
+      (4L, t("2024-01-03 11:00:00"), 1L, "view", 9.0, "{}")) // not revenue
+    val tmp = java.nio.file.Files.createTempDirectory("holt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.holtForecast(spark, tmp)
+      .as[(String, Long, Double, Double, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 1000L, 1000.0, 0.0, None),
+      ("2024-01-02", 2000L, 1500.0, 250.0, Some(1000.0)),
+      ("2024-01-03", 3000L, 2375.0, 562.5, Some(1750.0))))
+  }
+
   test("mips ranks by raw inner product: magnitude wins where cosine ties") {
     // corpus vec 10 = 2x the query, vec 11 = exactly the query, vec 12 =
     // orthogonal: cosine ranks 10 and 11 equal (both 1.0); MIPS must put
