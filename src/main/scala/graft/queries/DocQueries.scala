@@ -183,22 +183,7 @@ object DocQueries {
     // (the extra exchange's planning/codegen outweighs parallelizing the
     // index build; the groupBy's own exchange already spreads the reduce)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    // Candidate pairs from ONE shuffle: group the inverted index by shingle
-    // into posting lists, keep the rare ones (2..DfCap docs), emit all
-    // in-posting pairs. Replaces the df-count + two-sided join formulation
-    // (three shuffles over the 1M-row index; measured 2.6s → 1.1s warm at
-    // sf0.1) — and at cluster scale posting-list pair emission bounds the
-    // blow-up to df² ≤ 100 rows per shingle by construction.
-    // distinct BEFORE the merge-walk: near-dup pairs share ~40 rare
-    // shingles each, so the raw pair stream carries ~40x duplicates of
-    // exactly the pairs whose merge-walk is longest — measured, deduping
-    // early beats walking duplicates (2.7s vs 3.0s warm at sf0.1)
-    val candidates = ex.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, DfCap))
-      .select(explode(col("ids")).as("d1"), col("ids"))
-      .select(col("d1"), explode(col("ids")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .distinct()
+    val candidates = rareShingleCandidates(ex)
     // exact Jaccard on the FULL (hashed) shingle sets of each candidate
     // pair — sets use the oracle-replicable md5-low-32 shingle hash (8-byte
     // keys shuffle/compare ~8x cheaper than shingle strings, and both
@@ -220,6 +205,114 @@ object DocQueries {
     if (docs.count() <= maxBroadcastDocs) verifyBroadcast(spark, docs, candidates)
     else verifyJoin(docs, candidates)
   }
+
+  /** Candidate pairs from ONE shuffle: group the inverted index by shingle
+    * into posting lists, keep the rare ones (2..DfCap docs), emit all
+    * in-posting pairs. Replaces the df-count + two-sided join formulation
+    * (three shuffles over the 1M-row index; measured 2.6s → 1.1s warm at
+    * sf0.1) — and at cluster scale posting-list pair emission bounds the
+    * blow-up to df² ≤ 100 rows per shingle by construction.
+    * distinct BEFORE the merge-walk: near-dup pairs share ~40 rare
+    * shingles each, so the raw pair stream carries ~40x duplicates of
+    * exactly the pairs whose merge-walk is longest — measured, deduping
+    * early beats walking duplicates (2.7s vs 3.0s warm at sf0.1).
+    * Shared by [[neardupJaccardCompute]] and [[containment]]. */
+  private def rareShingleCandidates(ex: DataFrame): DataFrame =
+    ex.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .distinct()
+
+  // ------------------------------------------------------ containment dedup
+  /** Asymmetric (containment) near-dup detection: C(A→B) = |A∩B| / |A| on
+    * the 3-token shingle sets, oriented small-set-into-large — the dedup
+    * axis symmetric Jaccard MISSES: a paragraph quoted whole inside a much
+    * longer page has tiny Jaccard (union is dominated by the container) but
+    * containment ≈ 1. Standard curation signal for quote-inclusion /
+    * boilerplate-envelope / subset-shard leakage. Candidates come from the
+    * same rare-shingle posting lists as [[neardupJaccard]] (a contained doc
+    * shares ALL its shingles with the container, so any of its rare
+    * shingles collides); verification is the same sorted merge walk with
+    * the min-set denominator. Threshold 0.8; both engines compute the same
+    * int/int double division, so the boundary agrees bit-for-bit.
+    *
+    * Scale: identical shape to [[neardupJaccardCompute]] — one posting
+    * shuffle for candidates, then either a broadcast merge-walk (corpus
+    * under the gate) or two keyed joins against the shingle table, never
+    * all-pairs. */
+  def containment(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val candidates = rareShingleCandidates(
+      docs.select(col("doc_id"), explode(col("sh")).as("s")))
+    val maxBroadcastDocs = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(1L << 20)
+    val scored =
+      if (docs.count() <= maxBroadcastDocs) {
+        val sortedSets = spark.sparkContext.broadcast(
+          docs.as[(Long, Array[Long])].collect().toMap)
+        candidates.as[(Long, Long)].mapPartitions { it =>
+          val m = sortedSets.value
+          it.map { case (d1, d2) =>
+            val a = m(d1); val b = m(d2)
+            (d1, d2, a.length, b.length,
+              sortedIntersectionSize(a, b).toLong)
+          }
+        }.toDF("d1", "d2", "n1", "n2", "inter")
+      } else {
+        val inter = udf((a: Seq[Long], b: Seq[Long]) =>
+          sortedIntersectionSize(a.toArray, b.toArray).toLong)
+        candidates
+          .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+          .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            size(col("sh1")).as("n1"), size(col("sh2")).as("n2"),
+            inter(col("sh1"), col("sh2")).as("inter"))
+      }
+    scored
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_id"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container_id"),
+        least(col("n1"), col("n2")).cast("long").as("n_contained"),
+        col("inter"),
+        (col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double")).as("containment"))
+      .filter(col("containment") >= 0.8)
+  }
+
+  val containmentSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       | g AS (SELECT DISTINCT doc_id,
+       |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
+       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       WHERE i + 2 <= len(tk)),
+       | sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+       | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+       | gr AS (SELECT g.* FROM g JOIN rare USING (s)),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM gr a JOIN gr b ON a.s = b.s AND a.doc_id < b.doc_id),
+       | iv AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+       |        FROM cand c
+       |        JOIN g g1 ON g1.doc_id = c.d1
+       |        JOIN g g2 ON g2.doc_id = c.d2 AND g2.s = g1.s
+       |        GROUP BY 1, 2),
+       | sc AS (SELECT iv.d1, iv.d2, s1.n AS n1, s2.n AS n2, iv.inter
+       |        FROM iv JOIN sz s1 ON s1.doc_id = iv.d1
+       |                JOIN sz s2 ON s2.doc_id = iv.d2)
+       |SELECT CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id,
+       |       CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS container_id,
+       |       CAST(LEAST(n1, n2) AS BIGINT) AS n_contained,
+       |       CAST(inter AS BIGINT) AS inter,
+       |       CAST(inter AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) AS containment
+       |FROM sc
+       |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) >= 0.8""".stripMargin
 
   /** Broadcast-map merge-walk Jaccard verification (small-corpus path). */
   private def verifyBroadcast(spark: SparkSession, docs: DataFrame,
@@ -4080,6 +4173,7 @@ object DocQueries {
     "doc_quality"         -> (quality _),
     "doc_langid"          -> (langId _),
     "doc_neardup_jaccard" -> (neardupJaccard _),
+    "doc_containment" -> (containment _),
     "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
     "doc_minhash_dedup"   -> (minhashDedup _),
@@ -4144,6 +4238,7 @@ object DocQueries {
     "doc_quality"         -> qualitySql,
     "doc_langid"          -> langIdSql,
     "doc_neardup_jaccard" -> neardupJaccardSql,
+    "doc_containment" -> containmentSql,
     "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
     "doc_minhash_dedup"   -> minhashDedupSql,

@@ -1581,6 +1581,25 @@ class PipelineSpec extends SparkSpec {
     assert(got("2024-04-05") === ((1L, 1L, 1.0)))
   }
 
+  test("containment catches a quoted paragraph that symmetric jaccard misses") {
+    val para = (1 to 30).map(i => s"w$i").mkString(" ")
+    val page = para + " " + (31 to 200).map(i => s"x$i").mkString(" ")
+    val other = (300 to 340).map(i => s"y$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, para, "en"), (2L, page, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.containment(spark, tmp)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // para (28 shingles) is fully inside page; orientation small-into-large
+    assert(got.toSeq === Seq((1L, 2L, 28L, 28L, 1.0)))
+    // the same pair is INVISIBLE to symmetric jaccard at its 0.3 threshold:
+    // union is dominated by the container (28 / 198 < 0.3)
+    val jac = DocQueries.neardupJaccardCompute(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(!jac.exists(r => r._1 == 1L && r._2 == 2L))
+  }
+
   test("scd2: consecutive runs collapse; validity intervals chain per user") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1: tiers 0,0,1,0 -> 3 versions (the middle run collapses);
