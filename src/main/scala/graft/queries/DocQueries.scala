@@ -4118,7 +4118,127 @@ object DocQueries {
        |  CAST(SUM(c) AS BIGINT) AS occurrences
        |FROM per GROUP BY term""".stripMargin
 
+  // --------------------------------------------------- Luhn PII detection
+  /** Luhn-validated payment-card detection — the PII pass [[piiScrub]]'s
+    * regexes cannot do alone: a 16-digit run is only a card number if its
+    * mod-10 check digit verifies, and treating every digit run as PII
+    * destroys legitimate identifiers (order numbers, hashes). The fixture
+    * text has no card numbers, so (exactly like [[piiScrub]]) each doc
+    * gets a deterministic doc_id-derived candidate embedded — roughly one
+    * in ten verifies, exercising both branches.
+    *
+    * The checksum is 16 unrolled column terms (digit, doubled-and-folded
+    * on even positions from the right) — pure codegen arithmetic, no UDF,
+    * and the SAME unrolled formula is emitted as the oracle's SQL text,
+    * so the two engines compute it independently from the shared spec.
+    *
+    * Scale: stateless per-row projection; nothing shuffles. */
+  def luhnScan(spark: SparkSession, d: String): DataFrame = {
+    val pan = concat(
+      lpad(((col("doc_id") * 48271L) % 100000000L).cast("string"), 8, "0"),
+      lpad(((col("doc_id") * 16807L + 7L) % 100000000L).cast("string"), 8, "0"))
+    val fmtd = concat_ws("-", substring(pan, 1, 4), substring(pan, 5, 4),
+      substring(pan, 9, 4), substring(pan, 13, 4))
+    val dirty = concat(col("text"), lit(" card "), fmtd)
+    val cand = regexp_extract(dirty,
+      "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}", 0)
+    documents(spark, d)
+      .select(col("doc_id"), regexp_replace(cand, "-", "").as("digits"))
+      .select(col("doc_id"),
+        (luhnSumCol(col("digits")) % 10 === 0).as("luhn_valid"),
+        concat(lit("****-****-****-"), substring(col("digits"), 13, 4))
+          .as("masked"))
+  }
+
+  /** The unrolled 16-term Luhn sum over a digit string, as a Column. */
+  private def luhnSumCol(digits: Column): Column =
+    (1 to 16).map { i =>
+      val dv = substring(digits, i, 1).cast("int")
+      if ((17 - i) % 2 == 0) when(dv * 2 > 9, dv * 2 - 9).otherwise(dv * 2)
+      else dv
+    }.reduce(_ + _)
+
+  /** The identical unrolled sum as SQL text (DuckDB side). */
+  private val luhnSumSql: String =
+    (1 to 16).map { i =>
+      val dv = s"CAST(substr(digits, $i, 1) AS INT)"
+      if ((17 - i) % 2 == 0)
+        s"(CASE WHEN $dv * 2 > 9 THEN $dv * 2 - 9 ELSE $dv * 2 END)"
+      else dv
+    }.mkString(" + ")
+
+  val luhnScanSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |    lpad(CAST((doc_id * 48271) % 100000000 AS VARCHAR), 8, '0') ||
+       |    lpad(CAST((doc_id * 16807 + 7) % 100000000 AS VARCHAR), 8, '0') AS pan
+       |  FROM documents),
+       | f AS (SELECT doc_id,
+       |    text || ' card ' || substr(pan, 1, 4) || '-' || substr(pan, 5, 4) ||
+       |      '-' || substr(pan, 9, 4) || '-' || substr(pan, 13, 4) AS dirty
+       |  FROM s JOIN documents USING (doc_id)),
+       | d AS (SELECT doc_id,
+       |    replace(regexp_extract(dirty,
+       |      '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', 0), '-', '') AS digits
+       |  FROM f)
+       |SELECT doc_id, ($luhnSumSql) % 10 = 0 AS luhn_valid,
+       |  '****-****-****-' || substr(digits, 13, 4) AS masked
+       |FROM d""".stripMargin
+
+  // ---------------------------------------------------- inverted index
+  /** Search-index build: the capped posting-list table behind [[bm25]] —
+    * per term, document frequency, collection frequency, and the top-10
+    * postings by term frequency, for the 40 highest-df terms.
+    *
+    * Scale shape: tf is ONE map-side-combinable aggregation on
+    * (term, doc); per-term stats + postings are a SECOND partial
+    * aggregation on term where the posting cap rides the aggregator —
+    * [[graft.functions.TopK]] keeps <= 10 entries per (split, term)
+    * BEFORE the exchange, so a stopword appearing in every document of a
+    * 100-TB corpus still ships k rows per split, never its full posting
+    * list (the window-rank formulation this replaces sorts the hot
+    * term's entire posting list on one reducer — the oracle uses exactly
+    * that formulation, making the cap semantics independently checked).
+    * The term-cap is TakeOrdered (per-partition top-40 + driver merge). */
+  def invertedIndex(spark: SparkSession, d: String): DataFrame = {
+    val tf = documents(spark, d)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = tf.groupBy(col("term")).agg(
+      count(lit(1)).cast("long").as("df"),
+      sum(col("tf")).as("cf"),
+      graft.functions.TopK
+        .topKByValue(10, col("tf").cast("double"), col("doc_id"))
+        .as("postings"))
+    byTerm.orderBy(col("df").desc, col("term")).limit(40)
+      .select(col("term"), col("df"), col("cf"), posexplode(col("postings")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("tf"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS term
+      |  FROM documents),
+      | tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok
+      |  WHERE len(term) > 0 GROUP BY 1, 2),
+      | agg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+      | top AS (SELECT * FROM agg ORDER BY df DESC, term LIMIT 40),
+      | ranked AS (SELECT tf.term, tf.doc_id, tf.tf,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.term
+      |      ORDER BY tf.tf DESC, tf.doc_id) AS rank
+      |  FROM tf JOIN top ON tf.term = top.term)
+      |SELECT r.term, t.df, t.cf, CAST(r.rank AS INT) AS rank,
+      |  r.doc_id, CAST(r.tf AS BIGINT) AS tf
+      |FROM ranked r JOIN top t ON r.term = t.term
+      |WHERE r.rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_luhn_scan"          -> (luhnScan _),
+    "doc_inverted_index"     -> (invertedIndex _),
     "doc_dict_tag"           -> (dictTag _),
     "doc_dict_terms"         -> (dictTerms _),
     "doc_setsim_join"        -> (setsimJoin _),
@@ -4184,6 +4304,8 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_luhn_scan"          -> luhnScanSql,
+    "doc_inverted_index"     -> invertedIndexSql,
     "doc_dict_tag"           -> dictTagSql,
     "doc_dict_terms"         -> dictTermsSql,
     "doc_setsim_join"        -> setsimJoinSql,

@@ -2165,7 +2165,205 @@ object EventQueries {
       |   FROM holt h JOIN idx ON idx.i = h.i + 1)
       |SELECT day, x, l AS level, b AS trend, f AS forecast FROM holt""".stripMargin
 
+  // ------------------------------------------------------------ CDC merge
+  private val CdcCutoffMs = 1705363200000L // 2024-01-16T00:00:00Z, mid-series
+
+  /** Change-data-capture (type-1) merge: apply an upsert/delete changelog
+    * onto a compacted snapshot, latest-wins — MERGE INTO semantics
+    * re-expressed as a union + keyed last-writer-wins compaction, the
+    * incremental-materialization pass every warehouse ingestion pipeline
+    * runs between full rebuilds.
+    *
+    * Fixture framing: the entity is the user. The snapshot is each user's
+    * latest pre-cutoff event (one row per key, as a real snapshot is by
+    * contract); the changelog is the post-cutoff stream where `error`
+    * events are delete tombstones and everything else upserts the
+    * (event_type, value) state. A key whose LAST change is a tombstone
+    * leaves the table entirely — MERGE delete, not a soft flag.
+    *
+    * Scale: ONE shuffle on the merge key; both union legs are
+    * column-aligned so Spark plans a single exchange + window over the
+    * union. Per-key sort state is 1 snapshot row + that key's change
+    * volume for THIS batch (bounded per merge cycle — the unbounded
+    * history lives compacted in the snapshot, never re-sorted). The
+    * same last-writer-wins rule keyed on (ts, event_id) is what makes
+    * the merge idempotent under replayed changelogs. */
+  def cdcMerge(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d).select(col("user_id"), col("ts_ms"), col("event_id"),
+      col("event_type"), floor(col("value") * 1000).cast("long").as("value_scaled"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val snap = base.filter(col("ts_ms") < CdcCutoffMs)
+      .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("value_scaled"), col("ts_ms").as("updated_ms"), col("event_id"),
+        lit(false).as("from_changelog"), lit("U").as("op"))
+    val chg = base.filter(col("ts_ms") >= CdcCutoffMs)
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("value_scaled"), col("ts_ms").as("updated_ms"), col("event_id"),
+        lit(true).as("from_changelog"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+    val wMerge = Window.partitionBy(col("user_id"))
+      .orderBy(col("updated_ms").desc, col("event_id").desc)
+    snap.unionByName(chg)
+      .withColumn("rn", row_number().over(wMerge)).filter(col("rn") === 1)
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("state_type"), col("value_scaled"),
+        col("updated_ms"), col("from_changelog"))
+  }
+
+  val cdcMergeSql: String =
+    s"""WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_scaled FROM events),
+       | snap AS (SELECT user_id, event_type AS state_type, value_scaled,
+       |    ts_ms AS updated_ms, event_id, FALSE AS from_changelog, 'U' AS op
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |          ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |        FROM t WHERE ts_ms < $CdcCutoffMs) WHERE rn = 1),
+       | chg AS (SELECT user_id, event_type AS state_type, value_scaled,
+       |    ts_ms AS updated_ms, event_id, TRUE AS from_changelog,
+       |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+       |  FROM t WHERE ts_ms >= $CdcCutoffMs),
+       | u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+       | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |         ORDER BY updated_ms DESC, event_id DESC) AS rn FROM u)
+       |SELECT user_id, state_type, value_scaled, updated_ms, from_changelog
+       |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  // ------------------------------------------------------- windowed funnel
+  private val FunnelWindowMs = 3600000L // 1 h, anchored at the view
+
+  /** Time-window funnel (the ClickHouse `windowFunnel` shape): per user,
+    * the deepest view -> click -> purchase chain whose whole span fits in
+    * [[FunnelWindowMs]] of the ANCHOR view — strictly ordered in
+    * millisecond time, unlike [[sessionFunnel]] (session-scoped) and
+    * [[funnel]] (lifetime-ordered).
+    *
+    * One pass, no joins: per user the events fold in (ts, step DESC,
+    * event_id) order through O(1) state — a1 = the latest view seen, a2 =
+    * the latest view proven reachable to a click. Keeping the MAXIMUM
+    * anchor is exact, not greedy-approximate: any later view only gains
+    * window slack, so if ANY chain completes, the max-anchor chain does
+    * too (the step-DESC tiebreak makes equal-ms events unchainable, so
+    * the fold's "strictly earlier" reads match the oracle's strict `<`).
+    * The oracle checks the same semantics by brute-force EXISTS joins —
+    * an independent algorithm, so the fold's exactness claim is gated,
+    * not assumed.
+    *
+    * Scale: one shuffle on user_id; per-user state is the event list of
+    * ONE user (the sessionize/survival shape) and the fold is O(events).
+    * The EXISTS-join formulation it replaces is quadratic per user and
+    * unshippable at fact scale. */
+  def windowFunnel(spark: SparkSession, d: String): DataFrame = {
+    val step = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+    val evs = ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), step.as("step"))
+      .filter(col("step").isNotNull)
+    val item = struct(col("ts_ms"), (lit(3) - col("step")).as("sd"),
+      col("event_id"), col("step"))
+    evs.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(item)).as("seq"))
+      .withColumn("st", expr(
+        s"""aggregate(seq,
+           |  named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT), 'lvl', 0),
+           |  (acc, e) -> IF(e.step = 1,
+           |      named_struct('a1', greatest(acc.a1, e.ts_ms), 'a2', acc.a2,
+           |                   'lvl', greatest(acc.lvl, 1)),
+           |    IF(e.step = 2 AND acc.a1 >= 0 AND e.ts_ms - acc.a1 <= $FunnelWindowMs,
+           |      named_struct('a1', acc.a1, 'a2', greatest(acc.a2, acc.a1),
+           |                   'lvl', greatest(acc.lvl, 2)),
+           |    IF(e.step = 3 AND acc.a2 >= 0 AND e.ts_ms - acc.a2 <= $FunnelWindowMs,
+           |      named_struct('a1', acc.a1, 'a2', acc.a2, 'lvl', 3),
+           |    acc))))""".stripMargin))
+      .select(col("user_id"), col("st.lvl").cast("int").as("funnel_level"))
+  }
+
+  val windowFunnelSql: String =
+    s"""WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+       |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+       |                    WHEN 'purchase' THEN 3 END AS step
+       |  FROM events),
+       | f AS (SELECT user_id, ts_ms, step FROM t WHERE step IS NOT NULL),
+       | v AS (SELECT user_id, ts_ms FROM f WHERE step = 1),
+       | c AS (SELECT user_id, ts_ms FROM f WHERE step = 2),
+       | p AS (SELECT user_id, ts_ms FROM f WHERE step = 3),
+       | l3 AS (SELECT DISTINCT v.user_id FROM v
+       |   JOIN c ON c.user_id = v.user_id AND c.ts_ms > v.ts_ms
+       |   JOIN p ON p.user_id = c.user_id AND p.ts_ms > c.ts_ms
+       |         AND p.ts_ms - v.ts_ms <= $FunnelWindowMs),
+       | l2 AS (SELECT DISTINCT v.user_id FROM v
+       |   JOIN c ON c.user_id = v.user_id AND c.ts_ms > v.ts_ms
+       |         AND c.ts_ms - v.ts_ms <= $FunnelWindowMs),
+       | l1 AS (SELECT DISTINCT user_id FROM v)
+       |SELECT u.user_id,
+       |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+       |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+       |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+       |            ELSE 0 END AS INT) AS funnel_level
+       |FROM (SELECT DISTINCT user_id FROM f) u""".stripMargin
+
+  // -------------------------------------------------- CUSUM changepoints
+  /** CUSUM changepoint detection over the per-type daily count series —
+    * the classic upward-shift monitor s_i = max(0, s_{i-1} + (x_i - mu)),
+    * which flags sustained drift that per-day z-scores ([[anomaly]]) miss.
+    *
+    * The recurrence LOOKS inherently sequential, but the clamp has a
+    * closed window form: with p_i = cumsum(x_j - mu), s_i = p_i -
+    * min(0, min_{j<=i} p_j) — a running sum plus a running min, both
+    * plain window functions, no recursion and no driver loop. Everything
+    * is exact integer arithmetic: deviations are scaled by n (days per
+    * type), so mu = S/n never becomes a float — dev_i = n*x_i - S.
+    * Alarm when the scaled statistic exceeds S (equivalently, when the
+    * unscaled CUSUM exceeds the series mean) — a deterministic threshold
+    * both engines compare in longs.
+    *
+    * Scale: the fact scan collapses to the (type, day) grain in one
+    * map-side-combinable aggregation; the windows run over the day-grain
+    * series per type — model-sized state, a single sort per type. */
+  def cusum(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wo = wt.orderBy(col("day"))
+    val run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s_total", sum(col("x")).over(wt))
+      .withColumn("p", sum(col("n") * col("x") - col("s_total")).over(run))
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(run)))
+      .select(col("event_type"), col("day"), col("x"), col("cusum_scaled"),
+        (col("cusum_scaled") > col("s_total")).as("is_alarm"))
+  }
+
+  val cusumSql: String =
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+      | st AS (SELECT event_type, day, x,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS s_total
+      |  FROM daily),
+      | ps AS (SELECT event_type, day, x, s_total,
+      |    SUM(n * x - s_total) OVER w AS p
+      |  FROM st WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                       ROWS UNBOUNDED PRECEDING)),
+      | cs AS (SELECT event_type, day, x, s_total, p,
+      |    MIN(p) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS UNBOUNDED PRECEDING) AS minp
+      |  FROM ps)
+      |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+      |  CAST(p - LEAST(CAST(0 AS BIGINT), minp) AS BIGINT) AS cusum_scaled,
+      |  p - LEAST(CAST(0 AS BIGINT), minp) > s_total AS is_alarm
+      |FROM cs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cdc_merge"           -> (cdcMerge _),
+    "evt_window_funnel"       -> (windowFunnel _),
+    "evt_cusum"               -> (cusum _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2208,6 +2406,9 @@ object EventQueries {
     "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
+    "evt_cdc_merge"           -> cdcMergeSql,
+    "evt_window_funnel"       -> windowFunnelSql,
+    "evt_cusum"               -> cusumSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

@@ -712,4 +712,50 @@ class PlanSpec extends SparkSpec {
         s"$op: no nested-loop join anywhere in the pipeline")
     }
   }
+
+  test("cdc merge: union compacts through ONE keyed exchange, no joins") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_cdc_merge")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "MERGE must be the union + last-writer window, not a join of the legs")
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2,
+      s"snapshot compaction + merge shuffle on the same key, got $exchanges")
+  }
+
+  test("window funnel: one user-key exchange, no joins — the fold replaces " +
+       "the quadratic EXISTS chain") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_window_funnel")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "funnel levels must come from the per-user fold, not step self-joins")
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 1, s"one shuffle on user_id, got $exchanges")
+    assert(!plan(graft.queries.EventQueries.queries("evt_window_funnel")(spark, sf))
+      .contains("ScalaUDF"), "the fold is a native higher-order expression")
+  }
+
+  test("cusum: fact collapses to the day grain map-side; windows never re-shuffle") {
+    val df = graft.queries.EventQueries.queries("evt_cusum")(spark, sf)
+    assert(plan(df).contains("partial_count"),
+      "daily counts must partial-aggregate before the exchange")
+    val exchanges = planNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2,
+      s"(type,day) agg + per-type window repartition at most, got $exchanges")
+  }
+
+  test("inverted index: posting cap is a partial TopK aggregation, and the " +
+       "term cap is TakeOrdered — no window sort, no global sort") {
+    val p = plan(graft.queries.DocQueries.queries("doc_inverted_index")(spark, sf))
+    assert(p.contains("partial_topkbyvalue"),
+      "postings must cap map-side — a hot term's full list may never ship")
+    assert(!p.contains("Window"),
+      "the window-rank formulation this replaces sorts hot posting lists " +
+        "on one reducer")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the 40-term cap must be per-partition top-k + driver merge")
+  }
 }

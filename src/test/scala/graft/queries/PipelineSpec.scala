@@ -1870,4 +1870,138 @@ class PipelineSpec extends SparkSpec {
         "hash(doc_id)-salted probe x replicated build must meet every pair exactly once")
     } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
   }
+
+  test("cdc merge: tombstones delete, latest change wins, snapshot survives") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // cutoff is 2024-01-16T00:00Z; days 10 vs 20 sit safely on either side
+    val rows = Seq(
+      // user 1: two pre-cutoff (latest wins in snapshot), then an upsert
+      (1L, t("2024-01-10 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-10 01:00:00"), 1L, "click", 2.0, "{}"),
+      (3L, t("2024-01-20 00:00:00"), 1L, "purchase", 3.0, "{}"),
+      // user 2: snapshot state, then a tombstone LAST -> deleted
+      (4L, t("2024-01-10 00:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, t("2024-01-20 00:00:00"), 2L, "error", 1.0, "{}"),
+      // user 3: snapshot only -> surfaces unchanged
+      (6L, t("2024-01-10 00:00:00"), 3L, "signup", 7.0, "{}"),
+      // user 4: changelog only (no snapshot row) -> inserted
+      (7L, t("2024-01-20 00:00:00"), 4L, "view", 4.0, "{}"),
+      // user 5: tombstone then a LATER upsert -> resurrected
+      (8L, t("2024-01-20 00:00:00"), 5L, "error", 1.0, "{}"),
+      (9L, t("2024-01-20 01:00:00"), 5L, "click", 5.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.cdcMerge(spark, tmp)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(got.keySet === Set(1L, 3L, 4L, 5L), "user 2's tombstone deletes it")
+    assert(got(1L) === (("purchase", 3000L, true)))
+    assert(got(3L) === (("signup", 7000L, false)))
+    assert(got(4L) === (("view", 4000L, true)))
+    assert(got(5L) === (("click", 5000L, true)))
+  }
+
+  test("window funnel: strict order, window anchor, and max-anchor exactness") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: full chain inside the hour
+      (1L, t("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 00:30:00"), 1L, "click", 1.0, "{}"),
+      (3L, t("2024-01-01 00:59:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase lands past the view-anchored hour -> level 2
+      (4L, t("2024-01-01 00:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, t("2024-01-01 00:30:00"), 2L, "click", 1.0, "{}"),
+      (6L, t("2024-01-01 01:10:00"), 2L, "purchase", 1.0, "{}"),
+      // user 3: steps present but in the wrong order -> level 1
+      (7L, t("2024-01-01 00:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, t("2024-01-01 00:01:00"), 3L, "purchase", 1.0, "{}"),
+      (9L, t("2024-01-01 00:02:00"), 3L, "view", 1.0, "{}"),
+      // user 4: view and click in the SAME millisecond cannot chain
+      (10L, t("2024-01-01 00:00:00"), 4L, "view", 1.0, "{}"),
+      (11L, t("2024-01-01 00:00:00"), 4L, "click", 1.0, "{}"),
+      // user 5: only the LATER view's chain completes — keeping the max
+      //         anchor must find it even though the first view's cannot
+      (12L, t("2024-01-01 00:00:00"), 5L, "view", 1.0, "{}"),
+      (13L, t("2024-01-01 00:50:00"), 5L, "click", 1.0, "{}"),
+      (14L, t("2024-01-01 00:55:00"), 5L, "view", 1.0, "{}"),
+      (15L, t("2024-01-01 00:56:00"), 5L, "click", 1.0, "{}"),
+      (16L, t("2024-01-01 01:50:00"), 5L, "purchase", 1.0, "{}"),
+      // user 6: no funnel steps at all -> no row
+      (17L, t("2024-01-01 00:00:00"), 6L, "signup", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("wfunnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.windowFunnel(spark, tmp)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 3))
+  }
+
+  test("cusum: window closed form equals the clamped recurrence by hand") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one type, daily counts [2,2,8,8]: n=4, S=20, dev=4x-S=[-12,-12,12,12]
+    // s = [0, 0, 12, 24] by the max(0, s+dev) recurrence; alarm at 24 > S
+    val rows = (1 to 2).map(i => (i.toLong, t(s"2024-01-01 0$i:00:00"))) ++
+      (3 to 4).map(i => (i.toLong + 2, t(s"2024-01-02 0$i:00:00"))) ++
+      (1 to 8).map(i => (i.toLong + 10, t(s"2024-01-03 0$i:00:00"))) ++
+      (1 to 8).map(i => (i.toLong + 20, t(s"2024-01-04 0$i:00:00")))
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    rows.map { case (id, ts) => (id, ts, 1L, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.cusum(spark, tmp)
+      .as[(String, String, Long, Long, Boolean)].collect().sortBy(_._2)
+    assert(got.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((2L, 0L, false), (2L, 0L, false), (8L, 12L, false), (8L, 24L, true)))
+  }
+
+  test("luhn scan: validity matches an independent reference implementation") {
+    // the test's own reference (standard right-to-left double-and-fold)
+    def refLuhn(pan: String): Boolean = {
+      val s = pan.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      s % 10 == 0
+    }
+    // sanity-pin the reference itself on canonical test PANs
+    assert(refLuhn("4111111111111111") && !refLuhn("4111111111111112"))
+    val got = DocQueries.luhnScan(spark, sf)
+      .as[(Long, Boolean, String)].collect()
+    assert(got.length > 0)
+    val valids = got.count(_._2)
+    assert(valids > 0 && valids < got.length, "both branches must occur")
+    got.foreach { case (docId, valid, masked) =>
+      val pan = f"${docId * 48271L % 100000000L}%08d" +
+        f"${(docId * 16807L + 7L) % 100000000L}%08d"
+      assert(valid === refLuhn(pan), s"doc $docId pan $pan")
+      assert(masked === "****-****-****-" + pan.substring(12))
+    }
+  }
+
+  test("inverted index: TopK-capped postings equal the window-rank formulation") {
+    val idx = DocQueries.invertedIndex(spark, sf)
+      .as[(String, Long, Long, Int, Long, Long)].collect()
+    assert(idx.nonEmpty)
+    // independent in-Spark reference: window-rank over the same tf table
+    val tf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))),
+        graft.functions.MinHash.WsRe)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byTerm = tf.groupBy(_._1)
+    val topTerms = byTerm.view.mapValues(_.length).toSeq
+      .sortBy { case (term, df) => (-df, term) }.take(40).map(_._1).toSet
+    assert(idx.map(_._1).toSet === topTerms)
+    idx.groupBy(_._1).foreach { case (term, rows) =>
+      val postings = byTerm(term).map { case (_, d, c) => (d, c) }
+        .sortBy { case (d, c) => (-c, d) }.take(10)
+      val gotPostings = rows.sortBy(_._4).map(r => (r._5, r._6)).toSeq
+      assert(gotPostings === postings.toSeq, s"term $term")
+      val df = byTerm(term).length.toLong
+      val cf = byTerm(term).map(_._3).sum
+      rows.foreach(r => assert(r._2 === df && r._3 === cf))
+    }
+  }
 }
