@@ -167,7 +167,14 @@ object ScaleProbe {
       // CDF exact quantiles: the (type, value) count shuffle compresses
       // with value cardinality; decay means the map-side combine is gone
       // or the per-type window started sorting raw rows
-      "evt_exact_quantiles"))
+      "evt_exact_quantiles",
+      // windowed funnel: the per-user fold replaces the quadratic EXISTS
+      // chain — decay means the collect_list sort stopped being bounded
+      // by per-user event volume (or a join crept back into the plan)
+      "evt_window_funnel",
+      // inverted index: the posting cap must ride the TopK partial agg —
+      // decay means a hot term's full posting list started shipping
+      "doc_inverted_index"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -297,6 +297,76 @@ object EventQueries {
       |         (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
       |FROM s""".stripMargin
 
+  // ----------------------------------------------- winsorized A/B metrics
+  /** Robust revenue readout per experiment arm: raw, winsorized (p05/p95
+    * clamp) and trimmed (p05/p95 drop) means of per-user purchase revenue
+    * — the heavy-tail discipline every revenue experiment needs (one whale
+    * user otherwise owns the lift). Same deterministic md5 arm assignment
+    * as [[abtest]].
+    *
+    * The p05/p95 thresholds come from the EXACT distributed CDF
+    * ([[exactQuantiles]]'s shape: per-(arm, value) counts, cumulative sum,
+    * rank = ceil(q*n) in IEEE doubles — the quantile_disc parity rule), so
+    * the whole readout is integer-exact until the final rounded division.
+    *
+    * Scale: one user-grain shuffle for revenue, one (arm, value) CDF
+    * aggregation (map-side combinable, the compressed-histogram trick),
+    * and a 2-row broadcast of the thresholds back onto the per-user frame.
+    * Nothing global-sorts. */
+  def winsorized(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val perUser = ev(spark, d)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1000).cast("long"))), lit(0L)).as("rev"))
+      .withColumn("arm", arm)
+    val cum = perUser.groupBy(col("arm"), col("rev"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("arm").orderBy("rev")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("arm")))
+    val thresholds = cum.groupBy(col("arm")).agg(
+      min(when(col("cum") >= ceil(lit(0.05) * col("n").cast("double")),
+        col("rev"))).as("lo"),
+      min(when(col("cum") >= ceil(lit(0.95) * col("n").cast("double")),
+        col("rev"))).as("hi"))
+    perUser.join(broadcast(thresholds), Seq("arm"))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("rev")).cast("double") / count(lit(1)), 6)
+          .as("mean_raw"),
+        round(sum(greatest(col("lo"), least(col("hi"), col("rev"))))
+          .cast("double") / count(lit(1)), 6).as("mean_winsor"),
+        round(sum(when(col("rev").between(col("lo"), col("hi")), col("rev")))
+          .cast("double") /
+          sum(when(col("rev").between(col("lo"), col("hi")), 1L)), 6)
+          .as("mean_trimmed"))
+  }
+
+  val winsorizedSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value * 1000) AS BIGINT) END), 0) AS rev
+      |  FROM events GROUP BY 1),
+      | armed AS (SELECT
+      |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))
+      |      ::UBIGINT AS BIGINT) % 2 AS arm, rev FROM pu),
+      | th AS (SELECT arm, quantile_disc(rev, 0.05) AS lo,
+      |    quantile_disc(rev, 0.95) AS hi FROM armed GROUP BY 1)
+      |SELECT armed.arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+      |  ROUND(CAST(SUM(GREATEST(lo, LEAST(hi, rev))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_winsor,
+      |  ROUND(CAST(SUM(CASE WHEN rev BETWEEN lo AND hi THEN rev END)
+      |      AS DOUBLE)
+      |    / SUM(CASE WHEN rev BETWEEN lo AND hi THEN 1 END), 6)
+      |      AS mean_trimmed
+      |FROM armed JOIN th ON armed.arm = th.arm
+      |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------------- SRM
   /** Sample-ratio-mismatch guardrail — the sanity check run BEFORE reading
     * any experiment result: under a 50/50 split the two arms' user counts
@@ -2364,6 +2434,7 @@ object EventQueries {
     "evt_cdc_merge"           -> (cdcMerge _),
     "evt_window_funnel"       -> (windowFunnel _),
     "evt_cusum"               -> (cusum _),
+    "evt_winsorized"          -> (winsorized _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2409,6 +2480,7 @@ object EventQueries {
     "evt_cdc_merge"           -> cdcMergeSql,
     "evt_window_funnel"       -> windowFunnelSql,
     "evt_cusum"               -> cusumSql,
+    "evt_winsorized"          -> winsorizedSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

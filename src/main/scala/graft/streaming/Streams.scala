@@ -393,4 +393,45 @@ object Streams {
         explode(col("views")).as(viewId),
         col("n_touches"),
         expr("1000000L DIV n_touches").as("credit_ppm"))
+
+  /** Streaming CDC (type-1) merge — the cross-batch form of the batch
+    * [[graft.queries.EventQueries.cdcMerge]]: keyed state holds each key's
+    * current (sequence, state) and every arriving change applies
+    * last-writer-wins on the (tsMillis, eventId) sequence. The strict
+    * sequence compare makes the operator REPLAY-IDEMPOTENT by
+    * construction: a replayed or reordered change with a smaller sequence
+    * never overwrites, so at-least-once upstream delivery yields
+    * exactly-once state. Tombstones (`isTombstone` on the change type)
+    * keep their sequence in state — a late change older than the tombstone
+    * must lose — and surface with `deleted = true` so a sink can issue the
+    * delete downstream (emission is Update-mode: each key's post-batch
+    * state, every batch the key is touched).
+    *
+    * State per key is ONE compacted row (seq + state), independent of
+    * history length — the invariant that lets the stream run forever.
+    * Scales horizontally with the state-store shuffle on the key.
+    *
+    * Input: (key, tsMillis, eventId, changeType, valueScaled). Output:
+    * (key, stateType, valueScaled, updatedMs, deleted). */
+  def cdcStream(
+      changes: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Option[Long])],
+      isTombstone: String => Boolean = _ == "error")
+      : org.apache.spark.sql.Dataset[(Long, String, Option[Long], Long, Boolean)] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    changes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Long, String, Option[Long])],
+         state: GroupState[(Long, Long, String, Option[Long], Boolean)]) => {
+          var cur = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, "", None: Option[Long], true))
+          rows.foreach { case (_, ts, eid, typ, v) =>
+            if (ts > cur._1 || (ts == cur._1 && eid > cur._2))
+              cur = (ts, eid, typ, v, isTombstone(typ))
+          }
+          state.update(cur)
+          Iterator.single((key, cur._3, cur._4, cur._1, cur._5))
+        })
+  }
 }

@@ -747,6 +747,16 @@ class PlanSpec extends SparkSpec {
       s"(type,day) agg + per-type window repartition at most, got $exchanges")
   }
 
+  test("bq rerank: the float corpus never shuffles — shortlist and queries broadcast") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_bq_rerank")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the full-precision fetch must be a broadcast of the tiny shortlist")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("inverted index: posting cap is a partial TopK aggregation, and the " +
        "term cap is TakeOrdered — no window sort, no global sort") {
     val p = plan(graft.queries.DocQueries.queries("doc_inverted_index")(spark, sf))

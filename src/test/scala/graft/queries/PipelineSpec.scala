@@ -1979,6 +1979,79 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bq codes pack the sign bits exactly; hamming search matches JVM popcount") {
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def pack(v: Array[Float], lo: Int): Long =
+      (0 until 32).foldLeft(0L) { (acc, j) =>
+        if (math.floor(v(lo + j).toDouble * 1e7) > 0) acc | (1L << j) else acc
+      }
+    val codes = EmbeddingQueries.bqCodes(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(codes.length === embs.size)
+    codes.foreach { case (id, lod, hid) =>
+      assert(lod === pack(embs(id), 0) && hid === pack(embs(id), 32), s"vec $id")
+    }
+    val codeMap = codes.map(c => c._1 -> ((c._2, c._3))).toMap
+    val got = EmbeddingQueries.bqSearch(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, v, ham, _) =>
+      val (ql, qh) = codeMap(q); val (cl, ch) = codeMap(v)
+      assert(ham === java.lang.Long.bitCount(ql ^ cl) +
+        java.lang.Long.bitCount(qh ^ ch), s"pair ($q,$v)")
+    }
+    // per query: exactly TopK rows, ranked by (hamming, vec_id)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)).toSeq ===
+        sorted.map(r => (r._3, r._2)).sortBy(identity).toSeq, s"query $q")
+    }
+  }
+
+  test("winsorized means: a planted whale moves the raw mean, not the robust ones") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def armOf(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16) % 2
+    }
+    // 60 users of revenue 1.0 plus one whale at 10000.0 — enough that the
+    // whale's arm has n >= 21, so ceil(0.95*n) < n and the p95 threshold
+    // actually clips the whale (at n <= 20 the discrete p95 IS the max)
+    val users = (1L to 60L) :+ 999L
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      val v = if (u == 999L) 10000.0 else 1.0
+      (i.toLong + 1, t("2024-01-01 00:00:00"), u, "purchase", v, "{}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("wins").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.winsorized(spark, tmp)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // independent replay with the ceil(q*n) rank rule per arm
+    val byArm = users.groupBy(armOf).view
+      .mapValues(_.map(u => if (u == 999L) 10000000L else 1000L).sorted).toMap
+    byArm.foreach { case (arm, revs) =>
+      val n = revs.length
+      def qd(q: Double): Long = revs(math.ceil(q * n).toInt - 1)
+      val (lo, hi) = (qd(0.05), qd(0.95))
+      val clamped = revs.map(r => math.max(lo, math.min(hi, r)))
+      val inner = revs.filter(r => r >= lo && r <= hi)
+      val (gn, graw, gwin, gtrim) = got(arm)
+      assert(gn === n.toLong, s"arm $arm")
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      assert(graw === r6(revs.sum.toDouble / n), s"arm $arm raw")
+      assert(gwin === r6(clamped.sum.toDouble / n), s"arm $arm winsor")
+      assert(gtrim === r6(inner.sum.toDouble / inner.length), s"arm $arm trim")
+      if (revs.contains(10000000L))
+        assert(gwin < graw && gtrim < graw, "whale must be tamed")
+    }
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
