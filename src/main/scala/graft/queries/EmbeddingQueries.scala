@@ -1410,14 +1410,21 @@ object EmbeddingQueries {
        |WHERE rk <= $TopK""".stripMargin
 
   // ------------------------------------------- binary quantization (BQ)
-  /** One packed 32-bit sign half: bit j set iff emb[lo+j] > 0 — 32
-    * unrolled constant-shift terms OR-reduced, codegen-resident (the
+  /** One packed 32-bit sign half: bit j set iff scaled(emb)[lo+j] > 0 —
+    * 32 unrolled constant-shift terms OR-reduced, codegen-resident (the
     * zorder idiom), no UDF and no per-element lambda. Two halves instead
     * of one 64-bit word keep every packed value positive, so the SQL
-    * oracle's disjoint-bit SUM replay never touches the sign bit. */
-  private def bqPack(emb: Column, lo: Int): Column =
+    * oracle's disjoint-bit SUM replay never touches the sign bit.
+    *
+    * The terms read the RAW float array and test `x * 1e7 >= 1` — exactly
+    * `floor(x * 1e7) > 0`, the oracle's scaled-integer sign — because an
+    * aliased scaled() array would be INLINED by CollapseProject into all
+    * 64 element_at terms, re-scaling the whole 64-float array per term
+    * (measured: 0.48 s warm for the 32k-row encode; 0.03 s this way). */
+  private def bqPack(raw: Column, lo: Int): Column =
     (0 until 32).map { j =>
-      when(element_at(emb, lo + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(raw, lo + j + 1).cast("double") * lit(1e7) >= 1.0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
   private def bqPackSqlHalf(lo: Int): String =
@@ -1431,10 +1438,9 @@ object EmbeddingQueries {
     * cold for the rerank tail ([[annRerank]]'s pattern). */
   def bqCodes(spark: SparkSession, d: String): DataFrame =
     embeddings(spark, d)
-      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .select(col("vec_id"),
-        bqPack(col("emb"), 0).as("code_lo"),
-        bqPack(col("emb"), 32).as("code_hi"))
+        bqPack(col("embedding"), 0).as("code_lo"),
+        bqPack(col("embedding"), 32).as("code_hi"))
 
   val bqCodesSql: String =
     s"""WITH e AS (SELECT vec_id,

@@ -367,6 +367,177 @@ object EventQueries {
       |FROM armed JOIN th ON armed.arm = th.arm
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ Poisson bootstrap CI
+  private val BootstrapB = 200
+
+  /** Poisson(1) inverse-CDF thresholds as shared DECIMAL LITERALS: the
+    * Scala expressions and the SQL oracle interpolate the same strings, so
+    * both engines compare the md5-uniform against bit-identical doubles.
+    * P(X <= k) for k = 0..5; weights cap at 6 (P ~ 1e-4 tail). */
+  private val PoissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.919698602928606",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
+
+  /** Percentile-bootstrap confidence interval for the per-user revenue
+    * lift between the two md5 arms — via the POISSON bootstrap (the
+    * at-scale resampling scheme: classical bootstrap needs n draws with
+    * global knowledge of n, Poisson gives each row an iid Poisson(1)
+    * multiplicity, independent per row, so the whole thing is one
+    * map-side explode). Each (user, replicate) weight derives from a
+    * 52-bit md5 uniform — deterministic, replayable, engine-identical.
+    *
+    * Exactness: replicate sums are integer (weight x scaled revenue);
+    * each replicate lift is one double division per arm — identical in
+    * both engines — and the CI picks ranked elements (rank = ceil(q*B),
+    * the quantile_disc rule) from the sorted lift list, so the bounds are
+    * MEMBERS of the replicate set, not interpolations: bit-stable.
+    *
+    * Scale: the explode is map-side (users x B rows never shuffle raw);
+    * the aggregation is per (replicate, arm) with map-side partials, so
+    * the exchange carries <= 2B rows per split regardless of user count;
+    * the CI reduction happens on a B-row frame. B is a constant — the
+    * operator's state is experiment-size-independent. */
+  def bootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val perUser = ev(spark, d)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1000).cast("long"))), lit(0L)).as("rev"))
+      .withColumn("arm", arm)
+    val u = (conv(substring(md5(concat(lit("bs"), col("user_id").cast("string"),
+        lit(":"), col("b").cast("string"))), 1, 13), 16, 10).cast("long")
+        .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val w = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.length): Column) { case ((c, k), rest) =>
+        when(col("u") < expr(s"CAST($c AS DOUBLE)"), k).otherwise(rest)
+      }
+    val reps = perUser
+      .withColumn("b", explode(sequence(lit(1), lit(BootstrapB))))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm") === 0, col("w")).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("w") * col("rev")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, col("w")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("w") * col("rev")).otherwise(0L)).as("s1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select((col("s1").cast("double") / col("n1") -
+        col("s0").cast("double") / col("n0")).as("lift"))
+    val obs = perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("rev")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("rev")).otherwise(0L)).as("s1"))
+      .select((col("s1").cast("double") / col("n1") -
+        col("s0").cast("double") / col("n0")).as("obs_lift"))
+    val ci = reps.agg(
+        count(lit(1)).as("b_eff"),
+        sort_array(collect_list(col("lift"))).as("lifts"))
+      .select(col("b_eff"),
+        round(element_at(col("lifts"),
+          ceil(lit(0.025) * col("b_eff").cast("double")).cast("int")), 6)
+          .as("ci_lo"),
+        round(element_at(col("lifts"),
+          ceil(lit(0.975) * col("b_eff").cast("double")).cast("int")), 6)
+          .as("ci_hi"))
+    obs.crossJoin(broadcast(ci))
+      .select(round(col("obs_lift"), 6).as("obs_lift"),
+        col("b_eff"), col("ci_lo"), col("ci_hi"))
+  }
+
+  val bootstrapCiSql: String = {
+    val wCase = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < CAST($c AS DOUBLE) THEN $k" }
+      .mkString(" ")
+    s"""WITH pu AS (SELECT user_id,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(FLOOR(value * 1000) AS BIGINT) END), 0) AS rev
+       |  FROM events GROUP BY 1),
+       | armed AS (SELECT user_id,
+       |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))
+       |      ::UBIGINT AS BIGINT) % 2 AS arm, rev FROM pu),
+       | reps AS (SELECT user_id, arm, rev, unnest(generate_series(1, $BootstrapB)) AS b
+       |  FROM armed),
+       | wt AS (SELECT arm, rev, b,
+       |    CASE $wCase ELSE ${PoissonCdf.length} END AS w
+       |  FROM (SELECT *,
+       |    (CAST(('0x' || substr(md5('bs' || user_id::VARCHAR || ':' ||
+       |       b::VARCHAR), 1, 13))::UBIGINT AS BIGINT)::DOUBLE + 0.5)
+       |      / 4503599627370496.0 AS u
+       |    FROM reps)),
+       | agg AS (SELECT b,
+       |    SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS n0,
+       |    SUM(CASE WHEN arm = 0 THEN w * rev ELSE 0 END) AS s0,
+       |    SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN arm = 1 THEN w * rev ELSE 0 END) AS s1
+       |  FROM wt GROUP BY 1),
+       | lifts AS (SELECT CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS lift
+       |  FROM agg WHERE n0 > 0 AND n1 > 0),
+       | ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff,
+       |    ROUND(quantile_disc(lift, 0.025), 6) AS ci_lo,
+       |    ROUND(quantile_disc(lift, 0.975), 6) AS ci_hi
+       |  FROM lifts),
+       | obs AS (SELECT ROUND(
+       |    CAST(SUM(CASE WHEN arm = 1 THEN rev ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) -
+       |    CAST(SUM(CASE WHEN arm = 0 THEN rev ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 6) AS obs_lift
+       |  FROM armed)
+       |SELECT obs.obs_lift, ci.b_eff, ci.ci_lo, ci.ci_hi
+       |FROM obs CROSS JOIN ci""".stripMargin
+  }
+
+  // --------------------------------------------------- Theil-Sen trend
+  /** Theil-Sen robust trend over the daily event-count series: slope =
+    * median of all pairwise slopes, intercept = median residual — the
+    * outlier-immune companion to least squares (one corrupted day moves
+    * OLS arbitrarily; Theil-Sen tolerates ~29% contamination). The pair
+    * set is quadratic IN DAYS — the model-sized grain the fact table
+    * collapses to first — so the O(T²) stays a few-hundred-row frame while
+    * the scan stays linear; the medians pick ranked members (ceil-rank,
+    * the quantile_disc rule) of slope lists whose doubles both engines
+    * compute from identical integer subtractions and divisions. */
+  def theilSen(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy((floor(col("ts_ms") / 86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val slopes = daily.as("a").join(broadcast(daily.as("b")),
+        col("b.day") > col("a.day"))
+      .select(((col("b.x") - col("a.x")).cast("double") /
+        (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val slope = slopes.agg(
+        count(lit(1)).as("np"),
+        sort_array(collect_list(col("slope"))).as("ss"))
+      .select(element_at(col("ss"),
+        ceil(lit(0.5) * col("np").cast("double")).cast("int")).as("slope"))
+    daily.crossJoin(broadcast(slope))
+      .select(col("slope"),
+        (col("x").cast("double") - col("slope") * col("day").cast("double"))
+          .as("resid"))
+      .groupBy(col("slope"))
+      .agg(count(lit(1)).as("nd"), sort_array(collect_list(col("resid"))).as("rs"))
+      .select(round(col("slope"), 6).as("slope"),
+        round(element_at(col("rs"),
+          ceil(lit(0.5) * col("nd").cast("double")).cast("int")), 6)
+          .as("intercept"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+      |    COUNT(*) AS x FROM events GROUP BY 1),
+      | slopes AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+      |    AS slope FROM daily a JOIN daily b ON b.day > a.day),
+      | m AS (SELECT quantile_disc(slope, 0.5) AS slope FROM slopes),
+      | r AS (SELECT m.slope,
+      |    CAST(x AS DOUBLE) - m.slope * CAST(day AS DOUBLE) AS resid
+      |  FROM daily CROSS JOIN m)
+      |SELECT ROUND(slope, 6) AS slope,
+      |  ROUND(quantile_disc(resid, 0.5), 6) AS intercept
+      |FROM r GROUP BY slope""".stripMargin
+
   // ----------------------------------------------------------------- SRM
   /** Sample-ratio-mismatch guardrail — the sanity check run BEFORE reading
     * any experiment result: under a 50/50 split the two arms' user counts
@@ -2435,6 +2606,8 @@ object EventQueries {
     "evt_window_funnel"       -> (windowFunnel _),
     "evt_cusum"               -> (cusum _),
     "evt_winsorized"          -> (winsorized _),
+    "evt_bootstrap_ci"        -> (bootstrapCi _),
+    "evt_theil_sen"           -> (theilSen _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2481,6 +2654,8 @@ object EventQueries {
     "evt_window_funnel"       -> windowFunnelSql,
     "evt_cusum"               -> cusumSql,
     "evt_winsorized"          -> winsorizedSql,
+    "evt_bootstrap_ci"        -> bootstrapCiSql,
+    "evt_theil_sen"           -> theilSenSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

@@ -2052,6 +2052,74 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap CI: full parity with a JVM replay of the Poisson bootstrap") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def armOf(uid: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ab$uid").substring(24, 32), 16) % 2
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def weight(uid: Long, b: Int): Long = {
+      val v = java.lang.Long.parseLong(md5hex(s"bs$uid:$b").substring(0, 13), 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) cdf.length.toLong else k.toLong
+    }
+    val rev = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1000).cast("long"))), lit(0L)).as("rev"))
+      .as[(Long, Long)].collect()
+    val lifts = (1 to 200).flatMap { b =>
+      var (n0, s0, n1, s1) = (0L, 0L, 0L, 0L)
+      rev.foreach { case (uid, r) =>
+        val w = weight(uid, b)
+        if (armOf(uid) == 0) { n0 += w; s0 += w * r } else { n1 += w; s1 += w * r }
+      }
+      if (n0 > 0 && n1 > 0) Some(s1.toDouble / n1 - s0.toDouble / n0) else None
+    }.sorted
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val bEff = lifts.length
+    val expLo = r6(lifts(math.ceil(0.025 * bEff).toInt - 1))
+    val expHi = r6(lifts(math.ceil(0.975 * bEff).toInt - 1))
+    val Array((obs, gotB, lo, hi)) = EventQueries.bootstrapCi(spark, sf)
+      .as[(Double, Long, Double, Double)].collect()
+    assert(gotB === bEff.toLong && lo === expLo && hi === expHi)
+    assert(lo <= hi)
+    var (n0, s0, n1, s1) = (0L, 0L, 0L, 0L)
+    rev.foreach { case (uid, r) =>
+      if (armOf(uid) == 0) { n0 += 1; s0 += r } else { n1 += 1; s1 += r }
+    }
+    assert(obs === r6(s1.toDouble / n1 - s0.toDouble / n0))
+  }
+
+  test("theil-sen: recovers a planted linear trend through a corrupted day") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // daily counts 10 + 2*day for days 0..9, except day 5 explodes to 500:
+    // OLS would bend; the median pairwise slope stays exactly 2
+    var id = 0L
+    val rows = (0 until 10).flatMap { day =>
+      val n = if (day == 5) 500 else 10 + 2 * day
+      (1 to n).map { _ =>
+        id += 1
+        (id, t(f"2024-01-${day + 1}%02d 12:00:00"), 1L, "view", 1.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("tsen").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val Array((slope, intercept)) = EventQueries.theilSen(spark, tmp)
+      .as[(Double, Double)].collect()
+    assert(slope === 2.0, "median pairwise slope must shrug off the outlier day")
+    // residuals vs x = 10 + 2*day: all 0 except day 5's (+478); the
+    // ceil-rank median of 10 residuals (rank 5) is 0 -> intercept = 10
+    // relative to the day-number origin used by the operator
+    val dayOrigin = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+      .getTime / 86400000L
+    assert(intercept === 10.0 - 2.0 * dayOrigin)
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
