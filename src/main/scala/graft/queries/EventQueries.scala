@@ -23,6 +23,12 @@ object EventQueries {
 
   private val SessionGapMs = 30 * 60 * 1000L // reference: 30-min inactivity
 
+  /** 1 h window shared by [[windowFunnel]] and [[seqCount]]. Declared at
+    * the TOP of the object: vals initialize in source order, and an oracle
+    * SQL val interpolating a not-yet-initialized Long silently freezes a 0
+    * into the query text (bitten once — seq_count shipped `0 PRECEDING`). */
+  private val FunnelWindowMs = 3600000L
+
   /** events with ts as epoch-millis (ns parquet -> ms, floor). */
   private def ev(spark: SparkSession, d: String): DataFrame =
     events(spark, d).withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
@@ -489,6 +495,135 @@ object EventQueries {
        |SELECT obs.obs_lift, ci.b_eff, ci.ci_lo, ci.ci_hi
        |FROM obs CROSS JOIN ci""".stripMargin
   }
+
+  // ------------------------------------------- Holt-Winters (seasonal)
+  /** Additive Holt-Winters over the daily purchase-count series: level +
+    * trend + a 7-slot weekly season, alpha = beta = gamma = 1/2 — the
+    * seasonal extension of [[holtForecast]] (which a weekday-cycled metric
+    * defeats: the trend chases the weekly wave; the season term absorbs
+    * it). One-step-ahead forecast_t = l + b + s_slot from the PRE-update
+    * state (NULL on day one). Seed: l = x_1, b = 0, season all-zero (the
+    * self-learning init — uniform with the recurrences, so no special
+    * casing beyond day one).
+    *
+    * Cross-engine determinism WITHOUT integer scaling: both engines
+    * evaluate the SAME expression tree per step — IEEE doubles are
+    * deterministic given identical operands and operation order, so the
+    * Spark fold and the DuckDB recursive CTE agree bit-for-bit (the same
+    * argument that carries [[holtForecast]] past its 53-bit dyadic
+    * window). The season state is a 7-slot array; slot (i mod 7) holds
+    * s_i, which IS s_{t-7}'s slot at step t — one array, no history.
+    *
+    * Scale: identical to [[holtForecast]] — the fact scan collapses to
+    * the day grain map-side; the smoothing runs on the model-sized series. */
+  def holtWinters(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d).filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.orderBy(col("day"))
+    // the shared step arithmetic, written ONCE and inlined (SQL lambdas
+    // have no let-binding; the duplicated text keeps the op order identical)
+    val sm1 = "element_at(acc.s, (acc.i % 7) + 1)"
+    val newl = s"(CAST(x AS DOUBLE) - $sm1) / 2 + (acc.l + acc.b) / 2"
+    val newb = s"(($newl) - acc.l) / 2 + acc.b / 2"
+    val news = s"(CAST(x AS DOUBLE) - ($newl)) / 2 + $sm1 / 2"
+    val foldExpr =
+      s"""aggregate(hist,
+         |  named_struct('l', 0.0D, 'b', 0.0D,
+         |    's', array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D), 'i', 0),
+         |  (acc, x) -> IF(acc.i = 0,
+         |    named_struct('l', CAST(x AS DOUBLE), 'b', 0.0D, 's', acc.s, 'i', 1),
+         |    named_struct('l', $newl, 'b', $newb,
+         |      's', transform(acc.s, (v, k) -> IF(k = acc.i % 7, $news, v)),
+         |      'i', acc.i + 1)))""".stripMargin
+    daily
+      .withColumn("hist", collect_list(col("x")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_hist", collect_list(col("x")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st", expr(foldExpr))
+      .withColumn("prev", expr(foldExpr.replace("hist", "prev_hist")))
+      .select(col("day"), col("x"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        element_at(col("st.s"), (pmod(col("st.i") - 1, lit(7)) + 1).cast("int"))
+          .as("season"),
+        when(col("prev.i") > 0,
+          col("prev.l") + col("prev.b") +
+            element_at(col("prev.s"), (pmod(col("prev.i"), lit(7)) + 1).cast("int")))
+          .as("forecast"))
+  }
+
+  val holtWintersSql: String = {
+    val sm1 = "h.s[((h.i % 7) + 1)]"
+    val newl = s"(CAST(idx.x AS DOUBLE) - $sm1) / 2 + (h.l + h.b) / 2"
+    val newb = s"(($newl) - h.l) / 2 + h.b / 2"
+    val news = s"(CAST(idx.x AS DOUBLE) - ($newl)) / 2 + $sm1 / 2"
+    // the 7-slot season update as an explicit list constructor (no
+    // index-lambda dependence): slot (h.i % 7) takes the new value
+    val sNew = (0 until 7).map { k =>
+      s"CASE WHEN $k = h.i % 7 THEN $news ELSE h.s[${k + 1}] END"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       | idx AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS i
+       |  FROM daily),
+       | hw(i, day, x, l, b, s, f) AS (
+       |   SELECT i, day, x, CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+       |     [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[],
+       |     CAST(NULL AS DOUBLE)
+       |   FROM idx WHERE i = 1
+       |   UNION ALL
+       |   SELECT idx.i, idx.day, idx.x, $newl, $newb, $sNew,
+       |     h.l + h.b + $sm1
+       |   FROM hw h JOIN idx ON idx.i = h.i + 1)
+       |SELECT day, CAST(x AS BIGINT) AS x, l AS level, b AS trend,
+       |  s[(((i - 1) % 7) + 1)] AS season, f AS forecast
+       |FROM hw""".stripMargin
+  }
+
+  // ------------------------------------------------ sequence pair counts
+  /** Ordered-pair sequence counting (the ClickHouse `sequenceCount` shape
+    * for A -> B): per user, how many (view, purchase) pairs occur in
+    * order — total, and with the purchase within 1 h of the view. NO
+    * self-join: each purchase reads its preceding-view count from a RANGE
+    * window frame (strict `-1 ms` upper bound = strictly-before
+    * semantics), so pair counting is one sort per user regardless of how
+    * many pairs exist — the join formulation materializes every pair.
+    *
+    * Scale: one shuffle on user_id; both frames share the (user, ts)
+    * sort. The 1-h frame holds a bounded time slice; the unbounded frame
+    * is a running count (constant state). */
+  def seqCount(spark: SparkSession, d: String): DataFrame = {
+    val isView = when(col("event_type") === "view", 1L).otherwise(0L)
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val recent = byTs.rangeBetween(-FunnelWindowMs, -1L)
+    val before = byTs.rangeBetween(Window.unboundedPreceding, -1L)
+    ev(spark, d)
+      .select(col("user_id"), col("ts_ms"), col("event_type"), isView.as("v"))
+      .withColumn("v_1h", sum(col("v")).over(recent))
+      .withColumn("v_all", sum(col("v")).over(before))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("v_1h")), lit(0L)).as("pairs_1h"),
+        coalesce(sum(col("v_all")), lit(0L)).as("pairs_all"))
+  }
+
+  val seqCountSql: String =
+    s"""WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+       |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v
+       |  FROM events),
+       | w AS (SELECT user_id, event_type,
+       |    SUM(v) OVER (PARTITION BY user_id ORDER BY ts_ms
+       |      RANGE BETWEEN $FunnelWindowMs PRECEDING AND 1 PRECEDING) AS v_1h,
+       |    SUM(v) OVER (PARTITION BY user_id ORDER BY ts_ms
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_all
+       |  FROM t)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(COALESCE(SUM(v_1h), 0) AS BIGINT) AS pairs_1h,
+       |  CAST(COALESCE(SUM(v_all), 0) AS BIGINT) AS pairs_all
+       |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
   // --------------------------------------------------- Theil-Sen trend
   /** Theil-Sen robust trend over the daily event-count series: slope =
@@ -2472,8 +2607,6 @@ object EventQueries {
        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 
   // ------------------------------------------------------- windowed funnel
-  private val FunnelWindowMs = 3600000L // 1 h, anchored at the view
-
   /** Time-window funnel (the ClickHouse `windowFunnel` shape): per user,
     * the deepest view -> click -> purchase chain whose whole span fits in
     * [[FunnelWindowMs]] of the ANCHOR view — strictly ordered in
@@ -2608,6 +2741,8 @@ object EventQueries {
     "evt_winsorized"          -> (winsorized _),
     "evt_bootstrap_ci"        -> (bootstrapCi _),
     "evt_theil_sen"           -> (theilSen _),
+    "evt_seq_count"           -> (seqCount _),
+    "evt_holt_winters"        -> (holtWinters _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2656,6 +2791,8 @@ object EventQueries {
     "evt_winsorized"          -> winsorizedSql,
     "evt_bootstrap_ci"        -> bootstrapCiSql,
     "evt_theil_sen"           -> theilSenSql,
+    "evt_seq_count"           -> seqCountSql,
+    "evt_holt_winters"        -> holtWintersSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

@@ -747,6 +747,16 @@ class PlanSpec extends SparkSpec {
       s"(type,day) agg + per-type window repartition at most, got $exchanges")
   }
 
+  test("seq count: one user-key exchange, no joins — range frames replace the pair join") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_seq_count")(spark, sf))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "pair counts must come from the range window, not a self-join")
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 1, s"one shuffle on user_id, got $exchanges")
+  }
+
   test("bq rerank: the float corpus never shuffles — shortlist and queries broadcast") {
     val nodes = planNodes(
       graft.queries.EmbeddingQueries.queries("emb_bq_rerank")(spark, sf))

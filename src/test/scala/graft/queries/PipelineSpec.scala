@@ -2120,6 +2120,75 @@ class PipelineSpec extends SparkSpec {
     assert(intercept === 10.0 - 2.0 * dayOrigin)
   }
 
+  test("holt-winters: matches a plain-loop replay and beats holt on a weekly cycle") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // three weeks of a pure weekly cycle: weekday pattern [2,4,6,8,6,4,2]
+    val pattern = Seq(2, 4, 6, 8, 6, 4, 2)
+    var id = 0L
+    val rows = (0 until 21).flatMap { day =>
+      (1 to pattern(day % 7)).map { _ =>
+        id += 1
+        (id, t(f"2024-01-${day + 1}%02d 12:00:00"), 1L, "purchase", 1.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("hw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.holtWinters(spark, tmp)
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    // independent plain-loop replay of the recurrences
+    val xs = got.map(_._2.toDouble)
+    var (l, b) = (0.0, 0.0); val s = Array.fill(7)(0.0)
+    val exp = xs.zipWithIndex.map { case (x, i) =>
+      val f = if (i == 0) None else Some(l + b + s(i % 7))
+      if (i == 0) { l = x; b = 0.0 }
+      else {
+        val sm1 = s(i % 7)
+        val nl = (x - sm1) / 2 + (l + b) / 2
+        val nb = (nl - l) / 2 + b / 2
+        s(i % 7) = (x - nl) / 2 + sm1 / 2
+        l = nl; b = nb
+      }
+      (l, b, s(i % 7), f)
+    }
+    got.zip(exp).foreach { case ((day, _, gl, gb, gs, gf), (el, eb, es, ef)) =>
+      assert(gl === el && gb === eb && gs === es && gf === ef, s"day $day")
+    }
+    // on a pure cycle the seasonal model's late-window forecasts must beat
+    // the trend-only holt, whose trend term chases the wave
+    val hw = got.drop(14).flatMap(r => r._6.map(f => math.abs(f - r._2)))
+    // holt runs on value*1000 revenue = 1000*count here; normalize back
+    val holt = EventQueries.holtForecast(spark, tmp)
+      .as[(String, Long, Double, Double, Option[Double])].collect().sortBy(_._1)
+      .drop(14).flatMap(r => r._5.map(f => math.abs(f - r._2) / 1000.0))
+    assert(hw.nonEmpty && holt.nonEmpty)
+    assert(hw.sum / hw.length < holt.sum / holt.length,
+      s"hw mae=${hw.sum / hw.length} vs holt mae=${holt.sum / holt.length}")
+  }
+
+  test("seq count: range-frame pair counting equals the brute-force pair join") {
+    val got = EventQueries.seqCount(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val byUser = evs.groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (u, (nP, p1h, pAll)) =>
+      val us = byUser(u)
+      val purchases = us.filter(_._3 == "purchase").map(_._2)
+      val views = us.filter(_._3 == "view").map(_._2)
+      assert(nP === purchases.length.toLong, s"user $u")
+      val exp1h = purchases.map(p =>
+        views.count(v => v < p && v >= p - 3600000L).toLong).sum
+      val expAll = purchases.map(p => views.count(_ < p).toLong).sum
+      assert(p1h === exp1h && pAll === expAll, s"user $u")
+    }
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
