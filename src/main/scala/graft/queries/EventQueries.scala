@@ -373,6 +373,123 @@ object EventQueries {
       |FROM armed JOIN th ON armed.arm = th.arm
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------- mSPRT always-valid test
+  /** Mixture sequential probability ratio test (the "always-valid p-value"
+    * of Johari et al. 2017) over the daily-cumulating two-proportion
+    * experiment — the monitor that lets an experiment be PEEKED at daily
+    * without alpha inflation (the fixed-horizon z of [[abtest]] is invalid
+    * under optional stopping). Per day: cumulative users/conversions per
+    * arm, theta = p1 - p0, V = pooled variance of theta, the normal-
+    * mixture likelihood ratio Lambda = sqrt(V/(V+tau2)) *
+    * exp(theta^2 tau2 / (2 V (V+tau2))), and the always-valid p = running
+    * min of 1/Lambda (capped at 1), with tau2 = 0.01 (the mixture prior
+    * width, a shared literal). Degenerate days (V = 0) contribute nothing
+    * — the p carries forward, exactly like the reference implementation's
+    * "no information yet" state.
+    *
+    * Determinism: cumulative counts are exact integers; theta/V/Lambda
+    * are identical expression trees in both engines (IEEE doubles are
+    * deterministic given identical ops), and the running min only ever
+    * SELECTS one of those values. Scale: one map-side (arm, day)
+    * aggregation; all windows run on the day-grain frame. */
+  def msprt(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val convUser = ev(spark, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" && col("value") > 75,
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))).as("conv_day"),
+        min(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd")).as("first_day"))
+      .withColumn("arm", arm)
+    // per day: users entering (first seen) and conversions landing that day
+    val enter = convUser.groupBy(col("first_day").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("u0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("u1"))
+    val convs = convUser.filter(col("conv_day").isNotNull)
+      .groupBy(col("conv_day").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = enter.join(convs, Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("u0"), lit(0L)).as("u0"), coalesce(col("u1"), lit(0L)).as("u1"),
+        coalesce(col("c0"), lit(0L)).as("c0"), coalesce(col("c1"), lit(0L)).as("c1"))
+      .withColumn("n0", sum(col("u0")).over(run))
+      .withColumn("n1", sum(col("u1")).over(run))
+      .withColumn("k0", sum(col("c0")).over(run))
+      .withColumn("k1", sum(col("c1")).over(run))
+    val p0 = col("k0").cast("double") / col("n0")
+    val p1 = col("k1").cast("double") / col("n1")
+    val pp = (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1"))
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1"))
+    val tau2 = lit(0.01)
+    val theta = p1 - p0
+    val lambda = sqrt(col("v") / (col("v") + tau2)) *
+      exp(col("theta") * col("theta") * tau2 /
+        (lit(2.0) * col("v") * (col("v") + tau2)))
+    val stats = daily
+      .withColumn("v", when(col("n0") > 0 && col("n1") > 0, v))
+      .withColumn("theta", when(col("n0") > 0 && col("n1") > 0, theta))
+      .withColumn("lam", when(col("v") > 0, lambda))
+      .withColumn("p_av", least(lit(1.0),
+        min(when(col("lam").isNotNull, lit(1.0) / col("lam"))).over(run)))
+    stats.select(col("day"), col("n0"), col("n1"), col("k0"), col("k1"),
+      round(col("theta"), 6).as("theta"),
+      round(col("p_av"), 6).as("p_always_valid"),
+      coalesce(col("p_av") < 0.05, lit(false)).as("significant"))
+  }
+
+  val msprtSql: String =
+    """WITH cu AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'purchase' AND value > 75
+      |        THEN strftime(ts, '%Y-%m-%d') END) AS conv_day,
+      |    MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+      |  FROM events GROUP BY 1),
+      | armed AS (SELECT *,
+      |    CAST(('0x' || substr(md5('ab' || user_id::VARCHAR), 25, 8))
+      |      ::UBIGINT AS BIGINT) % 2 AS arm FROM cu),
+      | enter AS (SELECT first_day AS day,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS u0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS u1
+      |  FROM armed GROUP BY 1),
+      | convs AS (SELECT conv_day AS day,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM armed WHERE conv_day IS NOT NULL GROUP BY 1),
+      | daily AS (SELECT COALESCE(enter.day, convs.day) AS day,
+      |    COALESCE(u0, 0) AS u0, COALESCE(u1, 0) AS u1,
+      |    COALESCE(c0, 0) AS c0, COALESCE(c1, 0) AS c1
+      |  FROM enter FULL OUTER JOIN convs ON enter.day = convs.day),
+      | cum AS (SELECT day,
+      |    SUM(u0) OVER w AS n0, SUM(u1) OVER w AS n1,
+      |    SUM(c0) OVER w AS k0, SUM(c1) OVER w AS k1
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      | st AS (SELECT day, n0, n1, k0, k1,
+      |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |      CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0 END AS theta,
+      |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |      (CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+      |      (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+      |      (1.0 / n0 + 1.0 / n1) END AS v
+      |  FROM cum),
+      | lam AS (SELECT *, CASE WHEN v > 0 THEN
+      |      sqrt(v / (v + 0.01)) *
+      |      exp(theta * theta * 0.01 / (2.0 * v * (v + 0.01))) END AS l
+      |  FROM st),
+      | pav AS (SELECT *, LEAST(CAST(1.0 AS DOUBLE),
+      |      MIN(CASE WHEN l IS NOT NULL THEN 1.0 / l END)
+      |        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS p_av
+      |  FROM lam)
+      |SELECT day, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(k0 AS BIGINT) AS k0, CAST(k1 AS BIGINT) AS k1,
+      |  ROUND(theta, 6) AS theta,
+      |  ROUND(p_av, 6) AS p_always_valid,
+      |  COALESCE(p_av < 0.05, FALSE) AS significant
+      |FROM pav""".stripMargin
+
   // ------------------------------------------------ Poisson bootstrap CI
   private val BootstrapB = 200
 
@@ -2743,6 +2860,7 @@ object EventQueries {
     "evt_theil_sen"           -> (theilSen _),
     "evt_seq_count"           -> (seqCount _),
     "evt_holt_winters"        -> (holtWinters _),
+    "evt_msprt"               -> (msprt _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2793,6 +2911,7 @@ object EventQueries {
     "evt_theil_sen"           -> theilSenSql,
     "evt_seq_count"           -> seqCountSql,
     "evt_holt_winters"        -> holtWintersSql,
+    "evt_msprt"               -> msprtSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

@@ -2189,6 +2189,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("msprt: matches a JVM replay; the always-valid p never increases") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def armOf(uid: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ab$uid").substring(24, 32), 16) % 2
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .as[(Long, String, Option[Double], String)].collect()
+    val perUser = evs.groupBy(_._1).map { case (u, rows) =>
+      val first = rows.map(_._4).min
+      val conv = rows.filter(r => r._2 == "purchase" && r._3.exists(_ > 75))
+        .map(_._4).sorted.headOption
+      (u, armOf(u), first, conv)
+    }.toSeq
+    // the operator emits one row per day the cumulative state CHANGES
+    // (a user enters or a conversion lands)
+    val days = (perUser.map(_._3) ++ perUser.flatMap(_._4)).distinct.sorted
+    var p = Option.empty[Double]
+    val expected = days.map { day =>
+      def cum(arm: Long, f: ((Long, Long, String, Option[String])) => Boolean) =
+        perUser.count(r => r._2 == arm && f(r)).toLong
+      val n0 = cum(0, _._3 <= day); val n1 = cum(1, _._3 <= day)
+      val k0 = cum(0, _._4.exists(_ <= day)); val k1 = cum(1, _._4.exists(_ <= day))
+      val (theta, v) = if (n0 > 0 && n1 > 0) {
+        val pp = (k0 + k1).toDouble / (n0 + n1)
+        (Some(k1.toDouble / n1 - k0.toDouble / n0),
+          Some(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)))
+      } else (None, None)
+      val lam = v.filter(_ > 0).map { vv =>
+        math.sqrt(vv / (vv + 0.01)) *
+          math.exp(theta.get * theta.get * 0.01 / (2.0 * vv * (vv + 0.01)))
+      }
+      lam.foreach { l => p = Some(math.min(p.getOrElse(1.0 / l), 1.0 / l)) }
+      val pav = math.min(1.0, p.getOrElse(1.0))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      (day, n0, n1, k0, k1, theta.map(r6), r6(pav))
+    }
+    val got = EventQueries.msprt(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Double], Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5, g._6, g._7) === e, s"day ${g._1}")
+      assert(g._8 === (g._7 < 0.05))
+    }
+    // always-valid p is a running min: never increases
+    got.map(_._7).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
