@@ -4236,7 +4236,111 @@ object DocQueries {
       |FROM ranked r JOIN top t ON r.term = t.term
       |WHERE r.rank <= 10""".stripMargin
 
+  // ------------------------------------------- content-defined chunking
+  private val CdcWin = 16  // boundary-decision window (chars)
+  private val CdcMask = 32 // boundary iff windowed hash % 32 == 0 (~32-char chunks)
+
+  /** Content-defined chunking (the FastCDC/rsync idea, text-shaped): a
+    * chunk boundary lands wherever the hash of the trailing [[CdcWin]]-char
+    * window hits the [[CdcMask]] rule — boundaries depend ONLY on local
+    * content, so an insertion near the head re-chunks one chunk and leaves
+    * the rest byte-identical (shift invariance — the property fixed-width
+    * chunking lacks, and the reason CDC is the storage-dedup layer under
+    * every large blob/corpus store). Emits the chunk grain: (doc, idx,
+    * start, len, chunk md5).
+    *
+    * The windowed hash is md5-of-window rather than a rolling Rabin/gear
+    * hash — semantically identical boundaries (any content-local hash
+    * works), O(W) per position instead of O(1), chosen because BOTH
+    * engines can then compute the rule declaratively (no UDF on the Spark
+    * side, plain SQL on the oracle side) and the whole operator stays
+    * inside codegen as two higher-order expressions.
+    *
+    * Scale: per-row HOF work bounded by doc length; no explode of
+    * positions ever reaches an exchange (boundaries collapse to an array
+    * in the same projection); the only wide op downstream is whatever the
+    * caller aggregates on chunk_hash. */
+  def cdcChunks(spark: SparkSession, d: String): DataFrame = {
+    val bounds = expr(
+      s"""concat(array(0L),
+         |  IF(n_chars < ${CdcWin}L, CAST(array() AS ARRAY<BIGINT>),
+         |    filter(sequence(${CdcWin}L, n_chars),
+         |      i -> CAST(conv(substring(md5(substring(text, CAST(i - ${CdcWin - 1} AS INT), $CdcWin)), 1, 2), 16, 10) AS INT) % $CdcMask = 0
+         |        AND i < n_chars)),
+         |  array(n_chars))""".stripMargin)
+    documents(spark, d)
+      .select(col("doc_id"), col("text"), col("n_chars"), bounds.as("bs"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          """transform(sequence(1, size(bs) - 1),
+            |  k -> named_struct(
+            |    'start', element_at(bs, k) + 1,
+            |    'len', element_at(bs, k + 1) - element_at(bs, k)))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        md5(expr("substring(text, CAST(col.start AS INT), CAST(col.len AS INT))"))
+          .as("chunk_hash"))
+  }
+
+  private val cdcBoundsSqlCtes: String =
+    s"""pos AS (SELECT doc_id, unnest(generate_series($CdcWin, n_chars)) AS i
+       |  FROM documents WHERE n_chars > 0),
+       | b AS (SELECT pos.doc_id, i
+       |   FROM pos JOIN documents d ON pos.doc_id = d.doc_id
+       |   WHERE ('0x' || substr(md5(substr(d.text, CAST(i - ${CdcWin - 1} AS INT), $CdcWin)), 1, 2))::UBIGINT % $CdcMask = 0
+       |     AND i < d.n_chars),
+       | bounds AS (
+       |   SELECT doc_id, 0 AS s FROM documents WHERE n_chars > 0
+       |   UNION ALL SELECT doc_id, i AS s FROM b),
+       | seg AS (SELECT bounds.doc_id, s,
+       |     COALESCE(LEAD(s) OVER (PARTITION BY bounds.doc_id ORDER BY s),
+       |       (SELECT MAX(n_chars) FROM documents d2
+       |        WHERE d2.doc_id = bounds.doc_id)) AS e
+       |   FROM bounds)""".stripMargin
+
+  val cdcChunksSql: String =
+    s"""WITH $cdcBoundsSqlCtes
+       |SELECT seg.doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY seg.doc_id ORDER BY s) AS INT)
+       |    AS chunk_idx,
+       |  CAST(s + 1 AS BIGINT) AS start, CAST(e - s AS BIGINT) AS len,
+       |  md5(substr(d.text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_hash
+       |FROM seg JOIN documents d ON seg.doc_id = d.doc_id""".stripMargin
+
+  /** The CDC payoff in one row: unique-chunk storage ratio over the
+    * corpus — what a chunk store would actually hold vs raw bytes. */
+  def cdcRatio(spark: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunks(spark, d)
+    val uniq = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("len")).as("len"))
+    chunks.agg(count(lit(1)).as("total_chunks"),
+        sum(col("len")).as("total_bytes"))
+      .crossJoin(broadcast(uniq.agg(
+        count(lit(1)).as("unique_chunks"),
+        sum(col("len")).as("unique_bytes"))))
+      .select(col("total_chunks"), col("unique_chunks"),
+        col("total_bytes"), col("unique_bytes"),
+        round(col("unique_bytes").cast("double") / col("total_bytes"), 6)
+          .as("storage_ratio"))
+  }
+
+  val cdcRatioSql: String =
+    s"""WITH $cdcBoundsSqlCtes,
+       | chunks AS (SELECT seg.doc_id, CAST(e - s AS BIGINT) AS len,
+       |    md5(substr(d.text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_hash
+       |  FROM seg JOIN documents d ON seg.doc_id = d.doc_id),
+       | u AS (SELECT chunk_hash, MIN(len) AS len FROM chunks GROUP BY 1)
+       |SELECT CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS total_chunks,
+       |  CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS unique_chunks,
+       |  CAST((SELECT SUM(len) FROM chunks) AS BIGINT) AS total_bytes,
+       |  CAST((SELECT SUM(len) FROM u) AS BIGINT) AS unique_bytes,
+       |  ROUND(CAST((SELECT SUM(len) FROM u) AS DOUBLE)
+       |    / (SELECT SUM(len) FROM chunks), 6) AS storage_ratio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_cdc_chunks"         -> (cdcChunks _),
+    "doc_cdc_ratio"          -> (cdcRatio _),
     "doc_luhn_scan"          -> (luhnScan _),
     "doc_inverted_index"     -> (invertedIndex _),
     "doc_dict_tag"           -> (dictTag _),
@@ -4304,6 +4408,8 @@ object DocQueries {
     "doc_bm25"            -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
+    "doc_cdc_chunks"         -> cdcChunksSql,
+    "doc_cdc_ratio"          -> cdcRatioSql,
     "doc_luhn_scan"          -> luhnScanSql,
     "doc_inverted_index"     -> invertedIndexSql,
     "doc_dict_tag"           -> dictTagSql,

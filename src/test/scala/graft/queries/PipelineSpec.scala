@@ -2243,6 +2243,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: boundaries are shift-invariant and chunks tile each doc") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val shifted = "INSERTED-PREFIX-TEXT " + base
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    Seq((1L, base, "en", "s", base.length.toLong),
+        (2L, shifted, "en", "s", shifted.length.toLong),
+        (3L, "tiny", "en", "s", 4L)) // shorter than the 16-char window
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.cdcChunks(spark, tmp)
+      .as[(Long, Int, Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1)
+    // chunks tile: starts/lens partition [1, n] contiguously, in order
+    Seq(1L -> base.length, 2L -> shifted.length, 3L -> 4).foreach { case (id, n) =>
+      val ch = byDoc(id).sortBy(_._2)
+      assert(ch.head._3 === 1L && ch.map(_._4).sum === n.toLong, s"doc $id")
+      ch.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, s"doc $id gap")
+        case _ =>
+      }
+      // every chunk hash is the md5 of its substring (spot: engine parity
+      // already gates this via the oracle; here we pin the tiling)
+    }
+    // a doc shorter than the window is ONE chunk
+    assert(byDoc(3L).length === 1)
+    // shift invariance: the prefix perturbs only the head — the tail
+    // chunk-hash multiset of the shifted doc contains almost all of the
+    // base doc's chunks (boundaries re-synchronize after one window)
+    val baseH = byDoc(1L).map(_._5).toSeq
+    val shiftH = byDoc(2L).map(_._5).toSet
+    val kept = baseH.count(shiftH.contains)
+    assert(kept >= baseH.length - 2,
+      s"only $kept/${baseH.length} chunks survived an head insertion — " +
+        "boundaries are not content-local")
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
