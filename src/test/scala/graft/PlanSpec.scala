@@ -757,6 +757,24 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"one shuffle on user_id, got $exchanges")
   }
 
+  test("cdc chunks: chunking is exchange-free — boundaries collapse in-row") {
+    val p = plan(graft.queries.DocQueries.queries("doc_cdc_chunks")(spark, sf))
+    assert(!p.contains("Exchange"),
+      "chunk extraction must stay a narrow per-document pipeline")
+  }
+
+  test("winsorized / bootstrap: per-user frames never sort-merge or product") {
+    for (op <- Seq("evt_winsorized", "evt_bootstrap_ci")) {
+      val nodes = planNodes(graft.queries.EventQueries.queries(op)(spark, sf))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        s"$op: threshold/CI frames are model-sized and must broadcast")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$op: no product anywhere")
+    }
+  }
+
   test("bq rerank: the float corpus never shuffles — shortlist and queries broadcast") {
     val nodes = planNodes(
       graft.queries.EmbeddingQueries.queries("emb_bq_rerank")(spark, sf))
