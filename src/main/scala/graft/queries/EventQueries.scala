@@ -23,11 +23,13 @@ object EventQueries {
 
   private val SessionGapMs = 30 * 60 * 1000L // reference: 30-min inactivity
 
-  /** 1 h window shared by [[windowFunnel]] and [[seqCount]]. Declared at
-    * the TOP of the object: vals initialize in source order, and an oracle
-    * SQL val interpolating a not-yet-initialized Long silently freezes a 0
-    * into the query text (bitten once — seq_count shipped `0 PRECEDING`). */
-  private val FunnelWindowMs = 3600000L
+  /** Constants shared across operators AND interpolated into oracle SQL
+    * strings. Declared at the TOP of the object: vals initialize in source
+    * order, and an oracle SQL val interpolating a not-yet-initialized Long
+    * silently freezes a 0 into the query text (bitten TWICE — seq_count
+    * shipped `0 PRECEDING`, mix_shift shipped a 0 cutoff). */
+  private val FunnelWindowMs = 3600000L // 1 h funnel/sequence window
+  private val CdcCutoffMs = 1705363200000L // 2024-01-16T00:00:00Z, mid-series
 
   /** events with ts as epoch-millis (ns parquet -> ms, floor). */
   private def ev(spark: SparkSession, d: String): DataFrame =
@@ -372,6 +374,180 @@ object EventQueries {
       |      AS mean_trimmed
       |FROM armed JOIN th ON armed.arm = th.arm
       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ data-quality profile
+  /** Column profiler — the data-quality pass every ingest runs before
+    * anything downstream trusts the table: per column, row count, null
+    * count, exact distinct count, and min/max (rendered as strings so one
+    * frame covers heterogeneous types). One aggregation over the fact
+    * table computes every column's stats in a single pass (map-side
+    * partial, no per-column scans); the per-column rows are unpivoted
+    * from that one result row.
+    *
+    * Exact distincts are the right default at the profile grain; the
+    * approx_count_distinct/HLL swap is one word when a column's
+    * cardinality approaches row count (see the sketch rollup family). */
+  def profile(spark: SparkSession, d: String): DataFrame = {
+    val e = ev(spark, d)
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    // doubles render through DECIMAL(24,6): a double's direct string form
+    // is shortest-repr and engine-specific; the fixed-scale decimal is
+    // canonical in both
+    def asStr(c: String): Column => Column =
+      if (c == "value") (_: Column).cast("decimal(24,6)").cast("string")
+      else (_: Column).cast("string")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        asStr(c)(min(col(c))).as(s"${c}_mn"),
+        asStr(c)(max(col(c))).as(s"${c}_mx"))
+    }
+    val one = e.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        (col("n") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_d").as("n_distinct"),
+        col(s"${c}_mn").as("min_str"), col(s"${c}_mx").as("max_str"))
+    }
+    one.select(col("n"), explode(array(rows: _*)).as("r"))
+      .select(col("r.column_name").as("column_name"), col("n"),
+        col("r.n_null").as("n_null"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+  }
+
+  val profileSql: String = {
+    val per = Seq("event_id", "epoch_ms(ts)", "user_id", "event_type",
+      "value", "props").zip(
+      Seq("event_id", "ts_ms", "user_id", "event_type", "value", "props"))
+      .map { case (ex, name) =>
+        val mn = if (name == "value") s"CAST(CAST(MIN($ex) AS DECIMAL(24,6)) AS VARCHAR)"
+                 else s"CAST(MIN($ex) AS VARCHAR)"
+        val mx = if (name == "value") s"CAST(CAST(MAX($ex) AS DECIMAL(24,6)) AS VARCHAR)"
+                 else s"CAST(MAX($ex) AS VARCHAR)"
+        s"""SELECT '$name' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(*) - COUNT($ex) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
+           |  $mn AS min_str, $mx AS max_str
+           |FROM events""".stripMargin
+      }
+    per.mkString("\nUNION ALL\n")
+  }
+
+  // ------------------------------------------------- distribution drift
+  /** Segment-mix drift between the first and second half of the series:
+    * Jensen-Shannon divergence between the two halves' event-type
+    * distributions, with per-type contribution rows — the monitor that
+    * catches a traffic-mix shift (bot influx, a client release changing
+    * event emission) before per-metric alarms fire. JSD is bounded
+    * [0, ln 2], symmetric, and finite even when a type exists in only one
+    * half — the reason it beats raw KL for drift.
+    *
+    * Exact integer counts; the log arithmetic is an identical expression
+    * tree in both engines. One map-side (half, type) aggregation; the
+    * divergence lives on the |types|-row frame. */
+  def mixShift(spark: SparkSession, d: String): DataFrame = {
+    val half = when(col("ts_ms") < CdcCutoffMs, 0).otherwise(1)
+    val counts = ev(spark, d)
+      .groupBy(col("event_type"))
+      .agg(sum(when(half === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(half === 1, 1L).otherwise(0L)).as("b"))
+    val tot = Window.partitionBy(lit(1))
+    val p = col("a").cast("double") / sum(col("a")).over(tot)
+    val q = col("b").cast("double") / sum(col("b")).over(tot)
+    val m = (col("p") + col("q")) / 2.0
+    val term = (c: Column) =>
+      when(c > 0, c * log(c / ((col("p") + col("q")) / 2.0))).otherwise(0.0)
+    counts
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("contrib", (term(col("p")) + term(col("q"))) / 2.0)
+      .select(col("event_type"),
+        col("a").as("n_first"), col("b").as("n_second"),
+        round(col("p"), 6).as("p_first"),
+        round(col("q"), 6).as("p_second"),
+        round(col("contrib"), 6).as("js_contrib"),
+        round(sum(col("contrib")).over(tot), 6).as("js_divergence"))
+  }
+
+  val mixShiftSql: String =
+    s"""WITH c AS (SELECT event_type,
+       |    SUM(CASE WHEN epoch_ms(ts) < $CdcCutoffMs THEN 1 ELSE 0 END) AS a,
+       |    SUM(CASE WHEN epoch_ms(ts) < $CdcCutoffMs THEN 0 ELSE 1 END) AS b
+       |  FROM events GROUP BY 1),
+       | pq AS (SELECT event_type, a, b,
+       |    CAST(a AS DOUBLE) / SUM(a) OVER () AS p,
+       |    CAST(b AS DOUBLE) / SUM(b) OVER () AS q
+       |  FROM c),
+       | t AS (SELECT *,
+       |    ((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) +
+       |     (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)) / 2.0
+       |      AS contrib
+       |  FROM pq)
+       |SELECT event_type, CAST(a AS BIGINT) AS n_first,
+       |  CAST(b AS BIGINT) AS n_second,
+       |  ROUND(p, 6) AS p_first, ROUND(q, 6) AS p_second,
+       |  ROUND(contrib, 6) AS js_contrib,
+       |  ROUND(SUM(contrib) OVER (), 6) AS js_divergence
+       |FROM t""".stripMargin
+
+  // --------------------------------------------------- Benford screen
+  /** Benford first-digit screen over the value column — the forensic
+    * data-quality check for fabricated or unit-mixed numeric feeds: the
+    * observed leading-digit distribution vs Benford's log10(1 + 1/d),
+    * with the chi-square statistic (8 dof). The leading digit comes from
+    * the repo's standard cents-scaled LONG (first char of its decimal
+    * rendering — integer-to-string is canonical in both engines, where a
+    * double's shortest-repr string or a log10 at a power-of-ten boundary
+    * is not). Exact integer digit counts; everything past the one
+    * map-side digit aggregation lives on a 9-row frame. */
+  def benford(spark: SparkSession, d: String): DataFrame = {
+    val scaled = abs(floor(col("value") * 1000).cast("long"))
+    val digit = substring(scaled.cast("string"), 1, 1).cast("int")
+    val counts = ev(spark, d)
+      .filter(col("value").isNotNull)
+      .select(scaled.as("s"), digit.as("digit"))
+      .filter(col("s") > 0)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(lit(1))
+    // ln-ratio instead of a log10 builtin: both engines then evaluate the
+    // IDENTICAL tree (a dedicated log10 can differ from ln(x)/ln(10) by an
+    // ulp, which the unrounded chi-square accumulation would carry)
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    counts
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("p_obs", col("n").cast("double") / col("total"))
+      .withColumn("p_benford", expected)
+      .withColumn("chi_term",
+        (col("n") - col("total") * col("p_benford")) *
+          (col("n") - col("total") * col("p_benford")) /
+          (col("total") * col("p_benford")))
+      .select(col("digit"), col("n"),
+        round(col("p_obs"), 6).as("p_obs"),
+        round(col("p_benford"), 6).as("p_benford"),
+        round(sum(col("chi_term")).over(tot), 6).as("chi2"),
+        (round(sum(col("chi_term")).over(tot), 6) > 15.507).as("rejected"))
+  }
+
+  val benfordSql: String =
+    """WITH v AS (SELECT
+      |    abs(CAST(FLOOR(value * 1000) AS BIGINT)) AS s,
+      |    CAST(substr(CAST(abs(CAST(FLOOR(value * 1000) AS BIGINT))
+      |      AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM events WHERE value IS NOT NULL),
+      | c AS (SELECT digit, COUNT(*) AS n FROM v
+      |   WHERE s > 0 GROUP BY 1),
+      | s AS (SELECT digit, n, SUM(n) OVER () AS total,
+      |    ln(1.0 + 1.0 / digit) / ln(10.0) AS p_benford FROM c),
+      | t AS (SELECT *,
+      |    (n - total * p_benford) * (n - total * p_benford)
+      |      / (total * p_benford) AS chi_term
+      |  FROM s)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n AS DOUBLE) / total, 6) AS p_obs,
+      |  ROUND(p_benford, 6) AS p_benford,
+      |  ROUND(SUM(chi_term) OVER (), 6) AS chi2,
+      |  ROUND(SUM(chi_term) OVER (), 6) > 15.507 AS rejected
+      |FROM t""".stripMargin
 
   // --------------------------------------------- mSPRT always-valid test
   /** Mixture sequential probability ratio test (the "always-valid p-value"
@@ -2659,8 +2835,6 @@ object EventQueries {
       |SELECT day, x, l AS level, b AS trend, f AS forecast FROM holt""".stripMargin
 
   // ------------------------------------------------------------ CDC merge
-  private val CdcCutoffMs = 1705363200000L // 2024-01-16T00:00:00Z, mid-series
-
   /** Change-data-capture (type-1) merge: apply an upsert/delete changelog
     * onto a compacted snapshot, latest-wins — MERGE INTO semantics
     * re-expressed as a union + keyed last-writer-wins compaction, the
@@ -2861,6 +3035,9 @@ object EventQueries {
     "evt_seq_count"           -> (seqCount _),
     "evt_holt_winters"        -> (holtWinters _),
     "evt_msprt"               -> (msprt _),
+    "evt_profile"             -> (profile _),
+    "evt_mix_shift"           -> (mixShift _),
+    "evt_benford"             -> (benford _),
     "evt_scd2"                -> (scd2 _),
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
@@ -2912,6 +3089,9 @@ object EventQueries {
     "evt_seq_count"           -> seqCountSql,
     "evt_holt_winters"        -> holtWintersSql,
     "evt_msprt"               -> msprtSql,
+    "evt_profile"             -> profileSql,
+    "evt_mix_shift"           -> mixShiftSql,
+    "evt_benford"             -> benfordSql,
     "evt_scd2"                -> scd2Sql,
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,

@@ -2279,6 +2279,47 @@ class PipelineSpec extends SparkSpec {
         "boundaries are not content-local")
   }
 
+  test("profile / mix shift / benford: hand-checked on a planted frame") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // first half: 3 views, 1 click; second half: 1 view, 3 clicks
+      (1L, t("2024-01-10 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-10 01:00:00"), 1L, "view", 25.0, "{}"),
+      (3L, t("2024-01-10 02:00:00"), 2L, "view", 310.0, "{}"),
+      (4L, t("2024-01-10 03:00:00"), 2L, "click", 0.0005, "{}"), // scaled 0: no digit
+      (5L, t("2024-01-20 00:00:00"), 1L, "view", 1.5, "{}"),
+      (6L, t("2024-01-20 01:00:00"), 2L, "click", 9.0, "{}"),
+      (7L, t("2024-01-20 02:00:00"), 3L, "click", 12.0, "{}"),
+      (8L, t("2024-01-20 03:00:00"), 3L, "click", 95.5, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    val prof = EventQueries.profile(spark, tmp)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof("user_id") === (("user_id", 8L, 0L, 3L, "1", "3")))
+    assert(prof("event_type")._4 === 2L)
+    assert(prof("value")._5 === "0.000500" && prof("value")._6 === "310.000000")
+
+    val mix = EventQueries.mixShift(spark, tmp)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(mix("view")._2 === 3L && mix("view")._3 === 1L)
+    assert(mix("click")._2 === 1L && mix("click")._3 === 3L)
+    // hand JSD: p = (.75, .25), q = (.25, .75), m = (.5, .5)
+    val js = (0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)) / 2 +
+      (0.25 * math.log(0.25 / 0.5) + 0.75 * math.log(0.75 / 0.5)) / 2
+    assert(math.abs(mix("view")._7 - js) < 1e-6)
+
+    val ben = EventQueries.benford(spark, tmp)
+      .as[(Int, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // scaled leading digits: 1000->1, 25000->2, 310000->3, (0 dropped),
+    // 1500->1, 9000->9, 12000->1, 95500->9
+    assert(ben === Map(1 -> 3L, 2 -> 1L, 3 -> 1L, 9 -> 2L))
+  }
+
   test("inverted index: TopK-capped postings equal the window-rank formulation") {
     val idx = DocQueries.invertedIndex(spark, sf)
       .as[(String, Long, Long, Int, Long, Long)].collect()
