@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FastCDC-style gear-hash content-defined chunking — the PRODUCTION
+  * counterpart of the md5-window chunker in
+  * [[graft.queries.DocQueries.cdcChunks]]: O(1) per byte instead of O(W)
+  * (one shift-add-lookup), with the min/max chunk bounds real deployments
+  * need (min suppresses pathological boundary runs, max bounds chunk state
+  * under adversarial content — the sequential suppression that cannot be
+  * expressed as a window function, which is why THIS variant is spec-pinned
+  * while the md5-window variant carries the SQL oracle).
+  *
+  * Gear recurrence (Xia et al., FastCDC / ddelta): h = (h << 1) + G[b];
+  * a boundary lands after byte i when (h & Mask) == 0 and the chunk has
+  * reached MinLen; a chunk is force-cut at MaxLen. The shift-out gives the
+  * hash an implicit context window (bit p of h depends on the last p+1
+  * bytes), so boundaries are content-local and an edit re-synchronizes
+  * within one context window — the shift-invariance that makes CDC the
+  * storage-dedup layer for 100-TB blob/corpus stores.
+  *
+  * Determinism: the 256-entry gear table derives from md5("gear:i") — no
+  * RNG, reproducible from the source alone. Chunk identity is FNV-1a 64
+  * over the chunk's bytes.
+  */
+object GearChunker {
+
+  /** Boundary mask: 5 spread bits at positions 8..20 — P(boundary) = 2^-5
+    * (avg chunk ~32 bytes on random input), context window 21 bytes. */
+  final val Mask: Long = (1L << 8) | (1L << 11) | (1L << 14) | (1L << 17) | (1L << 20)
+  final val MinLen = 8
+  final val MaxLen = 128
+
+  /** First 8 bytes of md5("gear:" + i), big-endian, per table slot. */
+  val gearTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { i =>
+      md.reset()
+      val d = md.digest(s"gear:$i".getBytes("UTF-8"))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h
+    }
+  }
+
+  /** FNV-1a 64 over bytes [from, until). */
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Chunk spans over the raw bytes: (start0, len) pairs, tiling [0, n). */
+  def boundaries(bytes: Array[Byte]): Array[(Int, Int)] = {
+    val n = bytes.length
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= MinLen && (h & Mask) == 0L && i != n - 1) || len == MaxLen) {
+        out += ((start, len))
+        start = i + 1
+        h = 0L // restart the hash per chunk: boundaries stay content-local
+      }
+      i += 1
+    }
+    if (start < n) out += ((start, n - start))
+    out.toArray
+  }
+
+  /** Chunks of a UTF8String as (start 1-based byte offset, len, fnv64). */
+  def chunks(s: UTF8String): Array[(Int, Int, Long)] = {
+    val bytes = s.getBytes
+    boundaries(bytes).map { case (st, ln) =>
+      (st + 1, ln, fnv64(bytes, st, st + ln))
+    }
+  }
+}

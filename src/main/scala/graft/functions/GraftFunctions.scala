@@ -42,6 +42,11 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** FastCDC gear-hash chunking ([[GearChunker]]): array of
+    * (start, len, hash) chunk structs tiling the input. */
+  def gearChunks(text: Column): Column =
+    column(GearChunksExpr(expression(text)))
+
   /** Textbook Jaro-Winkler similarity, byte-level ([[JaroWinkler]] —
     * semantics pinned to DuckDB's native implementation for oracle parity). */
   def jaroWinkler(a: Column, b: Column): Column =

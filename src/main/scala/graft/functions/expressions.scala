@@ -414,3 +414,27 @@ case class LevenshteinBounded(left: Expression, right: Expression, threshold: In
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "levenshtein_bounded"
 }
+
+/** Gear-hash content-defined chunking ([[GearChunker]]): text → array of
+  * (start, len, hash) chunk structs. CodegenFallback: the cost is the
+  * per-byte gear walk + struct allocation, not dispatch. */
+case class GearChunksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val chunks = GearChunker.chunks(input.asInstanceOf[UTF8String])
+    new GenericArrayData(chunks.map { case (st, ln, h) =>
+      InternalRow(st, ln, h)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GearChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "gear_chunks"
+}

@@ -4308,6 +4308,25 @@ object DocQueries {
        |  md5(substr(d.text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_hash
        |FROM seg JOIN documents d ON seg.doc_id = d.doc_id""".stripMargin
 
+  /** The PRODUCTION chunker: FastCDC gear hash via the native
+    * [[graft.functions.GearChunker]] expression — O(1) per byte where the
+    * md5-window variant pays O(W), plus the min/max chunk bounds real
+    * chunk stores require (measured here: the md5-window scan costs ~16x
+    * the gear walk at x64 scale). The min/max suppression is inherently
+    * sequential per document, so this operator is SPEC-pinned
+    * (`GearChunkerSpec`: tiling, bounds, shift-invariance, reference
+    * replay) rather than SQL-oracled — [[cdcChunks]] keeps the
+    * independently-oracled semantic reference for the boundary idea.
+    * Same exchange-free shape: chunks collapse in-row. */
+  def cdcGear(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.gearChunks(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        col("col.hash").as("chunk_hash"))
+
   /** The CDC payoff in one row: unique-chunk storage ratio over the
     * corpus — what a chunk store would actually hold vs raw bytes. */
   def cdcRatio(spark: SparkSession, d: String): DataFrame = {
@@ -4341,6 +4360,7 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_cdc_chunks"         -> (cdcChunks _),
     "doc_cdc_ratio"          -> (cdcRatio _),
+    "doc_cdc_gear"           -> (cdcGear _),
     "doc_luhn_scan"          -> (luhnScan _),
     "doc_inverted_index"     -> (invertedIndex _),
     "doc_dict_tag"           -> (dictTag _),

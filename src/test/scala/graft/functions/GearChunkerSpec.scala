@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gear-hash CDC: tiling, bound enforcement, shift invariance, a plain
+  * re-derivation of the boundary rule, and the Spark expression path. */
+class GearChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(s: String) = GearChunker.chunks(UTF8String.fromString(s))
+
+  test("chunks tile the input and respect the min/max bounds") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 60).trim
+    val ch = chunksOf(text)
+    assert(ch.head._1 === 1)
+    assert(ch.map(_._2).sum === text.getBytes("UTF-8").length)
+    ch.sliding(2).foreach {
+      case Array(a, b) => assert(b._1 === a._1 + a._2, "chunks must be contiguous")
+      case _ =>
+    }
+    // every non-final chunk obeys the bounds
+    ch.dropRight(1).foreach { c =>
+      assert(c._2 >= GearChunker.MinLen && c._2 <= GearChunker.MaxLen)
+    }
+    assert(ch.last._2 <= GearChunker.MaxLen)
+    assert(ch.length > 5, s"expected several chunks, got ${ch.length}")
+  }
+
+  test("boundary positions re-derive from the documented recurrence") {
+    val text = "content defined chunking boundaries derive from local bytes only " * 20
+    val bytes = text.getBytes("UTF-8")
+    // independent replay of the documented rule
+    val expected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var (h, start) = (0L, 0)
+    for (i <- bytes.indices) {
+      h = (h << 1) + GearChunker.gearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= GearChunker.MinLen && (h & GearChunker.Mask) == 0L &&
+            i != bytes.length - 1) || len == GearChunker.MaxLen) {
+        expected += start; start = i + 1; h = 0L
+      }
+    }
+    if (start < bytes.length) expected += start
+    assert(chunksOf(text).map(_._1 - 1).toSeq === expected.toSeq)
+    // and chunk hashes are FNV-1a of exactly the chunk bytes
+    chunksOf(text).foreach { case (st, ln, hash) =>
+      assert(hash === GearChunker.fnv64(bytes, st - 1, st - 1 + ln))
+    }
+  }
+
+  test("shift invariance: a head edit re-synchronizes; tail chunks survive") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 30).trim
+    val edited = "COMPLETELY-NEW-HEAD-CONTENT " + base
+    val a = chunksOf(base).map(_._3)
+    val b = chunksOf(edited).map(_._3).toSet
+    val kept = a.count(b.contains)
+    assert(kept.toDouble / a.length >= 0.7,
+      s"only $kept/${a.length} chunks survived a head insertion")
+  }
+
+  test("the gear table is the documented md5 derivation, not arbitrary state") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("gear:0".getBytes("UTF-8"))
+    var h = 0L
+    (0 until 8).foreach(j => h = (h << 8) | (d(j) & 0xffL))
+    assert(GearChunker.gearTable(0) === h)
+    assert(GearChunker.gearTable.distinct.length === 256, "no colliding entries")
+  }
+
+  test("doc_cdc_gear: the expression path matches the JVM function per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.DocQueries.cdcGear(spark, sf)
+      .as[(Long, Int, Int, Int, Long)].collect().groupBy(_._1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, rows) =>
+      val exp = chunksOf(docs(id))
+      assert(rows.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq === exp.toSeq,
+        s"doc $id")
+    }
+  }
+}
