@@ -42,6 +42,11 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — corpus-cleaning first
+    * stage ([[UnicodeNormalize]]; codegen'd). */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(c), form))
+
   /** FastCDC gear-hash chunking ([[GearChunker]]): array of
     * (start, len, hash) chunk structs tiling the input. */
   def gearChunks(text: Column): Column =

@@ -415,6 +415,29 @@ case class LevenshteinBounded(left: Expression, right: Expression, threshold: In
   override def prettyName: String = "levenshtein_bounded"
 }
 
+/** Unicode normalization ([[Unicodes]]): NFC/NFD/NFKC/NFKD per the `form`
+  * constructor parameter. Codegen'd static invoke — stays in whole-stage
+  * codegen like the other per-row text transforms. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends StaticCallUnary {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form: $form")
+  override def dataType: DataType = StringType
+  override def staticCall: String = s"graft.functions.Unicodes.${form.toLowerCase}"
+  override def resultJavaType: String = "String"
+  override def boxToCatalyst(v: String): String =
+    s"org.apache.spark.unsafe.types.UTF8String.fromString($v)"
+  override def evalImpl(s: String): Any =
+    UTF8String.fromString(form match {
+      case "NFC"  => Unicodes.nfc(s)
+      case "NFD"  => Unicodes.nfd(s)
+      case "NFKC" => Unicodes.nfkc(s)
+      case _      => Unicodes.nfkd(s)
+    })
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+  override def prettyName: String = s"unicode_${form.toLowerCase}"
+}
+
 /** Gear-hash content-defined chunking ([[GearChunker]]): text → array of
   * (start, len, hash) chunk structs. CodegenFallback: the cost is the
   * per-byte gear walk + struct allocation, not dispatch. */

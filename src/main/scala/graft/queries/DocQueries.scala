@@ -942,6 +942,45 @@ object DocQueries {
       |  md5(clean) AS clean_md5
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- unicode cleaning
+  /** Unicode text cleaning — NFC normalization + control-char strip +
+    * horizontal-whitespace collapse, the canonical pre-tokenization
+    * transform (decomposed accents defeat exact/MinHash dedup because
+    * "é" and "e+◌́" shingle differently; stray control bytes poison
+    * tokenizers). The fixture text is ASCII, so a deterministic dirty
+    * suffix (decomposed accents, a tab run, a vertical tab) is appended
+    * per row to exercise every rule; the oracle rebuilds the identical
+    * suffix from code points and replays NFC via DuckDB's native
+    * `nfc_normalize`, making this an INDEPENDENT check of the
+    * [[graft.functions.UnicodeNormalize]] expression (two unrelated
+    * Unicode implementations must agree byte-for-byte under md5).
+    * Narrow single-stage scan — no shuffle, trivially 100-TB-safe. */
+  def unicodeClean(spark: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" café  naïve\t\tx\u000Bend"))
+    val clean = trim(regexp_replace(regexp_replace(
+      graft.functions.GraftFunctions.unicodeNormalize(dirty, "NFC"),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""), "[ \\t]+", " "))
+    documents(spark, d).select(
+      col("doc_id"),
+      length(dirty).as("raw_len"),
+      length(clean).as("clean_len"),
+      md5(clean).as("clean_md5"))
+  }
+
+  val unicodeCleanSql: String =
+    """WITH s AS (SELECT doc_id,
+      |  text || ' cafe' || chr(769) || '  nai' || chr(776) || 've'
+      |       || chr(9) || chr(9) || 'x' || chr(11) || 'end' AS dirty
+      |  FROM documents),
+      | c AS (SELECT doc_id, dirty,
+      |   trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+      |     '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean
+      |  FROM s)
+      |SELECT doc_id, length(dirty) AS raw_len,
+      |  length(clean) AS clean_len, md5(clean) AS clean_md5
+      |FROM c""".stripMargin
+
   // ------------------------------------------------- deterministic sampling
   /** Deterministic (seeded) sampling — the split/eval-subset primitive of a
     * training pipeline: an md5-derived uniform key makes membership a pure
@@ -4399,6 +4438,7 @@ object DocQueries {
     "doc_winnow"       -> (winnowFingerprints _),
     "doc_pii_scrub"    -> (piiScrub _),
     "doc_html_strip"   -> (htmlStrip _),
+    "doc_unicode_clean" -> (unicodeClean _),
     "doc_sample"       -> (sampleDeterministic _),
     "doc_split"        -> (splitAssign _),
     "doc_corpus_stats" -> (corpusStats _),
@@ -4468,6 +4508,7 @@ object DocQueries {
     "doc_winnow"          -> winnowSql,
     "doc_pii_scrub"       -> piiScrubSql,
     "doc_html_strip"      -> htmlStripSql,
+    "doc_unicode_clean"   -> unicodeCleanSql,
     "doc_sample"          -> sampleDeterministicSql,
     "doc_split"           -> splitAssignSql,
     "doc_corpus_stats"    -> corpusStatsSql,
