@@ -42,6 +42,10 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** Quantile estimate from a [[TDigest]] digest column. */
+  def tdigestQuantile(digest: Column, q: Double): Column =
+    column(TDigestQuantileExpr(expression(digest), q))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) — corpus-cleaning first
     * stage ([[UnicodeNormalize]]; codegen'd). */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =

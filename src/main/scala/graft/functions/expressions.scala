@@ -415,6 +415,26 @@ case class LevenshteinBounded(left: Expression, right: Expression, threshold: In
   override def prettyName: String = "levenshtein_bounded"
 }
 
+/** Quantile estimate from a [[TDigest]] digest column (flat sorted
+  * (mean, weight) pairs). Runs on |groups| rows post-aggregation, never on
+  * the fact table — CodegenFallback costs nothing here. */
+case class TDigestQuantileExpr(child: Expression, q: Double)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val v = TDigest.quantile(arr, q)
+    if (v.isNaN) null else v
+  }
+  override protected def withNewChildInternal(c: Expression): TDigestQuantileExpr =
+    copy(child = c)
+  override def prettyName: String = "tdigest_quantile"
+}
+
 /** Unicode normalization ([[Unicodes]]): NFC/NFD/NFKC/NFKD per the `form`
   * constructor parameter. Codegen'd static invoke — stays in whole-stage
   * codegen like the other per-row text transforms. */

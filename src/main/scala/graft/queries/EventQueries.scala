@@ -2592,6 +2592,55 @@ object EventQueries {
       |        / SUM(1.0 / CAST(1::BIGINT << (l - j + 1) AS DOUBLE)), 6) AS ewma
       |FROM u GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------ t-digest quantiles
+  /** Mergeable t-digest percentile rollup ([[graft.functions.TDigest]]) —
+    * the 100-TB quantile path [[exactQuantiles]] cannot take: per-day
+    * digests aggregate with map-side partials (each split contributes a
+    * ~2δ-centroid summary, the exchange carries digests not values), then
+    * a SECOND-level `tdigestMerge` rolls days into the corpus digest —
+    * the keep-daily-summaries / re-aggregate-any-window algebra
+    * `percentile_approx` (not re-mergeable across stored groups) lacks.
+    *
+    * Honesty-flag oracle (the digest itself is not SQL-expressible): the
+    * emitted per-(group, q) row carries MEASURED guarantees —
+    * `rank_ok` re-ranks the digest's quantile estimate against the raw
+    * events (|P(value <= est) - q| <= 0.02, rank granularity at sf0.001
+    * is 1/188 so the bound is ~4x granularity, not slack), `size_ok`
+    * bounds the digest at 3δ centroids (buffer is 2048, so a broken
+    * compress cannot hide). DuckDB replays n exactly and pins both flags
+    * TRUE — an estimator or compressor regression flips a flag and the
+    * row hash. */
+  def tdigestQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val e = ev(spark, d).filter(col("value").isNotNull)
+    val daily = e
+      .groupBy(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"))
+      .agg(graft.functions.TDigest.tdigest(col("value")).as("dig"))
+    val global = daily.groupBy("event_type")
+      .agg(graft.functions.TDigest.tdigestMerge(col("dig")).as("dig"))
+    val est = global.select(col("event_type"), size(col("dig")).as("dig_len"),
+      explode(array(qs.map(q => struct(lit(q).as("q"),
+        graft.functions.GraftFunctions.tdigestQuantile(col("dig"), q).as("est"))): _*))
+        .as("eq"))
+      .select(col("event_type"), col("dig_len"),
+        col("eq.q").as("q"), col("eq.est").as("est"))
+    e.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double")).as("rank_hat"),
+        first(col("dig_len")).as("dig_len"))
+      .select(col("event_type"), col("q"), col("n"),
+        (abs(col("rank_hat") - col("q")) <= 0.02).as("rank_ok"),
+        (col("dig_len") <= lit((3 * 200 * 2).toInt)).as("size_ok"))
+  }
+
+  val tdigestQuantilesSql: String =
+    """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      | n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+      |SELECT event_type, q, n, true AS rank_ok, true AS size_ok
+      |FROM n, (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qs""".stripMargin
+
   // ------------------------------------------------ exact quantiles (CDF)
   /** EXACT per-group quantiles via the compressed CDF — the distributed
     * formulation that never globally sorts the fact table: aggregate
@@ -3042,6 +3091,7 @@ object EventQueries {
     "evt_survival"            -> (survival _),
     "evt_holt_forecast"       -> (holtForecast _),
     "evt_exact_quantiles"     -> (exactQuantiles _),
+    "evt_tdigest"             -> (tdigestQuantiles _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3096,6 +3146,7 @@ object EventQueries {
     "evt_survival"            -> survivalSql,
     "evt_holt_forecast"       -> holtForecastSql,
     "evt_exact_quantiles"     -> exactQuantilesSql,
+    "evt_tdigest"             -> tdigestQuantilesSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
