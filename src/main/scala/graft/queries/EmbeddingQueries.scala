@@ -2122,7 +2122,94 @@ object EmbeddingQueries {
        |FROM fin, (SELECT unnest(generate_series(1, 10)) AS i)
        |WHERE i <= len(sel)""".stripMargin
 
+  // ------------------------------------------------------- sharded HNSW
+  /** Scatter-gather HNSW ([[graft.functions.Hnsw]]) — the graph-ANN path
+    * of the index family (LSH/IVF/PQ are bucket-and-quantize; HNSW is the
+    * navigable-small-world graph that wins on recall-per-probe for
+    * high-dimensional corpora). 100-TB shape: the corpus hash-partitions
+    * into shards, EACH EXECUTOR builds a graph over its shard only inside
+    * one `mapPartitions` pass (build is inherently sequential per graph —
+    * sharding is what makes it distributed; memory is O(shard), never
+    * O(corpus)), the broadcast queries search every shard (ef beam), and
+    * the per-shard top-k candidates — |queries| x shards x k rows, not
+    * vectors — union into an integer-exact cosine rerank that ranks
+    * EXACTLY like [[knnBrute]] (same scaled-floor arithmetic, same rounded
+    * tie-break), so ulp noise inside the graph can only affect which
+    * candidates surface, never how emitted rows rank.
+    *
+    * mapPartitions is deliberate here (SURVEY §4 last-resort rule): a
+    * graph insert mutates adjacency state across the whole shard — there
+    * is no per-row expression formulation. The graph itself is
+    * deterministic (md5-derived levels, (dist, id) tie-breaks), so the
+    * emitted rows are stable run-to-run; [[hnswRecall]] carries the
+    * measured-recall gate and `HnswSpec` pins graph invariants, recall,
+    * and determinism. No SQL oracle for the search itself: a navigable
+    * graph walk is not SQL-expressible, and an exactness oracle would
+    * misclaim the operator (it is approximate by design). */
+  def hnswSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val shards = spark.conf.getOption("spark.graft.hnsw.shards").map(_.toInt).getOrElse(4)
+    val (m, efC, efS) = (8, 64, 64)
+    val e = embeddings(spark, d)
+    // NQueries probe rows to the driver — the broadcast-only-probes
+    // pattern every index query here uses (gate: fixture contract).
+    val qRows = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val qb = spark.sparkContext.broadcast(qRows)
+    val cands = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(shards, pmod(hash(col("vec_id")), lit(shards)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val nodes = it.toArray
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val g = graft.functions.Hnsw.build(nodes, m, efC)
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, efS, TopK).iterator.map { case (id, _) => (qid, id) }
+          }
+        }
+      }.toDF("q_id", "vec_id")
+    val scaledE = e.select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val q = scaledE.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm2").as("q_norm2"))
+    val scored = scaledE.join(broadcast(cands), "vec_id").join(broadcast(q), "q_id")
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("q_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** Measured-recall gate for [[hnswSearch]] vs the exact [[knnBrute]]
+    * truth — the honesty loop every approximate index here carries. The
+    * oracle pins the flag TRUE (the graph walk is not SQL-replayable);
+    * `HnswSpec` pins the exact recall values (1.0 at sf0.001/sf0.01 with
+    * these parameters — the beam is near-exhaustive on gate-scale shards;
+    * the 0.9 floor is the operating guarantee, not the measurement). */
+  def hnswRecall(spark: SparkSession, d: String): DataFrame = {
+    val truth = knnBrute(spark, d).select(col("q_id"), col("vec_id"))
+    val got = hnswSearch(spark, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(
+        lit(NQueries).as("n_queries"), lit(TopK).as("k"),
+        col("truth_pairs"),
+        (col("hits").cast("double") / col("truth_pairs") >= 0.9).as("ok"))
+  }
+
+  val hnswRecallSql: String =
+    s"""SELECT $NQueries AS n_queries, $TopK AS k,
+       |  CAST($NQueries * $TopK AS BIGINT) AS truth_pairs, true AS ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hnsw_search"    -> (hnswSearch _),
+    "emb_hnsw_recall"    -> (hnswRecall _),
     "emb_jl_recall"      -> (jlRecall _),
     "emb_mmr_select"     -> (mmrSelect _),
     "emb_outliers"       -> (outliers _),
@@ -2174,6 +2261,7 @@ object EmbeddingQueries {
     "emb_bq_rerank_recall" -> bqRerankRecallSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
+    "emb_hnsw_recall"    -> hnswRecallSql,
     "emb_mips"           -> mipsSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_hybrid_search"  -> hybridSearchSql,
