@@ -139,6 +139,20 @@ object TDigest {
     b
   }
 
+  // ---------------------------------------------------- streaming-state API
+  /** The aggregation buffer as streaming state ([[graft.streaming.Streams
+    * .tdigestStream]]): fold raw values in, snapshot a compressed digest
+    * out — the state IS the batch aggregator's buffer, O(δ) per group. */
+  def emptyBuffer: Array[Double] = newBuf
+
+  def fold(buf: Array[Double], v: Double, delta: Double = DefaultDelta): Array[Double] =
+    if (v.isNaN) buf else addPair(buf, v, 1.0, delta)
+
+  /** Compressed digest view of a buffer, without consuming it. */
+  def snapshot(buf: Array[Double], delta: Double = DefaultDelta): Array[Double] =
+    compress(java.util.Arrays.copyOfRange(buf, 1, 1 + 2 * buf(0).toInt),
+      buf(0).toInt, delta)
+
   /** values → digest (flat sorted (mean, weight) pairs). */
   class TDigestAgg(delta: Double) extends Aggregator[Double, Array[Double], Array[Double]] {
     override def zero: Array[Double] = newBuf

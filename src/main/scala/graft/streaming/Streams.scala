@@ -361,6 +361,48 @@ object Streams {
       .toDF("event_type", "rank", "event_id", "value")
   }
 
+  /** Streaming cross-batch quantile monitor — the stream form of the batch
+    * `evt_tdigest` operator, sharing its sketch outright: state per group
+    * is [[graft.functions.TDigest]]'s own fixed aggregation buffer (O(δ),
+    * ~32 KB), each micro-batch folds raw values through the same
+    * `fold`/compress path, and every batch emits the refreshed quantile
+    * estimates plus the exact observation count. Unlike [[topKStream]]
+    * the digest is batching-SENSITIVE (centroid boundaries shift with
+    * arrival order), so bit-parity with the batch operator is the wrong
+    * contract; the right one — weight (count) conserved exactly, every
+    * emitted quantile's rank error within the batch gate's bound against
+    * the exact CDF of everything seen so far — is what `TDigestStreamSpec`
+    * measures after each batch. Update mode; state never grows with the
+    * stream. */
+  def tdigestStream(events: DataFrame, typeCol: String = "event_type",
+                    valueCol: String = "value",
+                    qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val quantiles = qs.toArray
+    events
+      .select(col(typeCol).cast("string").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (t: String, rows: Iterator[(String, Double)],
+         state: GroupState[Array[Double]]) => {
+          val buf = rows.foldLeft(
+            state.getOption.getOrElse(graft.functions.TDigest.emptyBuffer)) {
+            case (b, (_, v)) => graft.functions.TDigest.fold(b, v)
+          }
+          state.update(buf)
+          val dig = graft.functions.TDigest.snapshot(buf)
+          val n = math.round(graft.functions.TDigest.weight(dig))
+          quantiles.iterator.map(q =>
+            (t, n, q, graft.functions.TDigest.quantile(dig, q)))
+        })
+      .toDF("event_type", "n", "q", "est")
+  }
+
   /** Streaming linear multi-touch attribution — the stream-stream form of
     * the batch `evt_multitouch` operator
     * ([[graft.queries.EventQueries.multitouch]]): every view within
