@@ -111,6 +111,20 @@ object GraftExtensions {
       args => AviDecodeStats(args.head) },
     fn("avi_frame_sums", "avi_frame_sums(blob, step) - real AVI decode -> pixel mass of every step-th frame as array<long>; null on corrupt bytes") {
       args => AviFrameSums(args(0), litInt(args(1), "avi_frame_sums step")) },
+    fn("xff_peer_address", "xff_peer_address(header) - rightmost X-Forwarded-For IP literal (normalized), null if absent/non-literal") {
+      args => XffPeerAddress(args.head) },
+    fn("unicode_normalize", "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization; form is a plan-time literal") {
+      args => UnicodeNormalize(args(0), litStr(args(1), "unicode_normalize form")) },
+    fn("gear_chunks", "gear_chunks(text) - FastCDC gear-hash chunking: array of (start, len, hash) structs tiling the input") {
+      args => GearChunksExpr(args.head) },
+    fn("tdigest_quantile", "tdigest_quantile(digest, q) - quantile estimate from a t-digest centroid array; q is a plan-time literal in [0, 1]") {
+      args => TDigestQuantileExpr(args(0), {
+        val e = args(1)
+        require(e.foldable, "tdigest_quantile q must be a literal")
+        val v = e.eval(null)
+        require(v != null, "tdigest_quantile q must not be NULL")
+        v.toString.toDouble
+      }) },
     fn("digest_pieces", "digest_pieces('algorithm', pieces...) - ordered multi-piece digest; null pieces skipped") {
       args => DigestPieces(litStr(args.head, "digest algorithm"), None, args.tail) },
     fn("digest_pieces_seeded", "digest_pieces_seeded('algorithm', 'seed', pieces...) - HMAC digest with PBKDF2-derived key") {

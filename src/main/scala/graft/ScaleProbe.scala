@@ -174,7 +174,20 @@ object ScaleProbe {
       "evt_window_funnel",
       // inverted index: the posting cap must ride the TopK partial agg —
       // decay means a hot term's full posting list started shipping
-      "doc_inverted_index"))
+      "doc_inverted_index",
+      // sharded HNSW: per-shard graph build is O(shard log shard)-ish and
+      // the gather is |queries| x shards x k rows — decay means the build
+      // went super-linear (ef explosion on dense shards) or the rerank
+      // stopped being candidate-bounded
+      "emb_hnsw_search",
+      // two-level t-digest rollup: the exchange carries O(groups x δ)
+      // digests — decay means the partial agg stopped combining and raw
+      // values started shipping
+      "evt_tdigest",
+      // gear CDC: one narrow O(bytes) pass, no exchange at all — any
+      // super-linear growth is a plan regression (e.g. the chunk explode
+      // picking up a shuffle)
+      "doc_cdc_gear"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

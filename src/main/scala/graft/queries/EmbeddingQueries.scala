@@ -2148,7 +2148,13 @@ object EmbeddingQueries {
     * misclaim the operator (it is approximate by design). */
   def hnswSearch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val shards = spark.conf.getOption("spark.graft.hnsw.shards").map(_.toInt).getOrElse(4)
+    // More shards = smaller graphs = faster (insert cost grows with graph
+    // size) AND higher recall (the exact rerank sees each shard's top-k);
+    // the cost is gather rows, |queries| x shards x k — trivial. At
+    // warehouse scale this is one graph per partition; the fixed default
+    // keeps shard membership (and thus emitted candidates) deterministic
+    // across hosts, which a defaultParallelism-derived count would not.
+    val shards = spark.conf.getOption("spark.graft.hnsw.shards").map(_.toInt).getOrElse(16)
     val (m, efC, efS) = (8, 64, 64)
     val e = embeddings(spark, d)
     // NQueries probe rows to the driver — the broadcast-only-probes

@@ -7,9 +7,20 @@ package graft
 class ContractSpec extends SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
+    // The ONLY queries allowed to ship without a SQL oracle: sequential-
+    // state algorithms DuckDB cannot replay (per-chunk gear-hash walk with
+    // min/max suppression; navigable-graph beam search). Each is pinned by
+    // a dedicated spec (GearChunkerSpec, HnswSpec) and — for HNSW — a
+    // flag-oracled measured-recall gate (emb_hnsw_recall). Anything else
+    // landing here is a regression, not a new category.
+    val specPinned = Set("doc_cdc_gear", "emb_hnsw_search")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((q -- o -- specPinned).isEmpty,
+      s"queries missing oracles: ${(q -- o -- specPinned).toSeq.sorted}")
+    assert((specPinned -- q).isEmpty, "allowlisted query disappeared")
+    assert((specPinned & o).isEmpty,
+      "allowlisted query grew an oracle; remove it from the allowlist")
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
   }
 

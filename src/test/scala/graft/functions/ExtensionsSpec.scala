@@ -93,4 +93,35 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(nullErr.getMessage.contains("NULL"))
   }
+
+  test("round-7 additions: xff / unicode / gear chunks / t-digest from SQL") {
+    assert(spark.sql(
+      "SELECT xff_peer_address('10.0.0.1, 203.0.113.9') v").head.getString(0)
+      === "203.0.113.9")
+    assert(spark.sql("SELECT xff_peer_address('not-an-ip') v").head.isNullAt(0))
+
+    val nfc = spark.sql("SELECT unicode_normalize('café', 'NFC') v")
+      .head.getString(0)
+    assert(nfc === "café")
+    val formErr = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX') v").collect()
+    }
+    assert(formErr.getMessage.contains("NFX"))
+
+    // gear_chunks tiles the input; SQL row agrees with the Column API
+    val g = spark.sql(
+      "SELECT aggregate(gear_chunks('the quick brown fox jumps over the lazy dog'), " +
+        "0, (a, c) -> a + c.len) v").head.getInt(0)
+    assert(g === 43)
+
+    // t-digest quantile over a hand-built two-centroid digest
+    val td = spark.sql(
+      "SELECT tdigest_quantile(array(1.0D, 1.0D, 3.0D, 1.0D), 0.5) v")
+      .head.getDouble(0)
+    assert(td === 2.0)
+    val qErr = intercept[Exception] {
+      spark.sql("SELECT tdigest_quantile(array(1.0D, 1.0D), 1.5) v").collect()
+    }
+    assert(qErr.getMessage.contains("quantile"))
+  }
 }
