@@ -162,4 +162,59 @@ class PropertySpec extends AnyFunSuite {
     })
     check(Prop.forAll(Gen.asciiPrintableStr) { s => HeaderValues.split(s); true })
   }
+
+  // ---------------------------------------------------------------- gear CDC
+  test("gear chunks tile ANY byte string within the min/max bounds") {
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    check(Prop.forAll(bytesGen) { bs =>
+      val ch = GearChunker.boundaries(bs)
+      val tile = ch.map(_._2).sum == bs.length &&
+        ch.foldLeft((true, 0)) { case ((ok, at), (st, ln)) =>
+          (ok && st == at && ln > 0, st + ln) }._1
+      val bounds = ch.dropRight(1).forall(c =>
+        c._2 >= GearChunker.MinLen && c._2 <= GearChunker.MaxLen) &&
+        ch.lastOption.forall(_._2 <= GearChunker.MaxLen)
+      tile && bounds
+    })
+  }
+
+  test("gear chunking of a shared suffix converges after a prefix edit") {
+    val textGen = Gen.listOfN(600, Gen.alphaNumChar).map(_.mkString)
+    val prefixGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(textGen, prefixGen) { (t, p) =>
+      val a = GearChunker.boundaries(t.getBytes("UTF-8"))
+      // absolute boundary positions of the edited text, shifted back
+      val pb = (p + t).getBytes("UTF-8")
+      val b = GearChunker.boundaries(pb).map(_._1 - p.getBytes("UTF-8").length)
+      // some boundary in the shared tail must realign (context is 21 bytes,
+      // chunks cap at 128: re-sync happens within ~2 max chunks)
+      val aTail = a.map(_._1).filter(_ >= 300).toSet
+      aTail.isEmpty || b.exists(aTail.contains)
+    })
+  }
+
+  // ---------------------------------------------------------------- t-digest
+  test("t-digest: weight conserved, centroids sorted, quantiles in range, for ANY input") {
+    val xsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).map(_.toArray)
+    check(Prop.forAll(xsGen) { xs =>
+      val flat = xs.flatMap(x => Array(x, 1.0))
+      val dig = TDigest.compress(flat, xs.length, 50.0)
+      val means = dig.indices.collect { case i if i % 2 == 0 => dig(i) }
+      val w = TDigest.weight(dig)
+      val q = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(TDigest.quantile(dig, _))
+      math.abs(w - xs.length) < 1e-6 * xs.length.max(1) &&
+        means.sameElements(means.sorted) &&
+        q.forall(v => v >= xs.min - 1e-9 && v <= xs.max + 1e-9) &&
+        q == q.sorted
+    })
+  }
+
+  // ------------------------------------------------------------- unicode
+  test("unicode normalization: idempotent and never throws on arbitrary strings") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0x20, 0x2fff)).map(
+      _.map(_.toChar).mkString)) { s =>
+      Unicodes.nfc(Unicodes.nfc(s)) == Unicodes.nfc(s) &&
+        Unicodes.nfkc(Unicodes.nfkc(s)) == Unicodes.nfkc(s)
+    })
+  }
 }
