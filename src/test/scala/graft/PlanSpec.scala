@@ -785,6 +785,51 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
 
+  test("hnsw: shard candidates and queries broadcast — the corpus never " +
+       "sort-merges, products, or re-shuffles for the rerank") {
+    val nodes = planNodes(
+      graft.queries.EmbeddingQueries.queries("emb_hnsw_search")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "candidate and query frames are |q| x shards x k rows and must broadcast")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("t-digest rollup: both levels partial-aggregate — the exchanges carry " +
+       "digests, never raw values") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_tdigest")(spark, sf))
+    val aggs = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(aggs.size >= 4,
+      s"expected partial+final ObjectHashAggregate at both digest levels, got ${aggs.size}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the estimate frame is groups x quantiles rows and must broadcast")
+  }
+
+  test("gear CDC: exchange-free like the md5-window variant") {
+    val p = plan(graft.queries.DocQueries.queries("doc_cdc_gear")(spark, sf))
+    assert(!p.contains("Exchange"),
+      "gear chunking must stay a narrow per-document pipeline")
+  }
+
+  test("classifier eval: the windows run on the distinct-score CDF, " +
+       "after the score aggregation — never over documents") {
+    val nodes = planNodes(
+      graft.queries.DocQueries.queries("doc_classifier_eval")(spark, sf))
+    val windows = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows.nonEmpty, "the rank-sum CDF needs a window")
+    windows.foreach { w =>
+      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+          p.children.exists(hasAgg)
+      assert(hasAgg(w), "window input must be the aggregated distinct-score frame")
+    }
+  }
+
   test("inverted index: posting cap is a partial TopK aggregation, and the " +
        "term cap is TakeOrdered — no window sort, no global sort") {
     val p = plan(graft.queries.DocQueries.queries("doc_inverted_index")(spark, sf))
