@@ -2883,6 +2883,77 @@ object EventQueries {
       |   FROM holt h JOIN idx ON idx.i = h.i + 1)
       |SELECT day, x, l AS level, b AS trend, f AS forecast FROM holt""".stripMargin
 
+  // -------------------------------------------------- forecast backtesting
+  /** Rolling-origin backtest of the Holt forecast — the "should you trust
+    * this forecast" loop ([[graft.queries.DocQueries.classifierEval]]'s
+    * analog for the forecasting family): [[holtForecast]]'s frame is
+    * already one-step-ahead by construction (day i's forecast sees only
+    * days < i), so the backtest is an aggregation over it — sMAPE of the
+    * Holt forecast vs the naive last-value baseline, and the skill
+    * (naive − holt; positive means the trend model earns its keep).
+    *
+    * Hash-exact float discipline: per-day sMAPE terms are ROUNDED to 12
+    * decimals and summed as DECIMAL — exact and order-independent where a
+    * double fold would depend on aggregation order (the money-sum rule
+    * from the TPC-H analogs, applied to error terms). One day-grain frame
+    * throughout — bounded at any fact scale. */
+  def forecastEval(spark: SparkSession, d: String): DataFrame = {
+    val wAll = Window.orderBy(col("day"))
+    def term(fc: Column, x: Column): Column = {
+      val denom = (abs(fc) + abs(x.cast("double"))) / 2.0
+      round(when(denom === 0.0, 0.0)
+        .otherwise(abs(fc - x.cast("double")) / denom), 12)
+        .cast("decimal(24,12)")
+    }
+    holtForecast(spark, d)
+      .withColumn("naive", lag(col("x"), 1).over(wAll))
+      .filter(col("forecast").isNotNull && col("naive").isNotNull)
+      .select(term(col("forecast"), col("x")).as("th"),
+        term(col("naive").cast("double"), col("x")).as("tn"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("th")).as("sh"), sum(col("tn")).as("sn"))
+      .select(col("n_days"),
+        round(col("sh").cast("double") / col("n_days"), 9).as("smape_holt"),
+        round(col("sn").cast("double") / col("n_days"), 9).as("smape_naive"),
+        round((col("sn") - col("sh")).cast("double") / col("n_days"), 9)
+          .as("skill_vs_naive"))
+  }
+
+  val forecastEvalSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      | idx AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS i
+      |  FROM daily),
+      | holt(i, day, x, l, b, f) AS (
+      |   SELECT i, day, x, CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(NULL AS DOUBLE) FROM idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT idx.i, idx.day, idx.x,
+      |     (CAST(idx.x AS DOUBLE) + h.l + h.b) / 2,
+      |     (((CAST(idx.x AS DOUBLE) + h.l + h.b) / 2 - h.l) + h.b) / 2,
+      |     h.l + h.b
+      |   FROM holt h JOIN idx ON idx.i = h.i + 1),
+      | s AS (SELECT day, x, f,
+      |         LAG(x) OVER (ORDER BY day) AS naive
+      |       FROM holt),
+      | t AS (SELECT
+      |    CAST(ROUND(CASE WHEN (ABS(f) + ABS(CAST(x AS DOUBLE))) / 2 = 0 THEN 0
+      |      ELSE ABS(f - CAST(x AS DOUBLE))
+      |           / ((ABS(f) + ABS(CAST(x AS DOUBLE))) / 2) END, 12)
+      |      AS DECIMAL(24,12)) AS th,
+      |    CAST(ROUND(CASE WHEN (ABS(CAST(naive AS DOUBLE)) + ABS(CAST(x AS DOUBLE))) / 2 = 0 THEN 0
+      |      ELSE ABS(CAST(naive AS DOUBLE) - CAST(x AS DOUBLE))
+      |           / ((ABS(CAST(naive AS DOUBLE)) + ABS(CAST(x AS DOUBLE))) / 2) END, 12)
+      |      AS DECIMAL(24,12)) AS tn
+      |  FROM s WHERE f IS NOT NULL AND naive IS NOT NULL)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(CAST(SUM(th) AS DOUBLE) / COUNT(*), 9) AS smape_holt,
+      |  ROUND(CAST(SUM(tn) AS DOUBLE) / COUNT(*), 9) AS smape_naive,
+      |  ROUND(CAST(SUM(tn) - SUM(th) AS DOUBLE) / COUNT(*), 9) AS skill_vs_naive
+      |FROM t""".stripMargin
+
   // ------------------------------------------------------------ CDC merge
   /** Change-data-capture (type-1) merge: apply an upsert/delete changelog
     * onto a compacted snapshot, latest-wins — MERGE INTO semantics
@@ -3092,6 +3163,7 @@ object EventQueries {
     "evt_holt_forecast"       -> (holtForecast _),
     "evt_exact_quantiles"     -> (exactQuantiles _),
     "evt_tdigest"             -> (tdigestQuantiles _),
+    "evt_forecast_eval"       -> (forecastEval _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3147,6 +3219,7 @@ object EventQueries {
     "evt_holt_forecast"       -> holtForecastSql,
     "evt_exact_quantiles"     -> exactQuantilesSql,
     "evt_tdigest"             -> tdigestQuantilesSql,
+    "evt_forecast_eval"       -> forecastEvalSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
