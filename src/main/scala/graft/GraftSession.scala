@@ -109,6 +109,21 @@ object GraftSession {
       .config("spark.local.dir", scratchDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerAggregators(s)
     s
+  }
+
+  /** SQL names for the typed sketch AGGREGATORS — `injectFunction` covers
+    * scalar expressions ([[GraftExtensions]]), but udafs register on the
+    * session. Idempotent; `getOrCreate` may return an existing session. */
+  private def registerAggregators(s: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    import graft.functions.{Hll, TDigest}
+    s.udf.register("tdigest_agg",
+      udaf(new TDigest.TDigestAgg(TDigest.DefaultDelta)))
+    s.udf.register("tdigest_merge_agg",
+      udaf(new TDigest.TDigestMergeAgg(TDigest.DefaultDelta),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
+    s.udf.register("hll_distinct_agg", udaf(new Hll.HllDistinct))
   }
 }

@@ -124,4 +124,19 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(qErr.getMessage.contains("quantile"))
   }
+
+  test("sketch aggregators are SQL-callable: tdigest two-level, hll") {
+    spark.range(0, 1000).selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sketch_probe")
+    // two-level rollup entirely in SQL: per-group digests -> re-merged
+    val p50 = spark.sql(
+      """SELECT tdigest_quantile(tdigest_merge_agg(dig), 0.5) v FROM
+        |  (SELECT g, tdigest_agg(v) AS dig FROM sketch_probe GROUP BY g)""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(p50 - 499.5) < 25, s"p50=$p50")
+    val hll = spark.sql(
+      "SELECT hll_distinct_agg(CAST(id AS STRING)) v FROM range(0, 2000)")
+      .head.getDouble(0)
+    assert(math.abs(hll - 2000) / 2000 < 0.1, s"hll=$hll")
+  }
 }
