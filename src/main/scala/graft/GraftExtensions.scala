@@ -17,8 +17,14 @@ import org.apache.spark.sql.types.StringType
   * note for custom operators).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Optimizer rules (the Rule[LogicalPlan] leg of SURVEY §2's custom-
+    // operator mechanism): domain rewrites the built-in optimizer cannot
+    // know — runs inside the fixed-point operator-optimization batch, so
+    // every rule here must be idempotent.
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,104 @@
+package graft.plans
+
+import graft.functions.LevenshteinBounded
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: thresholded-levenshtein filters, as users naturally
+  * write them (`WHERE levenshtein(a, b) <= 40`), rewrite to the
+  * early-abandoning [[LevenshteinBounded]] form plus the metric's implied
+  * length prune — the optimization [[graft.queries.DocQueries.fuzzyDedup]]
+  * hand-applies, promoted into the planner so EVERY query (DataFrame or
+  * SQL) gets it:
+  *
+  *   `lev(a,b) <= k`  →  `|len(a) − len(b)| <= k AND lev_bounded(a,b,k) >= 0`
+  *   `lev(a,b) >  k`  →  `lev_bounded(a,b,k) < 0`
+  *   (and the <, >=, and reversed-operand forms, k a plan-time int literal)
+  *
+  * Safety argument, piece by piece:
+  *  - [[LevenshteinBounded]] is bit-identical to the built-in
+  *    `levenshtein(a, b, k)` on ALL inputs (surrogate-bearing strings take
+  *    the built-in path internally), so `bounded >= 0 ⟺ dist <= k` with
+  *    EXACT null propagation — that part of the rewrite is valid in any
+  *    expression context.
+  *  - `|len(a) − len(b)| <= k` is implied by `dist <= k` (each edit changes
+  *    the length by at most 1, over code points — Spark `length`'s unit),
+  *    so conjoining it never changes the selected set; it can only change
+  *    a NULL predicate into FALSE, which is why the rule fires ONLY inside
+  *    `Filter`, where NULL and FALSE select identically. The prune is also
+  *    only injected when both operands are cheap (attributes/literals) —
+  *    it evaluates before the DP and duplicates the operands.
+  *  - k must be a non-negative plan-time int literal; everything else is
+  *    left untouched. The rule is idempotent (its output matches none of
+  *    its patterns), as the fixed-point operator-optimization batch
+  *    requires.
+  *
+  * Measured on the fuzzy-dedup verify kernel: the early abandon alone is
+  * ~2–6x on non-matching candidate pairs (`ThresholdLevenshtein` header);
+  * the length prune skips the DP entirely for out-of-band pairs. */
+object LevenshteinRewrite extends Rule[LogicalPlan] {
+
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case _ => None
+  }
+
+  private def cheap(e: Expression): Boolean = e match {
+    case _: Attribute => true
+    case _ => e.foldable
+  }
+
+  private def bounded(a: Expression, b: Expression, k: Int): Expression =
+    LevenshteinBounded(a, b, k)
+
+  /** `dist <= k` as the guarded bounded form (Filter context only). */
+  private def atMost(a: Expression, b: Expression, k: Int): Expression = {
+    val hit = GreaterThanOrEqual(bounded(a, b, k), Literal(0))
+    if (cheap(a) && cheap(b))
+      And(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(k)), hit)
+    else hit
+  }
+
+  /** `dist > k` — no prune (a length gap only certifies membership). */
+  private def moreThan(a: Expression, b: Expression, k: Int): Expression =
+    LessThan(bounded(a, b, k), Literal(0))
+
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    // dist <= k / k >= dist
+    case LessThanOrEqual(lev: Levenshtein, e)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 0) =>
+      atMost(lev.left, lev.right, intLit(e).get)
+    case GreaterThanOrEqual(e, lev: Levenshtein)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 0) =>
+      atMost(lev.left, lev.right, intLit(e).get)
+    // dist < k / k > dist  (k >= 1 so k-1 stays a valid threshold)
+    case LessThan(lev: Levenshtein, e)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 1) =>
+      atMost(lev.left, lev.right, intLit(e).get - 1)
+    case GreaterThan(e, lev: Levenshtein)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 1) =>
+      atMost(lev.left, lev.right, intLit(e).get - 1)
+    // dist > k / k < dist
+    case GreaterThan(lev: Levenshtein, e)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 0) =>
+      moreThan(lev.left, lev.right, intLit(e).get)
+    case LessThan(e, lev: Levenshtein)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 0) =>
+      moreThan(lev.left, lev.right, intLit(e).get)
+    // dist >= k / k <= dist  (≡ dist > k-1)
+    case GreaterThanOrEqual(lev: Levenshtein, e)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 1) =>
+      moreThan(lev.left, lev.right, intLit(e).get - 1)
+    case LessThanOrEqual(e, lev: Levenshtein)
+        if lev.threshold.isEmpty && intLit(e).exists(_ >= 1) =>
+      moreThan(lev.left, lev.right, intLit(e).get - 1)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val r = rewrite(cond)
+      if (r fastEquals cond) f else f.copy(condition = r)
+  }
+}
