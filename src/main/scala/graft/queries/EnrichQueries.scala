@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.functions.GeoIp
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Enrichment + multimodal-column queries.
@@ -662,6 +663,82 @@ object EnrichQueries {
       |    + (x + y*11 + f*7 + 3*doc_id) % 256) AS BIGINT) AS frame_sum
       |FROM gxy GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- video scene cuts
+  /** Shot-boundary detection over REAL decoded video frames — the standard
+    * frame-differencing baseline every video-corpus curation pipeline runs
+    * before sampling clips: per-frame pixel mass from the byte-level AVI
+    * decode ([[graft.functions.MediaCodec]], every frame, step 1), absolute
+    * inter-frame delta, and an ADAPTIVE cut threshold (a cut is a delta
+    * more than 2x the clip's mean delta) kept integer-exact by
+    * cross-multiplication — `delta * (n-1) > 2 * Σ deltas` — so the oracle
+    * hash-matches without a single float. Scene segmentation is a
+    * cumulative cut count; the emitted row is the clip-grain summary a
+    * sampler keys on (cut count, longest steady scene).
+    *
+    * Scale: the video BYTES never shuffle — frame sums collapse in-row via
+    * the decode expression; the window runs per doc over <= n_frames rows.
+    * Oracle: full synthesis-arithmetic replay (the [[mediaAviFrames]]
+    * convention), extended with the same delta/threshold/segment algebra. */
+  def mediaSceneCuts(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{aviFrameSums, synthAvi}
+    val frames = documents(spark, d)
+      .select(col("doc_id"), posexplode(aviFrameSums(synthAvi(col("doc_id")), 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("f"), col("col").as("s"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    val deltas = frames
+      .withColumn("delta", abs(col("s") - lag(col("s"), 1).over(wOrd)))
+      .filter(col("delta").isNotNull)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val flagged = deltas
+      .withColumn("nd", count(lit(1)).over(wDoc))
+      .withColumn("total", sum(col("delta")).over(wDoc))
+      .withColumn("cut", (col("delta") * col("nd") > col("total") * 2).cast("int"))
+      .withColumn("scene", sum(col("cut")).over(wOrd))
+    flagged.groupBy(col("doc_id"), col("scene"))
+      .agg(count(lit(1)).as("seg_len"), max(col("cut")).as("c"),
+        first(col("nd")).as("nd"))
+      .groupBy(col("doc_id"))
+      .agg((first(col("nd")) + 1).as("n_frames"),
+        sum(col("c")).as("n_cuts"),
+        // the first segment sits before any cut: +1 restores the lead frame
+        (max(when(col("scene") === 0, col("seg_len") + 1)
+          .otherwise(col("seg_len")))).as("longest_scene"))
+  }
+
+  val mediaSceneCutsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS w,
+      |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h,
+      |    CAST(4 + (doc_id % 8) AS INT) AS n
+      |  FROM documents),
+      |gf AS (SELECT doc_id, w, h, n, unnest(generate_series(0, n - 1)) AS f FROM d),
+      |gx AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM gf),
+      |gxy AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+      |fs AS (SELECT doc_id, f,
+      |  CAST(SUM((x*3 + y*5 + f*11 + doc_id) % 256 + (x*7 + y + f*3 + 2*doc_id) % 256
+      |    + (x + y*11 + f*7 + 3*doc_id) % 256) AS BIGINT) AS s
+      |  FROM gxy GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, f, ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+      |  FROM fs),
+      |dd AS (SELECT doc_id, f, delta,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS nd,
+      |    SUM(delta) OVER (PARTITION BY doc_id) AS total
+      |  FROM dl WHERE delta IS NOT NULL),
+      |fl AS (SELECT doc_id, f, nd,
+      |    CASE WHEN delta * nd > total * 2 THEN 1 ELSE 0 END AS cut
+      |  FROM dd),
+      |sc AS (SELECT doc_id, f, nd, cut,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+      |  FROM fl),
+      |seg AS (SELECT doc_id, scene, COUNT(*) AS seg_len, MAX(cut) AS c,
+      |    MAX(nd) AS nd
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, CAST(MAX(nd) + 1 AS BIGINT) AS n_frames,
+      |  CAST(SUM(c) AS BIGINT) AS n_cuts,
+      |  CAST(MAX(CASE WHEN scene = 0 THEN seg_len + 1 ELSE seg_len END) AS BIGINT)
+      |    AS longest_scene
+      |FROM seg GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_enrich"     -> (geoEnrich _),
     "geo_enrich_full" -> (geoEnrichFull _),
@@ -677,7 +754,8 @@ object EnrichQueries {
     "media_phash_dedup" -> (mediaPhashDedup _),
     "media_audio_dedup" -> (mediaAudioDedup _),
     "media_avi_decode" -> (mediaAviDecode _),
-    "media_avi_frames" -> (mediaAviFrames _))
+    "media_avi_frames" -> (mediaAviFrames _),
+    "media_scene_cuts" -> (mediaSceneCuts _))
 
   val oracles: Map[String, String] = Map(
     "geo_enrich"     -> geoEnrichSql,
@@ -696,5 +774,6 @@ object EnrichQueries {
     "media_phash_dedup" -> mediaPhashDedupSql,
     "media_audio_dedup" -> mediaAudioDedupSql,
     "media_avi_decode" -> mediaAviDecodeSql,
-    "media_avi_frames" -> mediaAviFramesSql)
+    "media_avi_frames" -> mediaAviFramesSql,
+    "media_scene_cuts" -> mediaSceneCutsSql)
 }
