@@ -2222,7 +2222,101 @@ object EmbeddingQueries {
     s"""SELECT $NQueries AS n_queries, $TopK AS k,
        |  CAST($NQueries * $TopK AS BIGINT) AS truth_pairs, true AS ok""".stripMargin
 
+  // ----------------------------------------------------------- PCA (top PC)
+  /** Distributed PCA, top principal component — the whitening/compression
+    * preprocessing step quantizers (PQ/SQ) and outlier detectors assume:
+    * the data-scale work is ONE map-side-combinable aggregation of the
+    * exact integer second-moment matrix (4096 cells for d=64; the shuffle
+    * carries cells x partitions, never vectors), the 64x64 eigen-solve then
+    * runs on the driver over a model-sized frame (the k-means-centroid
+    * convention). Covariance stays EXACT integers until the solve:
+    * C'_ij = n·Σ s_i s_j − S_i·S_j over the scaled-long embeddings,
+    * accumulated in DECIMAL(38,0) (long Σ s_i s_j overflows past ~10^5
+    * vectors).
+    *
+    * Engine-parity for an ITERATIVE float algorithm: each power-iteration
+    * step re-quantizes the vector onto a 1e-9 grid (round-half-away, both
+    * engines), so double summation-order noise (~1e-14 relative) can never
+    * escape a step — after 20 steps both engines hold the bit-identical
+    * vector, and the emitted Rayleigh ratio rounds at 1e-6, nine orders
+    * above the noise. The DuckDB oracle replays everything including the
+    * iteration (recursive CTE over a DOUBLE[] state with the identical
+    * grid rounding). */
+  def pcaTop(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dim = Dim
+    val e = embeddings(spark, d).select(scaled(col("embedding")).as("s"))
+    val cells = e.select(explode(expr(
+        """flatten(transform(s, (x, i) -> transform(s, (y, j) ->
+          |  struct(i AS i, j AS j, x * y AS p))))""".stripMargin)).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("P"))
+    val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
+      .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
+    val n = e.count()
+    val P = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    val S = firsts.collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
+    val nBd = java.math.BigDecimal.valueOf(n)
+    val cp = Array.tabulate(dim, dim)((i, j) =>
+      nBd.multiply(P((i, j))).subtract(S(i).multiply(S(j))).doubleValue)
+    def grid9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 20) {
+      val w = Array.tabulate(dim) { i =>
+        var a = 0.0; var j = 0
+        while (j < dim) { a += cp(i)(j) * v(j); j += 1 }
+        a
+      }
+      val mw = w.map(math.abs).max
+      v = w.map(x => grid9(x / mw))
+    }
+    var lam = 0.0
+    var trace = 0.0
+    for (i <- 0 until dim) {
+      trace += cp(i)(i)
+      for (j <- 0 until dim) lam += cp(i)(j) * v(i) * v(j)
+    }
+    val amax = v.map(math.abs).max
+    val topDim = v.indexWhere(x => math.abs(x) == amax).toLong
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, topDim, round6(lam / trace),
+        round6(lam / (n.toDouble * n * 1e14))))
+      .toDF("n", "top_dim", "explained_ratio", "top_eigenvalue")
+  }
+
+  val pcaTopSql: String =
+    s"""WITH RECURSIVE e AS (SELECT list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000) AS BIGINT)) AS s FROM embeddings),
+       | nn AS (SELECT COUNT(*) AS n FROM e),
+       | fm AS (SELECT i, SUM(s[i+1]) AS S FROM e, (SELECT unnest(range($Dim)) AS i) GROUP BY 1),
+       | sm AS (SELECT i, j, SUM(CAST(s[i+1] * s[j+1] AS DECIMAL(38,0))) AS P
+       |        FROM e, (SELECT unnest(range($Dim)) AS i), (SELECT unnest(range($Dim)) AS j) GROUP BY 1,2),
+       | cmat AS (SELECT sm.i, sm.j,
+       |     CAST(CAST((SELECT n FROM nn) AS DECIMAL(38,0)) * P
+       |        - CAST(f1.S AS DECIMAL(38,0)) * f2.S AS DOUBLE) AS c
+       |   FROM sm JOIN fm f1 ON sm.i = f1.i JOIN fm f2 ON sm.j = f2.i),
+       | it(iter, v) AS (
+       |   SELECT 0, (SELECT list(CAST(1.0 AS DOUBLE) ORDER BY i) FROM (SELECT unnest(range($Dim)) AS i))
+       |   UNION ALL
+       |   SELECT iter+1, wl.lst FROM it, LATERAL (
+       |     SELECT list(ROUND(w / mw, 9) ORDER BY i) AS lst FROM (
+       |       SELECT i, w, MAX(ABS(w)) OVER () AS mw FROM (
+       |         SELECT cm.i AS i, SUM(cm.c * it.v[cm.j+1]) AS w FROM cmat cm GROUP BY 1)))
+       |     wl
+       |   WHERE it.iter < 20),
+       | fin AS (SELECT v FROM it WHERE iter = 20),
+       | lam AS (SELECT SUM(cm.c * f.v[cm.i+1] * f.v[cm.j+1]) AS l FROM cmat cm, fin f),
+       | tr AS (SELECT SUM(c) AS t FROM cmat WHERE i = j),
+       | td AS (SELECT MIN(i) AS top_dim FROM (SELECT i, ABS(v[i+1]) AS a FROM fin, (SELECT unnest(range($Dim)) AS i))
+       |        WHERE a = (SELECT MAX(ABS(v[i2+1])) FROM fin, (SELECT unnest(range($Dim)) AS i2)))
+       |SELECT (SELECT n FROM nn) AS n, (SELECT top_dim FROM td) AS top_dim,
+       |  ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS explained_ratio,
+       |  ROUND((SELECT l FROM lam) / ((SELECT n FROM nn)*(SELECT n FROM nn)*1e14), 6) AS top_eigenvalue""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca"            -> (pcaTop _),
     "emb_hnsw_search"    -> (hnswSearch _),
     "emb_hnsw_recall"    -> (hnswRecall _),
     "emb_jl_recall"      -> (jlRecall _),
@@ -2276,6 +2370,7 @@ object EmbeddingQueries {
     "emb_bq_rerank_recall" -> bqRerankRecallSql,
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
+    "emb_pca"            -> pcaTopSql,
     "emb_hnsw_recall"    -> hnswRecallSql,
     "emb_mips"           -> mipsSql,
     "emb_hard_negatives" -> hardNegativesSql,
