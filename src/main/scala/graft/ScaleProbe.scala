@@ -187,7 +187,10 @@ object ScaleProbe {
       // gear CDC: one narrow O(bytes) pass, no exchange at all — any
       // super-linear growth is a plan regression (e.g. the chunk explode
       // picking up a shuffle)
-      "doc_cdc_gear"))
+      "doc_cdc_gear",
+      // PCA: the exchange carries 4096 covariance cells per partition —
+      // decay means the outer-product explode stopped partial-aggregating
+      "emb_pca"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

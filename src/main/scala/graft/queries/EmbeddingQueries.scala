@@ -2242,15 +2242,24 @@ object EmbeddingQueries {
     * above the noise. The DuckDB oracle replays everything including the
     * iteration (recursive CTE over a DOUBLE[] state with the identical
     * grid rounding). */
-  def pcaTop(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val dim = Dim
-    val e = embeddings(spark, d).select(scaled(col("embedding")).as("s"))
-    val cells = e.select(explode(expr(
+  /** The data-scale stage of [[pcaTop]], exposed so `PlanSpec` can assert
+    * its shape (pcaTop itself returns a driver-solved literal row — its
+    * plan is a LocalTableScan; the aggregation runs at construction). */
+  private[graft] def pcaCells(e: DataFrame): DataFrame =
+    e.select(explode(expr(
         """flatten(transform(s, (x, i) -> transform(s, (y, j) ->
           |  struct(i AS i, j AS j, x * y AS p))))""".stripMargin)).as("c"))
       .select(col("c.i"), col("c.j"), col("c.p"))
       .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("P"))
+
+  private[graft] def pcaScaled(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d).select(scaled(col("embedding")).as("s"))
+
+  def pcaTop(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dim = Dim
+    val e = embeddings(spark, d).select(scaled(col("embedding")).as("s"))
+    val cells = pcaCells(e)
     val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
       .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
     val n = e.count()

@@ -830,6 +830,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pca: the second-moment aggregation partial-aggregates — the shuffle " +
+       "carries covariance cells, never vectors") {
+    // pcaTop itself returns a driver-solved literal row; the gate runs on
+    // the exposed data-scale stage
+    val nodes = planNodes(graft.queries.EmbeddingQueries.pcaCells(
+      graft.queries.EmbeddingQueries.pcaScaled(spark, sf)))
+    val hashAggs = nodes.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(hashAggs.size >= 2, "partial+final aggregation expected")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+  }
+
   test("inverted index: posting cap is a partial TopK aggregation, and the " +
        "term cap is TakeOrdered — no window sort, no global sort") {
     val p = plan(graft.queries.DocQueries.queries("doc_inverted_index")(spark, sf))
