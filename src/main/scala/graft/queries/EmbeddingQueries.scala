@@ -2295,8 +2295,52 @@ object EmbeddingQueries {
       .toDF("n", "top_dim", "explained_ratio", "top_eigenvalue")
   }
 
-  val pcaTopSql: String =
-    s"""WITH RECURSIVE e AS (SELECT list_transform(embedding,
+  /** Per-vector projection onto the top principal component — the usable
+    * output of [[pcaTop]] (1-d curriculum ordering, PCA outlier scores,
+    * split keys): coord = v·(s − μ) in raw embedding units. The driver
+    * solves v exactly as pcaTop does (same grid-rounded iteration → same
+    * bits), the projection itself is one broadcast-literal narrow pass
+    * over the corpus. Rounded at 1e-6, nine orders above double
+    * summation-order noise, so the full-replay oracle hash-matches. */
+  def pcaProject(spark: SparkSession, d: String): DataFrame = {
+    val dim = Dim
+    val e = pcaScaled(spark, d)
+    val cells = pcaCells(e)
+    val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
+      .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
+    val n = e.count()
+    val P = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    val S = firsts.collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
+    val nBd = java.math.BigDecimal.valueOf(n)
+    val cp = Array.tabulate(dim, dim)((i, j) =>
+      nBd.multiply(P((i, j))).subtract(S(i).multiply(S(j))).doubleValue)
+    def grid9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 20) {
+      val w = Array.tabulate(dim) { i =>
+        var a = 0.0; var j = 0
+        while (j < dim) { a += cp(i)(j) * v(j); j += 1 }
+        a
+      }
+      val mw = w.map(math.abs).max
+      v = w.map(x => grid9(x / mw))
+    }
+    var mdot = 0.0
+    for (i <- 0 until dim) mdot += v(i) * S(i).doubleValue
+    val mean = mdot / n
+    val vLit = array(v.map(lit): _*)
+    embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("s"))
+      .select(col("vec_id"),
+        round((aggregate(zip_with(col("s"), vLit, (x, wv) => x.cast("double") * wv),
+          lit(0.0), (a, b) => a + b) - mean) / 1e7, 6).as("pc1"))
+  }
+
+  /** Shared CTE chain (covariance + grid-rounded iteration) ending at
+    * `fin(v)` — both PCA oracles build on it. */
+  private def pcaCtes: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000) AS BIGINT)) AS s FROM embeddings),
        | nn AS (SELECT COUNT(*) AS n FROM e),
        | fm AS (SELECT i, SUM(s[i+1]) AS S FROM e, (SELECT unnest(range($Dim)) AS i) GROUP BY 1),
@@ -2315,7 +2359,10 @@ object EmbeddingQueries {
        |         SELECT cm.i AS i, SUM(cm.c * it.v[cm.j+1]) AS w FROM cmat cm GROUP BY 1)))
        |     wl
        |   WHERE it.iter < 20),
-       | fin AS (SELECT v FROM it WHERE iter = 20),
+       | fin AS (SELECT v FROM it WHERE iter = 20)""".stripMargin
+
+  val pcaTopSql: String =
+    s"""$pcaCtes,
        | lam AS (SELECT SUM(cm.c * f.v[cm.i+1] * f.v[cm.j+1]) AS l FROM cmat cm, fin f),
        | tr AS (SELECT SUM(c) AS t FROM cmat WHERE i = j),
        | td AS (SELECT MIN(i) AS top_dim FROM (SELECT i, ABS(v[i+1]) AS a FROM fin, (SELECT unnest(range($Dim)) AS i))
@@ -2324,8 +2371,19 @@ object EmbeddingQueries {
        |  ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS explained_ratio,
        |  ROUND((SELECT l FROM lam) / ((SELECT n FROM nn)*(SELECT n FROM nn)*1e14), 6) AS top_eigenvalue""".stripMargin
 
+  val pcaProjectSql: String =
+    s"""$pcaCtes,
+       | md AS (SELECT SUM(f.v[fm.i+1] * CAST(fm.S AS DOUBLE)) / (SELECT n FROM nn) AS mean
+       |        FROM fm, fin f)
+       |SELECT e.vec_id,
+       |  ROUND(((SELECT SUM(f.v[i+1] * e.s[i+1])
+       |          FROM fin f, (SELECT unnest(range($Dim)) AS i))
+       |         - (SELECT mean FROM md)) / 1e7, 6) AS pc1
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca"            -> (pcaTop _),
+    "emb_pca_project"    -> (pcaProject _),
     "emb_hnsw_search"    -> (hnswSearch _),
     "emb_hnsw_recall"    -> (hnswRecall _),
     "emb_jl_recall"      -> (jlRecall _),
@@ -2380,6 +2438,7 @@ object EmbeddingQueries {
     "emb_sq_search"      -> sqSearchSql,
     "emb_knn_brute"      -> knnBruteSql,
     "emb_pca"            -> pcaTopSql,
+    "emb_pca_project"    -> pcaProjectSql,
     "emb_hnsw_recall"    -> hnswRecallSql,
     "emb_mips"           -> mipsSql,
     "emb_hard_negatives" -> hardNegativesSql,
