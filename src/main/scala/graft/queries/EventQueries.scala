@@ -2159,6 +2159,86 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // ---------------------------------------------- incremental rollup (IVM)
+  /** Incremental view maintenance for the daily rollup — the between-full-
+    * rebuilds pass every warehouse runs: yesterday's AGGREGATE STATE plus
+    * today's delta must equal a full recompute, without touching the base
+    * data again. The state here is genuinely mergeable end to end: counts
+    * and scaled-long sums add, min/max re-min/max, and the distinct-user
+    * sketch merges at the REGISTER level ([[hllRegs]] per-bucket max —
+    * associative, so merged registers are bit-identical to
+    * registers-of-the-union, and the estimate is EXACTLY equal, not
+    * approximately).
+    *
+    * The fixture split is deterministic (event_id % 5: 80% "snapshot",
+    * 20% "delta"); the oracle computes the rollup DIRECTLY over the
+    * unsplit data — the hash gate therefore proves the incremental
+    * algebra itself (a wrong merge cannot agree with the full recompute).
+    * Scale: both legs partial-aggregate; the merge unions STATE tables
+    * (days x types x buckets rows), never events. */
+  def incrementalRollup(spark: SparkSession, d: String): DataFrame = {
+    val all = ev(spark, d).select(
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      col("event_id"))
+    val base = all.filter(col("event_id") % 5 =!= 0)
+    val delta = all.filter(col("event_id") % 5 === 0)
+    def counts(df: DataFrame): DataFrame = df.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val mergedCounts = counts(base).unionByName(counts(delta))
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_scaled"),
+        min(col("mn")).as("min_scaled"), max(col("mx")).as("max_scaled"))
+    val mergedRegs = hllRegs(base).unionByName(hllRegs(delta))
+      .groupBy("day", "event_type", "bucket").agg(max(col("rmax")).as("rmax"))
+    mergedCounts
+      .join(hllEstimate(mergedRegs, Seq("day", "event_type")),
+        Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("sum_scaled"), col("min_scaled"), col("max_scaled"),
+        col("approx_users"))
+  }
+
+  val incrementalRollupSql: String = {
+    val c = HllScale.toString
+    s"""WITH base AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id,
+       |         CAST(FLOOR(value * 1000) AS BIGINT) AS v
+       |  FROM events),
+       | cnt AS (SELECT day, event_type, COUNT(*) AS n_events,
+       |           CAST(SUM(v) AS BIGINT) AS sum_scaled,
+       |           MIN(v) AS min_scaled, MAX(v) AS max_scaled
+       |         FROM base GROUP BY 1, 2),
+       | h AS (SELECT day, event_type,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 25, 8))::UBIGINT AS lo,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 17, 8))::UBIGINT AS hi
+       |       FROM base),
+       | hw AS (SELECT day, event_type,
+       |          CAST(lo & 1023 AS BIGINT) AS bucket,
+       |          CAST(hi AS BIGINT) * 4194304 + CAST(lo >> 10 AS BIGINT) AS w
+       |        FROM h),
+       | regs AS (SELECT day, event_type, bucket,
+       |            MAX(CASE WHEN w = 0 THEN 18014398509481984
+       |                     ELSE w & (-w) END) AS rmax
+       |          FROM hw GROUP BY 1, 2, 3),
+       | hll AS (SELECT day, event_type,
+       |           SUM(CAST(FLOOR(2251799813685248.0 / rmax) AS BIGINT)) AS s_present,
+       |           COUNT(*) AS nregs
+       |         FROM regs GROUP BY 1, 2),
+       | users AS (SELECT day, event_type,
+       |             ROUND(CASE WHEN $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE) <= 2560.0
+       |                         AND 1024 - nregs > 0
+       |                   THEN 1024.0 * ln(1024.0 / CAST(1024 - nregs AS DOUBLE))
+       |                   ELSE $c / CAST(s_present + (1024 - nregs) * 4503599627370496 AS DOUBLE)
+       |                   END, 3) AS approx_users
+       |           FROM hll)
+       |SELECT cnt.day, cnt.event_type, n_events, sum_scaled, min_scaled,
+       |       max_scaled, approx_users
+       |FROM cnt JOIN users USING (day, event_type)""".stripMargin
+  }
+
   // ------------------------------------------------------------ rolling HLL
   /** 7-day rolling distinct users per event type — the re-aggregation
     * payoff of a MERGEABLE sketch: the data is scanned ONCE to build the
@@ -3164,6 +3244,7 @@ object EventQueries {
     "evt_exact_quantiles"     -> (exactQuantiles _),
     "evt_tdigest"             -> (tdigestQuantiles _),
     "evt_forecast_eval"       -> (forecastEval _),
+    "evt_incremental_rollup"  -> (incrementalRollup _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3220,6 +3301,7 @@ object EventQueries {
     "evt_exact_quantiles"     -> exactQuantilesSql,
     "evt_tdigest"             -> tdigestQuantilesSql,
     "evt_forecast_eval"       -> forecastEvalSql,
+    "evt_incremental_rollup"  -> incrementalRollupSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
