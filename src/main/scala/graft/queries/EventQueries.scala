@@ -2159,6 +2159,60 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // --------------------------------------------------- join-key skew report
+  /** Join-key skew advisory — the "should this join be salted" report the
+    * 100-TB plans in this repo act on (fuzzyDedup's salted bands, the AQE
+    * skew-join threshold): per (table, key), row count, key cardinality,
+    * the hottest key's row count, and the skew factor
+    * `max_cnt · n_keys / n_rows` (1.0 = perfectly balanced; the factor is
+    * how much slower the hottest reducer runs than the average under a
+    * plain hash partition). One map-side-combinable groupBy per key — the
+    * shuffle carries (key, count) pairs; the hottest key resolves inside
+    * the same aggregation via min(struct(-count, key)), no second pass,
+    * no window. */
+  def skewReport(spark: SparkSession, d: String): DataFrame = {
+    def one(df: DataFrame, tbl: String, key: String): DataFrame =
+      df.select(col(key).cast("string").as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"),
+          min(struct((-col("c")).as("nc"), col("k").as("kk")))
+            .getField("kk").as("top_key"))
+        .select(lit(tbl).as("tbl"), lit(key).as("key"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+            .as("skew"),
+          col("top_key"))
+    one(ev(spark, d), "events", "user_id")
+      .unionByName(one(ev(spark, d), "events", "event_type"))
+      .unionByName(one(lineitem(spark, d), "lineitem", "l_orderkey"))
+      .unionByName(one(lineitem(spark, d), "lineitem", "l_suppkey"))
+      .unionByName(one(orders(spark, d), "orders", "o_custkey"))
+  }
+
+  val skewReportSql: String = {
+    def one(tbl: String, key: String): String =
+      s"""SELECT '$tbl' AS tbl, '$key' AS key,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+         |  ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS skew,
+         |  MIN(CASE WHEN c = (SELECT MAX(c) FROM g_${tbl}_$key) THEN k END) AS top_key
+         |FROM g_${tbl}_$key""".stripMargin
+    def gcte(tbl: String, key: String): String =
+      s"""g_${tbl}_$key AS (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+         |  FROM $tbl WHERE $key IS NOT NULL GROUP BY 1)""".stripMargin
+    s"""WITH ${gcte("events", "user_id")},
+       | ${gcte("events", "event_type")},
+       | ${gcte("lineitem", "l_orderkey")},
+       | ${gcte("lineitem", "l_suppkey")},
+       | ${gcte("orders", "o_custkey")}
+       |${one("events", "user_id")}
+       |UNION ALL ${one("events", "event_type")}
+       |UNION ALL ${one("lineitem", "l_orderkey")}
+       |UNION ALL ${one("lineitem", "l_suppkey")}
+       |UNION ALL ${one("orders", "o_custkey")}""".stripMargin
+  }
+
   // ---------------------------------------------- incremental rollup (IVM)
   /** Incremental view maintenance for the daily rollup — the between-full-
     * rebuilds pass every warehouse runs: yesterday's AGGREGATE STATE plus
@@ -3245,6 +3299,7 @@ object EventQueries {
     "evt_tdigest"             -> (tdigestQuantiles _),
     "evt_forecast_eval"       -> (forecastEval _),
     "evt_incremental_rollup"  -> (incrementalRollup _),
+    "evt_skew_report"         -> (skewReport _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3302,6 +3357,7 @@ object EventQueries {
     "evt_tdigest"             -> tdigestQuantilesSql,
     "evt_forecast_eval"       -> forecastEvalSql,
     "evt_incremental_rollup"  -> incrementalRollupSql,
+    "evt_skew_report"         -> skewReportSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
