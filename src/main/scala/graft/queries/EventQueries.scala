@@ -2159,6 +2159,106 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // ---------------------------------------------- time-series similarity
+  /** Distributed time-series similarity search (the UCR-suite shape the
+    * retrieved EDBT'19/ICDE'21 papers distribute): which users' daily
+    * activity series most resemble the probe user's? Per-user series are
+    * dense day-grids of scaled-integer daily sums; candidate generation is
+    * the PAA lower bound (piecewise aggregate approximation, Keogh et al.:
+    * by Cauchy–Schwarz, Σ_seg(sumA−sumB)² ≤ seglen·Σ(a−b)², so ranking by
+    * segment-sum distance can under- but never over-estimate), a
+    * TakeOrdered shortlist, then the EXACT integer squared distance on
+    * shortlist survivors only. Every emitted row carries `lb_ok` — the
+    * bound actually holding on that pair (S·lb ≤ L·sqdist, all integers) —
+    * so a broken bound implementation flips the flag and the hash.
+    *
+    * Scale: the series grid and PAA are map-side-combinable aggregations;
+    * the probe series/PAA broadcast; the exact verify touches only the
+    * shortlist (k-bounded). Integer arithmetic end to end — the oracle
+    * replays the full two-stage pipeline, and the spec pins shortlist
+    * completeness vs brute force at fixture scale. */
+  private val TsSegments = 6
+  private val TsShortlist = 30
+  private val TsTopK = 10
+
+  def tsSearch(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy(col("user_id"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+    val days = daily.select(col("day")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+    val nDays = days.agg(count(lit(1)).as("L"))
+    val users = daily.select(col("user_id")).distinct()
+    val grid = users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("v0", coalesce(col("v"), lit(0L)))
+      .crossJoin(broadcast(nDays))
+      .withColumn("seg", expr(s"(idx - 1) * $TsSegments DIV L"))
+    val paa = grid.groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("v0")).as("sv"), first(col("L")).as("L"))
+    val qUser = users.agg(min(col("user_id")).as("qu"))
+    val qPaa = paa.crossJoin(broadcast(qUser)).filter(col("user_id") === col("qu"))
+      .select(col("seg"), col("sv").as("qsv"), col("qu"))
+    val lb = paa.join(broadcast(qPaa), "seg")
+      .filter(col("user_id") =!= col("qu"))
+      .groupBy(col("user_id"))
+      .agg(sum((col("sv") - col("qsv")) * (col("sv") - col("qsv"))).as("lb_scaled"),
+        first(col("L")).as("L"))
+    val shortlist = lb.orderBy(col("lb_scaled"), col("user_id")).limit(TsShortlist)
+    val qSeries = grid.crossJoin(broadcast(qUser))
+      .filter(col("user_id") === col("qu"))
+      .select(col("idx"), col("v0").as("qv"))
+    val exact = grid.join(broadcast(shortlist.select(col("user_id"), col("lb_scaled"))), "user_id")
+      .join(broadcast(qSeries), "idx")
+      .groupBy(col("user_id"))
+      .agg(sum((col("v0") - col("qv")) * (col("v0") - col("qv"))).as("sqdist"),
+        first(col("lb_scaled")).as("lb_scaled"), first(col("L")).as("L"))
+    exact
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sqdist"), col("user_id"))))
+      .filter(col("rank") <= TsTopK)
+      .select(col("rank"), col("user_id"), col("sqdist"), col("lb_scaled"),
+        (col("lb_scaled") * lit(TsSegments.toLong) <= col("sqdist") * col("L"))
+          .as("lb_ok"))
+  }
+
+  val tsSearchSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       | days AS (SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS idx
+       |          FROM (SELECT DISTINCT day FROM daily)),
+       | nd AS (SELECT COUNT(*) AS L FROM days),
+       | grid AS (SELECT u.user_id, dy.idx,
+       |            COALESCE(d.v, 0) AS v0,
+       |            CAST((dy.idx - 1) * $TsSegments // (SELECT L FROM nd) AS BIGINT) AS seg
+       |          FROM (SELECT DISTINCT user_id FROM daily) u
+       |          CROSS JOIN days dy
+       |          LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = dy.day),
+       | paa AS (SELECT user_id, seg, CAST(SUM(v0) AS BIGINT) AS sv
+       |         FROM grid GROUP BY 1, 2),
+       | qu AS (SELECT MIN(user_id) AS qu FROM daily),
+       | qpaa AS (SELECT seg, sv AS qsv FROM paa WHERE user_id = (SELECT qu FROM qu)),
+       | lb AS (SELECT p.user_id,
+       |          CAST(SUM((p.sv - q.qsv) * (p.sv - q.qsv)) AS BIGINT) AS lb_scaled
+       |        FROM paa p JOIN qpaa q USING (seg)
+       |        WHERE p.user_id <> (SELECT qu FROM qu)
+       |        GROUP BY 1),
+       | short AS (SELECT * FROM lb ORDER BY lb_scaled, user_id LIMIT $TsShortlist),
+       | qs AS (SELECT idx, v0 AS qv FROM grid WHERE user_id = (SELECT qu FROM qu)),
+       | ex AS (SELECT g.user_id,
+       |          CAST(SUM((g.v0 - q.qv) * (g.v0 - q.qv)) AS BIGINT) AS sqdist,
+       |          MIN(s.lb_scaled) AS lb_scaled
+       |        FROM grid g JOIN short s ON g.user_id = s.user_id
+       |        JOIN qs q USING (idx)
+       |        GROUP BY 1)
+       |SELECT CAST(rk AS INT) AS rank, user_id, sqdist, lb_scaled,
+       |  lb_scaled * $TsSegments <= sqdist * (SELECT L FROM nd) AS lb_ok
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sqdist, user_id) AS rk FROM ex)
+       |WHERE rk <= $TsTopK""".stripMargin
+
   // --------------------------------------------------- join-key skew report
   /** Join-key skew advisory — the "should this join be salted" report the
     * 100-TB plans in this repo act on (fuzzyDedup's salted bands, the AQE
@@ -3300,6 +3400,7 @@ object EventQueries {
     "evt_forecast_eval"       -> (forecastEval _),
     "evt_incremental_rollup"  -> (incrementalRollup _),
     "evt_skew_report"         -> (skewReport _),
+    "evt_ts_search"           -> (tsSearch _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3358,6 +3459,7 @@ object EventQueries {
     "evt_forecast_eval"       -> forecastEvalSql,
     "evt_incremental_rollup"  -> incrementalRollupSql,
     "evt_skew_report"         -> skewReportSql,
+    "evt_ts_search"           -> tsSearchSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,

