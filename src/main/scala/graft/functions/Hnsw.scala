@@ -191,4 +191,45 @@ object Hnsw {
     nodes.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
     g
   }
+
+  // ------------------------------------------------------- persistence
+  /** One row per node: everything needed to reload the graph WITHOUT
+    * re-running construction — the build-once / serve-many-query-batches
+    * lifecycle (per-shard graph build is the expensive sequential part;
+    * a 100-TB index is built once per ingest and persisted as ordinary
+    * parquet, then every query batch reloads shards in O(shard) with zero
+    * insert work). Neighbor lists are flattened per level; entry/maxLevel
+    * re-derive from the rows (entry = the node whose level == maxLevel
+    * with the smallest insertion index — unique by construction: the
+    * entry only changes when a strictly higher level appears). */
+  final case class NodeRow(id: Long, vec: Array[Float], level: Int,
+      neighbors: Array[Array[Long]])
+
+  def toRows(g: Graph): Array[NodeRow] =
+    Array.tabulate(g.ids.length) { i =>
+      NodeRow(g.ids(i), g.vecs(i), g.levels(i),
+        g.neighbors(i).map(_.map(n => g.ids(n)).toArray))
+    }
+
+  /** Rebuild a graph VERBATIM from persisted rows: same arrays, same
+    * adjacency, same entry point — `search` results are bit-identical to
+    * the pre-persist graph (HnswSpec pins this). */
+  def fromRows(rows: Array[NodeRow], m: Int, efConstruction: Int): Graph = {
+    val g = new Graph(m, efConstruction)
+    // insertion order was ascending id ([[build]]); restore it so node
+    // indexes (and thus tie-breaks) reproduce exactly
+    val sorted = rows.sortBy(_.id)
+    val idx = sorted.iterator.map(_.id).zipWithIndex.toMap
+    sorted.foreach { r =>
+      g.ids += r.id
+      g.vecs += r.vec
+      g.levels += r.level
+      g.neighbors += r.neighbors.map(ns =>
+        mutable.ArrayBuffer.from(ns.iterator.map(idx)))
+    }
+    g.maxLevel = if (sorted.isEmpty) -1 else sorted.map(_.level).max
+    g.entry = if (sorted.isEmpty) -1
+      else sorted.indexWhere(_.level == g.maxLevel)
+    g
+  }
 }

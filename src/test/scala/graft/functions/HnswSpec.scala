@@ -70,6 +70,19 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("persistence round-trip: a reloaded graph searches bit-identically") {
+    val g = Hnsw.build(corpus, 8, 64)
+    val rows = Hnsw.toRows(g)
+    // shuffle rows — a parquet read-back has no order guarantee
+    val g2 = Hnsw.fromRows(scala.util.Random.shuffle(rows.toSeq).toArray, 8, 64)
+    assert(g2.entry === g.entry && g2.maxLevel === g.maxLevel)
+    assert(g2.ids.toSeq === g.ids.toSeq)
+    for (i <- g.neighbors.indices; l <- g.neighbors(i).indices)
+      assert(g2.neighbors(i)(l).toSeq === g.neighbors(i)(l).toSeq, s"node $i level $l")
+    for (q <- queries)
+      assert(g2.search(q, 64, 5).toSeq === g.search(q, 64, 5).toSeq)
+  }
+
   test("sharded Spark path: recall gate green and deterministic rows") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.EmbeddingQueries.hnswRecall(spark, sf).collect()
