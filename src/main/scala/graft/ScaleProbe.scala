@@ -190,7 +190,21 @@ object ScaleProbe {
       "doc_cdc_gear",
       // PCA: the exchange carries 4096 covariance cells per partition —
       // decay means the outer-product explode stopped partial-aggregating
-      "emb_pca"))
+      "emb_pca",
+      // time-series search: the day-grid is users x days (constant under
+      // the same-users growth mode) — decay means the dense grid started
+      // scaling with events instead of with the series domain
+      "evt_ts_search",
+      // incremental rollup: both legs partial-aggregate and the merge
+      // unions STATE tables — decay means events started flowing through
+      // the union instead of aggregate rows
+      "evt_incremental_rollup",
+      // classifier eval: the windows run over <= 1e6+1 distinct scores —
+      // decay means a window slipped back onto the document grain
+      "doc_classifier_eval",
+      // scene cuts: per-doc frame windows, video bytes never shuffle —
+      // decay means the decode expression stopped collapsing in-row
+      "media_scene_cuts"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
