@@ -361,6 +361,48 @@ object Streams {
       .toDF("event_type", "rank", "event_id", "value")
   }
 
+  /** Streaming funnel tracker — the real-time form of the batch funnel
+    * family (`evt_funnel`/`evt_window_funnel`): per user, a stage pointer
+    * advances when the NEXT stage's event arrives with event-time >= the
+    * time the previous stage was reached. State is O(1) per user
+    * ((stage, ts) — never the event history), which forces the honest
+    * streaming contract: event-time order WITHIN each micro-batch (the
+    * batch is sorted by (ts, id) before folding, so shuffle arrival order
+    * can never change results), arrival order ACROSS batches — a
+    * cross-batch late event cannot rewind the pointer (the exact-rewind
+    * variant needs unbounded per-stage history; the batch operators own
+    * that semantics). Update mode: every batch re-emits each touched
+    * user's (stage_reached, stage_ts). */
+  def funnelStream(events: DataFrame,
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts_ms", idCol: String = "event_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stageArr = stages.toArray
+    events
+      .select(col(userCol).cast("long").as("u"), col(typeCol).cast("string").as("t"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Int, Long)]) => {
+          var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, t, ts, _) =>
+            if (stage < stageArr.length && t == stageArr(stage) && ts >= lastTs) {
+              stage += 1
+              lastTs = ts
+            }
+          }
+          state.update((stage, lastTs))
+          Iterator.single((u, stage,
+            if (stage == 0) None else Some(lastTs)))
+        })
+      .toDF("user_id", "stage_reached", "stage_ts")
+  }
+
   /** Streaming cross-batch quantile monitor — the stream form of the batch
     * `evt_tdigest` operator, sharing its sketch outright: state per group
     * is [[graft.functions.TDigest]]'s own fixed aggregation buffer (O(δ),
