@@ -844,6 +844,43 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
   }
 
+  test("ts search: probe series, PAA, and shortlist broadcast — the grid " +
+       "never sort-merges against them") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_ts_search")(spark, sf))
+    val bcasts = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bcasts >= 3, s"probe/PAA/shortlist joins must broadcast, got $bcasts")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("incremental rollup: the merge unions aggregate-state tables — " +
+       "no join touches event rows, no sort-merge anywhere") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_incremental_rollup")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "state tables are days x types (x buckets) rows and must broadcast")
+    val aggs = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+    assert(aggs.size >= 6, s"both legs + merges must partial-aggregate, got ${aggs.size}")
+  }
+
+  test("skew report and scene cuts: no joins at all — narrow aggregations only") {
+    for (op <- Seq(
+        graft.queries.EventQueries.queries("evt_skew_report")(spark, sf),
+        graft.queries.EnrichQueries.queries("media_scene_cuts")(spark, sf))) {
+      val nodes = planNodes(op)
+      assert(!nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    }
+  }
+
   test("inverted index: posting cap is a partial TopK aggregation, and the " +
        "term cap is TakeOrdered — no window sort, no global sort") {
     val p = plan(graft.queries.DocQueries.queries("doc_inverted_index")(spark, sf))
