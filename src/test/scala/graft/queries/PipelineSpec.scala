@@ -2376,4 +2376,17 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(full.forall(_.getAs[Boolean]("lb_ok")))
   }
+
+  test("scene cuts: golden rows hand-computed OUTSIDE both engines") {
+    // frame sums, deltas, the 2x-mean threshold, and segmentation were
+    // re-derived independently (python, from the documented synthesis
+    // formula) — a mirrored Spark/oracle arithmetic bug cannot pass these
+    val got = graft.queries.EnrichQueries.queries("media_scene_cuts")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val golden = Map( // doc_id -> (n_frames, n_cuts, longest_scene)
+      0L -> ((4L, 0L, 4L)), 1L -> ((5L, 0L, 5L)), 12L -> ((8L, 0L, 8L)),
+      14L -> ((10L, 1L, 9L)), 49L -> ((5L, 1L, 4L)), 55L -> ((11L, 2L, 9L)))
+    golden.foreach { case (d, exp) => assert(got(d) === exp, s"doc $d") }
+  }
 }
