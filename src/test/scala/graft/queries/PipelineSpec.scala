@@ -2389,4 +2389,17 @@ class PipelineSpec extends SparkSpec {
       14L -> ((10L, 1L, 9L)), 49L -> ((5L, 1L, 4L)), 55L -> ((11L, 2L, 9L)))
     golden.foreach { case (d, exp) => assert(got(d) === exp, s"doc $d") }
   }
+
+  test("classifier eval: golden row hand-computed OUTSIDE both engines") {
+    // AUC/ECE/accuracy/best-F1 re-derived independently in plain python
+    // over the raw parquet (own rank-sum and bin arithmetic) — a mirrored
+    // Spark/oracle formula bug cannot pass this
+    val r = graft.queries.DocQueries.queries("doc_classifier_eval")(spark, sf).head()
+    assert(r.getLong(0) === 500L && r.getLong(1) === 193L)
+    assert(math.abs(r.getDouble(2) - 0.437528) < 1e-6, "auc")
+    assert(math.abs(r.getDouble(3) - 0.322479) < 1e-6, "ece")
+    assert(math.abs(r.getDouble(4) - 0.408) < 1e-9, "acc")
+    assert(r.getLong(5) === 0L, "best threshold")
+    assert(math.abs(r.getDouble(6) - 0.556999) < 1e-6, "best f1")
+  }
 }
