@@ -2402,4 +2402,19 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(5) === 0L, "best threshold")
     assert(math.abs(r.getDouble(6) - 0.556999) < 1e-6, "best f1")
   }
+
+  test("forecast eval and PCA: golden rows hand-computed OUTSIDE both engines") {
+    // independent python re-derivations (own Holt fold + decimal sMAPE;
+    // own covariance + grid-rounded power iteration) — mirrored
+    // Spark/oracle bugs cannot pass these
+    val f = graft.queries.EventQueries.queries("evt_forecast_eval")(spark, sf).head()
+    assert(f.getLong(0) === 29L)
+    assert(math.abs(f.getDouble(1) - 0.675267811) < 1e-9, "smape_holt")
+    assert(math.abs(f.getDouble(2) - 0.783098125) < 1e-9, "smape_naive")
+    assert(math.abs(f.getDouble(3) - 0.107830315) < 1e-9, "skill")
+    val p = graft.queries.EmbeddingQueries.queries("emb_pca")(spark, sf).head()
+    assert(p.getLong(0) === 500L && p.getLong(1) === 47L)
+    assert(math.abs(p.getDouble(2) - 0.27805) < 1e-6, "explained_ratio")
+    assert(math.abs(p.getDouble(3) - 0.277581) < 1e-6, "top_eigenvalue")
+  }
 }
