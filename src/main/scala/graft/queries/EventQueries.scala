@@ -2159,6 +2159,67 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // --------------------------------------------------- k-anonymity audit
+  /** Privacy audit before a dataset leaves the pipeline: k-anonymity
+    * violations under quasi-identifier combinations, with the
+    * generalization ladder that shows the repair step (day → month: the
+    * same QI set, coarsened, sheds violations). A record violates k=5
+    * when its full QI combination matches fewer than 5 records; unique
+    * combinations are the re-identification worst case. One
+    * map-side-combinable groupBy per audit row — the shuffle carries QI
+    * combination counts, never records. Exact integers + one rounded
+    * rate, so the oracle hash-matches. */
+  def kanonAudit(spark: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val e = ev(spark, d).select(col("event_type"),
+      date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+      date_format(col("ts").cast("timestamp"), "yyyy-MM").as("month"),
+      floor(coalesce(col("value"), lit(0.0)) / 100.0).cast("long").as("vband"),
+      col("user_id"))
+    def audit(qi: String, cols: Seq[Column]): DataFrame =
+      e.groupBy(cols: _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_records"), count(lit(1)).as("n_combos"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_unique_combos"),
+          sum(when(col("c") < k, col("c")).otherwise(0L)).as("n_violating"))
+        .select(lit(qi).as("qi"), lit(k).as("k"),
+          col("n_records"), col("n_combos"), col("n_unique_combos"),
+          col("n_violating"),
+          round(col("n_violating").cast("double") / col("n_records"), 6)
+            .as("violation_rate"))
+    audit("type+day+vband", Seq(col("event_type"), col("day"), col("vband")))
+      .unionByName(audit("type+month+vband",
+        Seq(col("event_type"), col("month"), col("vband"))))
+      .unionByName(audit("type+month", Seq(col("event_type"), col("month"))))
+  }
+
+  val kanonAuditSql: String =
+    """WITH e AS (SELECT event_type,
+      |    strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%Y-%m') AS month,
+      |    CAST(FLOOR(COALESCE(value, 0) / 100.0) AS BIGINT) AS vband
+      |  FROM events),
+      | a1 AS (SELECT event_type, day, vband, COUNT(*) AS c FROM e GROUP BY 1,2,3),
+      | a2 AS (SELECT event_type, month, vband, COUNT(*) AS c FROM e GROUP BY 1,2,3),
+      | a3 AS (SELECT event_type, month, COUNT(*) AS c FROM e GROUP BY 1,2)
+      |SELECT 'type+day+vband' AS qi, 5 AS k,
+      |  CAST(SUM(c) AS BIGINT) AS n_records, CAST(COUNT(*) AS BIGINT) AS n_combos,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_combos,
+      |  CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_violating,
+      |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+      |    AS violation_rate
+      |FROM a1
+      |UNION ALL
+      |SELECT 'type+month+vband', 5, CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT),
+      |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+      |FROM a2
+      |UNION ALL
+      |SELECT 'type+month', 5, CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT),
+      |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+      |FROM a3""".stripMargin
+
   // ---------------------------------------------- time-series similarity
   /** Distributed time-series similarity search (the UCR-suite shape the
     * retrieved EDBT'19/ICDE'21 papers distribute): which users' daily
@@ -3401,6 +3462,7 @@ object EventQueries {
     "evt_incremental_rollup"  -> (incrementalRollup _),
     "evt_skew_report"         -> (skewReport _),
     "evt_ts_search"           -> (tsSearch _),
+    "evt_kanon_audit"         -> (kanonAudit _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3460,6 +3522,7 @@ object EventQueries {
     "evt_incremental_rollup"  -> incrementalRollupSql,
     "evt_skew_report"         -> skewReportSql,
     "evt_ts_search"           -> tsSearchSql,
+    "evt_kanon_audit"         -> kanonAuditSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
