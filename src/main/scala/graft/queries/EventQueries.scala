@@ -1236,6 +1236,84 @@ object EventQueries {
       |SELECT event_type, next_type, COUNT(*) AS n_transitions
       |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------- absorbing-chain analysis
+  /** Expected events until FIRST conversion, per starting state — the
+    * absorbing-Markov-chain read of the clickstream ([[transitions]]'
+    * counts with `purchase` made absorbing): t = 1 + Q·t where Q is the
+    * row-substochastic transition matrix among non-purchase states
+    * (transitions INTO purchase absorb, so rows sum below 1 and the
+    * fixed point exists). The data-scale work is the transition-count
+    * aggregation; the 4x4 solve runs as 100 fixed-point iterations with
+    * per-step 1e-9 grid rounding — the [[graft.queries.EmbeddingQueries
+    * .pcaTop]] engine-parity device, replayed verbatim by the oracle's
+    * recursive CTE (truncation after 100 steps is ~ρ(Q)^100 ≪ the 1e-6
+    * emission rounding, and identical in both engines regardless).
+    * Emitted per state: outgoing mass, direct-conversion probability,
+    * expected steps. */
+  def absorbingChain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val absorb = "purchase"
+    val tr = transitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = tr.map(_._1).filter(_ != absorb).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val nOut = states.map(s => tr.filter(_._1 == s).map(_._3).sum)
+    val nDirect = states.map(s =>
+      tr.filter(t => t._1 == s && t._2 == absorb).map(_._3).sum)
+    val q = Array.tabulate(states.length, states.length)((i, j) =>
+      tr.filter(t => t._1 == states(i) && idx.get(t._2).contains(j))
+        .map(_._3).sum.toDouble)
+    def grid9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(states.length)(0.0)
+    for (_ <- 1 to 100) {
+      v = Array.tabulate(states.length) { i =>
+        var a = 0.0
+        var j = 0
+        while (j < states.length) { a += q(i)(j) * v(j); j += 1 }
+        grid9(1.0 + a / nOut(i))
+      }
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    states.indices.map(i => (states(i), nOut(i),
+        round6(nDirect(i).toDouble / nOut(i)), round6(v(i))))
+      .toDF("state", "n_out", "p_direct", "expected_steps")
+  }
+
+  val absorbingChainSql: String =
+    """WITH RECURSIVE tr AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n FROM (
+      |    SELECT event_type, LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS next_type
+      |    FROM events) WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      | ord AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS i
+      |   FROM (SELECT DISTINCT event_type AS s FROM tr
+      |         WHERE event_type <> 'purchase')),
+      | tot AS (SELECT event_type AS s, CAST(SUM(n) AS BIGINT) AS n_out
+      |   FROM tr GROUP BY 1),
+      | q AS (SELECT o1.i AS i, o2.i AS j, tr.n, tot.n_out
+      |   FROM tr JOIN ord o1 ON tr.event_type = o1.s
+      |           JOIN ord o2 ON tr.next_type = o2.s
+      |           JOIN tot ON tot.s = tr.event_type),
+      | nst AS (SELECT COUNT(*) AS ns FROM ord),
+      | it(iter, v) AS (
+      |   SELECT 0, (SELECT list(CAST(0 AS DOUBLE) ORDER BY i) FROM ord)
+      |   UNION ALL
+      |   SELECT iter + 1, wl.lst FROM it, LATERAL (
+      |     SELECT list(ROUND(1.0 + COALESCE(qs, 0) / n_out, 9) ORDER BY i) AS lst
+      |     FROM (SELECT o.i, t2.n_out,
+      |             (SELECT SUM(q.n * it.v[q.j]) FROM q WHERE q.i = o.i) AS qs
+      |           FROM ord o JOIN tot t2 ON t2.s = o.s)) wl
+      |   WHERE it.iter < 100),
+      | fin AS (SELECT v FROM it WHERE iter = 100)
+      |SELECT o.s AS state, t.n_out,
+      |  ROUND(COALESCE((SELECT CAST(tr.n AS DOUBLE) FROM tr
+      |                  WHERE tr.event_type = o.s AND tr.next_type = 'purchase'), 0)
+      |        / t.n_out, 6) AS p_direct,
+      |  ROUND((SELECT f.v[o.i] FROM fin f), 6) AS expected_steps
+      |FROM ord o JOIN tot t ON t.s = o.s""".stripMargin
+
   // ------------------------------------------------------ top paths
   /** Top-k session journeys: the ordered event-type sequence of each
     * 30-minute session, counted across the corpus — the clickstream "most
@@ -3463,6 +3541,7 @@ object EventQueries {
     "evt_skew_report"         -> (skewReport _),
     "evt_ts_search"           -> (tsSearch _),
     "evt_kanon_audit"         -> (kanonAudit _),
+    "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3523,6 +3602,7 @@ object EventQueries {
     "evt_skew_report"         -> skewReportSql,
     "evt_ts_search"           -> tsSearchSql,
     "evt_kanon_audit"         -> kanonAuditSql,
+    "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,

@@ -2417,4 +2417,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(p.getDouble(2) - 0.27805) < 1e-6, "explained_ratio")
     assert(math.abs(p.getDouble(3) - 0.277581) < 1e-6, "top_eigenvalue")
   }
+
+  test("absorbing chain: matches an independent exact linear solve") {
+    // golden values from Gaussian elimination of (I - Q)t = 1 in python —
+    // a different algorithm entirely from the grid-rounded iteration
+    val got = graft.queries.EventQueries.queries("evt_absorbing_chain")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val golden = Map(
+      "click" -> ((207L, 5.075679)), "error" -> ((198L, 5.054827)),
+      "signup" -> ((197L, 5.178168)), "view" -> ((186L, 5.016153)))
+    golden.foreach { case (st, (n, t)) =>
+      assert(got(st)._1 === n, st)
+      assert(math.abs(got(st)._2 - t) < 1e-6, st)
+    }
+  }
 }
