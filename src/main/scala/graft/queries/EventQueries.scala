@@ -1314,6 +1314,78 @@ object EventQueries {
       |  ROUND((SELECT f.v[o.i] FROM fin f), 6) AS expected_steps
       |FROM ord o JOIN tot t ON t.s = o.s""".stripMargin
 
+  /** Competing-risks companion to [[absorbingChain]]: with TWO absorbing
+    * states (purchase = conversion, error = drop-out), the probability of
+    * converting BEFORE erroring from each start state — b = R_p + Q·b,
+    * where R_p is the per-state direct-conversion probability and Q the
+    * transient transition matrix. Same engine-parity fixed point (100
+    * grid-rounded iterations, recursive-CTE replay); the two absorption
+    * probabilities must sum to 1 per state, so the oracle-checked
+    * `p_error = 1 − p_convert` residual is a built-in consistency gate. */
+  def conversionProb(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (convert, fail) = ("purchase", "error")
+    val tr = transitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = tr.map(_._1).filter(s => s != convert && s != fail).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val nOut = states.map(s => tr.filter(_._1 == s).map(_._3).sum)
+    val rp = states.map(s =>
+      tr.filter(t => t._1 == s && t._2 == convert).map(_._3).sum.toDouble)
+    val q = Array.tabulate(states.length, states.length)((i, j) =>
+      tr.filter(t => t._1 == states(i) && idx.get(t._2).contains(j))
+        .map(_._3).sum.toDouble)
+    def grid9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var b = Array.fill(states.length)(0.0)
+    for (_ <- 1 to 100) {
+      b = Array.tabulate(states.length) { i =>
+        var a = rp(i)
+        var j = 0
+        while (j < states.length) { a += q(i)(j) * b(j); j += 1 }
+        grid9(a / nOut(i))
+      }
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    states.indices.map(i => (states(i), nOut(i), round6(b(i)), round6(1.0 - b(i))))
+      .toDF("state", "n_out", "p_convert", "p_error")
+  }
+
+  val conversionProbSql: String =
+    """WITH RECURSIVE tr AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n FROM (
+      |    SELECT event_type, LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS next_type
+      |    FROM events) WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      | ord AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS i
+      |   FROM (SELECT DISTINCT event_type AS s FROM tr
+      |         WHERE event_type NOT IN ('purchase', 'error'))),
+      | tot AS (SELECT event_type AS s, CAST(SUM(n) AS BIGINT) AS n_out
+      |   FROM tr GROUP BY 1),
+      | q AS (SELECT o1.i AS i, o2.i AS j, tr.n
+      |   FROM tr JOIN ord o1 ON tr.event_type = o1.s
+      |           JOIN ord o2 ON tr.next_type = o2.s),
+      | rp AS (SELECT o.i, o.s, t.n_out,
+      |     COALESCE((SELECT CAST(tr.n AS DOUBLE) FROM tr
+      |               WHERE tr.event_type = o.s AND tr.next_type = 'purchase'), 0)
+      |       AS r
+      |   FROM ord o JOIN tot t ON t.s = o.s),
+      | it(iter, v) AS (
+      |   SELECT 0, (SELECT list(CAST(0 AS DOUBLE) ORDER BY i) FROM ord)
+      |   UNION ALL
+      |   SELECT iter + 1, wl.lst FROM it, LATERAL (
+      |     SELECT list(ROUND((r + COALESCE(qs, 0)) / n_out, 9) ORDER BY i) AS lst
+      |     FROM (SELECT rp.i, rp.n_out, rp.r,
+      |             (SELECT SUM(q.n * it.v[q.j]) FROM q WHERE q.i = rp.i) AS qs
+      |           FROM rp)) wl
+      |   WHERE it.iter < 100),
+      | fin AS (SELECT v FROM it WHERE iter = 100)
+      |SELECT rp.s AS state, rp.n_out,
+      |  ROUND((SELECT f.v[rp.i] FROM fin f), 6) AS p_convert,
+      |  ROUND(1.0 - (SELECT f.v[rp.i] FROM fin f), 6) AS p_error
+      |FROM rp""".stripMargin
+
   // ------------------------------------------------------ top paths
   /** Top-k session journeys: the ordered event-type sequence of each
     * 30-minute session, counted across the corpus — the clickstream "most
@@ -3542,6 +3614,7 @@ object EventQueries {
     "evt_ts_search"           -> (tsSearch _),
     "evt_kanon_audit"         -> (kanonAudit _),
     "evt_absorbing_chain"     -> (absorbingChain _),
+    "evt_conversion_prob"     -> (conversionProb _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3603,6 +3676,7 @@ object EventQueries {
     "evt_ts_search"           -> tsSearchSql,
     "evt_kanon_audit"         -> kanonAuditSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
+    "evt_conversion_prob"     -> conversionProbSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,

@@ -2431,4 +2431,15 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(got(st)._2 - t) < 1e-6, st)
     }
   }
+
+  test("conversion probability: matches an independent exact linear solve") {
+    val got = graft.queries.EventQueries.queries("evt_conversion_prob")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val golden = Map("click" -> 0.480398, "signup" -> 0.473665, "view" -> 0.470383)
+    golden.foreach { case (st, p) => assert(math.abs(got(st) - p) < 1e-6, st) }
+    // the two absorption probabilities partition certainty
+    graft.queries.EventQueries.queries("evt_conversion_prob")(spark, sf)
+      .collect().foreach(r =>
+        assert(math.abs(r.getDouble(2) + r.getDouble(3) - 1.0) < 1e-9))
+  }
 }
