@@ -1386,6 +1386,113 @@ object EventQueries {
       |  ROUND(1.0 - (SELECT f.v[rp.i] FROM fin f), 6) AS p_error
       |FROM rp""".stripMargin
 
+  /** Markov-chain attribution (removal effects) — the data-driven
+    * attribution model that replaced heuristic splits (Anderl et al.,
+    * "Mapping the Customer Journey", 2016): a state's credit is how much
+    * the conversion probability from the entry state DROPS when the state
+    * is removed (paths through it fail). Removal = delete the state's row
+    * and column from Q and keep row-normalization by the ORIGINAL outgoing
+    * mass, so transitions into the removed state become lost (failing)
+    * mass — the standard formulation. Entry is `view`, candidates are the
+    * other transient states (the fixture's event vocabulary, a pinned
+    * contract like NQueries). Same grid-rounded fixed point as
+    * [[conversionProb]]; the oracle replays base + each removal with its
+    * own recursive CTE. */
+  def markovAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (convert, entry) = ("purchase", "view")
+    val tr = transitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val transient = tr.map(_._1)
+      .filter(s => s != convert && s != "error").distinct.sorted
+    def grid9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def solve(states: Seq[String]): Map[String, Double] = {
+      val idx = states.zipWithIndex.toMap
+      val nOut = states.map(s => tr.filter(_._1 == s).map(_._3).sum)
+      val rp = states.map(s =>
+        tr.filter(t => t._1 == s && t._2 == convert).map(_._3).sum.toDouble)
+      val q = Array.tabulate(states.length, states.length)((i, j) =>
+        tr.filter(t => t._1 == states(i) && idx.get(t._2).contains(j))
+          .map(_._3).sum.toDouble)
+      var b = Array.fill(states.length)(0.0)
+      for (_ <- 1 to 100) {
+        b = Array.tabulate(states.length) { i =>
+          var a = rp(i)
+          var j = 0
+          while (j < states.length) { a += q(i)(j) * b(j); j += 1 }
+          grid9(a / nOut(i))
+        }
+      }
+      states.zip(b).toMap
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pBase = solve(transient)(entry)
+    transient.filter(_ != entry).toSeq.map { s =>
+      val pRemoved = solve(transient.filterNot(_ == s))(entry)
+      (s, round6(pBase), round6(pRemoved),
+        round6((pBase - pRemoved) / pBase))
+    }.toDF("removed_state", "p_base", "p_removed", "removal_effect")
+  }
+
+  /** One recursive fixed-point CTE per state set; the per-removal CTEs
+    * interpolate the fixture's transient vocabulary (view/click/signup —
+    * a pinned contract, like the langid marker set). */
+  val markovAttributionSql: String = {
+    def chain(tag: String, states: Seq[String]): String = {
+      val inList = states.map("'" + _ + "'").mkString(", ")
+      s""" ord_$tag AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS i
+         |   FROM (SELECT DISTINCT event_type AS s FROM tr
+         |         WHERE event_type IN ($inList))),
+         | q_$tag AS (SELECT o1.i AS i, o2.i AS j, tr.n
+         |   FROM tr JOIN ord_$tag o1 ON tr.event_type = o1.s
+         |           JOIN ord_$tag o2 ON tr.next_type = o2.s),
+         | rp_$tag AS (SELECT o.i, o.s, t.n_out,
+         |     COALESCE((SELECT CAST(tr.n AS DOUBLE) FROM tr
+         |               WHERE tr.event_type = o.s AND tr.next_type = 'purchase'), 0)
+         |       AS r
+         |   FROM ord_$tag o JOIN tot t ON t.s = o.s),
+         | it_$tag(iter, v) AS (
+         |   SELECT 0, (SELECT list(CAST(0 AS DOUBLE) ORDER BY i) FROM ord_$tag)
+         |   UNION ALL
+         |   SELECT iter + 1, wl.lst FROM it_$tag, LATERAL (
+         |     SELECT list(ROUND((r + COALESCE(qs, 0)) / n_out, 9) ORDER BY i) AS lst
+         |     FROM (SELECT rp.i, rp.n_out, rp.r,
+         |             (SELECT SUM(q.n * it_$tag.v[q.j]) FROM q_$tag q
+         |              WHERE q.i = rp.i) AS qs
+         |           FROM rp_$tag rp)) wl
+         |   WHERE it_$tag.iter < 100),
+         | p_$tag AS (SELECT (SELECT f.v[o.i] FROM
+         |     (SELECT v FROM it_$tag WHERE iter = 100) f) AS p
+         |   FROM ord_$tag o WHERE o.s = 'view')""".stripMargin
+    }
+    val base = chain("base", Seq("view", "click", "signup"))
+    val noClick = chain("noclick", Seq("view", "signup"))
+    val noSignup = chain("nosignup", Seq("view", "click"))
+    s"""WITH RECURSIVE tr AS (
+       |  SELECT event_type, next_type, COUNT(*) AS n FROM (
+       |    SELECT event_type, LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS next_type
+       |    FROM events) WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       | tot AS (SELECT event_type AS s, CAST(SUM(n) AS BIGINT) AS n_out
+       |   FROM tr GROUP BY 1),
+       |$base,
+       |$noClick,
+       |$noSignup
+       |SELECT 'click' AS removed_state,
+       |  ROUND((SELECT p FROM p_base), 6) AS p_base,
+       |  ROUND((SELECT p FROM p_noclick), 6) AS p_removed,
+       |  ROUND(((SELECT p FROM p_base) - (SELECT p FROM p_noclick))
+       |        / (SELECT p FROM p_base), 6) AS removal_effect
+       |UNION ALL
+       |SELECT 'signup',
+       |  ROUND((SELECT p FROM p_base), 6),
+       |  ROUND((SELECT p FROM p_nosignup), 6),
+       |  ROUND(((SELECT p FROM p_base) - (SELECT p FROM p_nosignup))
+       |        / (SELECT p FROM p_base), 6)""".stripMargin
+  }
+
   // ------------------------------------------------------ top paths
   /** Top-k session journeys: the ordered event-type sequence of each
     * 30-minute session, counted across the corpus — the clickstream "most
@@ -3615,6 +3722,7 @@ object EventQueries {
     "evt_kanon_audit"         -> (kanonAudit _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
+    "evt_markov_attribution"  -> (markovAttribution _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3677,6 +3785,7 @@ object EventQueries {
     "evt_kanon_audit"         -> kanonAuditSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
+    "evt_markov_attribution"  -> markovAttributionSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
