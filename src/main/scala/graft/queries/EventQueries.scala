@@ -2416,6 +2416,52 @@ object EventQueries {
        |LEFT JOIN samp USING (day, event_type)""".stripMargin
   }
 
+  // ----------------------------------------------------- power analysis
+  /** Experiment power analysis — the design-time companion of the A/B
+    * readout family: per metric (event type's value), the minimum
+    * detectable effect for a 50/50 split at α=0.05 (two-sided) and 80%
+    * power, MDE = (z_{0.975} + z_{0.80})·√(2σ²/n). Variance comes from
+    * EXACT integer moments of the scaled values ((n·Σv² − (Σv)²)/(n(n−1)),
+    * the CUPED discipline), the z constants are shared literals, and the
+    * one final sqrt/divide chain is identical double arithmetic in both
+    * engines. One map-side-combinable aggregation. */
+  def powerAnalysis(spark: SparkSession, d: String): DataFrame = {
+    // z_{0.975} + z_{0.80}, pre-summed as ONE literal: both engines must
+    // parse the identical decimal (a runtime double addition could sit one
+    // ulp from the SQL literal)
+    val zSum = 2.801585
+    ev(spark, d).filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("event_type"), col("n"),
+        round(col("s").cast("double") / col("n") / 1000.0, 6).as("mean"),
+        round(sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1))) / 1000.0, 6).as("sd"),
+        round(lit(zSum) * sqrt(
+            lit(2.0) * (col("n") * col("ss") - col("s") * col("s")).cast("double")
+              / (col("n").cast("double") * (col("n") - 1)) / col("n")) / 1000.0, 6)
+          .as("mde_abs"))
+      .withColumn("mde_rel",
+        round(col("mde_abs") / col("mean"), 6))
+  }
+
+  val powerAnalysisSql: String =
+    """WITH e AS (SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+      |           FROM events WHERE value IS NOT NULL),
+      | m AS (SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+      |       FROM e GROUP BY 1)
+      |, sel AS (SELECT event_type, n,
+      |  ROUND(CAST(s AS DOUBLE) / n / 1000.0, 6) AS mean,
+      |  ROUND(SQRT(CAST(n * ss - s * s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (n - 1))) / 1000.0, 6) AS sd,
+      |  ROUND(2.801585 * SQRT(2.0 * CAST(n * ss - s * s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (n - 1)) / n) / 1000.0, 6) AS mde_abs
+      |FROM m)
+      |SELECT *, ROUND(mde_abs / mean, 6) AS mde_rel FROM sel""".stripMargin
+
   // --------------------------------------------------- k-anonymity audit
   /** Privacy audit before a dataset leaves the pipeline: k-anonymity
     * violations under quasi-identifier combinations, with the
@@ -3723,6 +3769,7 @@ object EventQueries {
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
+    "evt_power"               -> (powerAnalysis _),
     "evt_topk_agg"            -> (topkAgg _),
     "evt_anomaly"             -> (anomaly _),
     "evt_ewma"                -> (ewma _),
@@ -3786,6 +3833,7 @@ object EventQueries {
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,
+    "evt_power"               -> powerAnalysisSql,
     "evt_topk_agg"            -> topkAggSql,
     "evt_anomaly"             -> anomalySql,
     "evt_ewma"                -> ewmaSql,
