@@ -2442,4 +2442,21 @@ class PipelineSpec extends SparkSpec {
       .collect().foreach(r =>
         assert(math.abs(r.getDouble(2) + r.getDouble(3) - 1.0) < 1e-9))
   }
+
+  test("power analysis: golden rows hand-computed OUTSIDE both engines") {
+    val got = graft.queries.EventQueries.queries("evt_power")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    val golden = Map( // type -> (n, mean, mde_abs), python re-derivation
+      "click" -> ((210L, 49.098614, 13.55495)),
+      "error" -> ((201L, 46.910881, 11.952818)),
+      "purchase" -> ((202L, 51.607371, 13.616508)),
+      "signup" -> ((199L, 51.935578, 13.808331)),
+      "view" -> ((188L, 50.800638, 13.656034)))
+    golden.foreach { case (t, (n, m, mde)) =>
+      assert(got(t)._1 === n, t)
+      assert(math.abs(got(t)._2 - m) < 1e-6, t)
+      assert(math.abs(got(t)._3 - mde) < 1e-6, t)
+    }
+  }
 }
