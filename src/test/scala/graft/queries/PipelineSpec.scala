@@ -2459,4 +2459,19 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(got(t)._3 - mde) < 1e-6, t)
     }
   }
+
+  test("markov attribution: matches an independent exact linear solve") {
+    val got = graft.queries.EventQueries.queries("evt_markov_attribution")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // gaussian-elimination re-derivation of base + each removal chain
+    val golden = Map(
+      "click" -> ((0.470383, 0.317496, 0.325026)),
+      "signup" -> ((0.470383, 0.329988, 0.298469)))
+    golden.foreach { case (st, (b, r, e)) =>
+      assert(math.abs(got(st)._1 - b) < 1e-6, st)
+      assert(math.abs(got(st)._2 - r) < 1e-6, st)
+      assert(math.abs(got(st)._3 - e) < 1e-6, st)
+    }
+  }
 }
