@@ -823,10 +823,12 @@ object DocQueries {
        |             ORDER BY jaccard DESC, d_base) AS rk
        |  FROM pairs WHERE jaccard >= 0.3)""".stripMargin
 
-  /** DuckDB replica: the [[minhashLshSql]] CTE chain (signatures → bands →
-    * verified pairs) feeding the same recursive transitive-closure walk as
-    * [[dedupClustersSql]]. */
-  val minhashDedupSql: String =
+  /** The [[minhashLshSql]] signature/band/verify CTE chain feeding the same
+    * recursive transitive-closure walk as [[dedupClustersSql]], ending at a
+    * `labels(node, label)` relation — the shared prefix of every oracle that
+    * consumes minhash cluster labels ([[minhashDedupSql]],
+    * [[splitDecontamSql]]). */
+  private val minhashLabelCtes: String =
     s"""WITH RECURSIVE
        | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |       FROM documents),
@@ -855,7 +857,13 @@ object DocQueries {
        |   SELECT DISTINCT d1, d1 FROM edges
        |   UNION
        |   SELECT e.d1, w.lab FROM edges e JOIN walk w ON e.d2 = w.node),
-       | labels AS (SELECT node, MIN(lab) AS label FROM walk GROUP BY 1)
+       | labels AS (SELECT node, MIN(lab) AS label FROM walk GROUP BY 1)""".stripMargin
+
+  /** DuckDB replica: the [[minhashLshSql]] CTE chain (signatures → bands →
+    * verified pairs) feeding the same recursive transitive-closure walk as
+    * [[dedupClustersSql]]. */
+  val minhashDedupSql: String =
+    s"""$minhashLabelCtes
        |SELECT d.doc_id,
        |  COALESCE(l.label, d.doc_id) AS canonical_doc_id,
        |  COALESCE(l.label, d.doc_id) <> d.doc_id AS is_duplicate
@@ -1259,6 +1267,56 @@ object DocQueries {
       |    CAST(CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
       |         AS UBIGINT) % 100 AS INT) AS bucket
       |  FROM documents)""".stripMargin
+
+  /** Leakage-free (decontaminated) train/val/test split: near-duplicate
+    * documents must land in the SAME split, or eval measures memorization —
+    * the naive per-doc hash split ([[splitAssign]]) puts ~20% of every
+    * near-dup cluster's members in val/test while their twins train. The fix
+    * keys the split hash on the near-dup cluster CANONICAL id
+    * ([[minhashDedup]]'s component-minimum label) instead of the raw doc id,
+    * so a whole cluster moves as one unit; singletons (canonical = self)
+    * reduce exactly to [[splitAssign]]'s assignment. `leak_prevented` flags
+    * the rows the naive split would have separated from their cluster.
+    *
+    * Scale: the label table is the dedup output (bounded by the duplicated
+    * subset); the split assignment itself is one narrow md5-bucket pass over
+    * it — no shuffle beyond what [[minhashDedup]] already does. */
+  def splitDecontam(spark: SparkSession, d: String): DataFrame = {
+    def bucketOf(c: Column): Column =
+      (conv(substring(md5(concat(lit("split"), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    minhashDedup(spark, d)
+      .select(col("doc_id"), col("canonical_doc_id"),
+        splitOf(bucketOf(col("canonical_doc_id"))).as("split"),
+        splitOf(bucketOf(col("doc_id"))).as("naive_split"))
+      .select(col("doc_id"), col("canonical_doc_id"), col("split"),
+        (col("canonical_doc_id") =!= col("doc_id") &&
+          col("split") =!= col("naive_split")).as("leak_prevented"))
+  }
+
+  /** DuckDB replica: [[minhashLabelCtes]] (same clusters) + the same
+    * md5-bucket split arithmetic keyed on the canonical label. */
+  val splitDecontamSql: String =
+    s"""$minhashLabelCtes,
+       | lab AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS canon
+       |         FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+       | b AS (SELECT doc_id, canon,
+       |         CAST(CAST(('0x' || substr(md5('split' || CAST(canon AS VARCHAR)), 1, 8))
+       |              AS UBIGINT) % 100 AS INT) AS cb,
+       |         CAST(CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |              AS UBIGINT) % 100 AS INT) AS nb
+       |       FROM lab)
+       |SELECT doc_id, canon AS canonical_doc_id,
+       |  CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  (canon <> doc_id AND
+       |   CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+       |        ELSE 'test' END <>
+       |   CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val'
+       |        ELSE 'test' END) AS leak_prevented
+       |FROM b""".stripMargin
 
   val sampleDeterministicSql: String =
     """SELECT doc_id, lang,
@@ -4561,6 +4619,7 @@ object DocQueries {
     "doc_classifier_eval" -> (classifierEval _),
     "doc_sample"       -> (sampleDeterministic _),
     "doc_split"        -> (splitAssign _),
+    "doc_split_decontam" -> (splitDecontam _),
     "doc_corpus_stats" -> (corpusStats _),
     "doc_line_dedup"   -> (lineDedup _),
     "doc_fertility"    -> (fertility _),
@@ -4632,6 +4691,7 @@ object DocQueries {
     "doc_classifier_eval" -> classifierEvalSql,
     "doc_sample"          -> sampleDeterministicSql,
     "doc_split"           -> splitAssignSql,
+    "doc_split_decontam"  -> splitDecontamSql,
     "doc_corpus_stats"    -> corpusStatsSql,
     "doc_line_dedup"      -> lineDedupSql,
     "doc_fertility"       -> fertilitySql,

@@ -253,6 +253,30 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit("val") / n > 0.04 && bySplit("val") / n < 0.16)
   }
 
+  test("decontaminated split: clusters move as one unit, singletons match doc_split") {
+    val dec = DocQueries.queries("doc_split_decontam")(spark, sf)
+      .select("doc_id", "canonical_doc_id", "split", "leak_prevented")
+      .as[(Long, Long, String, Boolean)].collect()
+    val naive = DocQueries.queries("doc_split")(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every member of a cluster carries its canonical's split — zero
+    // near-dup pairs straddle a split boundary
+    val byCluster = dec.groupBy(_._2)
+    assert(byCluster.values.forall(_.map(_._3).toSet.size == 1),
+      "a near-dup cluster must land in exactly one split")
+    // singletons reduce exactly to the naive assignment
+    dec.filter(r => r._1 == r._2).foreach { r =>
+      assert(r._3 === naive(r._1), s"singleton ${r._1} must match doc_split")
+      assert(!r._4, "a singleton cannot have a prevented leak")
+    }
+    // leak_prevented is precisely "duplicate whose naive split differed"
+    dec.foreach { r =>
+      assert(r._4 === (r._1 != r._2 && naive(r._1) != r._3))
+    }
+    // the fixture corpus actually contains near-dups that would have leaked
+    assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
+  }
+
   test("IVF recall evaluation: hits are genuine intersections per query") {
     val exact = EmbeddingQueries.queries("emb_knn_brute")(spark, sf)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
