@@ -3743,10 +3743,195 @@ object EventQueries {
       |  p - LEAST(CAST(0 AS BIGINT), minp) > s_total AS is_alarm
       |FROM cs""".stripMargin
 
+  // ------------------------------------------- item-item co-occurrence
+  /** Item-item cosine similarity over the user→item interaction matrix —
+    * the "users who visited X also visited Y" primitive behind co-view
+    * recommendation and related-content surfacing. Items are the event's
+    * `props.k` parameter; the interaction set is distinct (user, item).
+    *
+    * cosine(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) over BINARY interaction
+    * vectors, so co-occurrence counting is exact integer work and the one
+    * float op per pair is the final division.
+    *
+    * Scale: the quadratic danger is pair emission per user (a power user
+    * with 10k items would emit 5·10⁷ pairs) — the standard mitigation
+    * (DIMSUM's row-cap analog, Twitter WTF) caps each user at their
+    * [[ItemSimUserCap]] strongest interactions (by event count, item-id
+    * tie-break), bounding emission at C²/2 per user. The pair join
+    * shuffles once on user_id, the cooc aggregation once on (i,j) with
+    * map-side partials, and the item-marginal table is catalog-sized —
+    * broadcast. The cap binds on the fixture (users average ~49 distinct
+    * items; C=32) so the oracle genuinely replays it. */
+  private val ItemSimUserCap = 32
+  private val ItemSimTopK = 10
+
+  def itemSim(spark: SparkSession, d: String): DataFrame = {
+    val ui0 = ev(spark, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("item"))
+    val ui = ui0.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") <= ItemSimUserCap)
+      .select(col("user_id"), col("item"))
+    val marginals = ui.groupBy(col("item"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val pairs = ui.as("a")
+      .join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).cast("long").as("cooc"))
+    val both = pairs.select(col("i"), col("j"), col("cooc"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
+    val scored = both
+      .join(broadcast(marginals.select(col("item").as("i"), col("n_users").as("ni"))), "i")
+      .join(broadcast(marginals.select(col("item").as("j"), col("n_users").as("nj"))), "j")
+      .select(col("i").as("item"), col("j").as("sim_item"), col("cooc"),
+        round(col("cooc").cast("double") /
+          (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))), 6)
+          .as("cosine"))
+    val wTop = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("sim_item"))
+    scored.withColumn("rank", row_number().over(wTop).cast("int"))
+      .filter(col("rank") <= ItemSimTopK)
+  }
+
+  val itemSimSql: String =
+    s"""WITH ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+       |         COUNT(*) AS cnt
+       |       FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
+       |       GROUP BY 1, 2),
+       | ui AS (SELECT user_id, item FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
+       |        WHERE rk <= $ItemSimUserCap),
+       | n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_users FROM ui GROUP BY 1),
+       | p AS (SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS cooc
+       |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |       GROUP BY 1, 2),
+       | bd AS (SELECT i, j, cooc FROM p UNION ALL SELECT j, i, cooc FROM p),
+       | sc AS (SELECT b.i AS item, b.j AS sim_item, b.cooc,
+       |          ROUND(CAST(b.cooc AS DOUBLE) /
+       |            (sqrt(CAST(ni.n_users AS DOUBLE)) * sqrt(CAST(nj.n_users AS DOUBLE))),
+       |            6) AS cosine
+       |        FROM bd b JOIN n ni ON b.i = ni.item JOIN n nj ON b.j = nj.item)
+       |SELECT item, sim_item, cooc, cosine, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+       |              ORDER BY cosine DESC, sim_item) AS INT) AS rank FROM sc)
+       |WHERE rank <= $ItemSimTopK""".stripMargin
+
+  // ------------------------------------------------- triangle counting
+  /** Per-item triangle participation over the co-visitation graph — the
+    * local-clustering signal behind community/cohesion analysis (a page
+    * whose neighbors also co-occur with each other sits inside a topic
+    * cluster; a hub with a star neighborhood does not). Graph: undirected
+    * edge (i,j) when ≥ [[TriangleMinCooc]]·distinct-users co-visit both
+    * (the SAME capped interaction set as [[itemSim]], threshold relative
+    * to corpus size so density is scale-stable).
+    *
+    * Scale: counting walks ORIENTED edges — each edge points from the
+    * lower-(degree, id) endpoint to the higher, so every triangle is
+    * counted exactly once at its minimum-degree apex and the join fan-out
+    * per vertex is bounded by its ORIENTED out-degree (O(m^1.5) total work
+    * — the node-iterator bound; a raw three-way join would square the hub
+    * degree instead). Wedges from the apex join the oriented edge set once
+    * to close. The oracle counts i<j<k triples brute-force — independent
+    * of the orientation trick. */
+  private val TriangleMinCoocPct = 25 // edge iff cooc*100 >= pct*n_users
+
+  def triangles(spark: SparkSession, d: String): DataFrame = {
+    val ui0 = ev(spark, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("item"))
+    val ui = ui0.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") <= ItemSimUserCap)
+      .select(col("user_id"), col("item"))
+    val nUsers = ui.select(col("user_id")).distinct().count()
+    // undirected edge list (i < j), threshold relative to corpus size
+    val edges = ui.as("a")
+      .join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
+      .select(col("i"), col("j"))
+      .cache()
+    // degree-orientation: rank vertices by (degree, id); orient low → high
+    val deg = edges.select(col("i").as("v")).union(edges.select(col("j").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(broadcast(deg.select(col("v").as("i"), col("deg").as("di"))), "i")
+      .join(broadcast(deg.select(col("v").as("j"), col("deg").as("dj"))), "j")
+      .select(
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+          col("i")).otherwise(col("j")).as("src"),
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+          col("j")).otherwise(col("i")).as("dst"))
+    // wedges at the apex close against the canonical (i<j) edge set — the
+    // e1.dst < e2.dst ordering makes every wedge's (b, c) canonical too, so
+    // closing is a plain two-key equi-join (hash join, never a nested loop)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(edges.as("e3"),
+        col("b") === col("e3.i") && col("c") === col("e3.j"))
+      .select(col("apex"), col("b"), col("c"))
+    // per-item participation: each triangle credits all three corners
+    val credit = tris.select(explode(array(col("apex"), col("b"), col("c"))).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).cast("long").as("n_triangles"))
+    deg.select(col("v").as("item"), col("deg").cast("long").as("degree"))
+      .join(credit, Seq("item"), "left")
+      .select(col("item"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        // local clustering coefficient, exact rational → 6dp double
+        when(col("degree") >= 2,
+          round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2 /
+            (col("degree").cast("double") * (col("degree").cast("double") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+       |         COUNT(*) AS cnt
+       |       FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
+       |       GROUP BY 1, 2),
+       | ui AS (SELECT user_id, item FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
+       |        WHERE rk <= $ItemSimUserCap),
+       | nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ui),
+       | e AS (SELECT a.item AS i, b.item AS j
+       |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item, nu
+       |       GROUP BY 1, 2, nu.n
+       |       HAVING COUNT(*) * 100 >= $TriangleMinCoocPct * nu.n),
+       | deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |           SELECT i AS v FROM e UNION ALL SELECT j FROM e) GROUP BY 1),
+       | tri AS (SELECT t.v AS item, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |     SELECT unnest([e1.i, e1.j, e2.j]) AS v
+       |     FROM e e1 JOIN e e2 ON e1.j = e2.i AND e1.i < e2.i
+       |          JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j) t
+       |   GROUP BY 1)
+       |SELECT deg.v AS item, deg.degree,
+       |  COALESCE(tri.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN deg.degree >= 2
+       |       THEN ROUND(CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE) * 2 /
+       |              (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1)), 6)
+       |       ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN tri ON deg.v = tri.item""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_cdc_merge"           -> (cdcMerge _),
     "evt_window_funnel"       -> (windowFunnel _),
     "evt_cusum"               -> (cusum _),
+    "evt_item_sim"            -> (itemSim _),
+    "evt_triangles"           -> (triangles _),
     "evt_winsorized"          -> (winsorized _),
     "evt_bootstrap_ci"        -> (bootstrapCi _),
     "evt_theil_sen"           -> (theilSen _),
@@ -3811,6 +3996,8 @@ object EventQueries {
     "evt_cdc_merge"           -> cdcMergeSql,
     "evt_window_funnel"       -> windowFunnelSql,
     "evt_cusum"               -> cusumSql,
+    "evt_item_sim"            -> itemSimSql,
+    "evt_triangles"           -> trianglesSql,
     "evt_winsorized"          -> winsorizedSql,
     "evt_bootstrap_ci"        -> bootstrapCiSql,
     "evt_theil_sen"           -> theilSenSql,

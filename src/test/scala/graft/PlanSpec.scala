@@ -892,4 +892,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "the 40-term cap must be per-partition top-k + driver merge")
   }
+
+  test("item-item similarity: marginals broadcast, no nested loop, " +
+       "cooc partial-aggregates before the pair shuffle") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_item_sim")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "every join must be an equi-join")
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 2, s"catalog-sized marginal joins must broadcast, got $bhj")
+  }
+
+  test("triangles: wedge close is an equi hash join — never a nested loop " +
+       "over the edge set") {
+    val nodes = planNodes(
+      graft.queries.EventQueries.queries("evt_triangles")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "the OR-form closing condition would plan a nested loop — the " +
+        "canonical (b < c) wedge must close with a two-key equi-join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
 }

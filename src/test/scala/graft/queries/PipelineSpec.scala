@@ -277,6 +277,39 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("item similarity: cosine bounds, symmetry, and cap semantics") {
+    val rows = EventQueries.queries("evt_item_sim")(spark, sf)
+      .select("item", "sim_item", "cooc", "cosine", "rank")
+      .as[(Int, Int, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 > 0 && r._4 <= 1.0),
+      "binary-vector cosine must sit in (0, 1]")
+    assert(rows.forall(r => r._5 >= 1 && r._5 <= 10))
+    assert(rows.forall(r => r._1 != r._2), "no self-similarity rows")
+    // the score is symmetric: when both directions survive top-k they agree
+    val byPair = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    rows.foreach { r =>
+      byPair.get((r._2, r._1)).foreach { rev =>
+        assert(rev === ((r._3, r._4)), s"asymmetric pair ${(r._1, r._2)}")
+      }
+    }
+  }
+
+  test("triangles: three-corner credit conservation and coefficient bounds") {
+    val rows = EventQueries.queries("evt_triangles")(spark, sf)
+      .select("item", "degree", "n_triangles", "clustering")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // every triangle credits exactly its three corners
+    assert(rows.map(_._3).sum % 3 === 0L,
+      "total participation must be divisible by 3")
+    rows.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0, s"clustering out of range: $r")
+      // a vertex of degree d closes at most C(d,2) triangles
+      assert(r._3 <= r._2 * (r._2 - 1) / 2, s"more triangles than wedges: $r")
+    }
+  }
+
   test("IVF recall evaluation: hits are genuine intersections per query") {
     val exact = EmbeddingQueries.queries("emb_knn_brute")(spark, sf)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
