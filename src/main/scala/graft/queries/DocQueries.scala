@@ -3691,6 +3691,129 @@ object DocQueries {
        |    AS rank FROM sc)
        |WHERE rank <= $RakeTopK""".stripMargin
 
+  // ------------------------------------------------- TextRank keywords
+  /** TextRank keyword scoring (Mihalcea & Tarau 2004): damped PageRank over
+    * the word co-occurrence graph — an undirected edge per adjacent token
+    * pair (self-loops dropped), weight = corpus-wide adjacency count. The
+    * corpus-level complement of [[rakeKeywords]]' per-document degree/freq
+    * heuristic: a word ranks high when its NEIGHBORS rank high, which
+    * separates connective hub words from merely frequent ones.
+    *
+    * Same integer-exact iteration scheme as the event-graph pagerank
+    * (`EventQueries.pagerank`): ranks in units of 1e-12 (`TrScale`), 10
+    * rounds of `base + 85·Σ(rank(src) DIV ow(src))·w DIV 100` — every op a
+    * long, so both engines iterate bit-identically and the oracle is a
+    * recursive-CTE replay, not an epsilon compare.
+    *
+    * Scale: the word graph is vocabulary-sized — tiny next to the corpus at
+    * any scale (Heaps' law) — so after one map-side-combinable adjacency
+    * aggregation the rank loop runs on model-sized tables; below
+    * `spark.graft.textrank.maxDriverEdges` it iterates on the driver (10
+    * distributed rounds of per-job overhead dwarf arithmetic on a vocab
+    * graph), above it the identical updates run as joins, checkpointed per
+    * round to keep lineage flat. */
+  private val TrScale = 1000000000000L
+  private val TrIters = 10
+
+  def textrank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(col("text"))
+    // adjacent-pair weights, canonical (a < b), self-loops dropped
+    val adj = documents(spark, d)
+      .select(posexplode(t).as(Seq("pos", "w")), col("doc_id"),
+        size(t).as("n_toks"))
+      .withColumn("nxt", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("a"),
+        greatest(col("w"), col("nxt")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .union(adj.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
+    if (n == 0) {
+      edges.unpersist(); nodes.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "word STRING, rank_scaled BIGINT, rank DOUBLE"))
+    }
+    val base = 15L * TrScale / (100L * n)
+    val maxDriverEdges = spark.conf
+      .getOption("spark.graft.textrank.maxDriverEdges").map(_.toLong)
+      .getOrElse(4L << 20)
+    val ranks: DataFrame = if (edges.count() <= maxDriverEdges) {
+      val es = edges.as[(String, String, Long)].collect()
+      val ow = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val ns = nodes.as[String].collect()
+      var rank = ns.map(_ -> TrScale / n).toMap
+      for (_ <- 1 to TrIters) {
+        val sc = collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, t2, w) =>
+          sc(t2) = sc.getOrElse(t2, 0L) + rank(s) / ow(s) * w
+        }
+        rank = ns.map(v => v -> (base + 85L * sc.getOrElse(v, 0L) / 100L)).toMap
+      }
+      ns.map(v => (v, rank(v))).toSeq.toDF("node", "rank")
+    } else {
+      val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+      var r = nodes.withColumn("rank", lit(TrScale / n))
+      for (_ <- 1 to TrIters) {
+        val contribs = edges.join(outw, "src")
+          .join(r.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            (expr("rank DIV ow") * col("wt")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+        r = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      r
+    }
+    edges.unpersist(); nodes.unpersist()
+    ranks.select(col("node").as("word"), col("rank").as("rank_scaled"),
+      (col("rank").cast("double") / TrScale).as("rank"))
+  }
+
+  /** Recursive-CTE replay over the word graph — the same state-as-list
+    * idiom as the event pagerank oracle. */
+  val textrankSql: String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |       FROM documents),
+       | adj AS (SELECT LEAST(tk[i], tk[i+1]) AS a, GREATEST(tk[i], tk[i+1]) AS b,
+       |           CAST(COUNT(*) AS BIGINT) AS wt
+       |         FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |         WHERE i + 1 <= len(tk) AND tk[i] <> tk[i+1]
+       |         GROUP BY 1, 2),
+       | edges AS (SELECT a AS src, b AS dst, wt FROM adj
+       |           UNION ALL SELECT b, a, wt FROM adj),
+       | nodes AS (SELECT DISTINCT src AS node FROM edges),
+       | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       | outw AS (SELECT src, SUM(wt) AS ow FROM edges GROUP BY 1),
+       | packed AS (SELECT list({'src': src, 'dst': dst, 'w': wt, 'ow': ow}) AS es
+       |            FROM edges JOIN outw USING (src)),
+       | nl AS (SELECT list(node ORDER BY node) AS ns FROM nodes),
+       | pr(it, rl) AS (
+       |   SELECT 0, list_transform(ns, x -> $TrScale // n) FROM nl, nn
+       |   UNION ALL
+       |   SELECT it + 1, list_transform(ns, v ->
+       |       (15 * $TrScale) // (100 * n) +
+       |       (85 * COALESCE(CAST(list_sum(list_transform(es, e ->
+       |          CASE WHEN e.dst = v
+       |               THEN (rl[list_position(ns, e.src)] // e.ow) * e.w
+       |               ELSE 0 END)) AS BIGINT), 0)) // 100)
+       |   FROM pr, packed, nl, nn WHERE it < $TrIters),
+       | f AS (SELECT rl FROM pr ORDER BY it DESC LIMIT 1)
+       |SELECT ns[i] AS word, rl[i] AS rank_scaled,
+       |  CAST(rl[i] AS DOUBLE) / $TrScale AS rank
+       |FROM f, nl,
+       |  (SELECT unnest(generate_series(1, (SELECT CAST(n AS INT) FROM nn))) AS i)""".stripMargin
+
   // ------------------------------------------------- Zipf / Heaps fit
   /** Corpus-statistics fit: the Zipf exponent via ordinary least squares of
     * ln(freq) on ln(rank) over the top-1000 vocabulary, plus Heaps-law
@@ -4592,6 +4715,7 @@ object DocQueries {
     "doc_hash_classifier"    -> (hashClassifier _),
     "doc_nb_classify"        -> (nbClassify _),
     "doc_rake_keywords"      -> (rakeKeywords _),
+    "doc_textrank"           -> (textrank _),
     "doc_zipf_fit"           -> (zipfFit _),
     "doc_ngram_novelty"      -> (ngramNovelty _),
     "doc_importance"   -> (importance _),
@@ -4664,6 +4788,7 @@ object DocQueries {
     "doc_hash_classifier"    -> hashClassifierSql,
     "doc_nb_classify"        -> nbClassifySql,
     "doc_rake_keywords"      -> rakeKeywordsSql,
+    "doc_textrank"           -> textrankSql,
     "doc_zipf_fit"           -> zipfFitSql,
     "doc_ngram_novelty"      -> ngramNoveltySql,
     "doc_importance"      -> importanceSql,

@@ -128,6 +128,32 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.maxDriverEdges")
   }
 
+  test("textrank: hub word of a planted lexical star outranks leaves; " +
+       "driver and distributed paths agree bit-exactly") {
+    // "hub" is adjacent to every leaf; leaves only ever touch the hub
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"l$i hub l$i hub l$i", "en", "t", 15L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("tr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val tr = DocQueries.queries("doc_textrank")(spark, tmp)
+      .select("word", "rank_scaled").as[(String, Long)].collect().toMap
+    assert(tr.keySet === (0 until 8).map(i => s"l$i").toSet + "hub")
+    (0 until 8).foreach { i =>
+      assert(tr("hub") > tr(s"l$i"), "the connective hub must outrank leaves")
+    }
+    assert((0 until 8).map(i => tr(s"l$i")).toSet.size === 1,
+      "symmetric leaves must tie exactly")
+    assert(tr.values.sum <= 1000000000000L, "damped update never grows mass")
+    spark.conf.set("spark.graft.textrank.maxDriverEdges", "0")
+    try {
+      val dist = DocQueries.queries("doc_textrank")(spark, tmp)
+        .select("word", "rank_scaled").as[(String, Long)].collect().toMap
+      assert(dist === tr, "distributed updates must reproduce the driver loop")
+    } finally spark.conf.unset("spark.graft.textrank.maxDriverEdges")
+  }
+
   test("incremental sessionization equals the full recompute at every cutoff") {
     val full = EventQueries.queries("evt_sessionize")(spark, sf)
       .select("user_id", "session_start_ms", "session_end_ms", "n_events", "session_value")
