@@ -117,6 +117,8 @@ object GraftExtensions {
       args => AviDecodeStats(args.head) },
     fn("avi_frame_sums", "avi_frame_sums(blob, step) - real AVI decode -> pixel mass of every step-th frame as array<long>; null on corrupt bytes") {
       args => AviFrameSums(args(0), litInt(args(1), "avi_frame_sums step")) },
+    fn("hilbert_index", "hilbert_index(x, y) - order-16 Hilbert space-filling-curve position (inputs masked to 16 bits)") {
+      args => HilbertIndex(args(0), args(1)) },
     fn("xff_peer_address", "xff_peer_address(header) - rightmost X-Forwarded-For IP literal (normalized), null if absent/non-literal") {
       args => XffPeerAddress(args.head) },
     fn("unicode_normalize", "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization; form is a plan-time literal") {

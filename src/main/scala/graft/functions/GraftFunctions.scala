@@ -65,6 +65,10 @@ object GraftFunctions {
   def damerauLevenshtein(a: Column, b: Column): Column =
     column(DamerauLevDistance(expression(a), expression(b)))
 
+  /** Order-16 Hilbert curve position for 2-D layout keys ([[Hilbert]]). */
+  def hilbertIndex(x: Column, y: Column): Column =
+    column(HilbertIndex(expression(x), expression(y)))
+
   /** Deterministic real-container BMP/WAV demo payloads ([[MediaCodec]]). */
   def synthBmp(k: Column): Column = column(SynthBmp(expression(k)))
   def synthWav(k: Column): Column = column(SynthWav(expression(k)))

@@ -3018,6 +3018,53 @@ object EventQueries {
        |FROM t""".stripMargin
   }
 
+  // --------------------------------------------------- Hilbert layout keys
+  /** Hilbert-curve layout keys over the same (user, day) plane as
+    * [[zorder]] — the stronger locality guarantee: consecutive curve
+    * positions are ALWAYS Manhattan-1 neighbors, so every key range maps to
+    * one compact tile and min/max file skipping never faces Z-order's
+    * quadrant-corner jumps. The transform is the native codegen'd
+    * [[graft.functions.HilbertIndex]] expression (16 rotate/reflect rounds
+    * as column formulas would explode the Catalyst tree); the query is one
+    * narrow exchange-free projection, like zorder.
+    *
+    * The oracle replays the same public algorithm as a 16-round recursive
+    * CTE — an independent implementation (per-row iterated state vs the JVM
+    * loop), not a shared code path. */
+  def hilbert(spark: SparkSession, d: String): DataFrame =
+    ev(spark, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .withColumn("hvalue", graft.functions.GraftFunctions.hilbertIndex(
+        col("user_id"), col("day_num")))
+      .withColumn("hfile", shiftrightunsigned(col("hvalue"), 22))
+
+  val hilbertSql: String =
+    """WITH RECURSIVE t AS (SELECT event_id, user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      |  FROM events),
+      | h(event_id, x, y, d, s) AS (
+      |   SELECT event_id, CAST(user_id & 65535 AS BIGINT),
+      |          CAST(day_num & 65535 AS BIGINT),
+      |          CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
+      |   FROM t
+      |   UNION ALL
+      |   SELECT event_id,
+      |     CASE WHEN (y & s) = 0
+      |          THEN CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+      |          ELSE x END,
+      |     CASE WHEN (y & s) = 0
+      |          THEN CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+      |          ELSE y END,
+      |     d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+      |                     CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+      |     s // 2
+      |   FROM h WHERE s > 0)
+      |SELECT t.event_id, t.user_id, t.day_num,
+      |  h.d AS hvalue, CAST(h.d // 4194304 AS BIGINT) AS hfile
+      |FROM h JOIN t USING (event_id) WHERE h.s = 0""".stripMargin
+
   // ------------------------------------------------------------ session stats
   /** Daily session-level rollup on top of [[sessionize]]: session counts,
     * bounce rate (single-event sessions), and average duration/size per
@@ -3931,6 +3978,7 @@ object EventQueries {
     "evt_window_funnel"       -> (windowFunnel _),
     "evt_cusum"               -> (cusum _),
     "evt_item_sim"            -> (itemSim _),
+    "evt_hilbert"             -> (hilbert _),
     "evt_triangles"           -> (triangles _),
     "evt_winsorized"          -> (winsorized _),
     "evt_bootstrap_ci"        -> (bootstrapCi _),
@@ -3997,6 +4045,7 @@ object EventQueries {
     "evt_window_funnel"       -> windowFunnelSql,
     "evt_cusum"               -> cusumSql,
     "evt_item_sim"            -> itemSimSql,
+    "evt_hilbert"             -> hilbertSql,
     "evt_triangles"           -> trianglesSql,
     "evt_winsorized"          -> winsorizedSql,
     "evt_bootstrap_ci"        -> bootstrapCiSql,

@@ -578,6 +578,16 @@ class PlanSpec extends SparkSpec {
       "the interleave must be built-in expressions inside codegen")
   }
 
+  test("hilbert: narrow codegen'd transform — exchange-free, no UDF") {
+    val df = graft.queries.EventQueries.queries("evt_hilbert")(spark, sf)
+    val nodes = planNodes(df)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "the layout key is per-row math; nothing may shuffle")
+    assert(!plan(df).contains("BatchEvalPython") && !plan(df).toLowerCase.contains("scalaudf"),
+      "hilbert_index is a native expression inside codegen, not a UDF")
+  }
+
   test("rolling distinct: day list broadcasts; register table never sort-merges") {
     val nodes = planNodes(
       graft.queries.EventQueries.queries("evt_rolling_distinct")(spark, sf))

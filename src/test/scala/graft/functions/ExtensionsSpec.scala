@@ -94,6 +94,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(nullErr.getMessage.contains("NULL"))
   }
 
+  test("hilbert_index from SQL agrees with the Column API and propagates null") {
+    val viaSql = spark.sql("SELECT hilbert_index(12345L, 54321L) v").head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(GraftFunctions.hilbertIndex(lit(12345L), lit(54321L)).as("v"))
+      .head.getLong(0)
+    assert(viaSql === viaCol && viaSql === Hilbert.index(12345L, 54321L))
+    assert(spark.sql("SELECT hilbert_index(CAST(NULL AS BIGINT), 1L) v")
+      .head.isNullAt(0))
+  }
+
   test("round-7 additions: xff / unicode / gear chunks / t-digest from SQL") {
     assert(spark.sql(
       "SELECT xff_peer_address('10.0.0.1, 203.0.113.9') v").head.getString(0)
