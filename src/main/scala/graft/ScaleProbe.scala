@@ -204,7 +204,18 @@ object ScaleProbe {
       "doc_classifier_eval",
       // scene cuts: per-doc frame windows, video bytes never shuffle —
       // decay means the decode expression stopped collapsing in-row
-      "media_scene_cuts"))
+      "media_scene_cuts",
+      // item-item similarity: pair emission is capped at C²/2 per user —
+      // decay means the cap stopped binding (or the marginal joins fell
+      // back to sort-merge and the cooc table stopped partial-aggregating)
+      "evt_item_sim",
+      // triangles: fan-out rides oriented out-degree (O(m^1.5) bound) —
+      // decay means a hub vertex's wedges went quadratic (orientation
+      // broken) or the close join degenerated
+      "evt_triangles",
+      // decontaminated split: should track minhash dedup plus a narrow
+      // pass — decay means the label join stopped being dedup-bounded
+      "doc_split_decontam"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

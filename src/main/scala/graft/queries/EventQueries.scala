@@ -2523,6 +2523,53 @@ object EventQueries {
       |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
       |FROM a3""".stripMargin
 
+  // ------------------------------------------- differentially-private release
+  /** ε-differentially-private daily rollup (ε = 1): the release-side
+    * complement of [[kanonAudit]] — instead of auditing re-identification
+    * risk, perturb the counts so any single event's presence is provably
+    * masked. Noise is discrete Laplace (two-sided geometric, the standard
+    * integer-count mechanism, Ghosh–Roughgarden–Sundararajan): the
+    * difference of two Geometric(1−e^{-1}) draws, each `floor(-ln(u))` by
+    * inverse CDF. The uniforms derive from md5 of the group key exactly as
+    * [[graft.queries.DocQueries.weightedSample]]'s seeded uniforms — no RNG
+    * state, reproducible under repartitioning, and both engines replay the
+    * same draw. (A production release would swap the md5 seed for a secret
+    * key; the MECHANISM — sensitivity-1 counts + discrete Laplace — is what
+    * scale-tests here.) Negative releases are kept, not clamped: clamping
+    * biases the release and breaks the pure-DP accounting.
+    *
+    * `ln` is the one libm call; a cross-engine ulp flip would need
+    * `-ln(u)` within one ulp of an integer (the floor boundary) — the
+    * per-group values sit ~1e-1 away on the fixture.
+    *
+    * Scale: one map-side-combinable aggregation to the (type, day) grain;
+    * the noise is a narrow per-group expression — nothing else moves. */
+  def dpRollup(spark: SparkSession, d: String): DataFrame = {
+    def u(tag: String): Column = {
+      val v = conv(substring(md5(concat(lit(tag), col("event_type"),
+        lit(":"), col("day"))), 1, 13), 16, 10).cast("double")
+      (v + lit(0.5)) / lit(4503599627370496.0) // 2^52, exact scaling
+    }
+    ev(spark, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise",
+        floor(-log(u("dpa:"))).cast("long") - floor(-log(u("dpb:"))).cast("long"))
+      .select(col("event_type"), col("day"),
+        (col("n") + col("noise")).as("n_dp"))
+  }
+
+  val dpRollupSql: String =
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+      |SELECT event_type, day,
+      |  n + CAST(FLOOR(-ln((('0x' || substr(md5('dpa:' || event_type || ':' || day), 1, 13))::UBIGINT
+      |        + 0.5) / 4503599627370496.0)) AS BIGINT)
+      |    - CAST(FLOOR(-ln((('0x' || substr(md5('dpb:' || event_type || ':' || day), 1, 13))::UBIGINT
+      |        + 0.5) / 4503599627370496.0)) AS BIGINT) AS n_dp
+      |FROM daily""".stripMargin
+
   // ---------------------------------------------- time-series similarity
   /** Distributed time-series similarity search (the UCR-suite shape the
     * retrieved EDBT'19/ICDE'21 papers distribute): which users' daily
@@ -3999,6 +4046,7 @@ object EventQueries {
     "evt_skew_report"         -> (skewReport _),
     "evt_ts_search"           -> (tsSearch _),
     "evt_kanon_audit"         -> (kanonAudit _),
+    "evt_dp_rollup"           -> (dpRollup _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
@@ -4066,6 +4114,7 @@ object EventQueries {
     "evt_skew_report"         -> skewReportSql,
     "evt_ts_search"           -> tsSearchSql,
     "evt_kanon_audit"         -> kanonAuditSql,
+    "evt_dp_rollup"           -> dpRollupSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,

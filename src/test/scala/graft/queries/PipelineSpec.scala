@@ -303,6 +303,28 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("dp rollup: reproducible discrete-Laplace noise actually perturbs " +
+       "and stays unbiased-scale") {
+    val noisy = EventQueries.queries("evt_dp_rollup")(spark, sf)
+      .select("event_type", "day", "n_dp").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val truth = EventQueries.queries("evt_daily_rollup")(spark, sf)
+      .select("event_type", "day", "n_events").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(noisy.keySet === truth.keySet, "DP must release every group")
+    val noise = noisy.map { case (k, v) => v - truth(k) }.toSeq
+    assert(noise.exists(_ != 0L), "the mechanism must actually perturb")
+    assert(noise.exists(_ < 0L) && noise.exists(_ > 0L), "two-sided noise")
+    // discrete Laplace with alpha=e^-1: E|noise| ≈ 0.92, P(|n|>8) < 4e-4
+    val meanAbs = noise.map(math.abs).sum.toDouble / noise.size
+    assert(meanAbs > 0.3 && meanAbs < 2.5, s"implausible noise scale $meanAbs")
+    // seeded draws: a rerun releases the identical table
+    val again = EventQueries.queries("evt_dp_rollup")(spark, sf)
+      .select("event_type", "day", "n_dp").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === noisy)
+  }
+
   test("item similarity: cosine bounds, symmetry, and cap semantics") {
     val rows = EventQueries.queries("evt_item_sim")(spark, sf)
       .select("item", "sim_item", "cooc", "cosine", "rank")
