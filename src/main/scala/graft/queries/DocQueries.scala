@@ -2797,6 +2797,146 @@ object DocQueries {
        |  md5(array_to_string(a.stream, ' ')) AS bpe_md5
        |FROM t JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
 
+  // --------------------------------------------- unigram-LM tokenizer
+  /** Unigram-LM subword segmentation (the SentencePiece-unigram serving
+    * shape, Kudo 2018): each word segments into the vocabulary pieces that
+    * maximize Σ log p(piece) under a unigram piece model — the maximum-
+    * likelihood counterpart of [[bpeEncode]]'s greedy merge replay, and the
+    * second of the two tokenizer families production pipelines actually
+    * run. The model here is count-derived in one pass (every ≤6-char
+    * substring of every word type, frequency-weighted; vocab = the full
+    * corpus alphabet — guaranteeing coverage — plus the top
+    * [[UniVocabK]] multi-char pieces): the EM-trained weights of a real
+    * SentencePiece model drop into the same broadcast map without touching
+    * the segmentation machinery.
+    *
+    * Determinism across engines: piece scores are FLOOR(1e6·ln(c/C)) longs,
+    * so Viterbi sums are exact integer arithmetic and equal-score ties are
+    * EXACT, broken by (fewer pieces, lexicographically-least segmentation).
+    * The tie-break order is DP-safe: same-position prefixes with equal
+    * (score, pieces) have equal-length segmentation strings (pieces cover
+    * the same chars, separators count pieces), so the lexicographic winner
+    * survives any common completion. `ln` is the one libm call, off the
+    * comparison path except at the FLOOR boundary (~1e-1 away on the
+    * fixture).
+    *
+    * Scale: the model build aggregates substring counts map-side (bounded:
+    * ≤ 6·|word| pieces per word TYPE, and the word-type table is
+    * Heaps-law-bounded); the chosen vocab is ≤ alphabet+64 entries —
+    * broadcast as a plain map; Viterbi runs once per word TYPE over that
+    * map (a measured tight loop, not expressible as built-ins), and
+    * documents join the segmented types. Nothing fact-scale shuffles
+    * except the one word-count aggregation. */
+  private val UniMaxPiece = 6
+  private val UniVocabK = 64
+  private val UniLpScale = 1000000L
+
+  def unigramTok(spark: SparkSession, d: String): DataFrame = {
+    val words = documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+      .cache()
+    // substring counts, frequency-weighted over word TYPES
+    val counts = words.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($UniMaxPiece, length(word) - i + 1)),
+           |            j -> substring(word, i, j))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+    val chars = counts.filter(length(col("p")) === 1)
+    val multi = counts.filter(length(col("p")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("p"))))
+      .filter(col("rk") <= UniVocabK).drop("rk")
+    // the chosen vocab is model-sized (alphabet + UniVocabK): collect +
+    // broadcast is the intended shape, same as the capped LM models
+    val vocab = chars.union(multi).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = vocab.map(_._2).sum
+    val lp: Map[String, Long] = vocab.map { case (p, c) =>
+      p -> math.floor(UniLpScale * math.log(c.toDouble / total)).toLong
+    }.toMap
+    val bc = spark.sparkContext.broadcast(lp)
+    val segUdf = udf((word: String) => {
+      val model = bc.value
+      val n = word.length
+      // best(i) = (score, npieces, seg) — order: score desc, npieces asc,
+      // seg asc; null = unreachable (cannot happen: alphabet ⊆ vocab)
+      val best = new Array[(Long, Int, String)](n + 1)
+      best(0) = (0L, 0, "")
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - UniMaxPiece)
+        while (j < i) {
+          if (best(j) != null) {
+            model.get(word.substring(j, i)).foreach { w =>
+              val cand = (best(j)._1 + w, best(j)._2 + 1,
+                if (best(j)._3.isEmpty) word.substring(j, i)
+                else best(j)._3 + " " + word.substring(j, i))
+              val cur = best(i)
+              if (cur == null || cand._1 > cur._1 ||
+                  (cand._1 == cur._1 && (cand._2 < cur._2 ||
+                    (cand._2 == cur._2 && cand._3 < cur._3))))
+                best(i) = cand
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val b = best(n)
+      if (b == null) null else (b._1, b._2, b._3)
+    })
+    words
+      .withColumn("s", segUdf(col("word")))
+      .select(col("word"), col("freq"),
+        col("s._1").as("score_scaled"),
+        col("s._2").cast("int").as("n_pieces"),
+        col("s._3").as("seg"))
+  }
+
+  /** Full replay: same counts, same floored log-scores, and Viterbi as an
+    * EXHAUSTIVE recursive path enumeration (words are short; the oracle
+    * does not need the DP) ranked by the identical (score desc, pieces,
+    * seg) order — so a DP bug on the Spark side cannot agree by accident. */
+  val unigramTokSql: String =
+    s"""WITH RECURSIVE
+       | w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |             FROM documents)
+       |       WHERE len(word) > 0 GROUP BY 1),
+       | subs AS (SELECT w.freq, substr(w.word, i.i, j.j) AS p
+       |          FROM w,
+       |            (SELECT unnest(generate_series(1, 40)) AS i) i,
+       |            (SELECT unnest(generate_series(1, $UniMaxPiece)) AS j) j
+       |          WHERE i.i + j.j - 1 <= len(w.word)),
+       | cnt AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM subs GROUP BY 1),
+       | vocab0 AS (SELECT p, c FROM cnt WHERE len(p) = 1
+       |            UNION ALL
+       |            SELECT p, c FROM (
+       |              SELECT p, c, ROW_NUMBER() OVER (ORDER BY c DESC, p) AS rk
+       |              FROM cnt WHERE len(p) > 1) WHERE rk <= $UniVocabK),
+       | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM vocab0),
+       | vocab AS (SELECT p,
+       |             CAST(FLOOR($UniLpScale * ln(CAST(c AS DOUBLE) / tc)) AS BIGINT) AS lp
+       |           FROM vocab0, tot),
+       | paths(word, pos, score, npieces, seg) AS (
+       |   SELECT word, 0, CAST(0 AS BIGINT), 0, CAST('' AS VARCHAR) FROM w
+       |   UNION ALL
+       |   SELECT p2.word, p2.pos + len(v.p), p2.score + v.lp, p2.npieces + 1,
+       |          CASE WHEN p2.seg = '' THEN v.p ELSE p2.seg || ' ' || v.p END
+       |   FROM paths p2 JOIN vocab v
+       |     ON substr(p2.word, p2.pos + 1, len(v.p)) = v.p
+       |   WHERE p2.pos < len(p2.word)),
+       | best AS (SELECT word, score, npieces, seg,
+       |            ROW_NUMBER() OVER (PARTITION BY word
+       |              ORDER BY score DESC, npieces, seg) AS rk
+       |          FROM paths JOIN (SELECT word AS wd, len(word) AS wl FROM w) lw
+       |            ON word = wd AND pos = wl)
+       |SELECT w.word, w.freq, b.score AS score_scaled,
+       |  CAST(b.npieces AS INT) AS n_pieces, b.seg
+       |FROM best b JOIN w ON b.word = w.word WHERE b.rk = 1""".stripMargin
+
   // ------------------------------------------------- composite filter chain
   /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
     * rule is an independent boolean column, `keep` is their conjunction and
@@ -4733,6 +4873,7 @@ object DocQueries {
     "doc_mix_apply"       -> (mixApply _),
     "doc_bpe_train"       -> (bpeTrain _),
     "doc_bpe_encode"      -> (bpeEncode _),
+    "doc_unigram_tok"     -> (unigramTok _),
     "doc_curriculum"      -> (curriculum _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
@@ -4802,6 +4943,7 @@ object DocQueries {
     "doc_kn_bigram"       -> knBigramSql,
     "doc_bpe_train"       -> bpeTrainSql,
     "doc_bpe_encode"      -> bpeEncodeSql,
+    "doc_unigram_tok"     -> unigramTokSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_mix_temperature" -> mixTemperatureSql,
     "doc_domain_reweight" -> domainReweightSql,

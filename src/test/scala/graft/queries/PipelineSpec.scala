@@ -303,6 +303,32 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("unigram tokenizer: segmentations cover the word exactly and the " +
+       "likelihood actually decides (both directions)") {
+    val rows = DocQueries.queries("doc_unigram_tok")(spark, sf)
+      .select("word", "n_pieces", "seg", "score_scaled")
+      .as[(String, Int, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (word, np, seg, score) =>
+      assert(seg.replace(" ", "") === word, s"seg must tile the word: $word")
+      assert(seg.split(" ").length === np)
+      assert(score < 0L, "log-likelihoods are negative")
+    }
+    // planted corpus: q is frequent enough that splitting 'qq' into chars
+    // beats the 'qq' piece, while rare 'zq' keeps the single piece —
+    // the model genuinely decides, in both directions
+    val tmp = java.nio.file.Files.createTempDirectory("uni").toString
+    Seq((1L, "qq qq qq zq", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val segs = DocQueries.queries("doc_unigram_tok")(spark, tmp)
+      .select("word", "seg").as[(String, String)].collect().toMap
+    assert(segs("qq") === "q q",
+      "frequent char must beat the rarer pair piece")
+    assert(segs("zq") === "zq",
+      "the single piece must beat a split through a rare char")
+  }
+
   test("dp rollup: reproducible discrete-Laplace noise actually perturbs " +
        "and stays unbiased-scale") {
     val noisy = EventQueries.queries("evt_dp_rollup")(spark, sf)
