@@ -3112,6 +3112,155 @@ object EventQueries {
       |  h.d AS hvalue, CAST(h.d // 4194304 AS BIGINT) AS hfile
       |FROM h JOIN t USING (event_id) WHERE h.s = 0""".stripMargin
 
+  // ------------------------------------------- layout skip-effectiveness
+  /** File-skipping effectiveness report: the measured payoff of the three
+    * layout keys ([[zorder]], [[hilbert]], natural arrival order) for the
+    * same 2-D box predicate under min/max pruning — the number a table
+    * maintainer actually needs before paying for a re-layout. Every layout
+    * gets the SAME row count per file (equal-occupancy chunks of the
+    * key-sorted order), so the comparison isolates ORDER, not file sizing.
+    * A file is `read` when its per-file [min,max] envelopes of BOTH
+    * predicate columns overlap the box (exactly parquet row-group pruning);
+    * `needed` when it truly contains a match; `false_read` is the pruning
+    * waste. The box spans 1/8 of each dimension, anchored at the lower
+    * quartile — derived from the data so the report is scale-stable.
+    *
+    * Scale: ranking rows by a layout key IS the cost of writing that
+    * layout (one global sort — what a real re-layout job pays anyway);
+    * everything after is per-file min/max aggregation. A production
+    * pipeline runs this ONCE on a sample to pick a layout; it is a
+    * diagnostic operator, not a per-query path. */
+  private val LayoutRowsPerFile = 64
+
+  def layoutSkip(spark: SparkSession, d: String): DataFrame = {
+    val x = col("user_id").bitwiseAND(lit(65535L))
+    val y = col("day_num").bitwiseAND(lit(65535L))
+    val zvalue = (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val keyed = ev(spark, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .withColumn("zvalue", zvalue)
+      .withColumn("hvalue", graft.functions.GraftFunctions.hilbertIndex(
+        col("user_id"), col("day_num")))
+    val bounds = keyed.agg(
+      min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
+      min(col("day_num")).as("mind"), max(col("day_num")).as("maxd"))
+      .select(
+        (col("minu") + (col("maxu") - col("minu")) / 4).cast("long").as("ulo"),
+        (col("minu") + (col("maxu") - col("minu")) / 4 +
+          (col("maxu") - col("minu")) / 8).cast("long").as("uhi"),
+        (col("mind") + (col("maxd") - col("mind")) / 4).cast("long").as("dlo"),
+        (col("mind") + (col("maxd") - col("mind")) / 4 +
+          (col("maxd") - col("mind")) / 8).cast("long").as("dhi"))
+    def files(layout: String, key: Column): DataFrame =
+      keyed.withColumn("file",
+          ((row_number().over(Window.orderBy(key, col("event_id"))) - 1)
+            / LayoutRowsPerFile).cast("long"))
+        .crossJoin(broadcast(bounds))
+        .groupBy(lit(layout).as("layout"), col("file"))
+        .agg(
+          min(col("user_id")).as("fminu"), max(col("user_id")).as("fmaxu"),
+          min(col("day_num")).as("fmind"), max(col("day_num")).as("fmaxd"),
+          sum(when(col("user_id").between(col("ulo"), col("uhi")) &&
+            col("day_num").between(col("dlo"), col("dhi")), 1L)
+            .otherwise(0L)).as("n_match"),
+          first(col("ulo")).as("ulo"), first(col("uhi")).as("uhi"),
+          first(col("dlo")).as("dlo"), first(col("dhi")).as("dhi"))
+    val perFile = files("natural", col("event_id"))
+      .union(files("zorder", col("zvalue")))
+      .union(files("hilbert", col("hvalue")))
+    perFile
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("fmaxu") >= col("ulo") && col("fminu") <= col("uhi") &&
+          col("fmaxd") >= col("dlo") && col("fmind") <= col("dhi"), 1L)
+          .otherwise(0L)).as("files_read"),
+        sum(when(col("n_match") > 0, 1L).otherwise(0L)).as("files_needed"))
+      .select(col("layout"), col("n_files"), col("files_read"),
+        col("files_needed"),
+        round(col("files_read").cast("double") / col("n_files"), 6)
+          .as("read_ratio"),
+        (col("files_read") - col("files_needed")).as("false_read"))
+  }
+
+  val layoutSkipSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((user_id & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(((day_num & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE t AS (SELECT event_id, user_id,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+       |  FROM events),
+       | h(event_id, x, y, d, s) AS (
+       |   SELECT event_id, CAST(user_id & 65535 AS BIGINT),
+       |          CAST(day_num & 65535 AS BIGINT),
+       |          CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
+       |   FROM t
+       |   UNION ALL
+       |   SELECT event_id,
+       |     CASE WHEN (y & s) = 0
+       |          THEN CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+       |          ELSE x END,
+       |     CASE WHEN (y & s) = 0
+       |          THEN CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+       |          ELSE y END,
+       |     d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+       |                     CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+       |     s // 2
+       |   FROM h WHERE s > 0),
+       | keyed AS (SELECT t.event_id, t.user_id, t.day_num,
+       |             CAST($terms AS BIGINT) AS zvalue, h.d AS hvalue
+       |           FROM t JOIN h USING (event_id) WHERE h.s = 0),
+       | p AS (SELECT CAST(MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 4 AS BIGINT) AS ulo,
+       |         CAST(MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 4
+       |              + (MAX(user_id) - MIN(user_id)) // 8 AS BIGINT) AS uhi,
+       |         CAST(MIN(day_num) + (MAX(day_num) - MIN(day_num)) // 4 AS BIGINT) AS dlo,
+       |         CAST(MIN(day_num) + (MAX(day_num) - MIN(day_num)) // 4
+       |              + (MAX(day_num) - MIN(day_num)) // 8 AS BIGINT) AS dhi
+       |       FROM keyed),
+       | lay AS (
+       |   SELECT 'natural' AS layout, user_id, day_num,
+       |     (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // $LayoutRowsPerFile AS file
+       |   FROM keyed
+       |   UNION ALL
+       |   SELECT 'zorder', user_id, day_num,
+       |     (ROW_NUMBER() OVER (ORDER BY zvalue, event_id) - 1) // $LayoutRowsPerFile
+       |   FROM keyed
+       |   UNION ALL
+       |   SELECT 'hilbert', user_id, day_num,
+       |     (ROW_NUMBER() OVER (ORDER BY hvalue, event_id) - 1) // $LayoutRowsPerFile
+       |   FROM keyed),
+       | fs AS (SELECT layout, file,
+       |          MIN(user_id) AS fminu, MAX(user_id) AS fmaxu,
+       |          MIN(day_num) AS fmind, MAX(day_num) AS fmaxd,
+       |          SUM(CASE WHEN user_id BETWEEN p.ulo AND p.uhi
+       |                    AND day_num BETWEEN p.dlo AND p.dhi
+       |                   THEN 1 ELSE 0 END) AS n_match,
+       |          ANY_VALUE(p.ulo) AS ulo, ANY_VALUE(p.uhi) AS uhi,
+       |          ANY_VALUE(p.dlo) AS dlo, ANY_VALUE(p.dhi) AS dhi
+       |        FROM lay, p GROUP BY 1, 2)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(CASE WHEN fmaxu >= ulo AND fminu <= uhi
+       |                 AND fmaxd >= dlo AND fmind <= dhi
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+       |  CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS files_needed,
+       |  ROUND(SUM(CASE WHEN fmaxu >= ulo AND fminu <= uhi
+       |                  AND fmaxd >= dlo AND fmind <= dhi
+       |                 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS read_ratio,
+       |  CAST(SUM(CASE WHEN fmaxu >= ulo AND fminu <= uhi
+       |                 AND fmaxd >= dlo AND fmind <= dhi
+       |                THEN 1 ELSE 0 END)
+       |     - SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS false_read
+       |FROM fs GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------ session stats
   /** Daily session-level rollup on top of [[sessionize]]: session counts,
     * bounce rate (single-event sessions), and average duration/size per
@@ -4026,6 +4175,7 @@ object EventQueries {
     "evt_cusum"               -> (cusum _),
     "evt_item_sim"            -> (itemSim _),
     "evt_hilbert"             -> (hilbert _),
+    "evt_layout_skip"         -> (layoutSkip _),
     "evt_triangles"           -> (triangles _),
     "evt_winsorized"          -> (winsorized _),
     "evt_bootstrap_ci"        -> (bootstrapCi _),
@@ -4094,6 +4244,7 @@ object EventQueries {
     "evt_cusum"               -> cusumSql,
     "evt_item_sim"            -> itemSimSql,
     "evt_hilbert"             -> hilbertSql,
+    "evt_layout_skip"         -> layoutSkipSql,
     "evt_triangles"           -> trianglesSql,
     "evt_winsorized"          -> winsorizedSql,
     "evt_bootstrap_ci"        -> bootstrapCiSql,

@@ -303,6 +303,27 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("layout skip report: pruning is sound and the locality ordering " +
+       "hilbert <= zorder <= natural holds") {
+    // sf0.01: 157 files — at sf0.001's 16 files the chunk granularity is
+    // coarser than the predicate box and the ordering claim is meaningless
+    val rows = EventQueries.queries("evt_layout_skip")(spark, "/root/testdata/sf0.01")
+      .select("layout", "n_files", "files_read", "files_needed", "false_read")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("natural", "zorder", "hilbert"))
+    // equal-occupancy chunking: identical file counts isolate ORDER
+    assert(rows.values.map(_._2).toSet.size === 1)
+    rows.values.foreach { r =>
+      assert(r._3 >= r._4, s"min/max pruning must never skip a needed file: $r")
+      assert(r._5 === r._3 - r._4)
+    }
+    assert(rows("hilbert")._3 <= rows("zorder")._3,
+      "hilbert locality must not lose to z-order on the box predicate")
+    assert(rows("zorder")._3 < rows("natural")._3,
+      "both curves must beat arrival order for the 2-D box")
+  }
+
   test("unigram tokenizer: segmentations cover the word exactly and the " +
        "likelihood actually decides (both directions)") {
     val rows = DocQueries.queries("doc_unigram_tok")(spark, sf)
