@@ -3858,7 +3858,12 @@ object DocQueries {
   def textrank(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val t = toks(col("text"))
-    // adjacent-pair weights, canonical (a < b), self-loops dropped
+    // adjacent-pair weights, canonical (a < b), self-loops dropped.
+    // posexplode + lead() window, NOT transform(sequence(...)) over the
+    // token array: projection collapse inlines the split() into the
+    // higher-order lambda and re-tokenizes the doc once PER ELEMENT
+    // (measured 2.4s → 8.9s at sf0.1); the explode materializes token
+    // rows exactly once and the per-doc window sort is token-bounded
     val adj = documents(spark, d)
       .select(posexplode(t).as(Seq("pos", "w")), col("doc_id"),
         size(t).as("n_toks"))

@@ -4016,9 +4016,12 @@ object EventQueries {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("item"))
+    // cached: the capped set feeds the marginals and both pair-join sides —
+    // without it the per-user window sort reruns per consumer
     val ui = ui0.withColumn("rk", row_number().over(byUser))
       .filter(col("rk") <= ItemSimUserCap)
       .select(col("user_id"), col("item"))
+      .cache()
     val marginals = ui.groupBy(col("item"))
       .agg(count(lit(1)).cast("long").as("n_users"))
     val pairs = ui.as("a")
@@ -4092,9 +4095,11 @@ object EventQueries {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("item"))
+    // cached: the capped set feeds the gate count AND both pair-join sides
     val ui = ui0.withColumn("rk", row_number().over(byUser))
       .filter(col("rk") <= ItemSimUserCap)
       .select(col("user_id"), col("item"))
+      .cache()
     val nUsers = ui.select(col("user_id")).distinct().count()
     // undirected edge list (i < j), threshold relative to corpus size
     val edges = ui.as("a")
