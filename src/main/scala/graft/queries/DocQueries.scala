@@ -3857,21 +3857,21 @@ object DocQueries {
 
   def textrank(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val t = toks(col("text"))
-    // adjacent-pair weights, canonical (a < b), self-loops dropped.
-    // posexplode + lead() window, NOT transform(sequence(...)) over the
-    // token array: projection collapse inlines the split() into the
-    // higher-order lambda and re-tokenizes the doc once PER ELEMENT
-    // (measured 2.4s → 8.9s at sf0.1); the explode materializes token
-    // rows exactly once and the per-doc window sort is token-bounded
+    // adjacent-pair weights, canonical (a < b), self-loops dropped —
+    // exchange-free until the pair-count agg via [[collocations]]'
+    // zip_with(slice, slice) idiom. NOT transform(sequence(...), i ->
+    // tk[i]): a lambda referencing tk gets the inlined split() re-run once
+    // PER ELEMENT after projection collapse (measured 2.4s → 8.9s at
+    // sf0.1); zip_with's lambda only touches its own arguments, so the
+    // tokenizer runs a constant ~3x per doc (size + two slices)
     val adj = documents(spark, d)
-      .select(posexplode(t).as(Seq("pos", "w")), col("doc_id"),
-        size(t).as("n_toks"))
-      .withColumn("nxt", lead(col("w"), 1).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
-      .select(least(col("w"), col("nxt")).as("a"),
-        greatest(col("w"), col("nxt")).as("b"))
+      .select(toks(col("text")).as("tk"))
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+          "(a, b) -> struct(a AS w, b AS nxt))")).as("pr"))
+      .filter(col("pr.w") =!= col("pr.nxt"))
+      .select(least(col("pr.w"), col("pr.nxt")).as("a"),
+        greatest(col("pr.w"), col("pr.nxt")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
     val edges = adj.select(col("a").as("src"), col("b").as("dst"), col("wt"))
       .union(adj.select(col("b").as("src"), col("a").as("dst"), col("wt")))

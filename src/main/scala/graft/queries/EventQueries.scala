@@ -2523,6 +2523,49 @@ object EventQueries {
       |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
       |FROM a3""".stripMargin
 
+  // ------------------------------------------------ Bloom semi-join reduction
+  /** Runtime-filter semi-join: daily revenue over CONVERTING users (anyone
+    * with a purchase) — the classic "reduce the fact scan by a filter
+    * derived from another query" shape. The converting-user set feeds a
+    * Bloom filter (built by Spark's mergeable sketch aggregation — partial
+    * filters per partition, driver ORs bitsets) that prunes the fact rows
+    * AT THE SCAN, before any exchange; the exact semi-join afterwards
+    * removes the bounded false positives, so results are exactly the plain
+    * semi-join's (which is what the oracle runs — the Bloom is invisible to
+    * correctness, by construction).
+    *
+    * Scale: on the fixture the dim side broadcasts and the Bloom is just a
+    * cheap insurance; the design point is the 100 TB shape where the
+    * converting-user set outgrows the broadcast budget — the semi-join then
+    * shuffles BOTH sides, and the scan-side Bloom cuts the fact side's
+    * exchange by the non-converting fraction for the cost of one broadcast
+    * bitset. Spark's own `runtimeFilter.bloomFilter` does this only for
+    * joins it can see through; an explicit filter also survives operators
+    * (UDF enrichment, sinks) the optimizer will not push past. */
+  def bloomSemijoin(spark: SparkSession, d: String): DataFrame = {
+    val base = ev(spark, d)
+    val conv = base.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().cache()
+    val bloom = conv.stat.bloomFilter("user_id", math.max(conv.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightConvert = udf((u: Long) => bc.value.mightContainLong(u))
+    base
+      .filter(mightConvert(col("user_id"))) // scan-side, no false negatives
+      .join(conv, Seq("user_id"), "left_semi") // exact: FPs drop here
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  val bloomSemijoinSql: String =
+    """WITH conv AS (SELECT DISTINCT user_id FROM events
+      |              WHERE event_type = 'purchase')
+      |SELECT strftime(e.ts, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events e JOIN conv USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------- differentially-private release
   /** ε-differentially-private daily rollup (ε = 1): the release-side
     * complement of [[kanonAudit]] — instead of auditing re-identification
@@ -4202,6 +4245,7 @@ object EventQueries {
     "evt_ts_search"           -> (tsSearch _),
     "evt_kanon_audit"         -> (kanonAudit _),
     "evt_dp_rollup"           -> (dpRollup _),
+    "evt_bloom_semijoin"      -> (bloomSemijoin _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
@@ -4271,6 +4315,7 @@ object EventQueries {
     "evt_ts_search"           -> tsSearchSql,
     "evt_kanon_audit"         -> kanonAuditSql,
     "evt_dp_rollup"           -> dpRollupSql,
+    "evt_bloom_semijoin"      -> bloomSemijoinSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,

@@ -903,6 +903,26 @@ class PlanSpec extends SparkSpec {
       "the 40-term cap must be per-partition top-k + driver merge")
   }
 
+  test("bloom semi-join: the scan-side Bloom filter sits below the exact " +
+       "semi-join, before any exchange") {
+    val df = graft.queries.EventQueries.queries("evt_bloom_semijoin")(spark, sf)
+    val nodes = planNodes(df)
+    val bloomFilter = nodes.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.toLowerCase.contains("udf") => f
+    }
+    assert(bloomFilter.nonEmpty, "the Bloom probe must appear as a scan-side filter")
+    // nothing between the Bloom filter and the scan may shuffle — the whole
+    // point is cutting the fact side BEFORE its exchange
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(subtree)
+    assert(!subtree(bloomFilter.get).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "the Bloom probe must prune before the fact side's exchange")
+    assert(plan(df).contains("LeftSemi"),
+      "exactness comes from the semi-join, not the Bloom")
+  }
+
   test("item-item similarity: marginals broadcast, no nested loop, " +
        "cooc partial-aggregates before the pair shuffle") {
     val nodes = planNodes(
