@@ -2523,6 +2523,85 @@ object EventQueries {
       |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
       |FROM a3""".stripMargin
 
+  // ------------------------------------------------------- uplift by segment
+  /** Segment-level uplift readout (the heterogeneous-treatment-effect
+    * complement of [[abtest]]'s single ATE): per activity band, the
+    * treatment−control conversion-rate difference, plus the Qini-style
+    * cumulative incremental-conversion curve over bands ranked by observed
+    * uplift — "where does the treatment actually work, and how much of the
+    * total lift do the top segments carry". Bands are fixed integer
+    * activity buckets (events-per-user DIV 10, capped at 8): scale-stable
+    * under the fixture's users∝events growth and exchange-free to compute,
+    * where a quantile segmentation would need a global rank over all users.
+    *
+    * Arithmetic: counts exact longs; each rate/uplift is one division
+    * rounded to 6; the cumulative gain Σ(c1 − c0·n1/n0) accumulates in rank
+    * order (uplift desc, band asc — total, so both engines sum the same
+    * floats in the same order). Incremental gain uses the control-scaled
+    * counterfactual, the standard Qini numerator.
+    *
+    * Scale: one user-grain aggregation (map-side combinable), then
+    * band-grain rollup; the ranking window runs over ≤4 band rows. */
+  def uplift(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val perUser = ev(spark, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" && col("value") > 75, 1)
+          .otherwise(0)).as("c"))
+      .withColumn("arm", arm)
+      .withColumn("band", least(expr("n_ev DIV 10"), lit(8L)))
+    val bands = perUser.groupBy(col("band"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .withColumn("p0", round(col("c0").cast("double") / col("n0"), 6))
+      .withColumn("p1", round(col("c1").cast("double") / col("n1"), 6))
+      .withColumn("uplift", round(col("c1").cast("double") / col("n1") -
+        col("c0").cast("double") / col("n0"), 6))
+      .withColumn("gain",
+        col("c1").cast("double") -
+          col("c0").cast("double") * col("n1") / col("n0"))
+    val byUplift = Window.orderBy(col("uplift").desc, col("band"))
+    bands
+      .withColumn("rank", row_number().over(byUplift).cast("int"))
+      .withColumn("cum_gain",
+        round(sum(col("gain")).over(
+          byUplift.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select(col("band"), col("n0"), col("c0"), col("n1"), col("c1"),
+        col("p0"), col("p1"), col("uplift"), col("rank"), col("cum_gain"))
+  }
+
+  val upliftSql: String =
+    """WITH pu AS (SELECT user_id, COUNT(*) AS n_ev,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 75
+      |             THEN 1 ELSE 0 END) AS c,
+      |    CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 25, 8))
+      |         ::UBIGINT AS BIGINT) % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      | b AS (SELECT LEAST(n_ev // 10, 8) AS band,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+      |  FROM pu GROUP BY 1
+      |  HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+      |     AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+      | s AS (SELECT band, n0, c0, n1, c1,
+      |    ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+      |    ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+      |    ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6) AS uplift,
+      |    CAST(c1 AS DOUBLE) - CAST(c0 AS DOUBLE) * n1 / n0 AS gain
+      |  FROM b)
+      |SELECT band, n0, c0, n1, c1, p0, p1, uplift,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+      |  ROUND(SUM(gain) OVER (w ROWS UNBOUNDED PRECEDING), 6) AS cum_gain
+      |FROM s WINDOW w AS (ORDER BY uplift DESC, band)""".stripMargin
+
   // ------------------------------------------------ Bloom semi-join reduction
   /** Runtime-filter semi-join: daily revenue over CONVERTING users (anyone
     * with a purchase) — the classic "reduce the fact scan by a filter
@@ -4246,6 +4325,7 @@ object EventQueries {
     "evt_kanon_audit"         -> (kanonAudit _),
     "evt_dp_rollup"           -> (dpRollup _),
     "evt_bloom_semijoin"      -> (bloomSemijoin _),
+    "evt_uplift"              -> (uplift _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
@@ -4316,6 +4396,7 @@ object EventQueries {
     "evt_kanon_audit"         -> kanonAuditSql,
     "evt_dp_rollup"           -> dpRollupSql,
     "evt_bloom_semijoin"      -> bloomSemijoinSql,
+    "evt_uplift"              -> upliftSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,

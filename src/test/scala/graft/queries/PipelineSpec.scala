@@ -303,6 +303,26 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("uplift: bands rank by observed effect and the Qini curve is the " +
+       "prefix sum of control-scaled gains") {
+    val rows = EventQueries.queries("evt_uplift")(spark, sf)
+      .select("band", "n0", "c0", "n1", "c1", "uplift", "rank", "cum_gain")
+      .as[(Long, Long, Long, Long, Long, Double, Int, Double)].collect()
+      .sortBy(_._7)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._7).toSeq === (1 to rows.length),
+      "ranks must be dense from 1")
+    assert(rows.map(_._6).toSeq === rows.map(_._6).sortBy(-_).toSeq,
+      "rank order must follow uplift desc")
+    var cum = 0.0
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._5 <= r._4, "conversions bounded by arm sizes")
+      cum += r._5.toDouble - r._3.toDouble * r._4 / r._2
+      assert(math.abs(r._8 - cum) < 1e-6,
+        s"cum_gain must be the running Qini numerator at rank ${r._7}")
+    }
+  }
+
   test("layout skip report: pruning is sound and the locality ordering " +
        "hilbert <= zorder <= natural holds") {
     // sf0.01: 157 files — at sf0.001's 16 files the chunk granularity is
