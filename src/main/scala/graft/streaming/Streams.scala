@@ -278,6 +278,44 @@ object Streams {
         })
   }
 
+  /** Streaming item co-occurrence maintenance — the incremental form of the
+    * batch item-item similarity's pair counting
+    * ([[graft.queries.EventQueries]] `itemSim`): state per user is the
+    * distinct-item set seen so far (bounded by `cap` in arrival order — the
+    * streaming analog of the batch frequency cap), and each newly-seen item
+    * emits one canonical (i < j) delta pair per already-held item. A plain
+    * downstream count over the emitted pairs IS the live co-occurrence
+    * table; when no user exceeds the cap, the accumulated counts equal the
+    * batch pair counts over the union of all batches regardless of batch
+    * boundaries (pinned by CoocStreamSpec against an order-independent
+    * brute force). State: ≤ cap ints per user; emission: ≤ cap pairs per
+    * arrival — the batch operator's C²/2-per-user bound, paid
+    * incrementally. Within-batch arrivals process in item order so a batch
+    * is deterministic under shuffle. Append mode. */
+  def coocStream(interactions: org.apache.spark.sql.Dataset[(Long, Int)],
+                 cap: Int = 32)
+      : org.apache.spark.sql.Dataset[(Int, Int)] = {
+    import interactions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    interactions
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Int)], state: GroupState[Seq[Int]]) => {
+          var held = state.getOption.getOrElse(Seq.empty[Int])
+          val out = Seq.newBuilder[(Int, Int)]
+          rows.map(_._2).toSeq.sorted.foreach { item =>
+            if (!held.contains(item) && held.size < cap) {
+              held.foreach { e =>
+                out += ((math.min(item, e), math.max(item, e)))
+              }
+              held = held :+ item
+            }
+          }
+          state.update(held)
+          out.result().iterator
+        })
+  }
+
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       userCol: String = "user_id",
                       viewTs: String = "view_ts", purchaseTs: String = "purchase_ts",
