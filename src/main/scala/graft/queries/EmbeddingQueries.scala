@@ -1806,23 +1806,27 @@ object EmbeddingQueries {
        |SELECT cluster, COUNT(*) AS n_vectors, CAST(SUM(dist2) AS BIGINT) AS inertia
        |FROM base GROUP BY 1""".stripMargin
 
-  val kmeansSql: String = {
-    // one assign CTE + one update CTE pair per round, mirroring the Spark
-    // fold exactly (argmin tie-break: dist2, then cluster)
-    def assignCte(n: Int, cents: String): String =
-      s""" a$n AS (SELECT vec_id, cluster, dist2, emb FROM (
-         |   SELECT f.vec_id, c.cluster, f.emb,
-         |     CAST((SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
-         |           FROM idx) AS BIGINT) AS dist2,
-         |     ROW_NUMBER() OVER (PARTITION BY f.vec_id
-         |       ORDER BY (SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
-         |                 FROM idx), c.cluster) AS rn
-         |   FROM f CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-    def updateCte(n: Int): String =
-      s""" u$n AS (SELECT cluster, i,
-         |   CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
-         |   FROM a$n, idx GROUP BY 1, 2),
-         | c$n AS (SELECT cluster, list(v ORDER BY i) AS cemb FROM u$n GROUP BY 1)""".stripMargin
+  // one assign CTE + one update CTE pair per round, mirroring the Spark
+  // fold exactly (argmin tie-break: dist2, then cluster)
+  private def kmAssignCte(n: Int, cents: String): String =
+    s""" a$n AS (SELECT vec_id, cluster, dist2, emb FROM (
+       |   SELECT f.vec_id, c.cluster, f.emb,
+       |     CAST((SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+       |           FROM idx) AS BIGINT) AS dist2,
+       |     ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |       ORDER BY (SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+       |                 FROM idx), c.cluster) AS rn
+       |   FROM f CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(n: Int): String =
+    s""" u$n AS (SELECT cluster, i,
+       |   CAST(FLOOR(CAST(SUM(emb[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |   FROM a$n, idx GROUP BY 1, 2),
+       | c$n AS (SELECT cluster, list(v ORDER BY i) AS cemb FROM u$n GROUP BY 1)""".stripMargin
+
+  /** The shared [[kmeansSql]] training chain, ending at the trained
+    * centroid table `c2` — reused by every oracle that consumes the
+    * trained model ([[kmeansSql]], [[silhouetteSql]]). */
+  private def kmChainCtes: String =
     s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
        | e AS (SELECT vec_id,
        |         list_transform(embedding,
@@ -1831,13 +1835,79 @@ object EmbeddingQueries {
        | f AS (SELECT vec_id, emb FROM e),
        | c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cemb FROM e
        |        WHERE vec_id < $KmK),
-       |${assignCte(1, "c0")},
-       |${updateCte(1)},
-       |${assignCte(2, "c1")},
-       |${updateCte(2)},
-       |${assignCte(3, "c2")}
+       |${kmAssignCte(1, "c0")},
+       |${kmUpdateCte(1)},
+       |${kmAssignCte(2, "c1")},
+       |${kmUpdateCte(2)}""".stripMargin
+
+  val kmeansSql: String =
+    s"""$kmChainCtes,
+       |${kmAssignCte(3, "c2")}
        |SELECT vec_id, cluster, dist2 FROM a3""".stripMargin
+
+  // --------------------------------------------------- simplified silhouette
+  /** Simplified (centroid-based) silhouette — the clustering-quality readout
+    * over the [[kmeans]] model (Vendramin et al.'s medoid-free variant):
+    * per vector, a = distance to its own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/b = 1 − √(d_own/d_next) since the
+    * assignment is the argmin (a ≤ b, so s ∈ [0,1] here). Per-vector scores
+    * quantize to FLOOR(1e6·s) longs BEFORE the per-cluster mean, so the
+    * aggregation is an exact integer sum (a float mean would be
+    * summation-order-dependent across engines) and only the final
+    * mean division is floating point.
+    *
+    * Scale: one broadcast of k centroids, one crossJoin scored map-side
+    * into a k-bounded collect_list per vector (k = [[KmK]]), one
+    * cluster-grain rollup — the same shape as [[kmeansInertia]]. */
+  def silhouette(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+    val top2 = e.crossJoin(broadcast(trainedCentroids(spark, d, KmK, KmIters)))
+      .withColumn("dist2", l2sq(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(struct(col("dist2"), col("cluster")))),
+        1, 2).as("t2"))
+      .select(col("vec_id"),
+        col("t2")(0).getField("cluster").as("cluster"),
+        col("t2")(0).getField("dist2").as("d_own"),
+        col("t2")(1).getField("dist2").as("d_next"))
+    top2
+      .withColumn("s_scaled",
+        when(col("d_next") === 0, 0L).otherwise(
+          floor(lit(1000000.0) * (lit(1.0) -
+            sqrt(col("d_own").cast("double") / col("d_next")))).cast("long")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("s_scaled")).cast("double") / lit(1000000.0) /
+          count(lit(1)), 6).as("mean_silhouette"))
   }
+
+  /** [[kmChainCtes]] (same trained model) + the rn≤2 pivot and the same
+    * integer-quantized scores. */
+  val silhouetteSql: String =
+    s"""$kmChainCtes,
+       | pair AS (SELECT vec_id,
+       |     MAX(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+       |     MAX(CASE WHEN rn = 1 THEN dist2 END) AS d_own,
+       |     MAX(CASE WHEN rn = 2 THEN dist2 END) AS d_next
+       |   FROM (
+       |     SELECT f.vec_id, c.cluster,
+       |       CAST((SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+       |             FROM idx) AS BIGINT) AS dist2,
+       |       ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |         ORDER BY (SELECT SUM((f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i]))
+       |                   FROM idx), c.cluster) AS rn
+       |     FROM f CROSS JOIN c2 c) WHERE rn <= 2 GROUP BY 1),
+       | s AS (SELECT vec_id, cluster,
+       |     CASE WHEN d_next = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE CAST(FLOOR(1000000.0 * (1.0 -
+       |                 sqrt(CAST(d_own AS DOUBLE) / d_next))) AS BIGINT)
+       |     END AS s_scaled
+       |   FROM pair)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  ROUND(CAST(SUM(s_scaled) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+       |    AS mean_silhouette
+       |FROM s GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------ outliers
   /** Embedding-space outlier scoring — the contamination/junk detector of
@@ -2390,6 +2460,7 @@ object EmbeddingQueries {
     "emb_mmr_select"     -> (mmrSelect _),
     "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
+    "emb_silhouette"     -> (silhouette _),
     "emb_kmeans_inertia" -> (kmeansInertia _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
@@ -2423,6 +2494,7 @@ object EmbeddingQueries {
     "emb_mmr_select"     -> mmrSelectSql,
     "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,
+    "emb_silhouette"     -> silhouetteSql,
     "emb_kmeans_inertia" -> kmeansInertiaSql,
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,
