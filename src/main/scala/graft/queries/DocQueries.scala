@@ -120,6 +120,46 @@ object DocQueries {
        |         + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) / 3, 6) AS quality_score
        |FROM t""".stripMargin
 
+  // --------------------------------------------------- character entropy
+  /** Character-entropy quality signal — the compressibility proxy of web
+    * curation stacks: gibberish/boilerplate (low entropy: repeated runs,
+    * padding) and binary-ish noise (near-max entropy) both sit away from
+    * natural text's band. H = log2(n) − (Σ cᵢ·log2 cᵢ)/n over per-char
+    * counts. Determinism across engines: each per-character term quantizes
+    * to FLOOR(1e6·cᵢ·log2 cᵢ) BEFORE the per-doc sum — integer addition is
+    * order-free where a float Σ would be summation-order-dependent; only
+    * the final combination is floating point, evaluated in one fixed
+    * formula on identical inputs.
+    *
+    * Scale: explode to (doc, char) rows, one map-side-combinable count,
+    * one doc-grain rollup — alphabet-bounded fan-in per doc. */
+  def charEntropy(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(floor(lit(1000000.0) * col("c").cast("double") *
+        log2(col("c").cast("double"))).cast("long")).as("t"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars_raw"),
+        round(log2(col("n").cast("double")) -
+          col("t").cast("double") / lit(1000000.0) / col("n"), 6)
+          .as("entropy_bits"))
+
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, strlen(text) AS n,
+      |    unnest(string_split(text, '')) AS ch FROM documents),
+      | c AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
+      | t AS (SELECT doc_id, n,
+      |    CAST(SUM(CAST(FLOOR(1000000.0 * c * log2(CAST(c AS DOUBLE))) AS BIGINT))
+      |      AS BIGINT) AS t
+      |  FROM c GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_raw,
+      |  ROUND(log2(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE) / 1000000.0 / n, 6)
+      |    AS entropy_bits
+      |FROM t""".stripMargin
+
   // ---------------------------------------------------------- language id
   /** N-gram/stopword language heuristic: English-marker token share drives
     * the call; emits prediction + agreement with the labeled lang.
@@ -4904,6 +4944,7 @@ object DocQueries {
     "doc_fingerprint"     -> (fingerprint _),
     "doc_token_stats"     -> (tokenStats _),
     "doc_quality"         -> (quality _),
+    "doc_char_entropy"    -> (charEntropy _),
     "doc_langid"          -> (langId _),
     "doc_neardup_jaccard" -> (neardupJaccard _),
     "doc_containment" -> (containment _),
@@ -4978,6 +5019,7 @@ object DocQueries {
     "doc_fingerprint"     -> fingerprintSql,
     "doc_token_stats"     -> tokenStatsSql,
     "doc_quality"         -> qualitySql,
+    "doc_char_entropy"    -> charEntropySql,
     "doc_langid"          -> langIdSql,
     "doc_neardup_jaccard" -> neardupJaccardSql,
     "doc_containment" -> containmentSql,

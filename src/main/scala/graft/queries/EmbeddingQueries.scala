@@ -103,6 +103,77 @@ object EmbeddingQueries {
        |              ORDER BY cosine DESC, vec_id) AS rk FROM s)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ------------------------------------------------- mutual-kNN / hubness
+  /** Mutual-nearest-neighbor + hubness diagnostic over a deterministic
+    * 10% slice (vec_id % 10 == 0): each slice vector's top-1 cosine
+    * neighbor within the slice, whether the relation is MUTUAL (a↔b are
+    * each other's top-1 — the high-precision pair signal dedup and
+    * retrieval evals key on), and the vector's top-1 in-degree (hubness:
+    * high-dimensional spaces concentrate top-1 votes onto hub points,
+    * which silently poisons kNN graphs; the in-degree distribution is THE
+    * diagnostic for it — Radovanović et al. 2010).
+    *
+    * Scale: the slice self-join is the [[knnBrute]] broadcast shape —
+    * diagnostics run on a slice by design; the production path plugs the
+    * same mutuality/in-degree rollup onto any ANN top-1 output. */
+  private val MutualMod = 10
+
+  def mutualKnn(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+      .filter(col("vec_id") % MutualMod === 0)
+      .select(col("vec_id"), scaled(col("embedding")).as("emb"))
+      .withColumn("norm2", dotScaled(col("emb"), col("emb")))
+    val scored = e.as("a")
+      .join(broadcast(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("norm2").as("b_norm2"))), col("vec_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        dotScaled(col("emb"), col("b_emb")).cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("b_norm2").cast("double"))), 6))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    val top1 = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("b_id").as("nn_id"), col("cosine"))
+      .cache()
+    val indeg = top1.groupBy(col("nn_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    top1.as("t")
+      .join(top1.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn")).as("r"),
+        col("t.nn_id") === col("r_vec"), "left")
+      .select(col("t.vec_id").as("vec_id"), col("t.nn_id").as("nn_id"),
+        col("t.cosine").as("cosine"),
+        coalesce(col("r.r_nn") === col("t.vec_id"), lit(false)).as("is_mutual"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("cosine"), col("is_mutual"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  val mutualKnnSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings WHERE vec_id % $MutualMod = 0),
+       | f AS (SELECT e.vec_id, emb,
+       |         (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2 FROM e),
+       | s AS (SELECT a.vec_id, b.vec_id AS b_id,
+       |         ROUND(CAST((SELECT SUM(a.emb[i] * b.emb[i]) FROM idx) AS DOUBLE)
+       |           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6)
+       |           AS cosine
+       |       FROM f a JOIN f b ON a.vec_id <> b.vec_id),
+       | t1 AS (SELECT vec_id, b_id AS nn_id, cosine FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                      ORDER BY cosine DESC, b_id) AS rk FROM s)
+       |        WHERE rk = 1),
+       | ind AS (SELECT nn_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+       |         FROM t1 GROUP BY 1)
+       |SELECT t.vec_id, t.nn_id, t.cosine,
+       |  COALESCE(r.nn_id = t.vec_id, FALSE) AS is_mutual,
+       |  COALESCE(ind.in_degree, 0) AS in_degree
+       |FROM t1 t
+       |LEFT JOIN t1 r ON t.nn_id = r.vec_id
+       |LEFT JOIN ind ON t.vec_id = ind.vec_id""".stripMargin
+
   // --------------------------------------------------------------- MIPS
   /** Maximum-inner-product search: exact top-k by RAW dot product — the
     * retrieval mode for un-normalized factors (matrix-factorization user/
@@ -2461,6 +2532,7 @@ object EmbeddingQueries {
     "emb_outliers"       -> (outliers _),
     "emb_kmeans"         -> (kmeans _),
     "emb_silhouette"     -> (silhouette _),
+    "emb_mutual_knn"     -> (mutualKnn _),
     "emb_kmeans_inertia" -> (kmeansInertia _),
     "emb_semdedup"       -> (semDedup _),
     "emb_pq_search"      -> (pqSearch _),
@@ -2495,6 +2567,7 @@ object EmbeddingQueries {
     "emb_outliers"       -> outliersSql,
     "emb_kmeans"         -> kmeansSql,
     "emb_silhouette"     -> silhouetteSql,
+    "emb_mutual_knn"     -> mutualKnnSql,
     "emb_kmeans_inertia" -> kmeansInertiaSql,
     "emb_semdedup"       -> semDedupSql,
     "emb_pq_codes"       -> pqCodesSql,

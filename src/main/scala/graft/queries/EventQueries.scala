@@ -2523,6 +2523,53 @@ object EventQueries {
       |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
       |FROM a3""".stripMargin
 
+  // ------------------------------------------------------ Gini concentration
+  /** Revenue concentration per event type — the Gini coefficient over
+    * per-user value mass, the "how whale-dominated is this surface" readout
+    * (0 = uniform, →1 = one user carries everything). Exact rank form:
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over values sorted ascending with
+    * user-id tie-break — every term an exact long on milli-scaled values
+    * ([[winsorized]]'s cents convention), one final division rounded to 6.
+    *
+    * Scale: one (type, user) aggregation map-side, then a per-type window
+    * rank (the one sort — keyed by type, never global) and a type-grain
+    * rollup. Σi·x fits long through ~10^18 milli-value-user-rank mass;
+    * shard per stratum past that, like the rollup family. */
+  def gini(spark: SparkSession, d: String): DataFrame = {
+    val perUser = ev(spark, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("total_milli"),
+        sum(col("i") * col("x")).as("six"))
+      .filter(col("total_milli") > 0)
+      .select(col("event_type"), col("n_users"), col("total_milli"),
+        round((lit(2) * col("six") - (col("n_users") + 1) * col("total_milli"))
+          .cast("double") / (col("n_users") * col("total_milli")), 6).as("gini"))
+  }
+
+  val giniSql: String =
+    """WITH pu AS (SELECT event_type, user_id,
+      |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      | r AS (SELECT event_type, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY x, user_id) AS BIGINT) AS i
+      |  FROM pu),
+      | g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS total_milli,
+      |    CAST(SUM(i * x) AS BIGINT) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_users, total_milli,
+      |  ROUND(CAST(2 * six - (n_users + 1) * total_milli AS DOUBLE) /
+      |        (n_users * total_milli), 6) AS gini
+      |FROM g WHERE total_milli > 0""".stripMargin
+
   // ------------------------------------------------------- uplift by segment
   /** Segment-level uplift readout (the heterogeneous-treatment-effect
     * complement of [[abtest]]'s single ATE): per activity band, the
@@ -4326,6 +4373,7 @@ object EventQueries {
     "evt_dp_rollup"           -> (dpRollup _),
     "evt_bloom_semijoin"      -> (bloomSemijoin _),
     "evt_uplift"              -> (uplift _),
+    "evt_gini"                -> (gini _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
@@ -4397,6 +4445,7 @@ object EventQueries {
     "evt_dp_rollup"           -> dpRollupSql,
     "evt_bloom_semijoin"      -> bloomSemijoinSql,
     "evt_uplift"              -> upliftSql,
+    "evt_gini"                -> giniSql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,

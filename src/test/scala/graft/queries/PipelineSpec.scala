@@ -303,6 +303,53 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("gini: uniform mass scores near 0, one-whale mass scores (n-1)/n") {
+    val mk = (uid: Long, v: Double, i: Int) =>
+      (uid * 1000 + i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        uid, "purchase", v, "{}")
+    // 'purchase': 10 users x equal value; 'click': one whale + 9 zeros
+    val rows = (0L until 10L).map(u => mk(u, 5.0, 0)) ++
+      (0L until 10L).map(u => (u * 1000 + 1, java.sql.Timestamp.valueOf(
+        "2024-01-01 11:00:00"), u, "click", if (u == 0L) 100.0 else 0.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val g = EventQueries.queries("evt_gini")(spark, tmp)
+      .select("event_type", "gini").as[(String, Double)].collect().toMap
+    assert(g("purchase") === 0.0, "equal mass must score exactly 0")
+    assert(g("click") === 0.9, "a single whale among 10 users scores (n-1)/n")
+  }
+
+  test("char entropy: repeated/alternating/uniform strings hit their exact bits") {
+    val docs = Seq(
+      (1L, "aaaaaaaa", "en", "t", 8L),  // one symbol: 0 bits
+      (2L, "abababab", "en", "t", 8L),  // two equal symbols: 1 bit
+      (3L, "abcdabcd", "en", "t", 8L))  // four equal symbols: 2 bits
+    val tmp = java.nio.file.Files.createTempDirectory("ent").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val h = DocQueries.queries("doc_char_entropy")(spark, tmp)
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect().toMap
+    assert(h(1L) === 0.0)
+    assert(h(2L) === 1.0)
+    assert(h(3L) === 2.0)
+  }
+
+  test("mutual knn: mutuality is symmetric and in-degrees conserve votes") {
+    val rows = EmbeddingQueries.queries("emb_mutual_knn")(spark, sf)
+      .select("vec_id", "nn_id", "is_mutual", "in_degree")
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(rows.nonEmpty)
+    val nn = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { r =>
+      assert(r._3 === (nn.get(r._2).contains(r._1)),
+        s"is_mutual must mean a<->b top-1 symmetry: $r")
+    }
+    assert(rows.map(_._4).sum === rows.length.toLong,
+      "every vector casts exactly one top-1 vote")
+    assert(rows.exists(_._3), "the fixture slice should contain mutual pairs")
+  }
+
   test("uplift: bands rank by observed effect and the Qini curve is the " +
        "prefix sum of control-scaled gains") {
     val rows = EventQueries.queries("evt_uplift")(spark, sf)
