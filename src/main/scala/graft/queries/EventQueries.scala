@@ -2523,6 +2523,108 @@ object EventQueries {
       |  ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
       |FROM a3""".stripMargin
 
+  // --------------------------------------------- seasonal decomposition
+  /** Classical additive seasonal decomposition of the per-type daily count
+    * series: trend = centered 7-day moving average, seasonal = per-weekday
+    * mean of the detrended series, residual = remainder — the STL-shaped
+    * readout behind "is Monday always like this, or is something wrong".
+    * All levels carry in MILLI-events: the MA sum is an exact long,
+    * `trend_milli = ⌊1000·Σ₇/7⌋`, detrended/seasonal/residual are exact
+    * long arithmetic on top (the one ⌊·⌋ per level is a double division of
+    * exact-long operands — identical in both engines). Weekday =
+    * `day_num % 7` (pure arithmetic — the two engines disagree on calendar
+    * dow numbering, so no calendar function crosses the oracle). Edge days
+    * without a full 7-day window are excluded (cnt = 7 filter), as in the
+    * classical method.
+    *
+    * Scale: one map-side-combinable day-grain aggregation; the windows run
+    * per type over the day-grain series (model-sized); the weekday index
+    * is a (type × 7)-row broadcastable join. */
+  def decompose(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .agg(count(lit(1)).as("x"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("sum7", sum(col("x")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("cnt7") === 7)
+      .withColumn("trend_milli",
+        floor(lit(1000.0) * col("sum7").cast("double") / 7).cast("long"))
+      .withColumn("det_milli", lit(1000) * col("x") - col("trend_milli"))
+      .withColumn("dow", pmod(col("day_num"), lit(7L)))
+    val seasonal = trended.groupBy(col("event_type"), col("dow"))
+      .agg(floor(sum(col("det_milli")).cast("double") / count(lit(1)))
+        .cast("long").as("seas_milli"))
+    trended.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day_num"), col("x"),
+        col("trend_milli"), col("seas_milli"),
+        (col("det_milli") - col("seas_milli")).as("resid_milli"))
+  }
+
+  val decomposeSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      | t AS (SELECT event_type, day_num, x,
+      |    SUM(x) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      | tr AS (SELECT event_type, day_num, x,
+      |    CAST(FLOOR(1000.0 * sum7 / 7) AS BIGINT) AS trend_milli,
+      |    1000 * x - CAST(FLOOR(1000.0 * sum7 / 7) AS BIGINT) AS det_milli,
+      |    day_num % 7 AS dow
+      |  FROM t WHERE cnt7 = 7),
+      | s AS (SELECT event_type, dow,
+      |    CAST(FLOOR(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS seas_milli
+      |  FROM tr GROUP BY 1, 2)
+      |SELECT tr.event_type, tr.day_num, tr.x, tr.trend_milli, s.seas_milli,
+      |  tr.det_milli - s.seas_milli AS resid_milli
+      |FROM tr JOIN s ON tr.event_type = s.event_type AND tr.dow = s.dow""".stripMargin
+
+  // ----------------------------------------------- transition entropy
+  /** Next-event predictability: Shannon entropy of each event type's
+    * outgoing-transition distribution ([[transitions]]' rows) — 0 bits =
+    * fully deterministic flow, log2(k) = uniform over k successors. The
+    * navigational-predictability readout of clickstream analysis, and the
+    * same quantize-before-sum determinism as the char-entropy signal:
+    * per-successor terms floor to 1e6-scaled longs so the per-type sum is
+    * order-free integer addition. */
+  def pathEntropy(spark: SparkSession, d: String): DataFrame =
+    transitions(spark, d)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_transitions")).as("n_out"),
+        count(lit(1)).as("n_successors"),
+        sum(floor(lit(1000000.0) * col("n_transitions").cast("double") *
+          log2(col("n_transitions").cast("double"))).cast("long")).as("t"))
+      .select(col("event_type"), col("n_out"), col("n_successors"),
+        round(log2(col("n_out").cast("double")) -
+          col("t").cast("double") / lit(1000000.0) / col("n_out"), 6)
+          .as("entropy_bits"))
+
+  val pathEntropySql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY epoch_ms(ts), event_id) AS next_type
+      |  FROM events),
+      | tr AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      | g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_out,
+      |    CAST(COUNT(*) AS BIGINT) AS n_successors,
+      |    CAST(SUM(CAST(FLOOR(1000000.0 * n * log2(CAST(n AS DOUBLE))) AS BIGINT))
+      |      AS BIGINT) AS t
+      |  FROM tr GROUP BY 1)
+      |SELECT event_type, n_out, n_successors,
+      |  ROUND(log2(CAST(n_out AS DOUBLE)) - CAST(t AS DOUBLE) / 1000000.0 / n_out, 6)
+      |    AS entropy_bits
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------ Gini concentration
   /** Revenue concentration per event type — the Gini coefficient over
     * per-user value mass, the "how whale-dominated is this surface" readout
@@ -4374,6 +4476,8 @@ object EventQueries {
     "evt_bloom_semijoin"      -> (bloomSemijoin _),
     "evt_uplift"              -> (uplift _),
     "evt_gini"                -> (gini _),
+    "evt_decompose"           -> (decompose _),
+    "evt_path_entropy"        -> (pathEntropy _),
     "evt_absorbing_chain"     -> (absorbingChain _),
     "evt_conversion_prob"     -> (conversionProb _),
     "evt_markov_attribution"  -> (markovAttribution _),
@@ -4446,6 +4550,8 @@ object EventQueries {
     "evt_bloom_semijoin"      -> bloomSemijoinSql,
     "evt_uplift"              -> upliftSql,
     "evt_gini"                -> giniSql,
+    "evt_decompose"           -> decomposeSql,
+    "evt_path_entropy"        -> pathEntropySql,
     "evt_absorbing_chain"     -> absorbingChainSql,
     "evt_conversion_prob"     -> conversionProbSql,
     "evt_markov_attribution"  -> markovAttributionSql,

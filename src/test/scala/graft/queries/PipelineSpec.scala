@@ -303,6 +303,52 @@ class PipelineSpec extends SparkSpec {
     assert(dec.exists(_._4), "fixture must exercise the leak-prevention path")
   }
 
+  test("decomposition: additive identity holds everywhere and a purely " +
+       "weekly series leaves zero residual") {
+    // 4 weeks of a pure weekday pattern: constant weekly sum -> constant
+    // trend -> detrended depends only on weekday -> residual exactly 0
+    val pattern = Seq(10, 30, 20, 50, 40, 60, 70)
+    val rows = for {
+      day <- 0 until 28
+      i <- 0 until pattern(day % 7)
+    } yield (day.toLong * 1000 + i,
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"),
+      i.toLong, "view", 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("dec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventQueries.queries("evt_decompose")(spark, tmp)
+      .select("x", "trend_milli", "seas_milli", "resid_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 22, "28 days minus 3 edge days each side")
+    out.foreach { case (x, tr, se, re) =>
+      assert(1000 * x === tr + se + re, "additive identity must be exact")
+    }
+    assert(out.forall(_._4 === 0L), "a pure weekly pattern has no residual")
+    assert(out.map(_._2).toSet.size === 1, "constant weekly sum -> flat trend")
+  }
+
+  test("path entropy: deterministic chains score 0 bits, uniform splits 1 bit") {
+    // users alternate A->B->A->B (A's successor always B and vice versa:
+    // 0 bits each); C splits evenly to A and B: 1 bit
+    val rows = (0 until 8).flatMap { u =>
+      val chain = Seq("A", "B", "A", "B") ++
+        Seq("C", if (u % 2 == 0) "A" else "B")
+      chain.zipWithIndex.map { case (t, i) =>
+        (u.toLong * 100 + i, java.sql.Timestamp.valueOf(f"2024-01-01 10:${u}%02d:${i}%02d"),
+          u.toLong, t, 1.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pent").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val h = EventQueries.queries("evt_path_entropy")(spark, tmp)
+      .select("event_type", "entropy_bits").as[(String, Double)].collect().toMap
+    assert(h("A") === 0.0, "A always flows to B: fully predictable")
+    assert(h("B") === 1.0, "B splits evenly A/C: exactly one bit")
+    assert(h("C") === 1.0, "C splits evenly A/B across users: one bit")
+  }
+
   test("gini: uniform mass scores near 0, one-whale mass scores (n-1)/n") {
     val mk = (uid: Long, v: Double, i: Int) =>
       (uid * 1000 + i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
