@@ -2947,7 +2947,10 @@ object DocQueries {
        |       WHERE len(word) > 0 GROUP BY 1),
        | subs AS (SELECT w.freq, substr(w.word, i.i, j.j) AS p
        |          FROM w,
-       |            (SELECT unnest(generate_series(1, 40)) AS i) i,
+       |            -- data-derived bound (the bpeEncode idiom): a fixed cap
+       |            -- would silently drop pieces of any word type past it
+       |            (SELECT unnest(generate_series(1,
+       |               (SELECT CAST(MAX(len(word)) AS INT) FROM w))) AS i) i,
        |            (SELECT unnest(generate_series(1, $UniMaxPiece)) AS j) j
        |          WHERE i.i + j.j - 1 <= len(w.word)),
        | cnt AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM subs GROUP BY 1),

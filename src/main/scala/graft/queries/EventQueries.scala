@@ -3307,26 +3307,34 @@ object EventQueries {
     * evaluates the IDENTICAL integer expression. At 100 TB the actual
     * re-layout is `repartitionByRange(zvalue).sortWithinPartitions` on
     * write; the key itself is this narrow pass. */
-  def zorder(spark: SparkSession, d: String): DataFrame = {
-    val x = col("user_id").bitwiseAND(lit(65535L))
-    val y = col("day_num").bitwiseAND(lit(65535L))
-    val zvalue = (0 until 16).map { i =>
+  /** The 16-round bit interleave shared by [[zorder]] and [[layoutSkip]] —
+    * ONE definition, or the skip report silently measures a different key
+    * than the layout query it claims to compare. */
+  private def zvalueOf(xCol: Column, yCol: Column): Column = {
+    val x = xCol.bitwiseAND(lit(65535L))
+    val y = yCol.bitwiseAND(lit(65535L))
+    (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
+
+  /** The matching SQL interleave terms (assumes `user_id`/`day_num`). */
+  private val zTermsSql: String = (0 until 16).map { i =>
+    s"(((user_id & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+      s"(((day_num & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  def zorder(spark: SparkSession, d: String): DataFrame =
     ev(spark, d)
       .select(col("event_id"), col("user_id"),
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"))
-      .withColumn("zvalue", zvalue)
+      .withColumn("zvalue", zvalueOf(col("user_id"), col("day_num")))
       .withColumn("zfile", shiftrightunsigned(col("zvalue"), 22))
-  }
 
   val zorderSql: String = {
-    val terms = (0 until 16).map { i =>
-      s"(((user_id & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
-        s"(((day_num & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
-    }.mkString(" + ")
+    val terms = zTermsSql
     s"""WITH t AS (SELECT event_id, user_id,
        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
        |  FROM events)
@@ -3358,8 +3366,11 @@ object EventQueries {
         col("user_id"), col("day_num")))
       .withColumn("hfile", shiftrightunsigned(col("hvalue"), 22))
 
-  val hilbertSql: String =
-    """WITH RECURSIVE t AS (SELECT event_id, user_id,
+  /** Shared `t` (event day-nums) + the 16-round Hilbert recursion `h` —
+    * one definition for [[hilbertSql]] and [[layoutSkipSql]], same
+    * single-source rule as [[zTermsSql]]. */
+  private val hilbertCtes: String =
+    """t AS (SELECT event_id, user_id,
       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
       |  FROM events),
       | h(event_id, x, y, d, s) AS (
@@ -3378,10 +3389,13 @@ object EventQueries {
       |     d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
       |                     CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
       |     s // 2
-      |   FROM h WHERE s > 0)
-      |SELECT t.event_id, t.user_id, t.day_num,
-      |  h.d AS hvalue, CAST(h.d // 4194304 AS BIGINT) AS hfile
-      |FROM h JOIN t USING (event_id) WHERE h.s = 0""".stripMargin
+      |   FROM h WHERE s > 0)""".stripMargin
+
+  val hilbertSql: String =
+    s"""WITH RECURSIVE $hilbertCtes
+       |SELECT t.event_id, t.user_id, t.day_num,
+       |  h.d AS hvalue, CAST(h.d // 4194304 AS BIGINT) AS hfile
+       |FROM h JOIN t USING (event_id) WHERE h.s = 0""".stripMargin
 
   // ------------------------------------------- layout skip-effectiveness
   /** File-skipping effectiveness report: the measured payoff of the three
@@ -3404,29 +3418,31 @@ object EventQueries {
   private val LayoutRowsPerFile = 64
 
   def layoutSkip(spark: SparkSession, d: String): DataFrame = {
-    val x = col("user_id").bitwiseAND(lit(65535L))
-    val y = col("day_num").bitwiseAND(lit(65535L))
-    val zvalue = (0 until 16).map { i =>
-      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    // cached: three layout sorts + the bounds aggregation all read the
+    // same keyed projection — uncached, each would re-scan and re-derive
+    // both curve keys
     val keyed = ev(spark, d)
       .select(col("event_id"), col("user_id"),
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"))
-      .withColumn("zvalue", zvalue)
+      .withColumn("zvalue", zvalueOf(col("user_id"), col("day_num")))
       .withColumn("hvalue", graft.functions.GraftFunctions.hilbertIndex(
         col("user_id"), col("day_num")))
+      .cache()
+    // per-term INTEGER floor division, exactly like the oracle's `//`:
+    // summing real divisions and truncating once diverges by 1 whenever
+    // (max-min) mod 8 ∈ {3, 6, 7} — caught at sf0.1 (range 1499: 562 vs
+    // 561) where the sf0.01 gate passed only because both ranges ≡ 5 (mod 8)
     val bounds = keyed.agg(
       min(col("user_id")).as("minu"), max(col("user_id")).as("maxu"),
       min(col("day_num")).as("mind"), max(col("day_num")).as("maxd"))
       .select(
-        (col("minu") + (col("maxu") - col("minu")) / 4).cast("long").as("ulo"),
-        (col("minu") + (col("maxu") - col("minu")) / 4 +
-          (col("maxu") - col("minu")) / 8).cast("long").as("uhi"),
-        (col("mind") + (col("maxd") - col("mind")) / 4).cast("long").as("dlo"),
-        (col("mind") + (col("maxd") - col("mind")) / 4 +
-          (col("maxd") - col("mind")) / 8).cast("long").as("dhi"))
+        (col("minu") + expr("(maxu - minu) DIV 4")).as("ulo"),
+        (col("minu") + expr("(maxu - minu) DIV 4") +
+          expr("(maxu - minu) DIV 8")).as("uhi"),
+        (col("mind") + expr("(maxd - mind) DIV 4")).as("dlo"),
+        (col("mind") + expr("(maxd - mind) DIV 4") +
+          expr("(maxd - mind) DIV 8")).as("dhi"))
     def files(layout: String, key: Column): DataFrame =
       keyed.withColumn("file",
           ((row_number().over(Window.orderBy(key, col("event_id"))) - 1)
@@ -3460,30 +3476,8 @@ object EventQueries {
   }
 
   val layoutSkipSql: String = {
-    val terms = (0 until 16).map { i =>
-      s"(((user_id & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
-        s"(((day_num & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
-    }.mkString(" + ")
-    s"""WITH RECURSIVE t AS (SELECT event_id, user_id,
-       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
-       |  FROM events),
-       | h(event_id, x, y, d, s) AS (
-       |   SELECT event_id, CAST(user_id & 65535 AS BIGINT),
-       |          CAST(day_num & 65535 AS BIGINT),
-       |          CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
-       |   FROM t
-       |   UNION ALL
-       |   SELECT event_id,
-       |     CASE WHEN (y & s) = 0
-       |          THEN CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
-       |          ELSE x END,
-       |     CASE WHEN (y & s) = 0
-       |          THEN CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
-       |          ELSE y END,
-       |     d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
-       |                     CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
-       |     s // 2
-       |   FROM h WHERE s > 0),
+    val terms = zTermsSql
+    s"""WITH RECURSIVE $hilbertCtes,
        | keyed AS (SELECT t.event_id, t.user_id, t.day_num,
        |             CAST($terms AS BIGINT) AS zvalue, h.d AS hvalue
        |           FROM t JOIN h USING (event_id) WHERE h.s = 0),
@@ -4279,7 +4273,13 @@ object EventQueries {
   private val ItemSimUserCap = 32
   private val ItemSimTopK = 10
 
-  def itemSim(spark: SparkSession, d: String): DataFrame = {
+  /** The capped (user, item) interaction set shared by [[itemSim]] and
+    * [[triangles]] — the cap semantics (ItemSimUserCap, cnt-desc/item
+    * tie-break) are load-bearing for BOTH queries' oracles, so this is the
+    * single definition. Cached: each consumer reads it several times
+    * (gate count / marginals / both pair-join sides) and the per-user
+    * window sort would otherwise rerun per read. */
+  private def cappedInteractions(spark: SparkSession, d: String): DataFrame = {
     val ui0 = ev(spark, d)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
@@ -4287,12 +4287,25 @@ object EventQueries {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("item"))
-    // cached: the capped set feeds the marginals and both pair-join sides —
-    // without it the per-user window sort reruns per consumer
-    val ui = ui0.withColumn("rk", row_number().over(byUser))
+    ui0.withColumn("rk", row_number().over(byUser))
       .filter(col("rk") <= ItemSimUserCap)
       .select(col("user_id"), col("item"))
       .cache()
+  }
+
+  /** Matching SQL: `ui0`/`ui` CTEs, shared by both oracles. */
+  private val cappedUiCtes: String =
+    s"""ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+       |         COUNT(*) AS cnt
+       |       FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
+       |       GROUP BY 1, 2),
+       | ui AS (SELECT user_id, item FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
+       |        WHERE rk <= $ItemSimUserCap)""".stripMargin
+
+  def itemSim(spark: SparkSession, d: String): DataFrame = {
+    val ui = cappedInteractions(spark, d)
     val marginals = ui.groupBy(col("item"))
       .agg(count(lit(1)).cast("long").as("n_users"))
     val pairs = ui.as("a")
@@ -4316,14 +4329,7 @@ object EventQueries {
   }
 
   val itemSimSql: String =
-    s"""WITH ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
-       |         COUNT(*) AS cnt
-       |       FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
-       |       GROUP BY 1, 2),
-       | ui AS (SELECT user_id, item FROM (
-       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-       |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
-       |        WHERE rk <= $ItemSimUserCap),
+    s"""WITH $cappedUiCtes,
        | n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_users FROM ui GROUP BY 1),
        | p AS (SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS cooc
        |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
@@ -4359,18 +4365,7 @@ object EventQueries {
   private val TriangleMinCoocPct = 25 // edge iff cooc*100 >= pct*n_users
 
   def triangles(spark: SparkSession, d: String): DataFrame = {
-    val ui0 = ev(spark, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("cnt").desc, col("item"))
-    // cached: the capped set feeds the gate count AND both pair-join sides
-    val ui = ui0.withColumn("rk", row_number().over(byUser))
-      .filter(col("rk") <= ItemSimUserCap)
-      .select(col("user_id"), col("item"))
-      .cache()
+    val ui = cappedInteractions(spark, d)
     val nUsers = ui.select(col("user_id")).distinct().count()
     // undirected edge list (i < j), threshold relative to corpus size
     val edges = ui.as("a")
@@ -4417,14 +4412,7 @@ object EventQueries {
   }
 
   val trianglesSql: String =
-    s"""WITH ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
-       |         COUNT(*) AS cnt
-       |       FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
-       |       GROUP BY 1, 2),
-       | ui AS (SELECT user_id, item FROM (
-       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-       |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
-       |        WHERE rk <= $ItemSimUserCap),
+    s"""WITH $cappedUiCtes,
        | nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ui),
        | e AS (SELECT a.item AS i, b.item AS j
        |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item, nu
