@@ -661,7 +661,13 @@ object DocQueries {
     * inherent misses near the threshold are reproduced by the oracle, not
     * assumed away (an earlier all-pairs oracle relied on recall being 1,
     * which held at sf0.01 but dropped a pair at sf0.1). */
-  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, d: String): DataFrame =
+    lshVerifiedPairs(spark, d).filter(col("jaccard") >= 0.3)
+
+  /** LSH candidates with their EXACT Jaccard, no threshold floor — the
+    * shared generator behind [[minhashLsh]] (0.3 floor) and [[dedupSweep]]
+    * (which needs the full candidate score distribution). */
+  private def lshVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
     // Materialize the signatures BEFORE the self-joins: the sig expression
     // inlines the murmur+min tree 64x, and the band self-join would
     // otherwise duplicate that whole tree on both sides (codegen blowup —
@@ -684,7 +690,36 @@ object DocQueries {
     withSets.select(col("d1"), col("d2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** Dedup threshold-sensitivity sweep: how many verified near-dup pairs
+    * (and how many distinct documents) each Jaccard cutoff 0.1…0.9 would
+    * flag — the tuning readout run before committing a corpus to one
+    * threshold (a cliff between two cutoffs means the corpus has a
+    * boilerplate band there; a flat tail means the choice is safe). Domain
+    * = the LSH candidate set with exact scores (no floor), so the sweep
+    * sees everything banding can see.
+    *
+    * Scale: candidate volume is the LSH-bounded pair set; the sweep itself
+    * is a 9-way explode over it with map-side-combinable counts. */
+  def dedupSweep(spark: SparkSession, d: String): DataFrame = {
+    val pairs = lshVerifiedPairs(spark, d).cache()
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("t10"))
+    val byT = pairs
+      .select(col("jaccard"), explode(sequence(lit(1), lit(9))).as("t10"))
+      .filter(col("jaccard") >= col("t10").cast("double") / 10.0)
+      .groupBy(col("t10")).agg(count(lit(1)).as("n_pairs"))
+    val docsByT = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc"), col("jaccard"))
+      .select(col("doc"), col("jaccard"),
+        explode(sequence(lit(1), lit(9))).as("t10"))
+      .filter(col("jaccard") >= col("t10").cast("double") / 10.0)
+      .groupBy(col("t10")).agg(countDistinct(col("doc")).as("n_docs_flagged"))
+    spine.join(byT, Seq("t10"), "left").join(docsByT, Seq("t10"), "left")
+      .select(col("t10"),
+        (col("t10").cast("double") / 10.0).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
   }
 
   // ---------------------------------------------------------- simhash
@@ -759,6 +794,26 @@ object DocQueries {
        |FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id
        |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
        |    (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.3""".stripMargin
+
+  /** [[lshCandCtes]] + exact scores + the 9-cutoff spine. */
+  val dedupSweepSql: String =
+    s"""$lshCandCtes,
+       | sets AS (SELECT doc_id, list(s) AS sh FROM g GROUP BY 1),
+       | p AS (SELECT d1, d2,
+       |     CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |       (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jac
+       |   FROM cand JOIN sets s1 ON d1 = s1.doc_id JOIN sets s2 ON d2 = s2.doc_id),
+       | th AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS t10),
+       | pc AS (SELECT t10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |        FROM p, th WHERE jac >= t10 / 10.0 GROUP BY 1),
+       | dc AS (SELECT t10, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_flagged
+       |        FROM (SELECT d1 AS doc, jac FROM p
+       |              UNION ALL SELECT d2, jac FROM p), th
+       |        WHERE jac >= t10 / 10.0 GROUP BY 1)
+       |SELECT th.t10, th.t10 / 10.0 AS threshold,
+       |  COALESCE(pc.n_pairs, 0) AS n_pairs,
+       |  COALESCE(dc.n_docs_flagged, 0) AS n_docs_flagged
+       |FROM th LEFT JOIN pc USING (t10) LEFT JOIN dc USING (t10)""".stripMargin
 
   // --------------------------------------------- minhash end-to-end dedup
   /** The full MinHash dedup pipeline a production corpus sweep ships:
@@ -4953,6 +5008,7 @@ object DocQueries {
     "doc_containment" -> (containment _),
     "doc_dedup_clusters"  -> (dedupClusters _),
     "doc_minhash_lsh"     -> (minhashLsh _),
+    "doc_dedup_sweep"     -> (dedupSweep _),
     "doc_minhash_dedup"   -> (minhashDedup _),
     "doc_cross_dedup"     -> (crossDedup _),
     "doc_url_dedup"       -> (urlDedup _),
@@ -5028,6 +5084,7 @@ object DocQueries {
     "doc_containment" -> containmentSql,
     "doc_dedup_clusters"  -> dedupClustersSql,
     "doc_minhash_lsh"     -> minhashLshSql,
+    "doc_dedup_sweep"     -> dedupSweepSql,
     "doc_minhash_dedup"   -> minhashDedupSql,
     "doc_cross_dedup"     -> crossDedupSql,
     "doc_url_dedup"       -> urlDedupSql,

@@ -279,6 +279,35 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit("val") / n > 0.04 && bySplit("val") / n < 0.16)
   }
 
+  test("dedup sweep: monotone in the cutoff and exact on a planted " +
+       "duplicate corpus") {
+    val rows = DocQueries.queries("doc_dedup_sweep")(spark, sf)
+      .select("t10", "n_pairs", "n_docs_flagged")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 9))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3,
+        "raising the cutoff can only flag fewer pairs/docs")
+    }
+    rows.foreach(r => assert(r._3 <= 2 * r._2, "each pair flags <= 2 docs"))
+    // planted: 3 identical docs + 1 unrelated -> C(3,2)=3 pairs at jac 1.0,
+    // present at EVERY cutoff; the unrelated doc never flagged
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base, "en", "t", 200L), (2L, base, "en", "t", 200L),
+      (3L, base, "en", "t", 200L),
+      (4L, (1 to 30).map(i => s"zzz$i").mkString(" "), "en", "t", 200L))
+    val tmp = java.nio.file.Files.createTempDirectory("sweep").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = DocQueries.queries("doc_dedup_sweep")(spark, tmp)
+      .select("t10", "n_pairs", "n_docs_flagged")
+      .as[(Int, Long, Long)].collect()
+    planted.foreach { r =>
+      assert(r._2 === 3L && r._3 === 3L,
+        s"identical triplet must survive every cutoff: $r")
+    }
+  }
+
   test("decontaminated split: clusters move as one unit, singletons match doc_split") {
     val dec = DocQueries.queries("doc_split_decontam")(spark, sf)
       .select("doc_id", "canonical_doc_id", "split", "leak_prevented")
