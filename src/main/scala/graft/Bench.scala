@@ -154,16 +154,28 @@ object Bench {
       if (qIdx % 16 == 0) System.gc()
       val gc0 = gcMillis()
       val (cold, coldExt) = timeOnce(fn)
+      var gcWarm0 = gcMillis()
       var (warm, warmExt) = timeOnce(fn)
+      var warmGcMs = gcMillis() - gcWarm0
       var retries = 0
       var bestExt = warmExt
-      while (warm >= 0 && warmExt >= 0 && bestExt > extThreshold &&
+      // A sample is not steady state when EITHER external load overlapped
+      // it OR a GC storm dominated it (old-gen pressure strikes whichever
+      // query is running when the heap fills — seen as a 0.4s query timing
+      // 20s with 5s+ of collector time and ext=0.00; a hypervisor-level
+      // neighbor is equally invisible to /proc/stat and also surfaces as
+      // wall time no in-VM counter accounts for). Retime on both, best-of.
+      def gcStorm = warmGcMs > (warm * 500).toLong // >50% of wall in GC
+      while (warm >= 0 && warmExt >= 0 &&
+             (bestExt > extThreshold || gcStorm) &&
              warm > minRetimeSec && retries < maxRetries &&
              retryBudgetSec > 0) {
         retries += 1
+        gcWarm0 = gcMillis()
         val (w2, e2) = timeOnce(fn)
+        val g2 = gcMillis() - gcWarm0
         retryBudgetSec -= math.max(0.0, w2)
-        if (w2 >= 0 && w2 < warm) { warm = w2; bestExt = e2 }
+        if (w2 >= 0 && w2 < warm) { warm = w2; bestExt = e2; warmGcMs = g2 }
         else if (e2 >= 0 && e2 < bestExt) bestExt = e2
         warmExt = e2
       }

@@ -666,8 +666,14 @@ object DocQueries {
 
   /** LSH candidates with their EXACT Jaccard, no threshold floor — the
     * shared generator behind [[minhashLsh]] (0.3 floor) and [[dedupSweep]]
-    * (which needs the full candidate score distribution). */
-  private def lshVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
+    * (which needs the full candidate score distribution). Memoized like
+    * [[neardupJaccard]]'s pair table: every consumer (lsh, end-to-end
+    * dedup, decontaminated split, the sweep) reads ONE materialization. */
+  private def lshVerifiedPairs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("lsh-pairs", d))(
+      lshVerifiedPairsCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def lshVerifiedPairsCompute(spark: SparkSession, d: String): DataFrame = {
     // Materialize the signatures BEFORE the self-joins: the sig expression
     // inlines the murmur+min tree 64x, and the band self-join would
     // otherwise duplicate that whole tree on both sides (codegen blowup —
@@ -2927,11 +2933,12 @@ object DocQueries {
   private val UniLpScale = 1000000L
 
   def unigramTok(spark: SparkSession, d: String): DataFrame = {
-    val words = documents(spark, d)
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
-      .cache()
+    val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
+      documents(spark, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+        .cache())(_.unpersist(blocking = false))
     // substring counts, frequency-weighted over word TYPES
     val counts = words.select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(word)), i ->

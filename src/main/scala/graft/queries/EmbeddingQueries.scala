@@ -131,10 +131,11 @@ object EmbeddingQueries {
           (sqrt(col("norm2").cast("double")) * sqrt(col("b_norm2").cast("double"))), 6))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("b_id"))
-    val top1 = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("b_id").as("nn_id"), col("cosine"))
-      .cache()
+    val top1 = MemoCache.getOrElseUpdate(spark, ("mutual-top1", d))(
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("b_id").as("nn_id"), col("cosine"))
+        .cache())(_.unpersist(blocking = false))
     val indeg = top1.groupBy(col("nn_id").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
     top1.as("t")

@@ -2772,8 +2772,9 @@ object EventQueries {
     * (UDF enrichment, sinks) the optimizer will not push past. */
   def bloomSemijoin(spark: SparkSession, d: String): DataFrame = {
     val base = ev(spark, d)
-    val conv = base.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct().cache()
+    val conv = MemoCache.getOrElseUpdate(spark, ("bloom-conv", d))(
+      base.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().cache())(_.unpersist(blocking = false))
     val bloom = conv.stat.bloomFilter("user_id", math.max(conv.count(), 1L), 0.01)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightConvert = udf((u: Long) => bc.value.mightContainLong(u))
@@ -3418,17 +3419,18 @@ object EventQueries {
   private val LayoutRowsPerFile = 64
 
   def layoutSkip(spark: SparkSession, d: String): DataFrame = {
-    // cached: three layout sorts + the bounds aggregation all read the
-    // same keyed projection — uncached, each would re-scan and re-derive
-    // both curve keys
-    val keyed = ev(spark, d)
-      .select(col("event_id"), col("user_id"),
-        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-          .cast("long").as("day_num"))
-      .withColumn("zvalue", zvalueOf(col("user_id"), col("day_num")))
-      .withColumn("hvalue", graft.functions.GraftFunctions.hilbertIndex(
-        col("user_id"), col("day_num")))
-      .cache()
+    // cached (MemoCache-bounded): three layout sorts + the bounds
+    // aggregation all read the same keyed projection — uncached, each
+    // would re-scan and re-derive both curve keys
+    val keyed = MemoCache.getOrElseUpdate(spark, ("layout-keyed", d))(
+      ev(spark, d)
+        .select(col("event_id"), col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .withColumn("zvalue", zvalueOf(col("user_id"), col("day_num")))
+        .withColumn("hvalue", graft.functions.GraftFunctions.hilbertIndex(
+          col("user_id"), col("day_num")))
+        .cache())(_.unpersist(blocking = false))
     // per-term INTEGER floor division, exactly like the oracle's `//`:
     // summing real divisions and truncating once diverges by 1 whenever
     // (max-min) mod 8 ∈ {3, 6, 7} — caught at sf0.1 (range 1499: 562 vs
@@ -4279,19 +4281,20 @@ object EventQueries {
     * single definition. Cached: each consumer reads it several times
     * (gate count / marginals / both pair-join sides) and the per-user
     * window sort would otherwise rerun per read. */
-  private def cappedInteractions(spark: SparkSession, d: String): DataFrame = {
-    val ui0 = ev(spark, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("cnt").desc, col("item"))
-    ui0.withColumn("rk", row_number().over(byUser))
-      .filter(col("rk") <= ItemSimUserCap)
-      .select(col("user_id"), col("item"))
-      .cache()
-  }
+  private def cappedInteractions(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("capped-ui", d))({
+      val ui0 = ev(spark, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("item"))
+      ui0.withColumn("rk", row_number().over(byUser))
+        .filter(col("rk") <= ItemSimUserCap)
+        .select(col("user_id"), col("item"))
+        .cache()
+    })(_.unpersist(blocking = false))
 
   /** Matching SQL: `ui0`/`ui` CTEs, shared by both oracles. */
   private val cappedUiCtes: String =
@@ -4367,15 +4370,18 @@ object EventQueries {
   def triangles(spark: SparkSession, d: String): DataFrame = {
     val ui = cappedInteractions(spark, d)
     val nUsers = ui.select(col("user_id")).distinct().count()
-    // undirected edge list (i < j), threshold relative to corpus size
-    val edges = ui.as("a")
-      .join(ui.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-      .agg(count(lit(1)).as("cooc"))
-      .filter(col("cooc") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
-      .select(col("i"), col("j"))
-      .cache()
+    // undirected edge list (i < j), threshold relative to corpus size;
+    // MemoCache-bounded like every reused intermediate (raw .cache()
+    // accumulation across a 233-query session measured as GC storms)
+    val edges = MemoCache.getOrElseUpdate(spark, ("tri-edges", d))(
+      ui.as("a")
+        .join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
+        .select(col("i"), col("j"))
+        .cache())(_.unpersist(blocking = false))
     // degree-orientation: rank vertices by (degree, id); orient low → high
     val deg = edges.select(col("i").as("v")).union(edges.select(col("j").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
