@@ -903,6 +903,25 @@ class PlanSpec extends SparkSpec {
       "the 40-term cap must be per-partition top-k + driver merge")
   }
 
+  test("decompose: fact collapses to the day grain map-side; the weekday " +
+       "seasonal join never sort-merges the series") {
+    val df = graft.queries.EventQueries.queries("evt_decompose")(spark, sf)
+    assert(plan(df).contains("partial_count"),
+      "daily counts must partial-aggregate before the exchange")
+    assert(!planNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("dedup sweep: the 9-cutoff explode rides the memoized pair table — " +
+       "no cartesian, counts partial-aggregate") {
+    val df = graft.queries.DocQueries.queries("doc_dedup_sweep")(spark, sf)
+    val nodes = planNodes(df)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(plan(df).contains("partial_count"),
+      "per-cutoff counts must combine map-side")
+  }
+
   test("bloom semi-join: the scan-side Bloom filter sits below the exact " +
        "semi-join, before any exchange") {
     val df = graft.queries.EventQueries.queries("evt_bloom_semijoin")(spark, sf)
