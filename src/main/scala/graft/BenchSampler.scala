@@ -1,0 +1,193 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Shared timing/quality instrumentation for [[Bench]] and [[ScaleProbe]].
+  *
+  * The problem this solves: three consecutive rounds produced driver bench
+  * artifacts inflated 2-50x by host contention that NO in-VM counter saw —
+  * `/proc/stat` only shows co-tenants in the same kernel; a hypervisor-level
+  * neighbor steals cycles invisibly (loadavg 23 at start, ext-CPU detector
+  * reading 0.00, a 0.65 s query timing 34.7 s). The counters the hypervisor
+  * CANNOT fake are the ones we burn ourselves:
+  *
+  *  - `selfCpuSec / wall` — the JVM's own CPU seconds per wall second. A
+  *    query that schedules work on 32 local threads and still averages
+  *    under ~0.8 cores was runnable-but-descheduled: SOMETHING ate the
+  *    cycles, whoever it was. (A genuinely serial query holds ~1 core.)
+  *  - `taskCpuSec / taskRunSec` — Spark's own task metrics: CPU time vs
+  *    wall time inside scheduled tasks. Tasks that spend most of their
+  *    scheduled wall off-CPU (with GC quiet) were starved, not working.
+  *    This is the per-stage-parallelism-aware signal: it normalizes by
+  *    what the query actually scheduled, so a 1-task query and a 256-task
+  *    query get the same verdict scale.
+  *
+  * Both trigger the same response as the visible-external-load detector:
+  * re-time, keep the fastest sample (contention only ever inflates wall, so
+  * min is the honest pick). Every sample carries the full quality quadruple
+  * so an artifact consumer can re-adjudicate without access to the host. */
+object BenchSampler {
+
+  final case class Sample(
+      wall: Double,       // seconds; -1 on query failure
+      ext: Double,        // external busy cores fraction (same-kernel view); -1 unknown
+      selfCpuSec: Double, // this JVM's CPU seconds over the interval
+      taskRunSec: Double, // sum of Spark task wall (executorRunTime) landed in the interval
+      taskCpuSec: Double, // sum of Spark task CPU (executorCpuTime) landed in the interval
+      gcMs: Long) {       // collector time over the interval
+    def selfRatio: Double = if (wall > 0) selfCpuSec / wall else -1.0
+    /** CPU fraction of scheduled task wall; 1.0 = every scheduled task
+      * second was on-CPU. -1 when no tasks landed (pure-driver work). */
+    def taskCpuFrac: Double = if (taskRunSec > 0.05) taskCpuSec / taskRunSec else -1.0
+    def gcStorm: Boolean = wall > 0 && gcMs > (wall * 500).toLong // >50% of wall in GC
+  }
+
+  /** Why a sample was judged non-steady-state; empty = clean. */
+  def dirtyReasons(s: Sample, extThreshold: Double, minWall: Double): Seq[String] = {
+    if (s.wall < minWall) return Seq.empty // too short for contention to matter
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    if (s.ext >= 0 && s.ext > extThreshold) out += "ext"
+    if (s.gcStorm) out += "gc"
+    // JVM couldn't even hold one core on average: starved (or blocked on
+    // I/O the whole time, which on page-cached local parquet means the
+    // sample is dominated by something other than the operator anyway).
+    if (s.selfRatio >= 0 && s.selfRatio < 0.8) out += "starved"
+    // Scheduled tasks spent most of their wall off-CPU while GC was quiet:
+    // cycles went to an invisible neighbor. The 0.5 floor leaves room for
+    // genuine spill/shuffle I/O waits inside tasks.
+    if (!s.gcStorm && s.taskRunSec > 1.0 && s.taskCpuFrac >= 0 && s.taskCpuFrac < 0.5)
+      out += "stalled"
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------- counters
+
+  def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+  def gcCount(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionCount).sum
+
+  /** 1/5/15-min load averages, comma-joined; "" when unreadable. */
+  def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  /** Host-wide busy jiffies (all cpus) from the aggregate `cpu` line of
+    * /proc/stat; -1 when unreadable. Same-kernel co-tenants only — a
+    * hypervisor neighbor is invisible here, which is why the self-CPU
+    * signals above exist. */
+  def hostBusyJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L) // idle+iowait
+        cols.sum - idle
+      } finally f.close()
+    } catch { case _: Throwable => -1L }
+
+  def processCpuNanos(): Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  // ------------------------------------------------------------- listener
+
+  private val taskRunMs = new AtomicLong(0L)
+  private val taskCpuNs = new AtomicLong(0L)
+  @volatile private var installed = false
+
+  private object Listener extends SparkListener {
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        taskRunMs.addAndGet(m.executorRunTime)
+        taskCpuNs.addAndGet(m.executorCpuTime)
+        ()
+      }
+    }
+  }
+
+  /** Idempotent per-JVM install. */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed) {
+      spark.sparkContext.addSparkListener(Listener)
+      installed = true
+    }
+  }
+
+  /** The listener bus is async: task-end events can land after the job
+    * returns. Poll the counters until stable (or 500 ms) — untimed, outside
+    * the measured interval's wall but inside its counter delta window. */
+  private def drainListeners(): Unit = {
+    var prev = -1L
+    var stable = 0
+    var waited = 0
+    while (stable < 2 && waited < 500) {
+      val cur = taskRunMs.get() + taskCpuNs.get()
+      if (cur == prev) stable += 1 else stable = 0
+      prev = cur
+      if (stable < 2) { Thread.sleep(20); waited += 20 }
+    }
+  }
+
+  /** Time one execution of `work`, attributing host/self/task CPU and GC to
+    * the interval. `hostCores` sizes the external-load fraction. */
+  def sample(hostCores: Int)(work: => Unit): Sample = {
+    drainListeners() // flush stragglers from the PREVIOUS sample first
+    val j0 = hostBusyJiffies(); val c0 = processCpuNanos()
+    val tr0 = taskRunMs.get(); val tc0 = taskCpuNs.get()
+    val g0 = gcMillis()
+    val t0 = System.nanoTime()
+    try {
+      work
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainListeners()
+      val j1 = hostBusyJiffies(); val c1 = processCpuNanos()
+      val selfSec = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+      val ext =
+        if (j0 < 0 || j1 < 0 || selfSec < 0 || wall <= 0) -1.0
+        else {
+          // USER_HZ is 100 on every mainstream linux; a wrong constant only
+          // mis-scales the diagnostic, never the timing itself.
+          val hostBusySec = (j1 - j0) / 100.0
+          math.max(0.0, (hostBusySec - selfSec) / (hostCores * wall))
+        }
+      Sample(wall, ext, selfSec,
+        (taskRunMs.get() - tr0) / 1e3, (taskCpuNs.get() - tc0) / 1e9,
+        gcMillis() - g0)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] query failed: $e")
+        Sample(-1.0, -1.0, -1.0, 0.0, 0.0, 0L)
+    }
+  }
+
+  /** One steady-state measurement: sample, and while the sample is dirty
+    * (external load, GC storm, starvation, task stall) and budget remains,
+    * re-sample keeping the FASTEST wall (contention only inflates). Returns
+    * (bestSample, retries, dirtyReasonsOfBest). `budget` is decremented by
+    * retry wall seconds (shared across a run). */
+  def steady(hostCores: Int, extThreshold: Double, minWall: Double,
+             maxRetries: Int, budget: AtomicLong)(work: => Unit)
+      : (Sample, Int, Seq[String]) = {
+    var best = sample(hostCores)(work)
+    var reasons = dirtyReasons(best, extThreshold, minWall)
+    var retries = 0
+    while (best.wall >= 0 && reasons.nonEmpty && retries < maxRetries &&
+           budget.get() > 0) {
+      retries += 1
+      val s = sample(hostCores)(work)
+      budget.addAndGet(-math.max(0L, (s.wall * 1000).toLong))
+      if (s.wall >= 0 && s.wall < best.wall) best = s
+      reasons = dirtyReasons(best, extThreshold, minWall)
+    }
+    (best, retries, reasons)
+  }
+}

@@ -235,28 +235,43 @@ object ScaleProbe {
     // as x4 < x1 — impossible under clean conditions). Same hygiene as
     // Bench's periodic untimed GC.
     System.gc()
-    def time(op: String, dir: String): Double = {
+    // Each point rides BenchSampler.steady: the same starvation/GC-storm/
+    // external-load detectors as Bench, with auto-re-probe (best-of) when a
+    // sample is dirty — the watchlist previously carried ±30% single-run
+    // noise and needed manual re-probing when the host was contended.
+    BenchSampler.install(spark)
+    val hostCores = Runtime.getRuntime.availableProcessors
+    val retryBudget = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "600").toLong * 1000L)
+    def time(op: String, dir: String): (BenchSampler.Sample, Int, Seq[String]) = {
       val fn = SparkEntry.queries(op)
       fn(spark, dir).queryExecution.toRdd.count() // cold: plan+codegen
-      val t0 = System.nanoTime()
-      fn(spark, dir).queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      BenchSampler.steady(hostCores, extThreshold = 0.15, minWall = 0.3,
+        maxRetries = 3, budget = retryBudget)(
+        fn(spark, dir).queryExecution.toRdd.count(): Unit)
     }
     val kLo = Factors.min
     val kHi = Factors.max
     val report = Ops.map { op =>
       System.gc() // per-op hygiene: prior op's shuffle/broadcast debris
       val secs = Factors.map { k =>
-        val s = time(op, dirs(k))
-        System.err.println(f"[scale] $op x$k warm=$s%.2f")
-        k -> s
+        val (s, retries, reasons) = time(op, dirs(k))
+        System.err.println(f"[scale] $op x$k warm=${s.wall}%.2f " +
+          f"self=${s.selfRatio}%.1f tcpu=${s.taskCpuFrac}%.2f retries=$retries" +
+          (if (reasons.nonEmpty) s" DIRTY=${reasons.mkString("+")}" else ""))
+        k -> (s, retries, reasons)
       }.toMap
       val rows = SparkEntry.queries(op)(spark, dirs(kHi)).count()
       op -> (secs, rows)
     }
     val json = report.map { case (op, (s, rows)) =>
-      val points = Factors.map(k => f""""x$k":${s(k)}%.3f""").mkString(",")
-      f""""$op":{$points,"rows_x$kHi":$rows,"ratio":${s(kHi) / s(kLo)}%.2f}"""
+      val points = Factors.map { k =>
+        val (smp, retries, reasons) = s(k)
+        f""""x$k":${smp.wall}%.3f,"x${k}_q":{"self":${smp.selfRatio}%.1f,""" +
+          f""""tcpu":${smp.taskCpuFrac}%.2f,"ext":${smp.ext}%.2f,"gc":${smp.gcMs},""" +
+          f""""r":$retries,"clean":${reasons.isEmpty}}"""
+      }.mkString(",")
+      f""""$op":{$points,"rows_x$kHi":$rows,"ratio":${s(kHi)._1.wall / s(kLo)._1.wall}%.2f}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()

@@ -85,4 +85,42 @@ object GearChunker {
       (st + 1, ln, fnv64(bytes, st, st + ln))
     }
   }
+
+  /** The ORACLE-ABLE sibling of [[boundaries]]: the same gear table, shift-
+    * add recurrence and mask, with the three sequential-only features
+    * disabled — no per-chunk hash restart, no MinLen suppression, no MaxLen
+    * force-cut — and the walk over CODEPOINTS (table index `cp & 0xff`)
+    * instead of bytes so both engines substring identically on non-ASCII.
+    *
+    * Why this is exactly SQL-replayable: with no restart, bit p of h
+    * depends only on the last p+1 inputs, and the mask's top bit is 2^20,
+    * so `h_i & Mask = (Σ_{k=0..20} G[cp_{i-k}]·2^k mod 2^21) & Mask` — a
+    * pure 21-codepoint window sum per position, no sequential state at
+    * all. The production walk's restart/min/max only move boundaries
+    * NEAR other boundaries; the hash math this variant pins down (table
+    * constants, recurrence, mask test) is byte-for-byte the production
+    * path's. Returns (start0, len) codepoint spans tiling [0, n). */
+  def rawChunks(s: String): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var h = 0L
+    var charIdx = 0
+    var cpIdx = 0
+    var start = 0
+    while (charIdx < s.length) {
+      val cp = s.codePointAt(charIdx)
+      charIdx += Character.charCount(cp)
+      cpIdx += 1
+      h = (h << 1) + gearTable(cp & 0xff)
+      if ((h & Mask) == 0L && charIdx < s.length) {
+        out += ((start, cpIdx - start))
+        start = cpIdx
+      }
+    }
+    if (cpIdx > start) out += ((start, cpIdx - start))
+    out.toArray
+  }
+
+  /** The gear table reduced mod 2^21 — the only bits that can ever reach
+    * the mask test; what the SQL oracle embeds. */
+  def gearTableLow21: Array[Long] = gearTable.map(_ & 0x1FFFFFL)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Hilbert space-filling curve index — the locality-preserving alternative
@@ -75,9 +75,11 @@ object Hilbert {
 }
 
 /** `hilbert_index(x, y)` — order-16 Hilbert curve position, codegen'd as a
-  * single static invoke. Null-propagating on either input. */
+  * single static invoke. Null-propagating on either input. Implicit-casts
+  * narrower integral inputs to LONG like the numeric built-ins do, so
+  * `hilbert_index(CAST(x AS INT), y)` analyzes instead of erroring. */
 case class HilbertIndex(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable

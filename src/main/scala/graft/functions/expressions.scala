@@ -481,3 +481,26 @@ case class GearChunksExpr(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "gear_chunks"
 }
+
+/** [[GearChunker.rawChunks]] — the suppression-free, restart-free gear walk
+  * whose boundary math a SQL engine can replay exactly (see the Scaladoc
+  * there): text → array of (start, len) codepoint spans. */
+case class GearChunksRawExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val chunks = GearChunker.rawChunks(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(chunks.map { case (st, ln) =>
+      InternalRow(st + 1, ln)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GearChunksRawExpr =
+    copy(child = newChild)
+  override def prettyName: String = "gear_chunks_raw"
+}

@@ -88,7 +88,7 @@ object DocQueries {
       |SELECT doc_id, len(tk) AS n_tokens,
       |  len(list_distinct(tk)) AS n_types,
       |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
-      |  CAST(list_sum(list_transform(tk, x -> strlen(x))) AS DOUBLE) / len(tk)
+      |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
       |    AS mean_token_len
       |FROM t""".stripMargin
 
@@ -112,7 +112,7 @@ object DocQueries {
   val qualitySql: String =
     s"""WITH t AS (SELECT doc_id, lang, trim(text) AS tx,
        |            string_split_regex(trim(text), '\\s+') AS tk FROM documents)
-       |SELECT doc_id, lang, strlen(tx) AS len_actual,
+       |SELECT doc_id, lang, length(tx) AS len_actual,
        |  CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
        |    / len(tk) AS stopword_ratio,
        |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
@@ -148,7 +148,7 @@ object DocQueries {
           .as("entropy_bits"))
 
   val charEntropySql: String =
-    """WITH ch AS (SELECT doc_id, strlen(text) AS n,
+    """WITH ch AS (SELECT doc_id, length(text) AS n,
       |    unnest(string_split(text, '')) AS ch FROM documents),
       | c AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
       | t AS (SELECT doc_id, n,
@@ -450,7 +450,7 @@ object DocQueries {
        |           FROM documents),
        | g AS (SELECT DISTINCT doc_id,
        |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
        | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $DfCap),
@@ -525,7 +525,7 @@ object DocQueries {
        |           FROM documents),
        | g AS (SELECT DISTINCT doc_id,
        |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
        | gr AS (SELECT g.* FROM g JOIN rare USING (s)),
@@ -603,7 +603,7 @@ object DocQueries {
        | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |       FROM documents),
        | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | rare AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $DfCap),
        | gr AS (SELECT g.* FROM g JOIN rare USING (s)),
@@ -709,7 +709,9 @@ object DocQueries {
     * Scale: candidate volume is the LSH-bounded pair set; the sweep itself
     * is a 9-way explode over it with map-side-combinable counts. */
   def dedupSweep(spark: SparkSession, d: String): DataFrame = {
-    val pairs = lshVerifiedPairs(spark, d).cache()
+    // Already MemoCache-cached inside lshVerifiedPairs — a second .cache()
+    // here would bypass the MemoCache bounding policy and leak the handle.
+    val pairs = lshVerifiedPairs(spark, d)
     val spine = spark.range(1, 10).select(col("id").cast("int").as("t10"))
     val byT = pairs
       .select(col("jaccard"), explode(sequence(lit(1), lit(9))).as("t10"))
@@ -777,7 +779,7 @@ object DocQueries {
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
        | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | hm AS (SELECT doc_id, s AS m FROM g),
        | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
@@ -894,7 +896,7 @@ object DocQueries {
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |       FROM documents),
        | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
        | sigs AS (SELECT doc_id, i,
@@ -934,7 +936,7 @@ object DocQueries {
        | t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |       FROM documents),
        | g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS s
-       |       FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |       FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |       WHERE i + 2 <= len(tk)),
        | hm AS (SELECT doc_id, s AS m FROM g),
        | perms AS (SELECT unnest(generate_series(0, ${MinhashK - 1})) AS i),
@@ -1166,7 +1168,7 @@ object DocQueries {
       |  FROM s)
       |SELECT doc_id,
       |  len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
-      |  strlen(clean) AS clean_len,
+      |  length(clean) AS clean_len,
       |  md5(clean) AS clean_md5
       |FROM c""".stripMargin
 
@@ -1640,7 +1642,7 @@ object DocQueries {
     s"""WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
        | bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
-       |        FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |        FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |        WHERE i + 1 <= len(tk)),
        | bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
        |        HAVING COUNT(*) >= $CollocMinCount),
@@ -2256,7 +2258,7 @@ object DocQueries {
     """WITH per AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,
       |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
-      |    CAST(SUM(strlen(text)) AS BIGINT) AS n_chars
+      |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
       |  FROM documents GROUP BY 1, 2)
       |SELECT source, lang, n_docs, n_tokens, n_chars,
       |  ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
@@ -3090,7 +3092,7 @@ object DocQueries {
        |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
        |    CAST(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
        |      / len(tk) AS stopword_ratio,
-       |    CAST(list_sum(list_transform(tk, x -> strlen(x))) AS DOUBLE)
+       |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
        |      / len(tk) AS mean_token_len
        |  FROM t)
        |SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_token_len,
@@ -4037,7 +4039,7 @@ object DocQueries {
        |       FROM documents),
        | adj AS (SELECT LEAST(tk[i], tk[i+1]) AS a, GREATEST(tk[i], tk[i+1]) AS b,
        |           CAST(COUNT(*) AS BIGINT) AS wt
-       |         FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+       |         FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
        |         WHERE i + 1 <= len(tk) AND tk[i] <> tk[i+1]
        |         GROUP BY 1, 2),
        | edges AS (SELECT a AS src, b AS dst, wt FROM adj
@@ -4151,7 +4153,7 @@ object DocQueries {
       |           FROM documents),
       | shg AS (SELECT DISTINCT doc_id,
       |           CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::UBIGINT AS BIGINT) AS sh
-      |         FROM t, (SELECT unnest(generate_series(1, 200)) AS i)
+      |         FROM t, (SELECT unnest(generate_series(1, (SELECT MAX(len(tk)) FROM t))) AS i)
       |         WHERE i + 2 <= len(tk)),
       | own AS (SELECT sh, MIN(doc_id) AS owner FROM shg GROUP BY 1),
       | per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,

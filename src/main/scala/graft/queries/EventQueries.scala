@@ -2532,8 +2532,10 @@ object EventQueries {
     * `trend_milli = ⌊1000·Σ₇/7⌋`, detrended/seasonal/residual are exact
     * long arithmetic on top (the one ⌊·⌋ per level is a double division of
     * exact-long operands — identical in both engines). Weekday =
-    * `day_num % 7` (pure arithmetic — the two engines disagree on calendar
-    * dow numbering, so no calendar function crosses the oracle). Edge days
+    * `pmod(day_num, 7)` on both sides (pure arithmetic — the two engines
+    * disagree on calendar dow numbering, so no calendar function crosses
+    * the oracle; the oracle spells pmod as `((d%7)+7)%7` so pre-epoch
+    * timestamps (negative day_num) index the same 0..6 bucket). Edge days
     * without a full 7-day window are excluded (cnt = 7 filter), as in the
     * classical method.
     *
@@ -2577,7 +2579,7 @@ object EventQueries {
       | tr AS (SELECT event_type, day_num, x,
       |    CAST(FLOOR(1000.0 * sum7 / 7) AS BIGINT) AS trend_milli,
       |    1000 * x - CAST(FLOOR(1000.0 * sum7 / 7) AS BIGINT) AS det_milli,
-      |    day_num % 7 AS dow
+      |    ((day_num % 7) + 7) % 7 AS dow
       |  FROM t WHERE cnt7 = 7),
       | s AS (SELECT event_type, dow,
       |    CAST(FLOOR(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
@@ -2690,7 +2692,8 @@ object EventQueries {
     * counterfactual, the standard Qini numerator.
     *
     * Scale: one user-grain aggregation (map-side combinable), then
-    * band-grain rollup; the ranking window runs over ≤4 band rows. */
+    * band-grain rollup; the ranking window runs over ≤9 band rows
+    * (band = least(n_ev DIV 10, 8) admits 0..8; the fixture populates 4). */
   def uplift(spark: SparkSession, d: String): DataFrame = {
     val arm = conv(substring(
         md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
