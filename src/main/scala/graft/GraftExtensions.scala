@@ -125,6 +125,8 @@ object GraftExtensions {
       args => UnicodeNormalize(args(0), litStr(args(1), "unicode_normalize form")) },
     fn("gear_chunks", "gear_chunks(text) - FastCDC gear-hash chunking: array of (start, len, hash) structs tiling the input") {
       args => GearChunksExpr(args.head) },
+    fn("gear_chunks_raw", "gear_chunks_raw(text) - suppression/restart-free gear chunking over codepoints: array of (start, len) spans (the oracle-able boundary math)") {
+      args => GearChunksRawExpr(args.head) },
     fn("tdigest_quantile", "tdigest_quantile(digest, q) - quantile estimate from a t-digest centroid array; q is a plan-time literal in [0, 1]") {
       args => TDigestQuantileExpr(args(0), {
         val e = args(1)

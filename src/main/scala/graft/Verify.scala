@@ -37,9 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `{GRAFT_OUT}` → this dump directory: lets an oracle read PAIR/ID
+    // columns back from the Spark output it is checking (scores are always
+    // recomputed oracle-side) — how emb_hnsw_rerank oracles a rerank whose
+    // candidate set comes from a graph walk no SQL engine can replay.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

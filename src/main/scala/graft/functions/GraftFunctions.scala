@@ -56,6 +56,12 @@ object GraftFunctions {
   def gearChunks(text: Column): Column =
     column(GearChunksExpr(expression(text)))
 
+  /** Suppression-free gear chunking ([[GearChunker.rawChunks]]) — the
+    * SQL-oracle-able sibling of [[gearChunks]]: (start, len) codepoint
+    * spans from the bare table+recurrence+mask boundary test. */
+  def gearChunksRaw(text: Column): Column =
+    column(GearChunksRawExpr(expression(text)))
+
   /** Textbook Jaro-Winkler similarity, byte-level ([[JaroWinkler]] —
     * semantics pinned to DuckDB's native implementation for oracle parity). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -58,7 +58,41 @@ object RefreshableDim {
     }
   }
 
+  private final case class DerivedEntry(stamp: String, value: Any,
+                                        dispose: Any => Unit)
+  private val derivedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DerivedEntry]
+
+  /** A value DERIVED from the current dimension (a broadcast Bloom filter,
+    * a hash index, …), recomputed only when the underlying files change —
+    * the per-batch refresh check costs one directory stat walk, not a
+    * rebuild. `dispose` releases the STALE value after a swap (e.g.
+    * `Broadcast.destroy`); in-flight consumers of the old value keep it
+    * alive JVM-side exactly like the reference's in-flight requests keep
+    * the old MaxMind reader. */
+  def derived[T](spark: SparkSession, path: String, tag: String)
+                (derive: DataFrame => T)
+                (dispose: T => Unit = (_: T) => ()): T = {
+    val stamp = stampOf(path)
+    val key = (spark, path, tag)
+    derivedCache.get(key) match {
+      case Some(e) if e.stamp == stamp => e.value.asInstanceOf[T]
+      case stale =>
+        val v = derive(current(spark, path))
+        derivedCache.put(key, DerivedEntry(stamp, v,
+          dispose.asInstanceOf[Any => Unit]))
+        stale.foreach(e => e.dispose(e.value))
+        v
+    }
+  }
+
   /** Drop the cached entry (tests / explicit teardown). */
-  def invalidate(spark: SparkSession, path: String): Unit =
+  def invalidate(spark: SparkSession, path: String): Unit = {
     cache.remove((spark, path)).foreach(_.df.unpersist())
+    derivedCache.filterInPlace { case ((s, p, _), e) =>
+      val drop = s == spark && p == path
+      if (drop) e.dispose(e.value)
+      !drop
+    }
+  }
 }

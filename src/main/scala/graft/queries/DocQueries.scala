@@ -4906,8 +4906,11 @@ object DocQueries {
     * the gear walk at x64 scale). The min/max suppression is inherently
     * sequential per document, so this operator is SPEC-pinned
     * (`GearChunkerSpec`: tiling, bounds, shift-invariance, reference
-    * replay) rather than SQL-oracled — [[cdcChunks]] keeps the
-    * independently-oracled semantic reference for the boundary idea.
+    * replay) rather than SQL-oracled — [[cdcGearNosupp]] puts the SAME
+    * table/recurrence/mask math under a full DuckDB oracle with the
+    * sequential features disabled, and [[cdcChunks]] keeps the
+    * independently-oracled semantic reference for the boundary idea, so
+    * only the suppression policy itself rests on the spec.
     * Same exchange-free shape: chunks collapse in-row. */
   def cdcGear(spark: SparkSession, d: String): DataFrame =
     documents(spark, d)
@@ -4917,6 +4920,59 @@ object DocQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
         col("col.start").as("start"), col("col.len").as("len"),
         col("col.hash").as("chunk_hash"))
+
+  /** The gear chunker's hash math under a FULL SQL oracle: the same gear
+    * table, shift-add recurrence and mask test as [[cdcGear]] with the
+    * sequential-only features (restart, min/max suppression) disabled —
+    * see [[graft.functions.GearChunker.rawChunks]] for why that makes the
+    * boundary set a pure 21-codepoint window function the oracle replays
+    * from the embedded table constants. Chunk identity here is
+    * md5-of-span (both engines can compute it); the production fnv64 stays
+    * pinned by `GearChunkerSpec`'s reference replay. */
+  def cdcGearNosupp(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(graft.functions.GraftFunctions.gearChunksRaw(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.start").cast("long").as("start"),
+        col("col.len").cast("long").as("len"),
+        md5(expr("substring(text, col.start, col.len)")).as("chunk_hash"))
+
+  /** Independent replay of the gear recurrence: with no restart, bit p of
+    * h sees only the last p+1 codepoints and the mask tops out at 2^20, so
+    * `h_i & Mask` needs exactly `Σ_{k=0..20} G[cp_{i-k}]·2^k mod 2^21` —
+    * computed here as a per-position window sum over the gear table
+    * embedded (mod 2^21) as a literal. Bound: 21 terms ≤ 2^21·2^20 each,
+    * far inside BIGINT. */
+  val cdcGearNosuppSql: String = {
+    import graft.functions.GearChunker
+    s"""WITH gl AS (SELECT ${GearChunker.gearTableLow21.mkString("[", ",", "]")} AS g),
+       | t AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |       WHERE n_chars > 0),
+       | pos AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i
+       |         FROM t),
+       | hb AS (SELECT doc_id, n, i,
+       |     CAST(list_sum(list_transform(generate_series(0, least(20, i - 1)),
+       |       k -> (g[ord(substr(text, CAST(i - k AS INT), 1)) % 256 + 1]
+       |             * (CAST(1 AS BIGINT) << k)) % 2097152)) AS BIGINT)
+       |       % 2097152 AS h
+       |   FROM pos, gl),
+       | bounds AS (
+       |   SELECT doc_id, n, 0 AS s FROM t
+       |   UNION ALL
+       |   SELECT doc_id, n, i AS s FROM hb
+       |   WHERE (h & ${GearChunker.Mask}) = 0 AND i < n),
+       | seg AS (SELECT doc_id, s,
+       |     COALESCE(LEAD(s) OVER (PARTITION BY doc_id ORDER BY s), n) AS e
+       |   FROM bounds)
+       |SELECT seg.doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY seg.doc_id ORDER BY s) AS INT)
+       |    AS chunk_idx,
+       |  CAST(s + 1 AS BIGINT) AS start, CAST(e - s AS BIGINT) AS len,
+       |  md5(substr(d.text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_hash
+       |FROM seg JOIN documents d ON seg.doc_id = d.doc_id""".stripMargin
+  }
 
   /** The CDC payoff in one row: unique-chunk storage ratio over the
     * corpus — what a chunk store would actually hold vs raw bytes. */
@@ -4952,6 +5008,7 @@ object DocQueries {
     "doc_cdc_chunks"         -> (cdcChunks _),
     "doc_cdc_ratio"          -> (cdcRatio _),
     "doc_cdc_gear"           -> (cdcGear _),
+    "doc_cdc_gear_nosupp"    -> (cdcGearNosupp _),
     "doc_luhn_scan"          -> (luhnScan _),
     "doc_inverted_index"     -> (invertedIndex _),
     "doc_dict_tag"           -> (dictTag _),
@@ -5028,6 +5085,7 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "doc_cdc_chunks"         -> cdcChunksSql,
     "doc_cdc_ratio"          -> cdcRatioSql,
+    "doc_cdc_gear_nosupp"    -> cdcGearNosuppSql,
     "doc_luhn_scan"          -> luhnScanSql,
     "doc_inverted_index"     -> invertedIndexSql,
     "doc_dict_tag"           -> dictTagSql,

@@ -2288,7 +2288,15 @@ object EmbeddingQueries {
     * and determinism. No SQL oracle for the search itself: a navigable
     * graph walk is not SQL-expressible, and an exactness oracle would
     * misclaim the operator (it is approximate by design). */
-  def hnswSearch(spark: SparkSession, d: String): DataFrame = {
+  def hnswSearch(spark: SparkSession, d: String): DataFrame =
+    hnswScored(spark, d)
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+
+  /** The gathered per-shard candidates (q_id, vec_id) — the ONLY part of
+    * the HNSW pipeline that is not SQL-expressible. Memoized: search,
+    * rerank-oracle and recall views all consume the same gather. */
+  private def hnswCandidates(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     // More shards = smaller graphs = faster (insert cost grows with graph
     // size) AND higher recall (the exact rerank sees each shard's top-k);
@@ -2305,26 +2313,35 @@ object EmbeddingQueries {
     val m = spark.conf.getOption("spark.graft.hnsw.m").map(_.toInt).getOrElse(16)
     val efC = spark.conf.getOption("spark.graft.hnsw.efConstruction").map(_.toInt).getOrElse(128)
     val efS = spark.conf.getOption("spark.graft.hnsw.efSearch").map(_.toInt).getOrElse(256)
-    val e = embeddings(spark, d)
-    // NQueries probe rows to the driver — the broadcast-only-probes
-    // pattern every index query here uses (gate: fixture contract).
-    val qRows = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
-    val qb = spark.sparkContext.broadcast(qRows)
-    val cands = e.filter(col("vec_id") >= NQueries)
-      .select(col("vec_id"), col("embedding"))
-      .repartition(shards, pmod(hash(col("vec_id")), lit(shards)))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val nodes = it.toArray
-        if (nodes.isEmpty) Iterator.empty
-        else {
-          val g = graft.functions.Hnsw.build(nodes, m, efC)
-          qb.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, efS, TopK).iterator.map { case (id, _) => (qid, id) }
+    MemoCache.getOrElseUpdate(spark, ("hnsw-cands", d, shards, m, efC, efS))({
+      val e = embeddings(spark, d)
+      // NQueries probe rows to the driver — the broadcast-only-probes
+      // pattern every index query here uses (gate: fixture contract).
+      val qRows = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      val qb = spark.sparkContext.broadcast(qRows)
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(shards, pmod(hash(col("vec_id")), lit(shards)))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val nodes = it.toArray
+          if (nodes.isEmpty) Iterator.empty
+          else {
+            val g = graft.functions.Hnsw.build(nodes, m, efC)
+            qb.value.iterator.flatMap { case (qid, qv) =>
+              g.search(qv, efS, TopK).iterator.map { case (id, _) => (qid, id) }
+            }
           }
-        }
-      }.toDF("q_id", "vec_id")
+        }.toDF("q_id", "vec_id").cache()
+    })(_.unpersist(blocking = false))
+  }
+
+  /** Candidates + integer-exact cosine rerank, ranked over the FULL
+    * candidate set (shards are disjoint so (q_id, vec_id) is unique). */
+  private def hnswScored(spark: SparkSession, d: String): DataFrame = {
+    val cands = hnswCandidates(spark, d)
+    val e = embeddings(spark, d)
     val scaledE = e.select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))
     val q = scaledE.filter(col("vec_id") < NQueries)
@@ -2335,9 +2352,48 @@ object EmbeddingQueries {
           (sqrt(col("norm2").cast("double")) * sqrt(col("q_norm2").cast("double"))), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
+
+  /** The HNSW rerank under a FULL DuckDB oracle — shrinks the unoracled
+    * surface to the beam search alone: emits EVERY gathered candidate with
+    * its exact rounded cosine and its rank over the whole candidate set.
+    * The oracle ([[hnswRerankSql]]) takes only the (q_id, vec_id) PAIR
+    * IDENTITIES from this query's own parquet output and independently
+    * recomputes both score and rank from the raw `embeddings` table — if
+    * Spark's scaled-int dot, rounding, or window ranking were wrong
+    * anywhere in the HNSW pipeline, the recomputation diverges. Candidate
+    * QUALITY is separately gated by the measured-recall row
+    * ([[hnswRecall]], ≥0.9 vs exact brute force). */
+  def hnswRerank(spark: SparkSession, d: String): DataFrame =
+    hnswScored(spark, d)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+
+  /** `{GRAFT_OUT}` is substituted by Verify with the dump directory: the
+    * oracle reads the candidate pair set from the Spark output it is
+    * checking (identity only — scores and ranks are recomputed here). */
+  val hnswRerankSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       | e AS (SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS emb
+       |       FROM embeddings),
+       | f AS (SELECT vec_id, emb,
+       |         (SELECT SUM(emb[i] * emb[i]) FROM idx) AS norm2
+       |       FROM e),
+       | cand AS (SELECT q_id, vec_id
+       |          FROM '{GRAFT_OUT}/emb_hnsw_rerank/*.parquet'),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2
+       |       FROM f WHERE vec_id < $NQueries),
+       | sc AS (SELECT cand.q_id, cand.vec_id,
+       |     ROUND(CAST((SELECT SUM(f.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
+       |       / (sqrt(CAST(f.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
+       |       AS cosine
+       |   FROM cand JOIN f ON cand.vec_id = f.vec_id
+       |   JOIN q ON cand.q_id = q.q_id)
+       |SELECT q_id, vec_id, cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+       |    AS INT) AS rk
+       |FROM sc""".stripMargin
 
   /** Measured-recall gate for [[hnswSearch]] vs the exact [[knnBrute]]
     * truth — the honesty loop every approximate index here carries. The
@@ -2527,6 +2583,7 @@ object EmbeddingQueries {
     "emb_pca"            -> (pcaTop _),
     "emb_pca_project"    -> (pcaProject _),
     "emb_hnsw_search"    -> (hnswSearch _),
+    "emb_hnsw_rerank"    -> (hnswRerank _),
     "emb_hnsw_recall"    -> (hnswRecall _),
     "emb_jl_recall"      -> (jlRecall _),
     "emb_mmr_select"     -> (mmrSelect _),
@@ -2586,6 +2643,7 @@ object EmbeddingQueries {
     "emb_pca"            -> pcaTopSql,
     "emb_pca_project"    -> pcaProjectSql,
     "emb_hnsw_recall"    -> hnswRecallSql,
+    "emb_hnsw_rerank"    -> hnswRerankSql,
     "emb_mips"           -> mipsSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_hybrid_search"  -> hybridSearchSql,

@@ -556,4 +556,36 @@ object Streams {
           Iterator.single((key, cur._3, cur._4, cur._1, cur._5))
         })
   }
+
+  /** Streaming decontamination — the live-ingest form of
+    * [[graft.queries.DocQueries.decontaminateBloom]]: a STATELESS per-row
+    * probe against a broadcast Bloom filter over the published benchmark
+    * fingerprint set, rebuilt only when the benchmark publication at
+    * `benchPath` changes (hot reload rides [[graft.functions.RefreshableDim]]
+    * — the same swap-at-batch-boundary semantics as the UA/geo databases:
+    * a republished set is picked up at the next micro-batch with no query
+    * restart, and in-flight tasks keep the broadcast they started with).
+    *
+    * Call inside `foreachBatch`: that boundary is where Spark provides
+    * atomicity, and the probe itself adds no streaming state — the 100-TB
+    * daily-ingest shape is a map-only pass per batch, no shuffle, no
+    * watermark. No false negatives; FP rate ≤ `fpp` over the set size at
+    * build time (a production pipeline re-checks the tiny flagged subset
+    * exactly, [[graft.queries.DocQueries.flagContaminated]]). */
+  def decontaminateBatch(batch: DataFrame, benchPath: String,
+                         fpCol: String = "fingerprint",
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val bloomBc = graft.functions.RefreshableDim.derived(
+      spark, benchPath, s"bloom:$fpCol:$fpp") { dim =>
+      val n = math.max(dim.count(), 1L)
+      spark.sparkContext.broadcast(dim.stat.bloomFilter(fpCol, n, fpp))
+    } { stale =>
+      // release the superseded filter's executor copies; tasks already
+      // holding it keep their reference (destroy only unpublishes)
+      try stale.destroy() catch { case _: Exception => () }
+    }
+    val probe = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    batch.withColumn("maybe_contaminated", probe(col(fpCol)))
+  }
 }

@@ -68,6 +68,27 @@ class GearChunkerSpec extends SparkSpec {
     assert(GearChunker.gearTable.distinct.length === 256, "no colliding entries")
   }
 
+  test("rawChunks: tiles, is window-local, and agrees with a mod-2^21 replay") {
+    val text = "raw gear walk with no restart and no suppression bounds " * 25
+    val ch = GearChunker.rawChunks(text)
+    assert(ch.head._1 === 0)
+    assert(ch.map(_._2).sum === text.codePointCount(0, text.length))
+    ch.sliding(2).foreach {
+      case Array(a, b) => assert(b._1 === a._1 + a._2)
+      case _ =>
+    }
+    // independent replay via the 21-codepoint window sum the SQL oracle
+    // uses — pure position-local math, no sequential state
+    val cps = text.codePoints().toArray
+    val gl = GearChunker.gearTableLow21
+    val expected = (0 until cps.length - 1).filter { i =>
+      val h = (0 to math.min(20, i)).map(k => (gl(cps(i - k) & 0xff) << k) & 0x1FFFFFL)
+        .sum & 0x1FFFFFL
+      (h & GearChunker.Mask) == 0L
+    }.map(_ + 1) // boundary AFTER 0-based codepoint i = cut offset i+1
+    assert(ch.dropRight(1).map(c => c._1 + c._2).toSeq === expected)
+  }
+
   test("doc_cdc_gear: the expression path matches the JVM function per doc") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.queries.DocQueries.cdcGear(spark, sf)
