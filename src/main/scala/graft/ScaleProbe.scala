@@ -139,10 +139,15 @@ object ScaleProbe {
       "evt_sessionize", "evt_daily_rollup_approx", "evt_retention",
       "doc_dedup_exact", "doc_minhash_lsh", "doc_substring_dedup",
       "doc_tfidf_knn", "emb_knn_brute",
-      // prefix-filtered set-similarity: the candidate bound rests on
-      // prefix posting lists staying short — super-linear growth here
-      // means the df ordering stopped pruning
-      "doc_setsim_join",
+      // prefix-filtered set-similarity, CAPPED production path: the
+      // posting cap bounds per-token candidate fan-out where the exact
+      // join's cost rides the densest posting (measured: replica-shared
+      // shingles at x64 reach df≈450 = ~100k pairs each) — growth here
+      // means the cap stopped binding or the verify stopped being
+      // candidate-bounded. The exact join stays available via
+      // SPARK_GRAFT_SCALE_OPS=doc_setsim_join; its recall cost is the
+      // oracled doc_setsim_recall row
+      "doc_setsim_capped",
       // composite-blocked fuzzy dedup: LSH band collisions keep candidates
       // ~linear where the exact operator's length-band key is quadratic-ish
       // on tight length distributions; decay here means band collisions
@@ -243,12 +248,20 @@ object ScaleProbe {
     val hostCores = Runtime.getRuntime.availableProcessors
     val retryBudget = new java.util.concurrent.atomic.AtomicLong(
       sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "600").toLong * 1000L)
+    // Every sample EVICTS the query-layer memo store first: several
+    // operators memoize their expensive intermediates (minhash pair table,
+    // setsim shingle/pair tables, TF-IDF index), which is the right serving
+    // behavior but would turn a scaling probe into a cached-read timing —
+    // the ratio must measure the COMPUTE's growth, not the cache's.
     def time(op: String, dir: String): (BenchSampler.Sample, Int, Seq[String]) = {
       val fn = SparkEntry.queries(op)
-      fn(spark, dir).queryExecution.toRdd.count() // cold: plan+codegen
+      def once(): Unit = {
+        graft.queries.MemoCache.evict(spark, _ => true)
+        fn(spark, dir).queryExecution.toRdd.count(): Unit
+      }
+      once() // cold: plan+codegen
       BenchSampler.steady(hostCores, extThreshold = 0.15, minWall = 0.3,
-        maxRetries = 3, budget = retryBudget)(
-        fn(spark, dir).queryExecution.toRdd.count(): Unit)
+        maxRetries = 3, budget = retryBudget)(once())
     }
     val kLo = Factors.min
     val kHi = Factors.max

@@ -81,10 +81,18 @@ object MediaCodec {
     val compression = buf.getInt(30)
     if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return null
     val topDown = rawHeight < 0
-    val height = math.abs(rawHeight)
-    val stride = (width * 3 + 3) & ~3
-    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length)
+    // LONG geometry end to end: a hostile width (e.g. 0x2B00000D) overflows
+    // `width * 3` in int, producing a small/negative stride that slips past
+    // an int bounds check and crashes the pixel loop (found by CodecFuzzSpec
+    // single-byte mutation; same bug class as the decodeAvi dimensions fix);
+    // abs(0x80000000) is likewise still negative in int. After this check
+    // stride, height, width*height and every row offset fit int.
+    val heightL = math.abs(rawHeight.toLong)
+    val strideL = (width.toLong * 3 + 3) & ~3L
+    if (dataOffset < 54 || dataOffset.toLong + strideL * heightL > bytes.length)
       return null
+    val stride = strideL.toInt
+    val height = heightL.toInt
     val pixels = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -93,6 +93,12 @@ object Mincode {
 
   private final class Parser(in: String) {
     private var pos = 0
+    /** Nesting guard: hostile input like "(((((…" recurses once per level;
+      * unbounded it would kill the executor thread with StackOverflowError
+      * instead of the contract's null. 512 is far above any real event
+      * payload and far below JVM stack limits. */
+    private var depth = 0
+    private val MaxDepth = 512
     def atEnd: Boolean = pos >= in.length
     private def fail(): Nothing = throw new MincodeError
 
@@ -142,8 +148,16 @@ object Mincode {
         val raw = readRaw()
         if (!raw.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?""")) fail()
         out.append(raw)
-      case '(' => parseObject(out)
-      case 'a' => parseArray(out)
+      case '(' =>
+        depth += 1
+        if (depth > MaxDepth) fail()
+        parseObject(out)
+        depth -= 1
+      case 'a' =>
+        depth += 1
+        if (depth > MaxDepth) fail()
+        parseArray(out)
+        depth -= 1
       case _   => fail()
     }
 

@@ -4199,7 +4199,8 @@ object DocQueries {
     * threshold p/q: rarest-first prefix posting-list join (see
     * [[setsimJoin]] for the completeness argument). Element-type agnostic
     * (works on any array column with distinct elements). */
-  private def prefixCandidates(docs: DataFrame, p: Int, q: Int): DataFrame = {
+  private def prefixCandidates(docs: DataFrame, p: Int, q: Int,
+                               dfCap: Long = 0L): DataFrame = {
     // n rides the explode (it's just size(s)) — a count-over-partition
     // window here would add a second WindowExec over the full inverted
     // index for a value the array already knows
@@ -4207,11 +4208,17 @@ object DocQueries {
       explode(col("s")).as("g"))
     val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val ranked = ex.join(dfTab, "g")
-      .select(col("doc_id"), col("g"), col("n"),
+      .select(col("doc_id"), col("g"), col("n"), col("df"),
         row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("df"), col("g"))).as("rnk"))
+    // dfCap > 0: corpus-dense tokens stop GENERATING candidates (their
+    // posting lists would each contribute O(df²) pairs); they keep their
+    // prefix positions and still count in the verify, so the only recall
+    // loss is a pair whose EVERY common prefix token is dense — measured
+    // by the recall row, not assumed away. 0 = exact AllPairs.
     val pref = ranked
       .filter(col("rnk") <= col("n") - expr(s"($p*n + ${q - 1}) DIV $q") + 1)
+      .filter(if (dfCap > 0) col("df") <= dfCap else lit(true))
       .select(col("doc_id"), col("g"), col("n"), col("rnk"))
     // Two PPJoin prunes ride the candidate join (both from the published
     // algorithm — Xiao/Wang/Lin/Yu, "Efficient Similarity Joins for Near
@@ -4247,21 +4254,181 @@ object DocQueries {
     if (text == null) Array.empty[String]
     else graft.functions.MinHash.ngrams(text, 3))
 
-  def setsimJoin(spark: SparkSession, d: String): DataFrame = {
-    val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
-    val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
-    // >= 1 shingle ≡ >= 3 tokens: the oracle's `WHERE len(tk) >= 3`
-    val docs = documents(spark, d)
-      .select(col("doc_id"), shingles3Udf(col("text")).as("s"))
-      .filter(size(col("s")) >= 1)
-    prefixCandidates(docs, p, q)
+  /** The shingle-array table, memoized: ONE query references it three
+    * times (candidate explode + both verify sides) and the family has
+    * three queries plus the recall row — without this, Spark re-runs the
+    * tokenizer UDF over the corpus once per reference (measured at the
+    * x64 probe: the re-shingling dominated the capped join's remaining
+    * cost). MEMORY_AND_DISK, not MEMORY: this is corpus-derived, not
+    * model-sized — at warehouse scale the same role is played by a staged
+    * shingle table, so spilling is the honest local analog. */
+  private def setsimDocs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("setsim-docs", d))(
+      documents(spark, d)
+        .select(col("doc_id"), shingles3Udf(col("text")).as("s"))
+        .filter(size(col("s")) >= 1)   // >= 1 shingle ≡ the oracle's len(tk) >= 3
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )(_.unpersist(blocking = false))
+
+  private def setsimVerified(docs: DataFrame, cands: DataFrame,
+                             p: Int, q: Int): DataFrame =
+    cands
       .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .filter(col("inter") * q >= col("uni") * p)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+
+  def setsimJoin(spark: SparkSession, d: String): DataFrame = {
+    val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
+    val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
+    MemoCache.getOrElseUpdate(spark, ("setsim-pairs", d, p, q))({
+      val docs = setsimDocs(spark, d)
+      setsimVerified(docs, prefixCandidates(docs, p, q), p, q).cache()
+    })(_.unpersist(blocking = false))
   }
+
+  /** The 100-TB scale path of [[setsimJoin]] — two deltas from the exact
+    * join, both oracle-replayed:
+    *
+    *  - HASHED SHINGLES: sets are 52-bit md5 prefixes of the shingle
+    *    strings (the same `substr(md5(g), 20, 13)` hex window in DuckDB),
+    *    so the inverted index, the ranking window's sort key, and the
+    *    verify join all move/compare 8-byte longs instead of ~20-byte
+    *    strings — at the x64 probe the verify ships 4.4M candidate pairs
+    *    with ~52-element set payloads, where the payload width IS the
+    *    cost. Collisions merge shingles identically in both engines
+    *    (expected colliding pairs at 2^52 over a 16.7M-shingle corpus:
+    *    ~0.02), so parity is exact and the semantic drift is measured by
+    *    [[setsimRecall]], not assumed away.
+    *  - POSTING CAP on candidate generation (`spark.graft.setsim.dfcap`,
+    *    default 32): a guardrail, not an optimization — the AllPairs
+    *    rarest-first prefix already keeps prefix-token df small on Zipf
+    *    corpora (measured max 7 at sf0.01, 14 at x64 — corpus-dense
+    *    shingles never enter prefixes by construction), but an
+    *    adversarial/boilerplate corpus whose RAREST tokens are still
+    *    dense would blow O(df²) per posting; the cap bounds that, and on
+    *    the fixtures it never binds (recall row reads 1.0). */
+  def setsimJoinCapped(spark: SparkSession, d: String): DataFrame = {
+    val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
+    val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
+    val cap = spark.conf.getOption("spark.graft.setsim.dfcap").map(_.toLong).getOrElse(32L)
+    MemoCache.getOrElseUpdate(spark, ("setsim-pairs-capped", d, p, q, cap))({
+      val docs = setsimDocsHashed(spark, d)
+      setsimVerified(docs, prefixCandidates(docs, p, q, cap), p, q).cache()
+    })(_.unpersist(blocking = false))
+  }
+
+  /** 52-bit md5-prefix hashes of the 3-token shingles, distinct — the
+    * DuckDB-replayable `('0x' || substr(md5(g), 20, 13))::UBIGINT`: hex
+    * chars 20..32 (1-based) are the low nibble of digest byte 9 followed
+    * by bytes 10..15. */
+  private val shingles3Hash52Udf = udf((text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      graft.functions.MinHash.ngrams(text, 3).foreach { g =>
+        md.reset()
+        val dg = md.digest(g.getBytes("UTF-8"))
+        var v = (dg(9) & 0xFL)
+        var i = 10
+        while (i < 16) { v = (v << 8) | (dg(i) & 0xFFL); i += 1 }
+        seen.add(v)
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    })
+
+  private def setsimDocsHashed(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("setsim-docs-hashed", d))(
+      documents(spark, d)
+        .select(col("doc_id"), shingles3Hash52Udf(col("text")).as("s"))
+        .filter(size(col("s")) >= 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )(_.unpersist(blocking = false))
+
+  /** Full replay of the CAPPED algorithm (df table, rarest-first ranking,
+    * prefix bound, posting cap, length + positional filters, exact
+    * verify) — checks the windowed ranking and integer bound arithmetic
+    * engine-against-engine; the completeness story stays with
+    * [[setsimJoinSql]]'s brute force and the recall row. */
+  private val setsimCappedSqlCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |      FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(
+      |          list_distinct(list_transform(range(1, len(tk)-1),
+      |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])),
+      |          g -> CAST(('0x' || substr(md5(g), 20, 13))::UBIGINT AS BIGINT))) AS s
+      |        FROM t WHERE len(tk) >= 3),
+      | ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      | dft AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY 1),
+      | ranked AS (SELECT ex.doc_id, ex.g, ex.n, dft.df,
+      |     ROW_NUMBER() OVER (PARTITION BY ex.doc_id ORDER BY dft.df, ex.g)
+      |       AS rnk
+      |   FROM ex JOIN dft USING (g)),
+      | pref AS (SELECT doc_id, g, n, rnk FROM ranked
+      |   WHERE rnk <= n - ((3*n + 4) // 5) + 1 AND df <= 32),
+      | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |   FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+      |   WHERE a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+      |     AND 1 + least(a.n - a.rnk, b.n - b.rnk)
+      |         >= (3 * (a.n + b.n) + 7) // 8),
+      | capped AS (SELECT cand.doc_a, cand.doc_b,
+      |     CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+      |     CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+      |       AS BIGINT) AS uni
+      |   FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+      |   JOIN sh sb ON cand.doc_b = sb.doc_id
+      |   WHERE 5 * len(list_intersect(sa.s, sb.s))
+      |      >= 3 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))""".stripMargin
+
+  val setsimCappedSql: String =
+    s"""WITH $setsimCappedSqlCtes
+       |SELECT doc_a, doc_b, inter, uni FROM capped""".stripMargin
+
+  /** The cap's honesty row: capped pairs vs the exact AllPairs truth.
+    * recall = found/truth; the 0.95 floor is the operating guarantee (at
+    * the gate sf the cap never binds, so this reads 1.0 — the SCALE cost
+    * is probed at x64 where the dense postings exist). */
+  def setsimRecall(spark: SparkSession, d: String): DataFrame = {
+    val exact = setsimJoin(spark, d).select(col("doc_a"), col("doc_b"))
+    val capped = setsimJoinCapped(spark, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact.join(capped, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(col("n_truth"), col("n_found"),
+        when(col("n_truth") === 0, 1.0)
+          .otherwise(round(col("n_found").cast("double") / col("n_truth"), 6))
+          .as("recall"))
+      .withColumn("ok", col("recall") >= 0.95)
+  }
+
+  val setsimRecallSql: String =
+    s"""WITH $setsimCappedSqlCtes,
+       | shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       |         FROM t WHERE len(tk) >= 3),
+       | truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |   WHERE 5 * len(list_intersect(a.s, b.s))
+       |      >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       | m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |     CAST(COUNT(c.doc_a) AS BIGINT) AS n_found
+       |   FROM truth t LEFT JOIN capped c
+       |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT n_truth, n_found,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE ROUND(CAST(n_found AS DOUBLE) / n_truth, 6) END AS recall,
+       |  (CASE WHEN n_truth = 0 THEN 1.0
+       |        ELSE ROUND(CAST(n_found AS DOUBLE) / n_truth, 6) END) >= 0.95
+       |    AS ok
+       |FROM m""".stripMargin
 
   /** The oracle is the BRUTE-FORCE all-pairs join — deliberately not a
     * replay of the prefix filter, so the gate independently verifies the
@@ -5014,6 +5181,8 @@ object DocQueries {
     "doc_dict_tag"           -> (dictTag _),
     "doc_dict_terms"         -> (dictTerms _),
     "doc_setsim_join"        -> (setsimJoin _),
+    "doc_setsim_capped"      -> (setsimJoinCapped _),
+    "doc_setsim_recall"      -> (setsimRecall _),
     "doc_vocab_link"         -> (vocabLink _),
     "doc_typo_pairs"         -> (typoPairs _),
     "doc_fuzzy_dedup"        -> (fuzzyDedup _),
@@ -5091,6 +5260,8 @@ object DocQueries {
     "doc_dict_tag"           -> dictTagSql,
     "doc_dict_terms"         -> dictTermsSql,
     "doc_setsim_join"        -> setsimJoinSql,
+    "doc_setsim_capped"      -> setsimCappedSql,
+    "doc_setsim_recall"      -> setsimRecallSql,
     "doc_vocab_link"         -> vocabLinkSql,
     "doc_typo_pairs"         -> typoPairsSql,
     "doc_fuzzy_dedup"        -> fuzzyDedupSql,

@@ -96,9 +96,25 @@ object MaxMindDb {
       v
     }
 
+    /** Recursion guard: the spec forbids pointer-to-pointer chains, but a
+      * CORRUPT database can still cycle a pointer onto itself (or nest
+      * maps unboundedly) — without a cap that is a StackOverflowError in
+      * whatever JVM loads the file. Controlled failure instead. */
+    private var depth = 0
+
     /** Decode the field at absolute offset `o`; returns (value, offset past
       * the field). */
     def decode(o: Int): (Any, Int) = {
+      depth += 1
+      try {
+        if (depth > 128)
+          throw new IllegalArgumentException(
+            s"mmdb nesting/pointer depth exceeded at offset $o (corrupt database?)")
+        decodeBody(o)
+      } finally depth -= 1
+    }
+
+    private def decodeBody(o: Int): (Any, Int) = {
       val ctrl = u8(o)
       var typ = ctrl >>> 5
       var p = o + 1
