@@ -50,9 +50,17 @@ object RefreshableDim {
     cache.get(key) match {
       case Some(e) if e.stamp == stamp => e.df
       case stale =>
+        // Drop the stale entry FIRST: it was cached from the SAME path, so
+        // its plan is the CacheManager's key — caching the re-read before
+        // unpersisting would no-op against the stale entry ("already
+        // cached" warning) and serve the OLD bytes until the unpersist.
+        // The registry removal is synchronous (only block freeing is
+        // async), so the re-cache below registers fresh data; a concurrent
+        // reader during the gap recomputes from the files — correct, just
+        // uncached for that one read.
+        stale.foreach(_.df.unpersist(blocking = false))
         val df = spark.read.parquet(path).cache()
         df.count() // materialize BEFORE the swap: lookups never wait on a cold cache
-        stale.foreach(_.df.unpersist())
         cache.put(key, Entry(stamp, df))
         df
     }

@@ -11,14 +11,20 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
-  /** All nodes of the executed plan TREE (adaptive stages unwrapped) — for
-    * assertions that must not depend on plan-text formatting. */
+  /** All nodes of the executed plan TREE (adaptive stages unwrapped, and
+    * CACHED relations expanded into their underlying compute plan — several
+    * operators return MemoCache-backed frames, and a gate that only saw
+    * the InMemoryTableScan would pass trivially no matter what the real
+    * pipeline does) — for assertions that must not depend on plan-text
+    * formatting. */
   private def planNodes(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a +: walk(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         q +: walk(q.plan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m +: walk(m.relation.cachedPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
@@ -616,8 +622,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct"))
   }
+  test("gear nosupp chunking: a narrow projection, no exchange at all") {
+    // the raw gear walk collapses in-row (expression → posexplode → md5);
+    // any Exchange here means the chunk explode picked up a shuffle
+    val nodes = planNodes(graft.queries.DocQueries.queries("doc_cdc_gear_nosupp")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "gear nosupp must stay a narrow per-row pipeline")
+  }
+
+  test("hnsw rerank: candidates and queries broadcast — the corpus never " +
+       "sort-merge-joins") {
+    val nodes = planNodes(graft.queries.EmbeddingQueries.queries("emb_hnsw_rerank")(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "rerank joins must be broadcast probes of the gathered candidate set")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("setsim join / fuzzy dedup: candidate generation is keyed, never a product") {
-    for (op <- Seq("doc_setsim_join", "doc_fuzzy_dedup", "doc_fuzzy_blocked")) {
+    for (op <- Seq("doc_setsim_join", "doc_setsim_capped", "doc_fuzzy_dedup",
+        "doc_fuzzy_blocked")) {
       val nodes = planNodes(graft.queries.DocQueries.queries(op)(spark, sf))
       assert(!nodes.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
