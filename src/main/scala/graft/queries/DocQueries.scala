@@ -334,10 +334,20 @@ object DocQueries {
     MemoCache.getOrElseUpdate(spark, ("neardup-pairs", d))(
       neardupJaccardCompute(spark, d).cache())(_.unpersist(blocking = false))
 
+  /** The (doc_id, hashed-shingle-set) scan, memoized: the Jaccard dedup,
+    * containment, and their consumers all start from this projection, and
+    * a per-invocation .cache() here both leaked its registry entry when an
+    * LRU eviction dropped only the OUTER memoized frame and re-warned on
+    * every repeat invocation ("already cached" — the CacheManager keys by
+    * plan). One entry, one release. */
+  private def shingleDocs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("shingle-docs", d))(
+      documents(spark, d)
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+        .cache())(_.unpersist(blocking = false))
+
   private[graft] def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
-    val docs = documents(spark, d)
-      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
-      .cache()
+    val docs = shingleDocs(spark, d)
     // NOT repartitioned before the explode: measured 6.2s -> 6.8s cold
     // (the extra exchange's planning/codegen outweighs parallelizing the
     // index build; the groupBy's own exchange already spreads the reduce)
@@ -403,10 +413,7 @@ object DocQueries {
     * all-pairs. */
   def containment(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = documents(spark, d)
-      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
+    val docs = shingleDocs(spark, d).filter(size(col("sh")) > 0)
     val candidates = rareShingleCandidates(
       docs.select(col("doc_id"), explode(col("sh")).as("s")))
     val maxBroadcastDocs = spark.conf
@@ -673,17 +680,24 @@ object DocQueries {
     MemoCache.getOrElseUpdate(spark, ("lsh-pairs", d))(
       lshVerifiedPairsCompute(spark, d).cache())(_.unpersist(blocking = false))
 
+  /** (doc_id, shingles, minhash signature), memoized — the persisted
+    * signature-table analog; shared by the LSH pair table and cross-corpus
+    * dedup (same registry-entry/leak rationale as [[shingleDocs]]). */
+  private def minhashDocs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("minhash-docs", d))(
+      documents(spark, d)
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh"),
+          minhashSigUdf(col("text")).as("sig"))
+        .filter(size(col("sh")) > 0)
+        .cache())(_.unpersist(blocking = false))
+
   private def lshVerifiedPairsCompute(spark: SparkSession, d: String): DataFrame = {
     // Materialize the signatures BEFORE the self-joins: the sig expression
     // inlines the murmur+min tree 64x, and the band self-join would
     // otherwise duplicate that whole tree on both sides (codegen blowup —
     // this was an 800s-vs-8s difference at sf0.1). At cluster scale this is
     // a persisted signature table, typically written once and reused.
-    val docs = documents(spark, d)
-      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"),
-        minhashSigUdf(col("text")).as("sig"))
-      .filter(size(col("sh")) > 0)
-      .cache()
+    val docs = minhashDocs(spark, d)
     val bands = minhashBands(docs)
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -854,11 +868,9 @@ object DocQueries {
     val incoming = conv(substring(
         md5(concat(lit("xd"), col("doc_id").cast("string"))), 25, 8), 16, 10)
       .cast("long") % 10 === 0
-    val docs = documents(spark, d)
-      .select(col("doc_id"), incoming.as("incoming"),
-        shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
-      .filter(size(col("sh")) > 0)
-      .cache()
+    // narrow derivation of the memoized signature table — `incoming` is a
+    // pure function of doc_id, so no second cache entry is needed
+    val docs = minhashDocs(spark, d).withColumn("incoming", incoming)
     val inBands = minhashBands(docs.filter(col("incoming")))
     val baseBands = minhashBands(docs.filter(!col("incoming")))
     // Size-gate the broadcast: a normal daily shard broadcasts its band keys
@@ -4639,13 +4651,18 @@ object DocQueries {
     * Contract-identical to the built-in: -1 above the threshold, so
     * `dist >= 0` is exactly `dist <= K`.
     * K override: `spark.graft.fuzzy.maxDist` (default 40). */
+  private def fuzzyDocs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("fuzzy-docs", d))(
+      documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
+        .cache())(_.unpersist(blocking = false))
+
   def fuzzyDedup(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
-    // One cached scan feeds the gate probe and BOTH join sides (the
-    // crossDedup pattern): the stats action below populates the cache, so
-    // the plan reads parquet exactly once per invocation.
-    val docs = documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
-      .cache()
+    // One MEMOIZED scan feeds the gate probe and BOTH join sides, shared
+    // across the fuzzy family (dedup/blocked/recall all start here): the
+    // stats action below populates the cache, so the plan reads parquet
+    // exactly once per residency.
+    val docs = fuzzyDocs(spark, d)
     // The verify runs inside the candidate join, so its parallelism is the
     // PROBE side's partitioning — which the fixture rebalance sizes by
     // bytes. Verify cost is candidate-pair volume, not bytes: spread the

@@ -53,9 +53,28 @@ private[graft] object MemoCache {
     val hit = entries.get(k)
     if (hit != null) hit.value.asInstanceOf[V]
     else {
+      // Make room BEFORE running compute, not after: a recomputed entry
+      // often carries the SAME logical plan as the LRU entry about to be
+      // evicted (e.g. the shared words table rebuilt after cap churn), and
+      // the CacheManager keys cached data by plan — caching first would
+      // no-op against the old entry ("already cached" warning) and the
+      // old entry's release would then silently UNREGISTER the new
+      // frame's cache, leaving the memoized value uncached for its whole
+      // residency. Reentrant computes (nested getOrElseUpdate) each make
+      // their own room under the same lock.
+      val max = math.max(1, maxEntries(spark))
+      while (entries.size() >= max) {
+        val it = entries.entrySet().iterator()
+        val eldest = it.next()
+        releaseQuietly(eldest.getValue)
+        it.remove()
+      }
       val v = compute
       entries.put(k, Entry(v, () => release(v)))
-      val max = math.max(1, maxEntries(spark))
+      // Backstop for reentrant computes that inserted while this frame's
+      // slot was reserved only implicitly: the bound must hold on exit.
+      // (Different keys rarely share a plan, so the same-plan hazard the
+      // pre-eviction removes does not reappear here.)
       while (entries.size() > max) {
         val it = entries.entrySet().iterator()
         val eldest = it.next()
