@@ -40,20 +40,28 @@ object Throughput {
     // steady state a long-lived collector job sees.
     // toRdd.count() materializes every mapped column (plain count() would
     // let Catalyst prune the entire mapping and time an empty scan).
+    // Same per-sample quality evidence as Bench: the throughput figure is
+    // the headline baseline comparison, so each sample carries the
+    // (selfCpu/wall, taskCpuFrac, ext) fields that prove (or disprove) it
+    // was measured on an uncontended JVM.
+    BenchSampler.install(spark)
+    val hostCores = Runtime.getRuntime.availableProcessors
     val out = DefaultMapping(BrowserSource.decode(wire, "qs"))
     (1 to 2).foreach { run =>
-      val t0 = System.nanoTime()
-      val cnt = out.queryExecution.toRdd.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[thpt] map run$run rows=$cnt sec=$sec%.2f " +
-        f"total=${cnt / sec}%.0f/s percore=${cnt / sec / cores}%.0f/s")
+      var cnt = 0L
+      val s = BenchSampler.sample(hostCores) { cnt = out.queryExecution.toRdd.count() }
+      println(f"[thpt] map run$run rows=$cnt sec=${s.wall}%.2f " +
+        f"total=${cnt / s.wall}%.0f/s percore=${cnt / s.wall / cores}%.0f/s " +
+        f"self=${s.selfRatio}%.1f tcpu=${s.taskCpuFrac}%.2f ext=${s.ext}%.2f gc=${s.gcMs}ms" +
+        (if (BenchSampler.dirtyReasons(s, 0.15, 0.3).isEmpty) ""
+         else s" DIRTY=${BenchSampler.dirtyReasons(s, 0.15, 0.3).mkString("+")}"))
     }
     val dec = BrowserSource.decode(wire, "qs")
     (1 to 2).foreach { run =>
-      val t1 = System.nanoTime()
-      val c2 = dec.queryExecution.toRdd.count()
-      println(f"[thpt] decode-only run$run " +
-        f"${c2 / ((System.nanoTime() - t1) / 1e9) / cores}%.0f/s/core")
+      var c2 = 0L
+      val s = BenchSampler.sample(hostCores) { c2 = dec.queryExecution.toRdd.count() }
+      println(f"[thpt] decode-only run$run ${c2 / s.wall / cores}%.0f/s/core " +
+        f"self=${s.selfRatio}%.1f ext=${s.ext}%.2f")
     }
     spark.stop()
   }
