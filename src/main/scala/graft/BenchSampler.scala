@@ -58,8 +58,13 @@ object BenchSampler {
     if (s.selfRatio >= 0 && s.selfRatio < 0.8) out += "starved"
     // Scheduled tasks spent most of their wall off-CPU while GC was quiet:
     // cycles went to an invisible neighbor. The 0.5 floor leaves room for
-    // genuine spill/shuffle I/O waits inside tasks.
-    if (!s.gcStorm && s.taskRunSec > 1.0 && s.taskCpuFrac >= 0 && s.taskCpuFrac < 0.5)
+    // genuine spill/shuffle I/O waits inside tasks, and the wall floor is
+    // 5x the general one: a sub-second sample of many tiny tasks reads a
+    // low CPU fraction from fixed per-task overheads (scheduler latency,
+    // block-manager locking on cached reads), not from contention —
+    // measured as a persistent false "stalled" on an idle host.
+    if (!s.gcStorm && s.wall > 5 * minWall && s.taskRunSec > 1.0 &&
+        s.taskCpuFrac >= 0 && s.taskCpuFrac < 0.5)
       out += "stalled"
     out.toSeq
   }

@@ -51,7 +51,11 @@ object GraftExtensions {
   private def fn(name: String, usage: String)(b: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", null, name, usage, ""),
+      // the 11-arg constructor is the only non-deprecated one carrying a
+      // usage string; "scala_udf" is the closest allowed source tag for an
+      // extension-registered native expression
+      new ExpressionInfo("graft.functions", null, name, usage,
+        "", "", "", "", "", "", "scala_udf"),
       b)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

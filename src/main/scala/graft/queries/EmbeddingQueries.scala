@@ -2527,7 +2527,7 @@ object EmbeddingQueries {
     var mdot = 0.0
     for (i <- 0 until dim) mdot += v(i) * S(i).doubleValue
     val mean = mdot / n
-    val vLit = array(v.map(lit): _*)
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
     embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("s"))
       .select(col("vec_id"),

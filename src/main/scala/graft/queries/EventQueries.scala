@@ -163,8 +163,8 @@ object EventQueries {
           mk(col("o_start"), col("o_end"), col("o_n"), col("o_val")),
           mk(col("f_start"), col("f_end"), col("f_n"), col("f_val"))))).as("s"))
       .select(col("user_id"), col("s.*"))
-    closed.unionByName(recombined.select(closed.columns.map(col): _*))
-      .unionByName(s2rest.select(closed.columns.map(col): _*))
+    closed.unionByName(recombined.select(closed.columns.toIndexedSeq.map(col): _*))
+      .unionByName(s2rest.select(closed.columns.toIndexedSeq.map(col): _*))
       .withColumn("session_value", col("value_dec").cast("double"))
       .drop("value_dec")
   }
@@ -1428,9 +1428,9 @@ object EventQueries {
     }
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val pBase = solve(transient)(entry)
+    val pBase = solve(transient.toIndexedSeq)(entry)
     transient.filter(_ != entry).toSeq.map { s =>
-      val pRemoved = solve(transient.filterNot(_ == s))(entry)
+      val pRemoved = solve(transient.filterNot(_ == s).toIndexedSeq)(entry)
       (s, round6(pBase), round6(pRemoved),
         round6((pBase - pRemoved) / pBase))
     }.toDF("removed_state", "p_base", "p_removed", "removal_effect")
