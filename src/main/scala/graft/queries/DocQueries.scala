@@ -3574,6 +3574,8 @@ object DocQueries {
     * vocabulary (see [[tfidfKnn]]). */
   private val TfidfDfCapFrac = 0.5
   private val TfidfCapMaxDropFrac = 0.2
+  /** Impact-pruning posting cap (absolute, per term) for [[tfidfKnnCapped]]. */
+  private val TfidfPostingCap = 1024
 
   /** Sparse-vector similarity search: TF-IDF weighted cosine top-k over the
     * corpus vocabulary — the lexical analog of [[EmbeddingQueries.knnBrute]]
@@ -3609,6 +3611,16 @@ object DocQueries {
     * consumers (corpus side, probe broadcast, both norm lookups): measured
     * 2.5s → 0.9s warm at sf0.1. */
   def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
+    val (weights, norms) = tfidfIndex(spark, d)
+    val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
+    tfidfRank(weights, norms, probes)
+  }
+
+  /** The shared memoized (weights, norms) index build — see the Scaladoc
+    * above; factored out so the impact-pruned variant reads the SAME
+    * index. */
+  private def tfidfIndex(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     // Impact pruning (`spark.graft.tfidf.dfCapFrac`, DEFAULT 0.5): drop
     // terms whose df exceeds the given fraction of the corpus. On a web
     // corpus stopword postings dominate the term-keyed exchange while
@@ -3636,7 +3648,7 @@ object DocQueries {
       case ("tfidf-index", `d`, cfg) => cfg != ((capConf, dropMax))
       case _ => false
     })
-    val (weights, norms) = MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, (capConf, dropMax)))({
+    MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, (capConf, dropMax)))({
       val docs = documents(spark, d)
       val postings = docs
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -3669,11 +3681,17 @@ object DocQueries {
         .cache()
       (w, w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2")).cache())
     })(v => { v._1.unpersist(blocking = false); v._2.unpersist(blocking = false) })
-    val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
-      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
+  }
+
+  /** Corpus-postings × probe-terms scoring tail, shared by the exact and
+    * impact-pruned variants: `corpusW` is the posting table candidates come
+    * from, `probes` the (probe_id, term, pw) broadcast side; norms are
+    * always the EXACT full norms. */
+  private def tfidfRank(corpusW: DataFrame, norms: DataFrame,
+                        probes: DataFrame): DataFrame = {
     val probeNorms = norms.filter(col("doc_id") % TfidfProbeMod === 0)
       .select(col("doc_id").as("probe_id"), col("nrm2").as("pnrm2"))
-    val dots = weights
+    val dots = corpusW
       .join(broadcast(probes), Seq("term"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy("probe_id", "doc_id")
@@ -3690,8 +3708,57 @@ object DocQueries {
       .select(col("probe_id"), col("doc_id"), col("cosine"), col("rank"))
   }
 
-  val tfidfKnnSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  /** Impact-pruned TF-IDF kNN — the posting-list bound the df-cap cannot
+    * give: the df-cap drops terms denser than a FRACTION of the corpus, so
+    * on a growing corpus the sub-cap tail's posting lists still grow
+    * linearly and the candidate join's output grows with posting² (the
+    * honest x64 probe read the x16→x64 segment at ~1.25x over linear —
+    * exactly this tail). Standard impact ordering (Anh & Moffat): each
+    * term keeps only its `spark.graft.tfidf.postingCap` (default 1024)
+    * highest-WEIGHT postings as candidate generators, via the
+    * partial-aggregating [[graft.functions.TopK]] (the shuffle carries
+    * ≤ cap rows per (term, split) — a term-partitioned rank window would
+    * pile Zipf-hot postings onto one reducer). Probe term vectors and
+    * norms stay exact; a surviving pair's dot counts only unpruned
+    * postings, which the oracle replays term-for-term. Recall cost vs the
+    * exact ranking is the oracled [[tfidfRecall]] row (1.0 at the gate sf
+    * — no posting reaches 1024 in a 500-doc corpus; the cap exists for
+    * the corpus scale where posting lists outgrow it). */
+  def tfidfKnnCapped(spark: SparkSession, d: String): DataFrame = {
+    val cap = spark.conf.getOption("spark.graft.tfidf.postingCap")
+      .map(_.toInt).getOrElse(TfidfPostingCap)
+    val (weights, norms) = tfidfIndex(spark, d)
+    // w fits a double exactly here (tf·(N·scale DIV df) < 2^53 up to
+    // ~10^15 — far past the long-overflow bound the index already
+    // documents), and (w desc, doc_id asc) is the UDAF's total order
+    val pruned = weights.groupBy(col("term"))
+      .agg(graft.functions.TopK.topKByValue(cap,
+        col("w").cast("double"), col("doc_id")).as("top"))
+      .select(col("term"), explode(col("top")).as("e"))
+      .select(col("term"), col("e._2").as("doc_id"),
+        col("e._1").cast("long").as("w"))
+    val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
+    tfidfRank(pruned, norms, probes)
+  }
+
+  /** Honesty row: impact-pruned top-k pairs vs the exact ranking. */
+  def tfidfRecall(spark: SparkSession, d: String): DataFrame = {
+    val exact = tfidfKnn(spark, d).select(col("probe_id"), col("doc_id"))
+    val capped = tfidfKnnCapped(spark, d)
+      .select(col("probe_id"), col("doc_id"), lit(1L).as("hit"))
+    exact.join(capped, Seq("probe_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(col("n_truth"), col("n_found"),
+        when(col("n_truth") === 0, 1.0)
+          .otherwise(round(col("n_found").cast("double") / col("n_truth"), 6))
+          .as("recall"))
+      .withColumn("ok", col("recall") >= 0.9)
+  }
+
+  private val tfidfBaseCtes: String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
        | p AS (SELECT doc_id, unnest(tk) AS term FROM t),
        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3711,25 +3778,64 @@ object DocQueries {
        |       WHERE CAST(v.ncap AS DOUBLE) > v.nv * $TfidfCapMaxDropFrac
        |          OR CAST(idf.df AS DOUBLE) <= n.n_docs * $TfidfDfCapFrac),
        | nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2
-       |         FROM w GROUP BY 1),
-       | dots AS (SELECT pw.doc_id AS probe_id, w.doc_id,
-       |            CAST(SUM(pw.w * w.w) AS BIGINT) AS dot
-       |          FROM w JOIN w pw ON w.term = pw.term
+       |         FROM w GROUP BY 1)""".stripMargin
+
+  /** Scoring tail over a named corpus-posting CTE (`w` exact, `pruned`
+    * impact-capped) — the rank chain both oracles share. */
+  private def tfidfRankSql(corpus: String, prefix: String): String =
+    s""" ${prefix}dots AS (SELECT pw.doc_id AS probe_id, c.doc_id,
+       |            CAST(SUM(pw.w * c.w) AS BIGINT) AS dot
+       |          FROM $corpus c JOIN w pw ON c.term = pw.term
        |          WHERE pw.doc_id % $TfidfProbeMod = 0
-       |            AND w.doc_id <> pw.doc_id
+       |            AND c.doc_id <> pw.doc_id
        |          GROUP BY 1, 2),
-       | cos AS (SELECT d.probe_id, d.doc_id,
+       | ${prefix}cos AS (SELECT d.probe_id, d.doc_id,
        |           ROUND(CAST(d.dot AS DOUBLE) /
        |             (sqrt(CAST(np.nrm2 AS DOUBLE)) * sqrt(CAST(nd.nrm2 AS DOUBLE))),
        |             6) AS cosine
-       |         FROM dots d
+       |         FROM ${prefix}dots d
        |         JOIN nrm np ON np.doc_id = d.probe_id
-       |         JOIN nrm nd ON nd.doc_id = d.doc_id)
-       |SELECT probe_id, doc_id, cosine, rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-       |              ORDER BY cosine DESC, doc_id) AS INT) AS rank
-       |  FROM cos)
-       |WHERE rank <= $TfidfTopK""".stripMargin
+       |         JOIN nrm nd ON nd.doc_id = d.doc_id),
+       | ${prefix}top AS (SELECT probe_id, doc_id, cosine, rank FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                ORDER BY cosine DESC, doc_id) AS INT) AS rank
+       |    FROM ${prefix}cos)
+       |  WHERE rank <= $TfidfTopK)""".stripMargin
+
+  private val tfidfPrunedCte: String =
+    s""" pruned AS (SELECT term, doc_id, w FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+       |                ORDER BY w DESC, doc_id) AS prk
+       |    FROM w)
+       |  WHERE prk <= $TfidfPostingCap)""".stripMargin
+
+  val tfidfKnnSql: String =
+    s"""WITH $tfidfBaseCtes,
+       |${tfidfRankSql("w", "")}
+       |SELECT probe_id, doc_id, cosine, rank FROM top""".stripMargin
+
+  val tfidfCappedSql: String =
+    s"""WITH $tfidfBaseCtes,
+       |$tfidfPrunedCte,
+       |${tfidfRankSql("pruned", "")}
+       |SELECT probe_id, doc_id, cosine, rank FROM top""".stripMargin
+
+  val tfidfRecallSql: String =
+    s"""WITH $tfidfBaseCtes,
+       |$tfidfPrunedCte,
+       |${tfidfRankSql("w", "x")},
+       |${tfidfRankSql("pruned", "c")},
+       | m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |     CAST(COUNT(c.doc_id) AS BIGINT) AS n_found
+       |   FROM xtop t LEFT JOIN ctop c
+       |     ON t.probe_id = c.probe_id AND t.doc_id = c.doc_id)
+       |SELECT n_truth, n_found,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE ROUND(CAST(n_found AS DOUBLE) / n_truth, 6) END AS recall,
+       |  (CASE WHEN n_truth = 0 THEN 1.0
+       |        ELSE ROUND(CAST(n_found AS DOUBLE) / n_truth, 6) END) >= 0.9
+       |    AS ok
+       |FROM m""".stripMargin
 
   // ------------------------------------------------- hashed linear classifier
   /** Hashing-trick linear classifier inference (the fastText/Vowpal-Wabbit
@@ -5207,6 +5313,8 @@ object DocQueries {
     "doc_fuzzy_recall"       -> (fuzzyRecall _),
     "doc_contamination_rate" -> (contaminationRate _),
     "doc_tfidf_knn"          -> (tfidfKnn _),
+    "doc_tfidf_capped"       -> (tfidfKnnCapped _),
+    "doc_tfidf_recall"       -> (tfidfRecall _),
     "doc_hash_classifier"    -> (hashClassifier _),
     "doc_nb_classify"        -> (nbClassify _),
     "doc_rake_keywords"      -> (rakeKeywords _),
@@ -5286,6 +5394,8 @@ object DocQueries {
     "doc_fuzzy_recall"       -> fuzzyRecallSql,
     "doc_contamination_rate" -> contaminationRateSql,
     "doc_tfidf_knn"          -> tfidfKnnSql,
+    "doc_tfidf_capped"       -> tfidfCappedSql,
+    "doc_tfidf_recall"       -> tfidfRecallSql,
     "doc_hash_classifier"    -> hashClassifierSql,
     "doc_nb_classify"        -> nbClassifySql,
     "doc_rake_keywords"      -> rakeKeywordsSql,

@@ -641,6 +641,15 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
 
+  test("tfidf capped: posting pruning rides the TopK partial agg, not a window") {
+    // the impact cap must partial-aggregate map-side (shuffle carries
+    // <= cap rows per (term, split)); a term-partitioned rank window would
+    // pile Zipf-hot postings onto one reducer — the skew this avoids
+    val p = plan(graft.queries.DocQueries.queries("doc_tfidf_capped")(spark, sf))
+    assert(p.contains("partial_topkbyvalue"),
+      "posting cap lost its map-side partial")
+  }
+
   test("setsim join / fuzzy dedup: candidate generation is keyed, never a product") {
     for (op <- Seq("doc_setsim_join", "doc_setsim_capped", "doc_fuzzy_dedup",
         "doc_fuzzy_blocked")) {
