@@ -13,7 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
 class ParserFuzzSpec extends AnyFunSuite {
 
   private def check(prop: Prop, n: Int = 500): Unit = {
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    // Fixed seed: the gate must be reproducible round to round — a fresh
+    // random seed finding a NEW counterexample should happen in a dev run
+    // (bump the seed when hunting), never by surprise in the round gate.
+    val seeded = SCTest.Parameters.default.withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x2aa1e45a4f75f07L))
+    val r = SCTest.check(seeded, prop)
     assert(r.passed, r.status.toString)
   }
 
