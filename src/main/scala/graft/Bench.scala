@@ -82,8 +82,17 @@ object Bench {
     // lets a single query be timed in bench shape (toRdd.count, warm JVM).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     final case class Q(cold: Sample, warm: Sample, retries: Int, reasons: Seq[String])
+    // Deterministic SORTED run order (the Map's hash order varied with the
+    // key set, so round-over-round per-query comparisons interleaved
+    // differently every round). Sorting also runs each memo-sharing family
+    // (doc_tfidf_*, doc_setsim_*, doc_fuzzy_* …) adjacently, so a shared
+    // index builds ONCE per suite — the production shape, where an index is
+    // materialized once and every consumer reads it — instead of being
+    // rebuilt after LRU eviction by the ~100 unrelated queries the hash
+    // order used to interleave.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .toSeq.sortBy(_._1)
       .map { case (name, fn) =>
       // Untimed GC every 16 queries: ContextCleaner reclaims dead shuffle
       // files / broadcast blocks only when a GC notices the references are
@@ -107,11 +116,11 @@ object Bench {
     }
     def obj(sel: Q => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + f"${sel(v)}%.4f" }.mkString("{", ",", "}")
-    val total = results.values.map(_.cold.wall).sum
-    val totalWarm = results.values.map(_.warm.wall).sum
+    val total = results.map(_._2).map(_.cold.wall).sum
+    val totalWarm = results.map(_._2).map(_.warm.wall).sum
     val wallSec = (System.nanoTime() - wallStart) / 1e9
-    val nRetried = results.values.count(_.retries > 0)
-    val nDirty = results.values.count(_.reasons.nonEmpty)
+    val nRetried = results.map(_._2).count(_.retries > 0)
+    val nDirty = results.map(_._2).count(_.reasons.nonEmpty)
     // Per-query quality for EVERY query (not just a dirty subset): the full
     // (wall, selfCpu, gc, ext) quadruple + task CPU fraction per warm
     // sample, so a consumer can verify "clean" instead of trusting it.

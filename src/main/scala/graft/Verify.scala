@@ -11,8 +11,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only subset knob (the driver never sets it): regex over query names.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Sorted order: deterministic, and memo-sharing families (doc_tfidf_*,
+    // doc_setsim_*, …) run adjacently so a shared index survives the
+    // bounded MemoCache for all of its consumers (same rationale as Bench).
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): the compare wants one file, but
       // coalesce would collapse every un-shuffled upstream stage into one

@@ -3610,12 +3610,23 @@ object DocQueries {
     * (scan → explode → two keyed stages) re-executes for each of its four
     * consumers (corpus side, probe broadcast, both norm lookups): measured
     * 2.5s → 0.9s warm at sf0.1. */
-  def tfidfKnn(spark: SparkSession, d: String): DataFrame = {
-    val (weights, norms) = tfidfIndex(spark, d)
-    val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
-      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
-    tfidfRank(weights, norms, probes)
-  }
+  def tfidfKnn(spark: SparkSession, d: String): DataFrame =
+    // Memoized alongside the index: the top-k output is probe-bounded
+    // (≤ probes × TfidfTopK rows — model-sized), and the recall row joins
+    // BOTH rank tails, so without this it re-runs the full corpus×probe
+    // scoring join its two siblings already paid for.
+    MemoCache.getOrElseUpdate(spark, ("tfidf-knn", d, tfidfCapCfg(spark)))({
+      val (weights, norms) = tfidfIndex(spark, d)
+      val probes = weights.filter(col("doc_id") % TfidfProbeMod === 0)
+        .select(col("doc_id").as("probe_id"), col("term"), col("w").as("pw"))
+      tfidfRank(weights, norms, probes).cache()
+    })(_.unpersist(blocking = false))
+
+  /** The df-cap configuration that keys every tfidf memo entry. */
+  private def tfidfCapCfg(spark: SparkSession): Any = (
+    spark.conf.getOption("spark.graft.tfidf.dfCapFrac").map(_.toDouble),
+    spark.conf.getOption("spark.graft.tfidf.capMaxDropFrac")
+      .map(_.toDouble).getOrElse(TfidfCapMaxDropFrac))
 
   /** The shared memoized (weights, norms) index build — see the Scaladoc
     * above; factored out so the impact-pruned variant reads the SAME
@@ -3646,6 +3657,10 @@ object DocQueries {
     // copies in executor memory
     MemoCache.evict(spark, {
       case ("tfidf-index", `d`, cfg) => cfg != ((capConf, dropMax))
+      // the memoized rank tails are derived from the index — stale cap
+      // variants go with it
+      case ("tfidf-knn", `d`, cfg) => cfg != ((capConf, dropMax))
+      case ("tfidf-capped", `d`, cfg, _) => cfg != ((capConf, dropMax))
       case _ => false
     })
     MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, (capConf, dropMax)))({
@@ -3727,6 +3742,20 @@ object DocQueries {
   def tfidfKnnCapped(spark: SparkSession, d: String): DataFrame = {
     val cap = spark.conf.getOption("spark.graft.tfidf.postingCap")
       .map(_.toInt).getOrElse(TfidfPostingCap)
+    // eager eviction of superseded posting-cap variants (cap sweeps must
+    // not accumulate abandoned cached tails — same policy as the index)
+    MemoCache.evict(spark, {
+      case ("tfidf-capped", `d`, _, c) => c != cap
+      case _ => false
+    })
+    MemoCache.getOrElseUpdate(spark,
+      ("tfidf-capped", d, tfidfCapCfg(spark), cap))(
+      tfidfKnnCappedBuild(spark, d, cap).cache())(
+      _.unpersist(blocking = false))
+  }
+
+  private def tfidfKnnCappedBuild(spark: SparkSession, d: String,
+                                  cap: Int): DataFrame = {
     val (weights, norms) = tfidfIndex(spark, d)
     // w fits a double exactly here (tf·(N·scale DIV df) < 2^53 up to
     // ~10^15 — far past the long-overflow bound the index already

@@ -645,7 +645,11 @@ class PlanSpec extends SparkSpec {
     // the impact cap must partial-aggregate map-side (shuffle carries
     // <= cap rows per (term, split)); a term-partitioned rank window would
     // pile Zipf-hot postings onto one reducer — the skew this avoids
-    val p = plan(graft.queries.DocQueries.queries("doc_tfidf_capped")(spark, sf))
+    // planNodes, not explain text: the capped tail is MemoCache-backed now,
+    // so the gate must look through the InMemoryRelation at the real plan
+    val p = planNodes(
+      graft.queries.DocQueries.queries("doc_tfidf_capped")(spark, sf))
+      .map(_.toString).mkString("\n")
     assert(p.contains("partial_topkbyvalue"),
       "posting cap lost its map-side partial")
   }
