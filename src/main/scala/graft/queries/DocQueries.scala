@@ -3056,6 +3056,136 @@ object DocQueries {
        |  CAST(b.npieces AS INT) AS n_pieces, b.seg
        |FROM best b JOIN w ON b.word = w.word WHERE b.rk = 1""".stripMargin
 
+  // --------------------------------------------- WordPiece tokenizer
+  /** WordPiece greedy longest-match-first encoding (the BERT serving
+    * tokenizer, Devlin et al. 2019 / Song et al. 2021 "Fast WordPiece"):
+    * the third tokenizer family next to [[bpeEncode]] (merge replay) and
+    * [[unigramTok]] (max-likelihood Viterbi). Pieces are position-classed —
+    * a START piece may only open a word, a CONTINUATION piece (rendered
+    * `##x`) only extend one — and each step takes the LONGEST vocabulary
+    * piece matching at the cursor, no backtracking.
+    *
+    * Vocabulary is count-derived like [[unigramTok]]'s (every ≤
+    * [[UniMaxPiece]]-char substring of every word type, frequency-weighted,
+    * classed by position): all single characters per class — which
+    * guarantees coverage over the corpus the counts came from, since any
+    * character at a continuation position of any word contributes a
+    * continuation single — plus the top [[WpVocabK]] multi-char pieces per
+    * class by (count desc, piece). A trained WordPiece vocab drops into the
+    * same two broadcast sets.
+    *
+    * Oracle equivalence: single-char coverage makes dead ends impossible
+    * (every suffix is completable char-by-char), and with no dead ends the
+    * greedy segmentation is exactly the one whose PIECE-LENGTH SEQUENCE is
+    * lexicographically greatest among all complete segmentations — at each
+    * cut the greedy piece is the longest matching AND completable one. The
+    * oracle therefore enumerates every complete segmentation recursively
+    * (the [[unigramTok]] machinery) and ranks by the length-sequence string
+    * (lengths 1..6 encode as 'A'..'F'; equal totals make prefix ordering
+    * sound), so a greedy-loop bug here cannot agree by accident.
+    *
+    * Scale: identical shape to [[unigramTok]] — one map-side-combinable
+    * substring count over word TYPES, a model-sized vocab collect +
+    * broadcast, and a per-word-type tight loop; nothing document-scale
+    * shuffles. */
+  private val WpVocabK = 48
+
+  def wordpieceTok(spark: SparkSession, d: String): DataFrame = {
+    val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
+      documents(spark, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+        .cache())(_.unpersist(blocking = false))
+    val counts = words.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($UniMaxPiece, length(word) - i + 1)),
+           |    j -> named_struct('p', substring(word, i, j),
+           |                      'cont', IF(i = 1, 0, 1)))))""".stripMargin)).as("e"))
+      .select(col("freq"), col("e.p").as("p"), col("e.cont").as("cont"))
+      .groupBy(col("p"), col("cont")).agg(sum(col("freq")).as("c"))
+    val chars = counts.filter(length(col("p")) === 1)
+      .select(col("p"), col("cont"))
+    val multi = counts.filter(length(col("p")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cont")).orderBy(col("c").desc, col("p"))))
+      .filter(col("rk") <= WpVocabK).select(col("p"), col("cont"))
+    // model-sized (2 alphabets + 2*WpVocabK): collect + broadcast, the
+    // same intended shape as the unigram vocab
+    val vocab = chars.union(multi).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val bcStart = spark.sparkContext.broadcast(
+      vocab.collect { case (p, 0) => p }.toSet)
+    val bcCont = spark.sparkContext.broadcast(
+      vocab.collect { case (p, 1) => p }.toSet)
+    val encUdf = udf((word: String) => {
+      val start = bcStart.value
+      val cont = bcCont.value
+      val n = word.length
+      val sb = new StringBuilder
+      var pieces = 0
+      var pos = 0
+      while (pos < n) {
+        val set = if (pos == 0) start else cont
+        var l = math.min(UniMaxPiece, n - pos)
+        // l reaches 1 before the loop can fail: the single char at `pos`
+        // is in the positional alphabet by construction (vocab and words
+        // come from the same corpus)
+        while (l > 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
+        if (pos == 0) sb.append(word.substring(pos, pos + l))
+        else sb.append(" ##").append(word.substring(pos, pos + l))
+        pieces += 1
+        pos += l
+      }
+      (pieces, sb.toString)
+    })
+    words
+      .withColumn("e", encUdf(col("word")))
+      .select(col("word"), col("freq"),
+        col("e._1").cast("int").as("n_pieces"),
+        col("e._2").as("seg"))
+  }
+
+  val wordpieceTokSql: String =
+    s"""WITH RECURSIVE
+       | w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |             FROM documents)
+       |       WHERE len(word) > 0 GROUP BY 1),
+       | subs AS (SELECT w.freq, substr(w.word, i.i, j.j) AS p,
+       |            CASE WHEN i.i = 1 THEN 0 ELSE 1 END AS cont
+       |          FROM w,
+       |            (SELECT unnest(generate_series(1,
+       |               (SELECT CAST(MAX(len(word)) AS INT) FROM w))) AS i) i,
+       |            (SELECT unnest(generate_series(1, $UniMaxPiece)) AS j) j
+       |          WHERE i.i + j.j - 1 <= len(w.word)),
+       | cnt AS (SELECT p, cont, CAST(SUM(freq) AS BIGINT) AS c
+       |         FROM subs GROUP BY 1, 2),
+       | vocab AS (SELECT p, cont FROM cnt WHERE len(p) = 1
+       |           UNION ALL
+       |           SELECT p, cont FROM (
+       |             SELECT p, cont, ROW_NUMBER() OVER (PARTITION BY cont
+       |                 ORDER BY c DESC, p) AS rk
+       |             FROM cnt WHERE len(p) > 1) WHERE rk <= $WpVocabK),
+       | paths(word, pos, npieces, lens, seg) AS (
+       |   SELECT word, 0, 0, CAST('' AS VARCHAR), CAST('' AS VARCHAR) FROM w
+       |   UNION ALL
+       |   SELECT p2.word, p2.pos + len(v.p), p2.npieces + 1,
+       |          p2.lens || chr(CAST(64 + len(v.p) AS INT)),
+       |          CASE WHEN p2.seg = '' THEN v.p
+       |               ELSE p2.seg || ' ##' || v.p END
+       |   FROM paths p2 JOIN vocab v
+       |     ON substr(p2.word, p2.pos + 1, len(v.p)) = v.p
+       |    AND v.cont = CASE WHEN p2.pos = 0 THEN 0 ELSE 1 END
+       |   WHERE p2.pos < len(p2.word)),
+       | best AS (SELECT word, npieces, seg,
+       |            ROW_NUMBER() OVER (PARTITION BY word
+       |              ORDER BY lens DESC) AS rk
+       |          FROM paths JOIN (SELECT word AS wd, len(word) AS wl FROM w) lw
+       |            ON word = wd AND pos = wl)
+       |SELECT w.word, w.freq, CAST(b.npieces AS INT) AS n_pieces, b.seg
+       |FROM best b JOIN w ON b.word = w.word WHERE b.rk = 1""".stripMargin
+
   // ------------------------------------------------- composite filter chain
   /** C4-style cleaning filter chain (Raffel et al. 2020 §2.2 shape): each
     * rule is an independent boolean column, `keep` is their conjunction and
@@ -5366,6 +5496,7 @@ object DocQueries {
     "doc_bpe_train"       -> (bpeTrain _),
     "doc_bpe_encode"      -> (bpeEncode _),
     "doc_unigram_tok"     -> (unigramTok _),
+    "doc_wordpiece"       -> (wordpieceTok _),
     "doc_curriculum"      -> (curriculum _),
     "doc_filter_chain" -> (filterChain _),
     "doc_token_counts" -> (tokenCounts _),
@@ -5443,6 +5574,7 @@ object DocQueries {
     "doc_bpe_train"       -> bpeTrainSql,
     "doc_bpe_encode"      -> bpeEncodeSql,
     "doc_unigram_tok"     -> unigramTokSql,
+    "doc_wordpiece"       -> wordpieceTokSql,
     "doc_source_mix"      -> sourceMixSql,
     "doc_mix_temperature" -> mixTemperatureSql,
     "doc_domain_reweight" -> domainReweightSql,

@@ -168,6 +168,43 @@ object Streams {
         })
   }
 
+  /** Streaming one-sided CUSUM drift detector — the live-monitoring form
+    * of the batch [[graft.queries.EventQueries.cusum]] change detector.
+    * The batch query scores deviations against the series' OWN mean,
+    * which a stream cannot know; the production monitor runs against a
+    * configured reference rate (an SLO target or trailing-window mean),
+    * so `ref` and the slack allowance arrive as parameters here. Per key,
+    * each period count x updates the classic Page (1954) recursion in
+    * exact integer arithmetic:
+    *
+    *   S := max(0, S + (x - ref) - slack),   alarm when S > h
+    *
+    * State per key is ONE long — bounded regardless of stream length,
+    * the same state-bounds story as the other flatMapGroupsWithState
+    * operators (pinned in StateSpec).
+    *
+    * Input: (key, periodId, x) with periodId ordering ties within a
+    * micro-batch. Output: (key, periodId, x, s, isAlarm). */
+  def cusumStream(counts: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                  ref: Long, slack: Long, h: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    counts
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) => {
+          var s = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (key, period, x) =>
+            s = math.max(0L, s + (x - ref) - slack)
+            (key, period, x, s, s > h)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   /** Windowed event-rate rollup (the monitoring aggregate the reference
     * delegates downstream): tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

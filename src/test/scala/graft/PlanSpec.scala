@@ -196,6 +196,19 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
 
+  test("record link: blocking is a keyed broadcast join, never a product") {
+    val nodes = planNodes(
+      RelationalQueries.queries("cust_record_link")(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the registry side must broadcast while dim-sized")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "candidate pairs must come from the blocking equi-join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+  }
+
   test("tfidf knn: probes broadcast; nothing plans as a cartesian product") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_tfidf_knn")(spark, sf))

@@ -323,6 +323,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming CUSUM carries drift state across batches; one long per key") {
+    implicit val sqlCtx = spark.sqlContext
+    // two keys: 'steady' hovers at the reference rate (never alarms),
+    // 'drift' shifts +4/period from period 6 — the cumulative sum must
+    // cross h only after enough post-shift periods ACCUMULATE, and the
+    // crossing happens in the SECOND micro-batch from state carried over
+    // the first.
+    val ref = 10L; val slack = 1L; val h = 6L
+    val rows = (1L to 10L).flatMap { p =>
+      val steadyX = if (p % 2 == 0) 11L else 9L
+      val driftX = if (p <= 5) 10L else 14L
+      Seq(("steady", p, steadyX), ("drift", p, driftX))
+    }
+    // reference recursion, computed independently of the operator
+    def replay(xs: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] = {
+      var s = 0L
+      xs.sortBy(_._1).map { case (p, x) =>
+        s = math.max(0L, s + (x - ref) - slack)
+        p -> ((s, s > h))
+      }.toMap
+    }
+    val expect = Map(
+      "steady" -> replay(rows.collect { case ("steady", p, x) => (p, x) }),
+      "drift" -> replay(rows.collect { case ("drift", p, x) => (p, x) }))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = Streams.cusumStream(input.toDS(), ref, slack, h)
+      .toDF("key", "period", "x", "s", "is_alarm")
+      .writeStream.format("memory").queryName("cusumstream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(13) // split mid-drift: periods 7+ ride state
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cusumstream")
+      .select("key", "period", "s", "is_alarm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(r => r._2 -> ((r._3, r._4))).toMap }
+    q.stop()
+    assert(streamed === expect)
+    // the drift key alarms, and only after accumulation (not at the shift)
+    assert(!expect("drift")(6L)._2 && expect("drift")(9L)._2)
+    assert(expect("steady").values.forall(!_._2))
+  }
+
   test("windowed counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
