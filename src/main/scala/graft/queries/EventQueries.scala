@@ -4442,7 +4442,176 @@ object EventQueries {
        |       ELSE 0.0 END AS clustering
        |FROM deg LEFT JOIN tri ON deg.v = tri.item""".stripMargin
 
+  // ----------------------------------------------- mutual information
+  /** Mutual information between event type and weekday — the
+    * dependence-detection readout ("does traffic COMPOSITION shift by day
+    * of week, or only volume?"); 0 bits = independent. Per-cell pointwise
+    * MI is emitted alongside (which (type, day) cells carry the
+    * dependence), with the corpus MI as a constant column over the
+    * (types × 7)-row output.
+    *
+    * Determinism: the same quantize-before-sum recipe as [[pathEntropy]] —
+    * each cell's log2 term floors to a 1e6-scaled long (the one float op,
+    * an identically-ordered expression in both engines), the MI sum is
+    * integer addition, and the final division rounds to 6dp. Weekday is
+    * pmod arithmetic, not a calendar function (engines disagree on dow
+    * numbering).
+    *
+    * Scale: one map-side-combinable (type, dow) aggregation over the
+    * stream; everything after runs on the model-sized cell table. */
+  def mutualInfo(spark: SparkSession, d: String): DataFrame = {
+    val cells = ev(spark, d)
+      .select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long"), lit(7L)).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).cast("long").as("n_xy"))
+    val nx = cells.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("dow")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    cells.join(nx, Seq("event_type")).join(ny, Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        floor(lit(1000000.0) * log2(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y")))).cast("long"))
+      .withColumn("mi_bits",
+        round(sum(col("n_xy") * col("pmi_micro")).over(Window.partitionBy())
+          .cast("double") / 1000000.0 / col("n"), 6))
+      .select(col("event_type"), col("dow"), col("n_xy"), col("n_x"),
+        col("n_y"), col("pmi_micro"), col("mi_bits"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH c AS (SELECT event_type,
+      |    ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7
+      |      AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_xy
+      |  FROM events GROUP BY 1, 2),
+      | x AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+      | y AS (SELECT dow, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+      | n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM c),
+      | t AS (SELECT c.event_type, c.dow, c.n_xy, x.n_x, y.n_y, n.n,
+      |    CAST(FLOOR(1000000.0 * log2(CAST(c.n_xy AS DOUBLE) * n.n /
+      |      (CAST(x.n_x AS DOUBLE) * y.n_y))) AS BIGINT) AS pmi_micro
+      |  FROM c JOIN x USING (event_type) JOIN y USING (dow) CROSS JOIN n)
+      |SELECT event_type, dow, n_xy, n_x, n_y, pmi_micro,
+      |  ROUND(CAST(SUM(n_xy * pmi_micro) OVER () AS DOUBLE) / 1000000.0 / n, 6)
+      |    AS mi_bits
+      |FROM t""".stripMargin
+
+  // ----------------------------------------------- Benjamini-Hochberg FDR
+  /** BH false-discovery-rate control at q = [[FdrQNum]]/[[FdrQDen]] over
+    * the (event_type × day) count grid — the multiple-testing guard the
+    * A/B family ([[srm]], [[msprt]], [[cuped]]) needs once a dashboard
+    * tests many cells at once. Each cell's null is "this type's daily
+    * counts are uniform across the observed span"; the per-cell p-value is
+    * the CHEBYSHEV bound p = min(1, 1/z²) with z² = (o·D − T)²/(D·T) in
+    * exact integer arithmetic (o observed, T the type's total, D the day
+    * span) — deliberately conservative, and exactly rational, so every BH
+    * decision is a cross-multiplied integer comparison with NO float
+    * anywhere in the decision path (operand bounds ~1e16 at the gate
+    * scales, documented vs the 9.2e18 signed-64 ceiling).
+    *
+    * The step-up rule: rank cells by p ascending (the sort key is the
+    * integer-quantized 1e9·p, identical in both engines; ties break by
+    * cell id), find the largest k with p_(k) ≤ k·q/m, reject ranks 1..k.
+    * On the Poisson-like fixture nothing rejects — honest (no cell
+    * deviates beyond Chebyshev at q=0.25) — and the planted-spike
+    * rejection path is pinned in SketchSpec.
+    *
+    * Scale: one day-grain map-side-combinable aggregation; the grid,
+    * ranking and step-up all run on the (types × days) model-sized
+    * table. */
+  private val FdrQNum = 1L
+  private val FdrQDen = 4L
+
+  def fdrBh(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val types = daily.select(col("event_type")).distinct()
+    val days = daily.select(col("day_num")).distinct()
+    val nDays = days.agg(count(lit(1)).as("n_days"))
+    // full grid: absent (type, day) cells are o=0 deviations too (both
+    // sides model-sized; the explicit broadcast keeps the grid a BNLJ
+    // over a 1-exchange day list, never a cartesian)
+    val cells = types.crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day_num"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("o")).as("t_total"))
+    val scored = cells.join(totals, Seq("event_type"))
+      .crossJoin(broadcast(nDays))
+      .withColumn("dev", col("o") * col("n_days") - col("t_total"))
+      .withColumn("num", col("dev") * col("dev"))
+      .withColumn("den", col("n_days") * col("t_total"))
+      // integer-quantized sort key for the rank (1e9 ≡ p=1); monotone in p
+      // and identical in both engines, so the BH permutation is pinned
+      .withColumn("p_key", when(col("num") <= col("den"), lit(1000000000L))
+        .otherwise(expr("den * 1000000000 DIV num")))
+    val byP = Window.orderBy(col("p_key"), col("event_type"), col("day_num"))
+    val all = Window.partitionBy()
+    scored
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("satisfies",
+        when(col("num") <= col("den"),
+          lit(FdrQDen) * col("m") <= col("rank") * lit(FdrQNum))
+          .otherwise(col("den") * lit(FdrQDen) * col("m") <=
+            col("num") * col("rank") * lit(FdrQNum)))
+      .withColumn("k_star",
+        max(when(col("satisfies"), col("rank"))).over(all))
+      .select(col("event_type"), col("day_num"), col("o"),
+        expr("t_total * 1000 DIV n_days").as("expected_milli"),
+        when(col("num") <= col("den"), lit(1.0))
+          .otherwise(round(col("den").cast("double") / col("num"), 6))
+          .as("p_cheb"),
+        col("rank"),
+        (col("rank") <= coalesce(col("k_star"), lit(0L))).as("rejected"))
+  }
+
+  val fdrBhSql: String =
+    s"""WITH daily AS (SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM events GROUP BY 1, 2),
+       | ty AS (SELECT DISTINCT event_type FROM daily),
+       | dy AS (SELECT DISTINCT day_num FROM daily),
+       | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM dy),
+       | cells AS (SELECT ty.event_type, dy.day_num, COALESCE(daily.o, 0) AS o
+       |   FROM ty CROSS JOIN dy
+       |   LEFT JOIN daily ON daily.event_type = ty.event_type
+       |                  AND daily.day_num = dy.day_num),
+       | tt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS t_total
+       |        FROM cells GROUP BY 1),
+       | sc AS (SELECT c.event_type, c.day_num, c.o, tt.t_total, nd.n_days,
+       |    (c.o * nd.n_days - tt.t_total) * (c.o * nd.n_days - tt.t_total) AS num,
+       |    nd.n_days * tt.t_total AS den
+       |  FROM cells c JOIN tt USING (event_type) CROSS JOIN nd),
+       | keyed AS (SELECT *, CASE WHEN num <= den THEN 1000000000
+       |                          ELSE den * 1000000000 // num END AS p_key
+       |           FROM sc),
+       | ranked AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p_key, event_type, day_num)
+       |      AS BIGINT) AS rank,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |  FROM keyed),
+       | dec AS (SELECT *, CASE WHEN num <= den
+       |      THEN $FdrQDen * m <= rank * $FdrQNum
+       |      ELSE den * $FdrQDen * m <= num * rank * $FdrQNum END AS satisfies
+       |   FROM ranked),
+       | ks AS (SELECT *, MAX(CASE WHEN satisfies THEN rank END) OVER () AS k_star
+       |        FROM dec)
+       |SELECT event_type, day_num, o, t_total * 1000 // n_days AS expected_milli,
+       |  CASE WHEN num <= den THEN 1.0
+       |       ELSE ROUND(CAST(den AS DOUBLE) / num, 6) END AS p_cheb,
+       |  rank, rank <= COALESCE(k_star, 0) AS rejected
+       |FROM ks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_mutual_info"         -> (mutualInfo _),
+    "evt_fdr_bh"              -> (fdrBh _),
     "evt_cdc_merge"           -> (cdcMerge _),
     "evt_window_funnel"       -> (windowFunnel _),
     "evt_cusum"               -> (cusum _),
@@ -4517,6 +4686,8 @@ object EventQueries {
     "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
+    "evt_mutual_info"         -> mutualInfoSql,
+    "evt_fdr_bh"              -> fdrBhSql,
     "evt_cdc_merge"           -> cdcMergeSql,
     "evt_window_funnel"       -> windowFunnelSql,
     "evt_cusum"               -> cusumSql,

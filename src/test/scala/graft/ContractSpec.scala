@@ -26,7 +26,7 @@ class ContractSpec extends SparkSpec {
 
   test("query names follow the family naming convention") {
     val families = Set("q", "evt_", "doc_", "emb_", "dsl_", "src_", "geo_",
-      "media_", "topn_", "rollup_", "uri_")
+      "media_", "topn_", "rollup_", "uri_", "cust_")
     SparkEntry.queries.keys.foreach { k =>
       assert(families.exists(k.startsWith), s"unexpected family for $k")
     }

@@ -209,6 +209,24 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
   }
 
+  test("mutual info and BH-FDR: model-sized tails, no cartesian products") {
+    Seq("evt_mutual_info", "evt_fdr_bh").foreach { q =>
+      val nodes = planNodes(
+        graft.queries.EventQueries.queries(q)(spark, sf))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$q must not plan a cartesian product")
+      // the stream-scale aggregation partially combines map-side before
+      // its exchange (cells/daily grain)
+      assert(nodes.exists {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+        case _ => false
+      }, s"$q must partial-aggregate map-side")
+    }
+  }
+
   test("tfidf knn: probes broadcast; nothing plans as a cartesian product") {
     val nodes = planNodes(
       graft.queries.DocQueries.queries("doc_tfidf_knn")(spark, sf))

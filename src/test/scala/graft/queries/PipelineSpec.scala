@@ -2768,4 +2768,64 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(got(st)._3 - e) < 1e-6, st)
     }
   }
+
+  test("BH-FDR: a planted spike day is rejected; the step-up spares the rest") {
+    // 3 types x 20 days, 10 events per cell (exactly uniform => p = 1),
+    // except type "spike" day 5 carries 200: its Chebyshev p ~ 6e-4 clears
+    // the rank-1 BH threshold q/m, while the spike type's OTHER days (now
+    // under-expected at e = 19.5) sit at p ~ 0.22 -- above every k*q/m they
+    // could claim, so the step-up must stop at exactly one rejection.
+    val rows = for {
+      t <- Seq("steady_a", "steady_b", "spike")
+      day <- 0 until 20
+      n = if (t == "spike" && day == 5) 200 else 10
+      i <- 0 until n
+    } yield (s"$t-$day-$i",
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"),
+      s"u$i", t, 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("fdr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.queries("evt_fdr_bh")(spark, tmp)
+      .select("event_type", "day_num", "o", "p_cheb", "rejected")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.size === 60)
+    val spikeDay = got.collect { case ((t, _), (o, _, _)) if o == 200L => t }
+    assert(spikeDay === Seq("spike"))
+    val rejected = got.filter(_._2._3)
+    assert(rejected.size === 1 && rejected.head._2._1 === 200L,
+      s"exactly the planted spike must reject, got $rejected")
+    // uniform cells are exact -> p = 1; off-spike 'spike' days deviate but
+    // stay above their BH thresholds
+    got.foreach { case ((t, _), (o, p, rej)) =>
+      if (t != "spike") assert(p === 1.0 && !rej)
+      else if (o == 10L) assert(p < 1.0 && !rej)
+    }
+  }
+
+  test("mutual information: a type<->weekday bijection yields MI = H = log2(7)") {
+    // 7 types mapped 1:1 onto the 7 weekday buckets, 10 events each:
+    // n_xy = n_x = n_y = 10, N = 70, so every cell's PMI is log2(7) and
+    // MI = log2(7) bits exactly (up to the 1e-6 quantization)
+    val rows = for {
+      dow <- 0 until 7
+      i <- 0 until 10
+    } yield (s"e$dow-$i",
+      // 1970-01-01 is day_num 0; day_num = dow makes pmod(day_num, 7) = dow
+      java.sql.Timestamp.valueOf(f"1970-01-${dow + 1}%02d 09:00:00"),
+      s"u$i", s"type$dow", 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("mi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.queries("evt_mutual_info")(spark, tmp)
+      .select("event_type", "dow", "n_xy", "mi_bits")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 7)
+    got.foreach { case (t, dow, nXy, mi) =>
+      assert(t === s"type$dow")
+      assert(nXy === 10L)
+      assert(math.abs(mi - math.log(7.0) / math.log(2.0)) < 1e-5)
+    }
+  }
 }
