@@ -4609,7 +4609,178 @@ object EventQueries {
        |  rank, rank <= COALESCE(k_star, 0) AS rejected
        |FROM ks""".stripMargin
 
+  // ----------------------------------------------- mean-shift changepoint
+  /** Single most-likely mean-shift changepoint per event type over the
+    * daily count series — the offline localization readout next to the
+    * online detectors ([[cusum]] flags drift as it accumulates; this
+    * answers "WHEN did the level change", the first binary-segmentation
+    * step of CBS/PELT-style pipelines). For a split after position t of n
+    * days the score is the squared scaled-CUSUM statistic
+    *
+    *   D²(t) = (S_t·n − t·S_n)² / (t·(n−t))
+    *
+    * (the likelihood-ratio argmax for a Gaussian mean shift, up to the
+    * constant σ²·n) — an EXACT RATIONAL in the integer prefix sums, so
+    * candidate splits compare by an integer-quantized key (1e6-scaled
+    * integer division, identical in both engines; ties → earliest day) and
+    * no float enters the argmax. Numerator bound: (S_t·n)²·1e6 stays under
+    * signed-64 up to ~50M events/type over a year-grain span — far past
+    * the gate scales, documented like [[fdrBh]]'s.
+    *
+    * Scale: one map-side-combinable day-grain aggregation; the prefix-sum
+    * windows and the argmax run per type over the model-sized day series. */
+  def changepoint(spark: SparkSession, d: String): DataFrame = {
+    val daily = ev(spark, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("s_t", sum(col("o")).over(byDay))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s_n", sum(col("o")).over(whole))
+      .filter(col("t") < col("n"))
+      .withColumn("dev", col("s_t") * col("n") - col("t") * col("s_n"))
+      .withColumn("key",
+        expr("(dev * dev * 1000000) DIV (t * (n - t))"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("key").desc, col("day_num"))
+    scored
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day_num").as("cp_day_num"),
+        expr("s_t * 1000 DIV t").as("pre_mean_milli"),
+        expr("(s_n - s_t) * 1000 DIV (n - t)").as("post_mean_milli"),
+        col("key").as("score_key"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      | pre AS (SELECT event_type, day_num, o,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+      |    CAST(SUM(o) OVER w AS BIGINT) AS s_t,
+      |    CAST(COUNT(*) OVER tw AS BIGINT) AS n,
+      |    CAST(SUM(o) OVER tw AS BIGINT) AS s_n
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day_num),
+      |         tw AS (PARTITION BY event_type)),
+      | sc AS (SELECT *, (s_t * n - t * s_n) AS dev FROM pre WHERE t < n),
+      | keyed AS (SELECT *, (dev * dev * 1000000) // (t * (n - t)) AS skey
+      |           FROM sc),
+      | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY skey DESC, day_num) AS rk FROM keyed)
+      |SELECT event_type, n AS n_days, day_num AS cp_day_num,
+      |  s_t * 1000 // t AS pre_mean_milli,
+      |  (s_n - s_t) * 1000 // (n - t) AS post_mean_milli,
+      |  skey AS score_key
+      |FROM rk WHERE rk = 1""".stripMargin
+
+  // ----------------------------------------------- difference-in-differences
+  /** Difference-in-differences over the [[abtest]] arm assignment and the
+    * [[CdcCutoffMs]] mid-series cutoff — the quasi-experimental companion
+    * to the A/B readout: when the "treatment" switches on at a known time,
+    * DiD subtracts the control arm's before→after drift from the treated
+    * arm's, isolating the effect from any shared time trend.
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * over per-event purchase value. Determinism: values enter as the
+    * repo's standard milli-scaled longs, each cell mean is one double
+    * division of exact longs, and the three subtractions run in the same
+    * written order in both engines. Empty cells yield NULL means and a
+    * NULL DiD (guarded on the integer counts, as [[abtest]] does).
+    *
+    * Scale: ONE map-side-combinable pass — a conditional-sum aggregation
+    * over (arm × period) flags; no join, no shuffle beyond the single
+    * 4-group rollup. */
+  def did(spark: SparkSession, d: String): DataFrame = {
+    val arm = conv(substring(
+        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+      .cast("long") % 2
+    val cells = ev(spark, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("arm", arm)
+      .withColumn("post", (col("ts_ms") >= CdcCutoffMs).cast("int"))
+      .withColumn("v_milli", floor(col("value") * 1000).cast("long"))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v_milli")).as("s"))
+    val one = cells.agg(
+      sum(when(col("arm") === 1 && col("post") === 0, col("n"))).as("n_t_pre"),
+      sum(when(col("arm") === 1 && col("post") === 0, col("s"))).as("s_t_pre"),
+      sum(when(col("arm") === 1 && col("post") === 1, col("n"))).as("n_t_post"),
+      sum(when(col("arm") === 1 && col("post") === 1, col("s"))).as("s_t_post"),
+      sum(when(col("arm") === 0 && col("post") === 0, col("n"))).as("n_c_pre"),
+      sum(when(col("arm") === 0 && col("post") === 0, col("s"))).as("s_c_pre"),
+      sum(when(col("arm") === 0 && col("post") === 1, col("n"))).as("n_c_post"),
+      sum(when(col("arm") === 0 && col("post") === 1, col("s"))).as("s_c_post"))
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0, col(s).cast("double") / col(n)).otherwise(lit(null))
+    one.select(
+      coalesce(col("n_t_pre"), lit(0L)).as("n_t_pre"),
+      coalesce(col("n_t_post"), lit(0L)).as("n_t_post"),
+      coalesce(col("n_c_pre"), lit(0L)).as("n_c_pre"),
+      coalesce(col("n_c_post"), lit(0L)).as("n_c_post"),
+      round(mean("s_t_pre", "n_t_pre"), 6).as("mean_t_pre_milli"),
+      round(mean("s_t_post", "n_t_post"), 6).as("mean_t_post_milli"),
+      round(mean("s_c_pre", "n_c_pre"), 6).as("mean_c_pre_milli"),
+      round(mean("s_c_post", "n_c_post"), 6).as("mean_c_post_milli"),
+      round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+        (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")), 6)
+        .as("did_milli"))
+  }
+
+  val didSql: String =
+    s"""WITH e AS (SELECT
+       |    CAST(('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 25, 8))
+       |      ::UBIGINT AS BIGINT) % 2 AS arm,
+       |    CASE WHEN epoch_ms(ts) >= $CdcCutoffMs THEN 1 ELSE 0 END AS post,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+       |  FROM events WHERE event_type = 'purchase'),
+       | c AS (SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(v_milli) AS BIGINT) AS s
+       |       FROM e GROUP BY 1, 2),
+       | one AS (SELECT
+       |    SUM(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+       |    SUM(CASE WHEN arm = 1 AND post = 0 THEN s END) AS s_t_pre,
+       |    SUM(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+       |    SUM(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s_t_post,
+       |    SUM(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+       |    SUM(CASE WHEN arm = 0 AND post = 0 THEN s END) AS s_c_pre,
+       |    SUM(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+       |    SUM(CASE WHEN arm = 0 AND post = 1 THEN s END) AS s_c_post
+       |  FROM c)
+       |SELECT CAST(COALESCE(n_t_pre, 0) AS BIGINT) AS n_t_pre,
+       |  CAST(COALESCE(n_t_post, 0) AS BIGINT) AS n_t_post,
+       |  CAST(COALESCE(n_c_pre, 0) AS BIGINT) AS n_c_pre,
+       |  CAST(COALESCE(n_c_post, 0) AS BIGINT) AS n_c_post,
+       |  ROUND(CASE WHEN n_t_pre > 0
+       |    THEN CAST(s_t_pre AS DOUBLE) / n_t_pre END, 6) AS mean_t_pre_milli,
+       |  ROUND(CASE WHEN n_t_post > 0
+       |    THEN CAST(s_t_post AS DOUBLE) / n_t_post END, 6) AS mean_t_post_milli,
+       |  ROUND(CASE WHEN n_c_pre > 0
+       |    THEN CAST(s_c_pre AS DOUBLE) / n_c_pre END, 6) AS mean_c_pre_milli,
+       |  ROUND(CASE WHEN n_c_post > 0
+       |    THEN CAST(s_c_post AS DOUBLE) / n_c_post END, 6) AS mean_c_post_milli,
+       |  ROUND((CASE WHEN n_t_post > 0
+       |      THEN CAST(s_t_post AS DOUBLE) / n_t_post END
+       |    - CASE WHEN n_t_pre > 0
+       |      THEN CAST(s_t_pre AS DOUBLE) / n_t_pre END)
+       |    - (CASE WHEN n_c_post > 0
+       |      THEN CAST(s_c_post AS DOUBLE) / n_c_post END
+       |    - CASE WHEN n_c_pre > 0
+       |      THEN CAST(s_c_pre AS DOUBLE) / n_c_pre END), 6) AS did_milli
+       |FROM one""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_changepoint"         -> (changepoint _),
+    "evt_did"                 -> (did _),
     "evt_mutual_info"         -> (mutualInfo _),
     "evt_fdr_bh"              -> (fdrBh _),
     "evt_cdc_merge"           -> (cdcMerge _),
@@ -4686,6 +4857,8 @@ object EventQueries {
     "evt_multitouch" -> (multitouch _))
 
   val oracles: Map[String, String] = Map(
+    "evt_changepoint"         -> changepointSql,
+    "evt_did"                 -> didSql,
     "evt_mutual_info"         -> mutualInfoSql,
     "evt_fdr_bh"              -> fdrBhSql,
     "evt_cdc_merge"           -> cdcMergeSql,

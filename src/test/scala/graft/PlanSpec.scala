@@ -209,8 +209,8 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
   }
 
-  test("mutual info and BH-FDR: model-sized tails, no cartesian products") {
-    Seq("evt_mutual_info", "evt_fdr_bh").foreach { q =>
+  test("mutual info, BH-FDR, changepoint, DiD: model-sized tails, no cartesian products") {
+    Seq("evt_mutual_info", "evt_fdr_bh", "evt_changepoint", "evt_did").foreach { q =>
       val nodes = planNodes(
         graft.queries.EventQueries.queries(q)(spark, sf))
       assert(!nodes.exists(

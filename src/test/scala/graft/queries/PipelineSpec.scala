@@ -2828,4 +2828,78 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(mi - math.log(7.0) / math.log(2.0)) < 1e-5)
     }
   }
+
+  test("changepoint: a planted level shift localizes exactly; a flat series keys 0") {
+    // "shift": 10 days at 10/day then 10 days at 30/day -- the argmax of
+    // the scaled-CUSUM score must land on the last pre-shift day with the
+    // two segment means read back exactly; "steady": constant 10/day has
+    // dev = 0 everywhere, so the key is 0 and the tie breaks to day 1
+    val rows = for {
+      t <- Seq("shift", "steady")
+      day <- 0 until 20
+      n = if (t == "shift" && day >= 10) 30 else 10
+      i <- 0 until n
+    } yield (s"$t-$day-$i",
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"),
+      s"u$i", t, 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("cp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventQueries.queries("evt_changepoint")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // last pre-shift day = Jan 10 (index 9)
+    assert(got("shift") === ((20L, day0 + 9, 10000L, 30000L,
+      // dev = S_10*n - 10*S_n = 100*20 - 10*400 = -2000; key = dev^2*1e6/(10*10)
+      2000L * 2000L * 1000000L / 100L)))
+    assert(got("steady")._3 === 10000L && got("steady")._4 === 10000L
+      && got("steady")._5 === 0L && got("steady")._2 === day0)
+  }
+
+  test("difference-in-differences: matches an independent replay of arms, cells and means") {
+    // deterministic md5 arm assignment replayed independently here; values
+    // chosen so every (arm, period) cell has a distinct exact mean
+    def arm(u: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"ab$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16) % 2
+    }
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 10:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 10:00:00")
+    val rows = (0 until 40).flatMap { u =>
+      val uid = s"$u"
+      Seq(
+        (s"e$u-pre", pre, uid, "purchase", 10.0 + u * 0.25, "{}"),
+        (s"e$u-post", post, uid, "purchase", 20.0 + u * 0.5, "{}"),
+        (s"e$u-noise", post, uid, "click", 999.0, "{}")) // non-purchase ignored
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("did").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // independent fold of the expected cells (milli-scaled longs)
+    var cells = Map[(Long, Int), (Long, Long)]().withDefaultValue((0L, 0L))
+    (0 until 40).foreach { u =>
+      val a = arm(s"$u")
+      val vPre = math.floor((10.0 + u * 0.25) * 1000).toLong
+      val vPost = math.floor((20.0 + u * 0.5) * 1000).toLong
+      val (n0, s0) = cells((a, 0)); cells += (a, 0) -> ((n0 + 1, s0 + vPre))
+      val (n1, s1) = cells((a, 1)); cells += (a, 1) -> ((n1 + 1, s1 + vPost))
+    }
+    def m(a: Long, p: Int): Double = {
+      val (n, sm) = cells((a, p)); sm.toDouble / n
+    }
+    val expDid = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    val r = EventQueries.queries("evt_did")(spark, tmp).collect().head
+    assert(r.getLong(0) === cells((1, 0))._1) // n_t_pre
+    assert(r.getLong(1) === cells((1, 1))._1)
+    assert(r.getLong(2) === cells((0, 0))._1)
+    assert(r.getLong(3) === cells((0, 1))._1)
+    assert(math.abs(r.getDouble(4) - m(1, 0)) < 1e-3)
+    assert(math.abs(r.getDouble(8) - expDid) < 1e-3)
+    // both arms populated (the md5 split actually splits this id range)
+    assert(cells((0, 0))._1 > 0 && cells((1, 0))._1 > 0)
+  }
 }
