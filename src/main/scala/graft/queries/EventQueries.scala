@@ -4621,11 +4621,16 @@ object EventQueries {
     *
     * (the likelihood-ratio argmax for a Gaussian mean shift, up to the
     * constant σ²·n) — an EXACT RATIONAL in the integer prefix sums, so
-    * candidate splits compare by an integer-quantized key (1e6-scaled
+    * candidate splits compare by an integer-quantized key (1e3-scaled
     * integer division, identical in both engines; ties → earliest day) and
-    * no float enters the argmax. Numerator bound: (S_t·n)²·1e6 stays under
-    * signed-64 up to ~50M events/type over a year-grain span — far past
-    * the gate scales, documented like [[fdrBh]]'s.
+    * no float enters the argmax. The quantization runs as a TWO-STEP
+    * division (quotient·1e3 + remainder·1e3 DIV den — exactly
+    * ⌊dev²·1e3/den⌋ without the single-multiply overflow): exact while
+    * dev² AND the scaled score fit signed-64, which holds for ANY series
+    * shape up to ~4.5M events/type over a year-grain span and far beyond
+    * that at non-pathological splits (PropertySpec pins the BigInt
+    * agreement over the documented domain; milli resolution on a score
+    * whose interesting values are ≫1 does not move the argmax).
     *
     * Scale: one map-side-combinable day-grain aggregation; the prefix-sum
     * windows and the argmax run per type over the model-sized day series. */
@@ -4644,8 +4649,9 @@ object EventQueries {
       .withColumn("s_n", sum(col("o")).over(whole))
       .filter(col("t") < col("n"))
       .withColumn("dev", col("s_t") * col("n") - col("t") * col("s_n"))
+      .withColumn("den", expr("t * (n - t)"))
       .withColumn("key",
-        expr("(dev * dev * 1000000) DIV (t * (n - t))"))
+        expr("((dev * dev) DIV den) * 1000 + ((dev * dev) % den) * 1000 DIV den"))
     val best = Window.partitionBy(col("event_type"))
       .orderBy(col("key").desc, col("day_num"))
     scored
@@ -4671,8 +4677,10 @@ object EventQueries {
       |  FROM daily
       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_num),
       |         tw AS (PARTITION BY event_type)),
-      | sc AS (SELECT *, (s_t * n - t * s_n) AS dev FROM pre WHERE t < n),
-      | keyed AS (SELECT *, (dev * dev * 1000000) // (t * (n - t)) AS skey
+      | sc AS (SELECT *, (s_t * n - t * s_n) AS dev, t * (n - t) AS den
+      |         FROM pre WHERE t < n),
+      | keyed AS (SELECT *, ((dev * dev) // den) * 1000
+      |             + ((dev * dev) % den) * 1000 // den AS skey
       |           FROM sc),
       | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
       |          ORDER BY skey DESC, day_num) AS rk FROM keyed)

@@ -217,4 +217,58 @@ class PropertySpec extends AnyFunSuite {
         Unicodes.nfkc(Unicodes.nfkc(s)) == Unicodes.nfkc(s)
     })
   }
+
+  // ------------------------------------ exact-rational decision arithmetic
+  // evt_fdr_bh and evt_changepoint promise that every decision is a
+  // cross-multiplied INTEGER comparison valid within documented operand
+  // bounds. These properties pin the bound claims: over the full
+  // documented operating range the signed-64 arithmetic agrees with a
+  // BigInt replay, so a future widening of the inputs that silently
+  // overflows the longs fails here before it corrupts a gate.
+  test("BH cross-multiplied compare matches BigInt over the documented range") {
+    // o <= 1e5 events/cell, D <= 400 days, m <= 5000 cells, q = 1/4
+    val g = for {
+      o <- Gen.chooseNum(0L, 100000L)
+      dDays <- Gen.chooseNum(1L, 400L)
+      tTotal <- Gen.chooseNum(o, 40000000L) // type total >= the cell's own o
+      m <- Gen.chooseNum(1L, 5000L)
+      k <- Gen.chooseNum(1L, m)
+    } yield (o, dDays, tTotal, m, k)
+    check(Prop.forAll(g) { case (o, dd, tt, m, k) =>
+      val dev = o * dd - tt
+      val num = dev * dev
+      val den = dd * tt
+      val longDecision =
+        if (num <= den) 4L * m <= k
+        else den * 4L * m <= num * k
+      val (bN, bD) = (BigInt(o) * dd - tt, BigInt(dd) * tt)
+      val bigDecision =
+        if (bN * bN <= bD) BigInt(4) * m <= BigInt(k)
+        else bD * 4 * m <= bN * bN * k
+      longDecision == bigDecision
+    })
+  }
+
+  test("changepoint two-step quantized key matches BigInt over the documented domain") {
+    // S_t <= S_n <= 4.5M events/type, n <= 400 days: dev^2 <= 3.3e18 and
+    // the worst-case 1e3-scaled score (all mass on one edge day) stays
+    // under 8.2e18 — the documented exactness domain of the two-step
+    // (quotient*1e3 + remainder*1e3 DIV den) quantization, ANY series shape
+    val g = for {
+      n <- Gen.chooseNum(2L, 400L)
+      t <- Gen.chooseNum(1L, n - 1)
+      sN <- Gen.chooseNum(0L, 4500000L)
+      sT <- Gen.chooseNum(0L, sN)
+    } yield (n, t, sN, sT)
+    check(Prop.forAll(g) { case (n, t, sN, sT) =>
+      val dev = sT * n - t * sN
+      val den = t * (n - t)
+      val devB = BigInt(sT) * n - BigInt(t) * sN
+      val keyB = devB * devB * 1000 / (BigInt(t) * (n - t))
+      assert((devB * devB).isValidLong && keyB.isValidLong,
+        "generator outside the documented domain")
+      val key = (dev * dev / den) * 1000L + (dev * dev % den) * 1000L / den
+      key == keyB // BigInt == Long compare promotes exactly
+    })
+  }
 }

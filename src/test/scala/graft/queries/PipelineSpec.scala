@@ -2852,8 +2852,8 @@ class PipelineSpec extends SparkSpec {
     val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
     // last pre-shift day = Jan 10 (index 9)
     assert(got("shift") === ((20L, day0 + 9, 10000L, 30000L,
-      // dev = S_10*n - 10*S_n = 100*20 - 10*400 = -2000; key = dev^2*1e6/(10*10)
-      2000L * 2000L * 1000000L / 100L)))
+      // dev = S_10*n - 10*S_n = 100*20 - 10*400 = -2000; key = dev^2*1e3/(10*10)
+      2000L * 2000L * 1000L / 100L)))
     assert(got("steady")._3 === 10000L && got("steady")._4 === 10000L
       && got("steady")._5 === 0L && got("steady")._2 === day0)
   }
