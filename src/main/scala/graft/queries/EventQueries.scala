@@ -31,6 +31,13 @@ object EventQueries {
   private val FunnelWindowMs = 3600000L // 1 h funnel/sequence window
   private val CdcCutoffMs = 1705363200000L // 2024-01-16T00:00:00Z, mid-series
 
+  /** The ONE deterministic A/B arm assignment (md5("ab"+user_id) low-32
+    * mod 2): every experiment-family query buckets with this expression so
+    * arms agree across readouts, and each oracle replays it in SQL. */
+  private def abArm: Column = conv(substring(
+      md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
+    .cast("long") % 2
+
   /** events with ts as epoch-millis (ns parquet -> ms, floor). */
   private def ev(spark: SparkSession, d: String): DataFrame =
     events(spark, d).withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
@@ -243,9 +250,7 @@ object EventQueries {
     * one keyed exchange; the z arithmetic runs on exact integer counts, so
     * even the test statistic hash-checks against the oracle. */
   def abtest(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val perUser = ev(spark, d).groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase" && col("value") > 75, 1)
         .otherwise(0)).as("c"))
@@ -322,9 +327,7 @@ object EventQueries {
     * and a 2-row broadcast of the thresholds back onto the per-user frame.
     * Nothing global-sorts. */
   def winsorized(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val perUser = ev(spark, d)
       .groupBy(col("user_id"))
       .agg(coalesce(sum(when(col("event_type") === "purchase",
@@ -569,9 +572,7 @@ object EventQueries {
     * SELECTS one of those values. Scale: one map-side (arm, day)
     * aggregation; all windows run on the day-grain frame. */
   def msprt(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val convUser = ev(spark, d)
       .groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "purchase" && col("value") > 75,
@@ -697,9 +698,7 @@ object EventQueries {
     * the CI reduction happens on a B-row frame. B is a constant — the
     * operator's state is experiment-size-independent. */
   def bootstrapCi(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val perUser = ev(spark, d)
       .groupBy(col("user_id"))
       .agg(coalesce(sum(when(col("event_type") === "purchase",
@@ -975,9 +974,7 @@ object EventQueries {
     * bit-stable; one user-grain shuffle, then a two-row aggregate. The
     * 3.841 cutoff is the χ²₁ 95th percentile. */
   def srm(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val s = ev(spark, d).select(col("user_id")).distinct()
       .select(arm.as("arm"))
       .agg(
@@ -1033,9 +1030,7 @@ object EventQueries {
       round(col("value") * 100).cast("long")).otherwise(0L)
     val mid = base.agg(min(col("t_ms")).as("mn"), max(col("t_ms")).as("mx"))
       .select(expr("(mn + mx) DIV 2").as("mid_ms"))
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val perUser = base.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(
@@ -2695,9 +2690,7 @@ object EventQueries {
     * band-grain rollup; the ranking window runs over ≤9 band rows
     * (band = least(n_ev DIV 10, 8) admits 0..8; the fixture populates 4). */
   def uplift(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val perUser = ev(spark, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase" && col("value") > 75, 1)
@@ -4448,7 +4441,8 @@ object EventQueries {
     * of week, or only volume?"); 0 bits = independent. Per-cell pointwise
     * MI is emitted alongside (which (type, day) cells carry the
     * dependence), with the corpus MI as a constant column over the
-    * (types × 7)-row output.
+    * per-cell output (one row per OBSERVED (type, weekday) cell — absent
+    * cells contribute 0 to MI, so no grid fill is needed).
     *
     * Determinism: the same quantize-before-sum recipe as [[pathEntropy]] —
     * each cell's log2 term floors to a 1e6-scaled long (the one float op,
@@ -4517,7 +4511,7 @@ object EventQueries {
     * cell id), find the largest k with p_(k) ≤ k·q/m, reject ranks 1..k.
     * On the Poisson-like fixture nothing rejects — honest (no cell
     * deviates beyond Chebyshev at q=0.25) — and the planted-spike
-    * rejection path is pinned in SketchSpec.
+    * rejection path is pinned in PipelineSpec.
     *
     * Scale: one day-grain map-side-combinable aggregation; the grid,
     * ranking and step-up all run on the (types × days) model-sized
@@ -4548,8 +4542,14 @@ object EventQueries {
       .withColumn("den", col("n_days") * col("t_total"))
       // integer-quantized sort key for the rank (1e9 ≡ p=1); monotone in p
       // and identical in both engines, so the BH permutation is pinned
+      // floor(den*1e9/num) via staged division (den < num in this branch:
+      // den*1e6 quotient, then the remainder refined by *1e3) — exact while
+      // den <= 9.2e12 and num <= 9.2e15, where the single multiply den*1e9
+      // overflows signed-64 at den > 9.2e9 (PropertySpec pins the BigInt
+      // agreement over the documented range)
       .withColumn("p_key", when(col("num") <= col("den"), lit(1000000000L))
-        .otherwise(expr("den * 1000000000 DIV num")))
+        .otherwise(expr(
+          "((den * 1000000) DIV num) * 1000 + ((den * 1000000) % num) * 1000 DIV num")))
     val byP = Window.orderBy(col("p_key"), col("event_type"), col("day_num"))
     val all = Window.partitionBy()
     scored
@@ -4590,7 +4590,8 @@ object EventQueries {
        |    nd.n_days * tt.t_total AS den
        |  FROM cells c JOIN tt USING (event_type) CROSS JOIN nd),
        | keyed AS (SELECT *, CASE WHEN num <= den THEN 1000000000
-       |                          ELSE den * 1000000000 // num END AS p_key
+       |             ELSE ((den * 1000000) // num) * 1000
+       |                  + ((den * 1000000) % num) * 1000 // num END AS p_key
        |           FROM sc),
        | ranked AS (SELECT *,
        |    CAST(ROW_NUMBER() OVER (ORDER BY p_key, event_type, day_num)
@@ -4709,9 +4710,7 @@ object EventQueries {
     * over (arm × period) flags; no join, no shuffle beyond the single
     * 4-group rollup. */
   def did(spark: SparkSession, d: String): DataFrame = {
-    val arm = conv(substring(
-        md5(concat(lit("ab"), col("user_id").cast("string"))), 25, 8), 16, 10)
-      .cast("long") % 2
+    val arm = abArm
     val cells = ev(spark, d)
       .filter(col("event_type") === "purchase")
       .withColumn("arm", arm)

@@ -245,7 +245,16 @@ class PropertySpec extends AnyFunSuite {
       val bigDecision =
         if (bN * bN <= bD) BigInt(4) * m <= BigInt(k)
         else bD * 4 * m <= bN * bN * k
-      longDecision == bigDecision
+      // the staged-division rank key must ALSO match BigInt here — the
+      // single multiply den*1e9 overflows at den > 9.2e9, inside this range
+      val keyOk =
+        if (num <= den) true
+        else {
+          val key = ((den * 1000000L) / num) * 1000L +
+            ((den * 1000000L) % num) * 1000L / num
+          key == BigInt(den) * 1000000000 / (BigInt(dev) * dev)
+        }
+      longDecision == bigDecision && keyOk
     })
   }
 
