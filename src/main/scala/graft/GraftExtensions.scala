@@ -131,6 +131,10 @@ object GraftExtensions {
       args => GearChunksExpr(args.head) },
     fn("gear_chunks_raw", "gear_chunks_raw(text) - suppression/restart-free gear chunking over codepoints: array of (start, len) spans (the oracle-able boundary math)") {
       args => GearChunksRawExpr(args.head) },
+    fn("damerau_levenshtein", "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance (Lowrance-Wagner, byte-level)") {
+      args => DamerauLevDistance(args(0), args(1)) },
+    fn("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity, DuckDB-compatible semantics") {
+      args => JaroWinklerSim(args(0), args(1)) },
     fn("tdigest_quantile", "tdigest_quantile(digest, q) - quantile estimate from a t-digest centroid array; q is a plan-time literal in [0, 1]") {
       args => TDigestQuantileExpr(args(0), {
         val e = args(1)

@@ -149,4 +149,19 @@ class ExtensionsSpec extends SparkSpec {
       .head.getDouble(0)
     assert(math.abs(hll - 2000) / 2000 < 0.1, s"hll=$hll")
   }
+
+  test("string-similarity expressions are SQL-callable and agree with the Column API") {
+    // unrestricted DL: 'ca' -> 'abc' is 2 (transpose then insert) where
+    // the restricted OSA variant says 3 -- the SQL name must bind the
+    // unrestricted expression the linkage operators use
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc') v")
+      .head.getInt(0) === 2)
+    val jwSql = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') v")
+      .head.getDouble(0)
+    val jwCol = spark.range(1)
+      .select(GraftFunctions.jaroWinkler(lit("MARTHA"), lit("MARHTA")).as("v"))
+      .head.getDouble(0)
+    assert(jwSql === jwCol)
+    assert(math.abs(jwSql - 0.9611111) < 1e-6)
+  }
 }
