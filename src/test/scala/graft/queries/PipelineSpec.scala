@@ -2902,4 +2902,33 @@ class PipelineSpec extends SparkSpec {
     // both arms populated (the md5 split actually splits this id range)
     assert(cells((0, 0))._1 > 0 && cells((1, 0))._1 > 0)
   }
+
+  test("wordpiece: greedy longest-match splits a planted long word; every seg reconstructs") {
+    // vocab is count-derived from the corpus itself, so with a handful of
+    // word types every <=6-char substring is in-vocab per position class:
+    // a 10-char word MUST split (max piece = 6) and greedy must take the
+    // longest start piece, then the longest continuation
+    val docs = Seq(
+      (1L, "aaaaaaaaab xyz", "en", "web"),
+      (2L, "xyz aaaaaaaaab", "en", "web"),
+      (3L, "qq xyz", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("wp").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DocQueries.queries("doc_wordpiece")(spark, tmp)
+      .select("word", "n_pieces", "seg")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got("aaaaaaaaab") === ((2, "aaaaaa ##aaab")))
+    assert(got("xyz") === ((1, "xyz")))
+    assert(got("qq") === ((1, "qq")))
+    // general invariant on the sf fixture: pieces always reconstruct the
+    // word (single-char coverage makes dead ends impossible) and n_pieces
+    // counts the emitted pieces
+    DocQueries.queries("doc_wordpiece")(spark, sf)
+      .select("word", "n_pieces", "seg").collect().foreach { r =>
+        val seg = r.getString(2)
+        assert(seg.replace(" ##", "") === r.getString(0), seg)
+        assert(seg.split(' ').length === r.getInt(1), seg)
+      }
+  }
 }
