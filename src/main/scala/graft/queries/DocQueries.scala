@@ -2511,7 +2511,9 @@ object DocQueries {
        |  ROUND(ex.e[j], 6) AS excess_nll,
        |  ROUND(wf.w[j], 6) AS weight,
        |  ROUND(wf.w[j] * len(ex.names), 6) AS boost
-       |FROM ex, wf, (SELECT unnest(generate_series(1, 100000)) AS j)
+       |FROM ex, wf,
+       |  (SELECT unnest(generate_series(1,
+       |     (SELECT CAST(len(names) AS INT) FROM ex))) AS j)
        |WHERE j <= len(ex.names)""".stripMargin
 
   // ------------------------------------------------- curriculum ordering
@@ -4191,7 +4193,8 @@ object DocQueries {
        |  FROM documents),
        | tk AS (SELECT doc_id, i AS pos, tks[i] AS w,
        |    tks[i] IN (${RakeStop.map("'" + _ + "'").mkString(", ")}) AS stop
-       |  FROM t, (SELECT unnest(generate_series(1, 1000)) AS i) g
+       |  FROM t, (SELECT unnest(generate_series(1,
+       |            (SELECT MAX(len(tks)) FROM t))) AS i) g
        |  WHERE i <= len(tks)),
        | runs AS (SELECT doc_id, pos, w, stop,
        |    SUM(CASE WHEN stop THEN 1 ELSE 0 END)
@@ -4827,7 +4830,8 @@ object DocQueries {
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
       |           FROM documents),
       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
-      |       FROM t, (SELECT unnest(generate_series(1, 2000)) AS i)
+      |       FROM t, (SELECT unnest(generate_series(1,
+      |                 (SELECT MAX(len(tk)) FROM t))) AS i)
       |       WHERE i + 2 <= len(tk)),
       | v0 AS (SELECT w, COUNT(*) AS n FROM g
       |        WHERE regexp_matches(w, '^[a-z ]{6,}$') GROUP BY 1),
@@ -4877,7 +4881,8 @@ object DocQueries {
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
       |           FROM documents),
       | g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
-      |       FROM t, (SELECT unnest(generate_series(1, 2000)) AS i)
+      |       FROM t, (SELECT unnest(generate_series(1,
+      |                 (SELECT MAX(len(tk)) FROM t))) AS i)
       |       WHERE i + 2 <= len(tk)),
       | v0 AS (SELECT w, COUNT(*) AS n FROM g
       |        WHERE regexp_matches(w, '^[a-z ]{6,}$') GROUP BY 1),
