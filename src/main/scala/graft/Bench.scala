@@ -116,8 +116,10 @@ object Bench {
     }
     def obj(sel: Q => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + f"${sel(v)}%.4f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).map(_.cold.wall).sum
-    val totalWarm = results.map(_._2).map(_.warm.wall).sum
+    // failed samples carry wall = -1: exclude them from the totals (the
+    // per-query quality object still shows them with clean:false,"failed")
+    val total = results.map(_._2).map(_.cold.wall).filter(_ >= 0).sum
+    val totalWarm = results.map(_._2).map(_.warm.wall).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val nRetried = results.map(_._2).count(_.retries > 0)
     val nDirty = results.map(_._2).count(_.reasons.nonEmpty)

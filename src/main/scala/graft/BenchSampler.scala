@@ -48,6 +48,7 @@ object BenchSampler {
 
   /** Why a sample was judged non-steady-state; empty = clean. */
   def dirtyReasons(s: Sample, extThreshold: Double, minWall: Double): Seq[String] = {
+    if (s.wall < 0) return Seq("failed") // query threw: never report clean
     if (s.wall < minWall) return Seq.empty // too short for contention to matter
     val out = scala.collection.mutable.ArrayBuffer[String]()
     if (s.ext >= 0 && s.ext > extThreshold) out += "ext"

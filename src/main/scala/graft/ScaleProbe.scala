@@ -290,7 +290,11 @@ object ScaleProbe {
           f""""tcpu":${smp.taskCpuFrac}%.2f,"ext":${smp.ext}%.2f,"gc":${smp.gcMs},""" +
           f""""r":$retries,"clean":${reasons.isEmpty}}"""
       }.mkString(",")
-      f""""$op":{$points,"rows_x$kHi":$rows,"ratio":${s(kHi)._1.wall / s(kLo)._1.wall}%.2f}"""
+      // a failed endpoint (wall = -1) voids the ratio: emit null so a
+      // threshold consumer sees "not measured", never a negative pass
+      val lo = s(kLo)._1.wall; val hi = s(kHi)._1.wall
+      val ratio = if (lo > 0 && hi >= 0) f"${hi / lo}%.2f" else "null"
+      f""""$op":{$points,"rows_x$kHi":$rows,"ratio":$ratio}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()

@@ -23,8 +23,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RefreshableDim {
 
   private final case class Entry(stamp: String, df: DataFrame)
+  // Keyed by SparkContext, NOT SparkSession: foreachBatch hands operators a
+  // DataFrame bound to MicroBatchExecution's cloned session, and keying by
+  // the clone would (a) make invalidate() from the user's session a no-op
+  // and (b) leak one entry per query restart (each restart clones anew).
+  // Cached data lives in the context's shared CacheManager anyway, so the
+  // context is the correct sharing scope; the stored DataFrame carries the
+  // session that first read it and executes fine from sibling sessions.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Entry]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), Entry]
+  // Serializes swaps (stamp-change refreshes only — the stamp-match fast
+  // path stays lock-free): two concurrent refreshes of the same key would
+  // otherwise both derive (leaking whichever value loses the put) and both
+  // dispose the same stale value (double destroy throws).
+  private val swapLock = new Object
 
   /** Content stamp of a parquet dir (or single file). */
   private def stampOf(path: String): String = {
@@ -44,12 +56,15 @@ object RefreshableDim {
     * compute, last write wins (same as the reference's racy-but-safe
     * volatile swap). */
   def current(spark: SparkSession, path: String): DataFrame = {
-    cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    cache.filterInPlace((k, _) => !k._1.isStopped)
     val stamp = stampOf(path)
-    val key = (spark, path)
+    val key = (spark.sparkContext, path)
     cache.get(key) match {
       case Some(e) if e.stamp == stamp => e.df
-      case stale =>
+      case _ => swapLock.synchronized {
+        cache.get(key) match {
+          case Some(e) if e.stamp == stamp => e.df
+          case stale =>
         // Drop the stale entry FIRST: it was cached from the SAME path, so
         // its plan is the CacheManager's key — caching the re-read before
         // unpersisting would no-op against the stale entry ("already
@@ -58,18 +73,20 @@ object RefreshableDim {
         // async), so the re-cache below registers fresh data; a concurrent
         // reader during the gap recomputes from the files — correct, just
         // uncached for that one read.
-        stale.foreach(_.df.unpersist(blocking = false))
-        val df = spark.read.parquet(path).cache()
-        df.count() // materialize BEFORE the swap: lookups never wait on a cold cache
-        cache.put(key, Entry(stamp, df))
-        df
+            stale.foreach(_.df.unpersist(blocking = false))
+            val df = spark.read.parquet(path).cache()
+            df.count() // materialize BEFORE the swap: lookups never wait on a cold cache
+            cache.put(key, Entry(stamp, df))
+            df
+        }
+      }
     }
   }
 
   private final case class DerivedEntry(stamp: String, value: Any,
                                         dispose: Any => Unit)
   private val derivedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DerivedEntry]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String, String), DerivedEntry]
 
   /** A value DERIVED from the current dimension (a broadcast Bloom filter,
     * a hash index, …), recomputed only when the underlying files change —
@@ -82,24 +99,33 @@ object RefreshableDim {
                 (derive: DataFrame => T)
                 (dispose: T => Unit = (_: T) => ()): T = {
     val stamp = stampOf(path)
-    val key = (spark, path, tag)
+    val key = (spark.sparkContext, path, tag)
     derivedCache.get(key) match {
       case Some(e) if e.stamp == stamp => e.value.asInstanceOf[T]
-      case stale =>
-        val v = derive(current(spark, path))
-        derivedCache.put(key, DerivedEntry(stamp, v,
-          dispose.asInstanceOf[Any => Unit]))
-        stale.foreach(e => e.dispose(e.value))
-        v
+      case _ => swapLock.synchronized {
+        // re-check under the lock: a racing refresh may have swapped already
+        derivedCache.get(key) match {
+          case Some(e) if e.stamp == stamp => e.value.asInstanceOf[T]
+          case stale =>
+            val v = derive(current(spark, path))
+            derivedCache.put(key, DerivedEntry(stamp, v,
+              dispose.asInstanceOf[Any => Unit]))
+            stale.foreach(e =>
+              try e.dispose(e.value) catch { case _: Exception => () })
+            v
+        }
+      }
     }
   }
 
   /** Drop the cached entry (tests / explicit teardown). */
   def invalidate(spark: SparkSession, path: String): Unit = {
-    cache.remove((spark, path)).foreach(_.df.unpersist())
-    derivedCache.filterInPlace { case ((s, p, _), e) =>
-      val drop = s == spark && p == path
-      if (drop) e.dispose(e.value)
+    cache.remove((spark.sparkContext, path)).foreach(_.df.unpersist())
+    derivedCache.filterInPlace { case ((c, p, _), e) =>
+      val drop = (c eq spark.sparkContext) && p == path
+      // a dispose that throws (e.g. an already-destroyed broadcast) must
+      // not abort the teardown loop and strand the remaining entries
+      if (drop) try e.dispose(e.value) catch { case _: Exception => () }
       !drop
     }
   }

@@ -3123,7 +3123,16 @@ object DocQueries {
     val encUdf = udf((word: String) => {
       val start = bcStart.value
       val cont = bcCont.value
-      val n = word.length
+      // CODEPOINT offsets, not UTF-16 units: the vocabulary was built with
+      // Spark SQL length/substring (codepoint semantics), so the greedy
+      // walk must measure pieces the same way or supplementary characters
+      // (emoji etc.) silently shrink the match window and diverge from the
+      // oracle's enumeration (pinned by the non-BMP planted test)
+      val n = word.codePointCount(0, word.length)
+      val off = new Array[Int](n + 1)
+      var ci = 0; var cp = 0
+      while (cp < n) { off(cp) = ci; ci = word.offsetByCodePoints(ci, 1); cp += 1 }
+      off(n) = word.length
       val sb = new StringBuilder
       var pieces = 0
       var pos = 0
@@ -3133,9 +3142,9 @@ object DocQueries {
         // l reaches 1 before the loop can fail: the single char at `pos`
         // is in the positional alphabet by construction (vocab and words
         // come from the same corpus)
-        while (l > 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
-        if (pos == 0) sb.append(word.substring(pos, pos + l))
-        else sb.append(" ##").append(word.substring(pos, pos + l))
+        while (l > 1 && !set.contains(word.substring(off(pos), off(pos + l)))) l -= 1
+        if (pos == 0) sb.append(word.substring(off(pos), off(pos + l)))
+        else sb.append(" ##").append(word.substring(off(pos), off(pos + l)))
         pieces += 1
         pos += l
       }

@@ -618,9 +618,12 @@ object Streams {
       val n = math.max(dim.count(), 1L)
       spark.sparkContext.broadcast(dim.stat.bloomFilter(fpCol, n, fpp))
     } { stale =>
-      // release the superseded filter's executor copies; tasks already
-      // holding it keep their reference (destroy only unpublishes)
-      try stale.destroy() catch { case _: Exception => () }
+      // unpersist (NOT destroy) the superseded filter: it frees executor
+      // copies but keeps the driver value re-broadcastable, so an
+      // in-flight batch whose closure captured the old broadcast can still
+      // lazily read .value — destroy() would fail those tasks with
+      // "Attempted to use Broadcast after it was destroyed"
+      try stale.unpersist(blocking = false) catch { case _: Exception => () }
     }
     val probe = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     batch.withColumn("maybe_contaminated", probe(col(fpCol)))

@@ -2908,10 +2908,11 @@ class PipelineSpec extends SparkSpec {
     // word types every <=6-char substring is in-vocab per position class:
     // a 10-char word MUST split (max piece = 6) and greedy must take the
     // longest start piece, then the longest continuation
+    val emoji7 = "\ud83d\ude00" * 7 // 7 codepoints, 14 UTF-16 units
     val docs = Seq(
       (1L, "aaaaaaaaab xyz", "en", "web"),
       (2L, "xyz aaaaaaaaab", "en", "web"),
-      (3L, "qq xyz", "en", "web"))
+      (3L, s"qq xyz $emoji7", "en", "web"))
       .toDF("doc_id", "text", "lang", "source")
     val tmp = java.nio.file.Files.createTempDirectory("wp").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -2921,6 +2922,10 @@ class PipelineSpec extends SparkSpec {
     assert(got("aaaaaaaaab") === ((2, "aaaaaa ##aaab")))
     assert(got("xyz") === ((1, "xyz")))
     assert(got("qq") === ((1, "qq")))
+    // non-BMP: piece lengths are CODEPOINTS — a UTF-16 walk would cap the
+    // start piece at 3 emoji (6 chars); the greedy split is 6 + 1
+    val e = "\ud83d\ude00"
+    assert(got(emoji7) === ((2, (e * 6) + " ##" + e)))
     // general invariant on the sf fixture: pieces always reconstruct the
     // word (single-char coverage makes dead ends impossible) and n_pieces
     // counts the emitted pieces
