@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
 object EmbeddingQueries {
 
   private val Dim = 64
+  /** IVF probe depth, shared by [[annIvf]] and [[ivfpqSearch]] AND
+    * interpolated into both oracles — a literal drift between the Scala
+    * side and the SQL replay would surface as a confusing hash mismatch. */
+  private val NProbe = 3
   private[graft] val NQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
 
@@ -589,20 +593,27 @@ object EmbeddingQueries {
       }.toDF("vec_id", "y", "m")
       // class-mean midpoint threshold, integer-exact (truncating division
       // in BOTH engines); doubled so the compare needs no further division
+      // nullable reads: a dataset with an EMPTY class has no class mean —
+      // the oracle's thr CTE yields NULL predicted there, and decoding the
+      // NULL sum into a non-null tuple would crash instead of matching it
       val t = scored.groupBy()
         .agg(sum(when(col("y") === 1, col("m"))).as("s1"),
              sum(when(col("y") === 0, col("m"))).as("s0"),
              count(when(col("y") === 1, 1)).as("p"),
              count(when(col("y") === 0, 1)).as("nn"))
-        .as[(Long, Long, Long, Long)].head()
-      val t2 = t._1 / t._3 + t._2 / t._4
+        .as[(Option[Long], Option[Long], Long, Long)].head()
+      val t2: Option[Long] = for {
+        s1 <- t._1; s0 <- t._2
+        if t._3 > 0 && t._4 > 0
+      } yield s1 / t._3 + s0 / t._4
       // lazy result: re-executing it recomputes one narrow scan + score
       // pass with the (tiny) broadcast weights — nothing stays pinned
       scored.select(
         col("vec_id"),
         col("y").cast("int").as("y"),
         round(col("m").cast("double") / MarginScale, 6).as("margin"),
-        (col("m") * 2 > t2).as("predicted"))
+        t2.map(v => (col("m") * 2 > v).as("predicted"))
+          .getOrElse(lit(null).cast("boolean").as("predicted")))
     } finally prep.unpersist(blocking = false)
   }
 
@@ -940,7 +951,9 @@ object EmbeddingQueries {
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .as[(Long, Array[Long])]
-    val n = e.count()
+    // memoized corpus count (the projection doesn't change it): the gate
+    // must not launch a count job on every DataFrame construction
+    val n = embeddingCount(spark, d)
     if (n > maxBroadcastDocs) {
       val nBlocks = math.ceil(n.toDouble / maxBroadcastDocs).toInt
       return neardupCosineBlocked(spark, d, nBlocks)
@@ -1044,7 +1057,6 @@ object EmbeddingQueries {
     * cell assignment, probe ranking, and final cosines are all bit-stable
     * across engines, so this approximate operator has a full DuckDB oracle. */
   def annIvf(spark: SparkSession, d: String): DataFrame = {
-    val NProbe = 3
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
@@ -1105,7 +1117,7 @@ object EmbeddingQueries {
        | c AS (SELECT vec_id, emb, norm2, cell FROM ranked
        |       WHERE crk = 1 AND vec_id >= $NQueries),
        | q AS (SELECT vec_id AS q_id, emb AS q_emb, norm2 AS q_norm2, cell
-       |       FROM ranked WHERE crk <= 3 AND vec_id < $NQueries),
+       |       FROM ranked WHERE crk <= $NProbe AND vec_id < $NQueries),
        | s AS (SELECT q.q_id, c.vec_id,
        |         ROUND(CAST((SELECT SUM(c.emb[i] * q.q_emb[i]) FROM idx) AS DOUBLE)
        |           / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(q.q_norm2 AS DOUBLE))), 6)
@@ -1264,7 +1276,6 @@ object EmbeddingQueries {
     * only thing scanned per query. Every step is integer-exact, so the
     * whole approximate index has a full DuckDB oracle. */
   def ivfpqSearch(spark: SparkSession, d: String): DataFrame = {
-    val NProbe = 3
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
@@ -1360,7 +1371,7 @@ object EmbeddingQueries {
        |   WHERE rn = 1),
        | qres AS (SELECT vec_id AS q_id, cell,
        |            list_transform(range(1, ${Dim + 1}), i -> emb[i] - cemb[i]) AS remb
-       |          FROM ranked WHERE crk <= 3 AND vec_id < $NQueries),
+       |          FROM ranked WHERE crk <= $NProbe AND vec_id < $NQueries),
        | qsub AS (SELECT q_id, cell, m,
        |            remb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS qv
        |          FROM qres, ms),
@@ -2194,8 +2205,9 @@ object EmbeddingQueries {
       .cache()
     var selected = Vector.empty[(Int, Long, Long, Long)] // rank, id, simq, score
     var selEmbs = Vector.empty[Array[Long]]
-    for (r <- 1 to k) {
+    try for (r <- 1 to k) {
       val bc = spark.sparkContext.broadcast(selEmbs.toArray)
+      try {
       val redundancy = udf((emb: scala.collection.Seq[Long]) => {
         val a = emb.toArray
         val sel = bc.value
@@ -2220,7 +2232,12 @@ object EmbeddingQueries {
         .head()
       selected :+= ((r, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
       selEmbs :+= pick.getAs[scala.collection.Seq[Long]]("emb").toArray
-    }
+      // each round's broadcast is consumed by the head() above — release
+      // it now instead of accumulating k copies until ContextCleaner GC
+      } finally bc.unpersist(blocking = false)
+    } finally cand.unpersist(blocking = false)
+    // the result is fully materialized driver-side, so nothing re-reads
+    // the unpersisted candidate cache
     selected.toDF("rank", "vec_id", "sim_q", "score")
   }
 
@@ -2453,31 +2470,44 @@ object EmbeddingQueries {
   private[graft] def pcaScaled(spark: SparkSession, d: String): DataFrame =
     embeddings(spark, d).select(scaled(col("embedding")).as("s"))
 
+  /** Driver-side covariance + grid-rounded power-iteration solve shared by
+    * [[pcaTop]] and [[pcaProject]] — ONE implementation so the "same
+    * bits" claim between the two queries holds by construction, memoized
+    * per (session, dataset) so a verify sweep running both pays the
+    * 4096-cell decimal aggregation once. Returns (n, S, cp, v). */
+  private def pcaSolve(spark: SparkSession, d: String)
+      : (Long, Map[Int, java.math.BigDecimal], Array[Array[Double]], Array[Double]) =
+    MemoCache.getOrElseUpdate(spark, ("pca-solve", d))({
+      val dim = Dim
+      val e = pcaScaled(spark, d)
+      val cells = pcaCells(e)
+      val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
+        .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
+      val n = e.count()
+      val P = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+      val S = firsts.collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
+      val nBd = java.math.BigDecimal.valueOf(n)
+      val cp = Array.tabulate(dim, dim)((i, j) =>
+        nBd.multiply(P((i, j))).subtract(S(i).multiply(S(j))).doubleValue)
+      def grid9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to 20) {
+        val w = Array.tabulate(dim) { i =>
+          var a = 0.0; var j = 0
+          while (j < dim) { a += cp(i)(j) * v(j); j += 1 }
+          a
+        }
+        val mw = w.map(math.abs).max
+        v = w.map(x => grid9(x / mw))
+      }
+      (n, S, cp, v)
+    })(_ => ())
+
   def pcaTop(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dim = Dim
-    val e = embeddings(spark, d).select(scaled(col("embedding")).as("s"))
-    val cells = pcaCells(e)
-    val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
-      .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
-    val n = e.count()
-    val P = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
-    val S = firsts.collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
-    val nBd = java.math.BigDecimal.valueOf(n)
-    val cp = Array.tabulate(dim, dim)((i, j) =>
-      nBd.multiply(P((i, j))).subtract(S(i).multiply(S(j))).doubleValue)
-    def grid9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var v = Array.fill(dim)(1.0)
-    for (_ <- 1 to 20) {
-      val w = Array.tabulate(dim) { i =>
-        var a = 0.0; var j = 0
-        while (j < dim) { a += cp(i)(j) * v(j); j += 1 }
-        a
-      }
-      val mw = w.map(math.abs).max
-      v = w.map(x => grid9(x / mw))
-    }
+    val (n, _, cp, v) = pcaSolve(spark, d)
     var lam = 0.0
     var trace = 0.0
     for (i <- 0 until dim) {
@@ -2502,30 +2532,9 @@ object EmbeddingQueries {
     * summation-order noise, so the full-replay oracle hash-matches. */
   def pcaProject(spark: SparkSession, d: String): DataFrame = {
     val dim = Dim
-    val e = pcaScaled(spark, d)
-    val cells = pcaCells(e)
-    val firsts = e.select(posexplode(col("s")).as(Seq("i", "si")))
-      .groupBy("i").agg(sum(col("si").cast("decimal(38,0)")).as("S"))
-    val n = e.count()
-    val P = cells.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
-    val S = firsts.collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
-    val nBd = java.math.BigDecimal.valueOf(n)
-    val cp = Array.tabulate(dim, dim)((i, j) =>
-      nBd.multiply(P((i, j))).subtract(S(i).multiply(S(j))).doubleValue)
-    def grid9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var v = Array.fill(dim)(1.0)
-    for (_ <- 1 to 20) {
-      val w = Array.tabulate(dim) { i =>
-        var a = 0.0; var j = 0
-        while (j < dim) { a += cp(i)(j) * v(j); j += 1 }
-        a
-      }
-      val mw = w.map(math.abs).max
-      v = w.map(x => grid9(x / mw))
-    }
+    val (n, sums, _, v) = pcaSolve(spark, d)
     var mdot = 0.0
-    for (i <- 0 until dim) mdot += v(i) * S(i).doubleValue
+    for (i <- 0 until dim) mdot += v(i) * sums(i).doubleValue
     val mean = mdot / n
     val vLit = array(v.toIndexedSeq.map(lit): _*)
     embeddings(spark, d)

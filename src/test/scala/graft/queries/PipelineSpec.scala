@@ -2936,4 +2936,19 @@ class PipelineSpec extends SparkSpec {
         assert(seg.split(' ').length === r.getInt(1), seg)
       }
   }
+
+  test("linear probe: a single-class corpus yields NULL predictions, no crash") {
+    // with no negative class there is no class-mean midpoint: the oracle's
+    // threshold CTE goes NULL, and the Spark side must match (it used to
+    // crash decoding the NULL class sum into a non-nullable tuple)
+    val rows = (0L until 8L).map(i =>
+      (i, Array.fill(64)(0.01f * (i + 1)), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("lp").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = EmbeddingQueries.queries("emb_linear_probe")(spark, tmp)
+      .select("vec_id", "predicted").collect()
+    assert(got.length === 8)
+    got.foreach(r => assert(r.isNullAt(1), s"predicted must be NULL: $r"))
+  }
 }
