@@ -162,9 +162,12 @@ object EnrichQueries {
     * .java:78-96`). */
   def geoMmdbRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val dimRows = geoDimFull(spark, d).collect().toSeq // 25 rows: model-sized
-    val mmdb = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-geo-${Integer.toHexString(d.hashCode)}.mmdb").getAbsolutePath
+    // per-process unique file (NOT a name keyed on the dataset): two
+    // concurrent runs over the same dataset would otherwise write and
+    // parse the same /tmp path mid-truncate; deleteOnExit bounds residue
+    val mmdbFile = java.io.File.createTempFile("graft-geo-", ".mmdb")
+    mmdbFile.deleteOnExit()
+    val mmdb = mmdbFile.getAbsolutePath
     graft.sources.MaxMindDbWriter.write(dimRows, mmdb)
     enrichFullWith(spark, d, graft.sources.MaxMindDb.cityDim(spark, mmdb))
   }
@@ -327,20 +330,26 @@ object EnrichQueries {
     * UTF-8 bytes) because DuckDB's `ord()` yields code points, keeping the
     * oracle exact for any unicode text, not just ASCII. */
   private val cpFeaturesUdf = udf((s: String) => {
-    var sum = 0L
-    var mn = Long.MaxValue
-    var mx = 0L
-    val seen = new java.util.HashSet[Int]()
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      sum += cp
-      if (cp < mn) mn = cp
-      if (cp > mx) mx = cp
-      seen.add(cp)
-      i += Character.charCount(cp)
+    // null/empty payloads yield a NULL vector, matching the oracle's NULL
+    // aggregates over an empty code-point list (the fixtures never hit
+    // this, but a UDF that NPEs on null text fails the STAGE, not the row)
+    if (s == null || s.isEmpty) null
+    else {
+      var sum = 0L
+      var mn = Long.MaxValue
+      var mx = 0L
+      val seen = new java.util.HashSet[Int]()
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sum += cp
+        if (cp < mn) mn = cp
+        if (cp > mx) mx = cp
+        seen.add(cp)
+        i += Character.charCount(cp)
+      }
+      Array(sum, mn, mx, seen.size.toLong)
     }
-    Array(sum, mn, mx, seen.size.toLong)
   })
 
   def mediaFeatures(spark: SparkSession, d: String): DataFrame =
@@ -511,8 +520,11 @@ object EnrichQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         ham.cast("long").as("hamming"))
-      .distinct()
+      // hamming is deterministic per pair, so filtering BEFORE the
+      // distinct keeps the result identical while the dedup exchange
+      // carries only near-duplicates instead of every band collision
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** Oracle replays synthesis arithmetic → luma grid → gradient bits →

@@ -1614,7 +1614,8 @@ object EventQueries {
     * sketch math exactly, so the gate checks the estimator, not an
     * approximation band. */
   private val KmvK = 256
-  private val KmvScale = 1152921504606846976L // 2^60: hashes are 15 hex chars
+  /** Interpolated into the oracle SQL; the value lives in [[graft.functions.Kmv]]. */
+  private val KmvScale = graft.functions.Kmv.Scale
 
   def kmvOverlap(spark: SparkSession, d: String): DataFrame = {
     val keyed = ev(spark, d).select(col("event_type").as("t"),
@@ -1622,15 +1623,13 @@ object EventQueries {
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
           .cast("string")).as("key"))
     val hashed = keyed
-      .select(col("t"),
-        conv(substring(md5(col("key")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("t"), graft.functions.Kmv.hash(col("key")).as("h"))
       .distinct()
     val partial = hashed.withColumn("salt", pmod(col("h"), lit(32)))
       .groupBy("t", "salt")
       .agg(slice(array_sort(collect_set(col("h"))), 1, KmvK).as("part"))
-    val est = (sk: Column, cnt: Column) => when(cnt < KmvK, cnt.cast("double"))
-      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvScale.toDouble) /
-        element_at(sk, KmvK).cast("double"))
+    val est = (sk: Column, cnt: Column) =>
+      graft.functions.Kmv.estimate(KmvK, sk, cnt)
     val sketches = partial.groupBy("t")
       .agg(slice(array_sort(flatten(collect_list(col("part")))), 1, KmvK).as("sk"))
       .withColumn("cnt", size(col("sk")))

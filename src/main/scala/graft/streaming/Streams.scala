@@ -91,8 +91,11 @@ object Streams {
     * long-lived stream (~4x10^7 fixture-scale events) would overflow the
     * sum of squares, so when the next event would overflow, the user's
     * history RESTARTS from that event — scoring resumes after two
-    * warm-up observations. A brief blind window, never silent garbage
-    * (the batch query's 2^53 sharding caveat, stream-shaped).
+    * warm-up observations. Values whose square cannot fit a long clamp
+    * to ±floor(sqrt(Long.MaxValue)) INSIDE the moments (the emitted
+    * value is untouched), so the restart state is always coherent. A
+    * brief blind window, never silent garbage (the batch query's 2^53
+    * sharding caveat, stream-shaped).
     *
     * Input: (userId, eventId, tsMillis, valueScaled). Output adds
     * (z, isAnomaly). Flag-not-filter, like the reference's duplicate flag. */
@@ -117,15 +120,25 @@ object Streams {
                     Some((v.toDouble - s.toDouble / nd) / math.sqrt(variance))
                   else None
                 } else None
-              // 3037000499 = floor(sqrt(Long.MaxValue)): beyond it v*v
-              // itself overflows, at it the square still fits
-              val vsq =
-                if (math.abs(v) > 3037000499L) Long.MaxValue else v * v
+              // 3037000499 = floor(sqrt(Long.MaxValue)): beyond it v*v is
+              // unrepresentable. CLAMP the value folded into the MOMENTS
+              // (the emitted value stays raw) so (n, s, sq) are always a
+              // coherent triple — the old saturate-then-zero restart left
+              // sq inconsistent with s and variance pinned negative for
+              // that user ~forever. Long.MinValue needs its own arm
+              // (math.abs wraps negative on it).
+              val vm =
+                if (v == Long.MinValue || v < -3037000499L) -3037000499L
+                else if (v > 3037000499L) 3037000499L
+                else v
+              val vsq = vm * vm
               if (vsq > Long.MaxValue - sq ||
-                  math.abs(s) > Long.MaxValue - math.abs(v)) {
-                n = 1; s = v; sq = if (vsq == Long.MaxValue) 0L else vsq
+                  math.abs(s) > Long.MaxValue - math.abs(vm)) {
+                // accumulator (not value) overflow: restart the history
+                // from this event with CONSISTENT moments
+                n = 1; s = vm; sq = vsq
               } else {
-                n += 1; s += v; sq += vsq
+                n += 1; s += vm; sq += vsq
               }
               (user, event, ts, v, z, z.exists(math.abs(_) > 3.0))
           }
@@ -241,17 +254,6 @@ object Streams {
       .select(col("window.start").as("hour_start"),
         col("n_sessions"), col("n_events"))
 
-  /** Stream-stream attribution join: every (view, purchase) pair for the
-    * same user where the purchase lands within `windowSpec` after the
-    * view — the streaming form of `EventQueries.attribution` (the batch
-    * form additionally picks the LATEST view; a streaming consumer does
-    * that per-purchase downstream or via a chained max-aggregate).
-    *
-    * Both sides are watermarked so Spark bounds the join state: a
-    * buffered view can be dropped once the purchase-side watermark passes
-    * view_ts + window, which is exactly the interval condition's reach.
-    * State is keyed on user_id and scales with the shuffle like every
-    * other stateful operator here. */
   /** Streaming MinHash/LSH near-duplicate detection — the stream-shaped
     * form of the batch `DocQueries.crossDedup` daily-ingest pattern: the
     * persisted base index becomes keyed state store entries, one per LSH
@@ -353,6 +355,17 @@ object Streams {
         })
   }
 
+  /** Stream-stream attribution join: every (view, purchase) pair for the
+    * same user where the purchase lands within `windowSpec` after the
+    * view — the streaming form of `EventQueries.attribution` (the batch
+    * form additionally picks the LATEST view; a streaming consumer does
+    * that per-purchase downstream or via a chained max-aggregate).
+    *
+    * Both sides are watermarked so Spark bounds the join state: a
+    * buffered view can be dropped once the purchase-side watermark passes
+    * view_ts + window, which is exactly the interval condition's reach.
+    * State is keyed on user_id and scales with the shuffle like every
+    * other stateful operator here. */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       userCol: String = "user_id",
                       viewTs: String = "view_ts", purchaseTs: String = "purchase_ts",
@@ -382,11 +395,13 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val scale = 1152921504606846976.0 // 2^60
     events
       .select(col(typeCol).cast("string").as("t"),
-        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Kmv.hash(col(keyCol)).as("h"))
+      // a null key (or type) row would NPE the non-nullable typed decode
+      // and kill the QUERY; the batch kmvOverlap drops null hashes via
+      // collect_set, so dropping here keeps stream/batch parity
+      .where(col("t").isNotNull && col("h").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
@@ -394,10 +409,7 @@ object Streams {
           val prev = state.getOption.getOrElse(Array.empty[Long])
           val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
           state.update(merged)
-          val est =
-            if (merged.length < k) merged.length.toDouble
-            else (k - 1).toDouble * scale / merged(k - 1)
-          (t, merged.length, est)
+          (t, merged.length, graft.functions.Kmv.estimateArr(k, merged))
         })
       .toDF("event_type", "sketch_size", "distinct_est")
   }
@@ -421,7 +433,9 @@ object Streams {
     events
       .select(col(typeCol).cast("string").as("t"),
         col(valueCol).cast("double").as("v"), col(idCol).cast("long").as("id"))
-      .where(col("v").isNotNull)
+      // null id/type would NPE the typed decode and kill the query, not
+      // just skip the row — guard all three like the value
+      .where(col("v").isNotNull && col("id").isNotNull && col("t").isNotNull)
       .as[(String, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
@@ -459,6 +473,10 @@ object Streams {
     events
       .select(col(userCol).cast("long").as("u"), col(typeCol).cast("string").as("t"),
         col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
+      // a null user/ts/id row would NPE the non-nullable typed decode and
+      // terminate the stream; a stage match on a null type is meaningless
+      .where(col("u").isNotNull && col("t").isNotNull &&
+        col("ts").isNotNull && col("id").isNotNull)
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
