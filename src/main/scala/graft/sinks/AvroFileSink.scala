@@ -98,6 +98,12 @@ object AvroFileSink {
       .flatMap { path =>
         val reader = new DataFileReader[GenericRecord](
           new File(path), new GenericDatumReader[GenericRecord]())
+        // close on TASK COMPLETION, not just clean exhaustion: a limit()/
+        // take() that stops early, or a failure mid-read, would otherwise
+        // leak the file handle for the executor's lifetime
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
           def next(): Row =

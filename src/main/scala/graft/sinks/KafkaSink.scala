@@ -77,15 +77,25 @@ object KafkaSink {
 
     /** Send a fresh batch (plus nothing else — pending records wait for
       * the heartbeat, as in the reference). Returns true to CONTINUE,
-      * false to PAUSE (retriable failures remain pending). */
-    def publish(batch: Seq[T]): Boolean = flush(batch)
+      * false to PAUSE (retriable failures remain pending). A caller that
+      * publishes while records are already pending (ignoring the PAUSE)
+      * must not lose them: new retriables APPEND to the pending set. */
+    def publish(batch: Seq[T]): Boolean = {
+      pending = pending ++ flush(batch)
+      pending.isEmpty
+    }
 
     /** Re-send only the pending records, if any (`TopicFlusher.heartbeat`). */
     def heartbeat(): Boolean =
       if (pending.isEmpty) true
-      else flush(pending)
+      else {
+        pending = flush(pending)
+        pending.isEmpty
+      }
 
-    private def flush(batch: Seq[T]): Boolean = {
+    /** Send one batch; returns ITS retriable remainder (delivered/fatal
+      * records are counted into the totals here). */
+    private def flush(batch: Seq[T]): Vector[T] = {
       val outcomes = send(batch)
       require(outcomes.length == batch.length,
         s"send answered ${outcomes.length} outcomes for ${batch.length} records")
@@ -95,8 +105,7 @@ object KafkaSink {
         case (r, Retriable(_)) => remaining += r
         case (r, Fatal(_))     => abandonedBuf :+= r
       }
-      pending = remaining.result()
-      pending.isEmpty
+      remaining.result()
     }
   }
 }

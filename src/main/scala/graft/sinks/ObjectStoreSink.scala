@@ -98,9 +98,16 @@ object ObjectStoreSink {
       if (buffer.size() > 0) {
         partEverWritten = true
         val bytes = buffer.toByteArray
-        buffer.reset()
         withRetries(maxAttempts, backoffMs)(store.upload(part, bytes))
         withRetries(maxAttempts, backoffMs)(store.compose(Seq(inflight, part), inflight))
+        // reset only after BOTH steps durably succeeded: resetting first
+        // meant exhausted retries discarded the window's bytes — a caller
+        // recovering from the thrown error would later publish a file
+        // silently missing them. (Compose retry caveat: a failure that
+        // MASKS a server-side success would re-append the part; the real
+        // GCS API guards this with generation preconditions, which the
+        // ObjectStore seam does not model — documented, not solved.)
+        buffer.reset()
       }
     }
 
@@ -114,9 +121,9 @@ object ObjectStoreSink {
       if (buffer.size() > 0) {
         partEverWritten = true
         val bytes = buffer.toByteArray
-        buffer.reset()
         withRetries(maxAttempts, backoffMs)(store.upload(part, bytes))
         withRetries(maxAttempts, backoffMs)(store.compose(Seq(inflight, part), publish))
+        buffer.reset() // after durable success, as in sync()
       } else {
         withRetries(maxAttempts, backoffMs)(store.compose(Seq(inflight), publish))
       }

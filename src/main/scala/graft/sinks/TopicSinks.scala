@@ -27,7 +27,14 @@ import java.util.Base64
   */
 object TopicSinks {
 
-  /** Executor-side schema cache: parse once per executor, not per row. */
+  /** Per-executor datum-writer cache — writer construction is schema
+    * resolution work, too slow for per-row use (same hazard class as
+    * [[AvroConversions.cachedSchema]]). */
+  private val writerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GenericDatumWriter[GenericRecord]]()
+  private def cachedWriter(json: String): GenericDatumWriter[GenericRecord] =
+    writerCache.computeIfAbsent(json,
+      j => new GenericDatumWriter[GenericRecord](AvroConversions.cachedSchema(j)))
 
   /** Per-row Avro binary encoding of all columns as one datum. */
   def avroBinary(df: DataFrame): DataFrame = {
@@ -36,8 +43,7 @@ object TopicSinks {
       val schema = AvroConversions.cachedSchema(schemaJson)
       val out = new ByteArrayOutputStream()
       val encoder = EncoderFactory.get().binaryEncoder(out, null)
-      new GenericDatumWriter[GenericRecord](schema)
-        .write(AvroConversions.toRecord(row, schema), encoder)
+      cachedWriter(schemaJson).write(AvroConversions.toRecord(row, schema), encoder)
       encoder.flush()
       out.toByteArray
     }

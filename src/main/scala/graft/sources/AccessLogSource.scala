@@ -40,7 +40,12 @@ object AccessLogSource {
 
   /** Parse log lines (batch or streaming text source) into decoded events.
     * Unparseable lines are kept with `corrupt=true` and null fields (the
-    * reference's flag-not-drop stance). */
+    * reference's flag-not-drop stance). Non-2xx lines decode too but carry
+    * `httpSuppressed=true`: a 304 is the ETag duplicate-suppression answer
+    * (the reference produced NO event for it — replaying one from the log
+    * double-counts the exact duplicates that path exists to drop) and
+    * 4xx/5xx requests never yielded an event either; consumers building
+    * an event frame filter on the flag. */
   def decode(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val parsed = lines
       .withColumn("__log", parseLine(col(lineCol)))
@@ -51,6 +56,8 @@ object AccessLogSource {
       // the row comes back corrupt-flagged rather than dropped
       .withColumn("qs", coalesce(col("__log.qs"), lit("")))
       .withColumn("httpStatus", col("__log.status").cast("int"))
+      .withColumn("httpSuppressed", col("httpStatus").isNotNull &&
+        !(col("httpStatus") >= 200 && col("httpStatus") < 300))
       .withColumn("headerReferer", col("__log.referer"))
       .withColumn("userAgentString", col("__log.ua"))
       .drop(lineCol, "__log")

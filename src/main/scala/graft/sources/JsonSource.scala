@@ -48,7 +48,11 @@ object JsonSource {
         coalesce(octet_length(col(bodyCol)) > capBytes, lit(false)))
       .withColumn("__c",
         when(!col("bodyOversized"), from_json(col(bodyCol), containerSchema)))
-      .withColumn("corrupt", lit(false))
+      // an in-size body that does not parse is the reference's 400 path
+      // (no event produced): flag it, like the browser decoder's corrupt
+      // bit — a phantom all-null-id row with corrupt=false would flow
+      // into sessionization indistinguishable from a valid sparse event
+      .withColumn("corrupt", !col("bodyOversized") && col("__c").isNull)
       .withColumn("partyId", when(!col("bodyOversized"), col(partyIdCol)))
       .withColumn("sessionId", col("__c.session_id"))
       .withColumn("eventId", col("__c.event_id"))

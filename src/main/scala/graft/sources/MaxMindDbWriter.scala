@@ -194,7 +194,12 @@ object MaxMindDbWriter {
     rows.zip(offsets).foreach { case (r, off) =>
       val s = r.getLong(r.fieldIndex("ip_start"))
       val e = r.getLong(r.fieldIndex("ip_end"))
-      cidrs(s, e).foreach { case (bs, plen) =>
+      cidrs(s, e).flatMap { case (bs, plen) =>
+        // a /0 block (the full-range row MaxMindDb.ipv4Networks itself
+        // emits for a one-record tree) has no prefix bits and the root
+        // node cannot carry data: split it into the two /1 halves
+        if (plen == 0) Seq((0L, 1), (1L << 31, 1)) else Seq((bs, plen))
+      }.foreach { case (bs, plen) =>
         insert((0 until plen).map(i => ((bs >> (31 - i)) & 1).toInt), off)
       }
     }

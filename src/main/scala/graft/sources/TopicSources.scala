@@ -20,22 +20,41 @@ import scala.jdk.CollectionConverters._
   */
 object TopicSources {
 
+  /** Per-executor datum-reader cache: reader construction sets up schema
+    * resolution, which at per-row frequency dominates the decode itself —
+    * the same hazard [[AvroConversions.cachedSchema]] already solves for
+    * schema parsing. */
+  private val readerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GenericDatumReader[GenericRecord]]()
+  private def cachedReader(json: String): GenericDatumReader[GenericRecord] =
+    readerCache.computeIfAbsent(json,
+      j => new GenericDatumReader[GenericRecord](AvroConversions.cachedSchema(j)))
+
   /** Decode the `value` binary column as Avro into a struct column
     * `record`, dropping the wire frame. `confluent=true` strips the 5-byte
     * header first (and exposes the embedded schema id). Null values (Kafka
-    * tombstones on compacted topics) and frames too short to carry the
-    * confluent header decode to a null record instead of killing the job. */
+    * tombstones on compacted topics), frames too short to carry the
+    * confluent header, AND frames whose body fails the Avro decode (a
+    * corrupt message, a foreign producer) all decode to a null record
+    * instead of killing the job — a poison-pill message must never wedge a
+    * checkpointed query on its own offset.
+    *
+    * Writer-schema caveat: a naked binary frame does not carry its writer
+    * schema, so `recordSchema` is used as BOTH writer and reader schema —
+    * frames published under an OLDER schema version need the container-file
+    * path (whose header carries the real writer schema and exercises the
+    * [[fromRecord]] evolution probe) or a schema-registry lookup by the
+    * confluent id, which this offline module does not model. */
   def decodeKafkaFrame(frames: DataFrame, recordSchema: StructType,
                        confluent: Boolean = false): DataFrame = {
     val avroSchemaJson = AvroConversions.toAvroSchema(recordSchema).toString
     val dec = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
       override def call(value: Array[Byte]): Row = {
         if (value == null || (confluent && value.length < 5)) return null
-        val schema = AvroConversions.cachedSchema(avroSchemaJson)
         val body = if (confluent) java.util.Arrays.copyOfRange(value, 5, value.length) else value
         val decoder = DecoderFactory.get().binaryDecoder(body, null)
-        val rec = new GenericDatumReader[GenericRecord](schema).read(null, decoder)
-        fromRecord(rec, recordSchema)
+        try fromRecord(cachedReader(avroSchemaJson).read(null, decoder), recordSchema)
+        catch { case _: Exception => null } // corrupt frame -> null record
       }
     }, recordSchema)
     val withId =
@@ -76,6 +95,19 @@ object TopicSources {
     case m: java.util.Map[_, _] =>
       val valueType = dt.asInstanceOf[org.apache.spark.sql.types.MapType].valueType
       m.asScala.map { case (k, mv) => k.toString -> fromAvroValue(mv, valueType) }.toMap
+    // invert the sink's lossy-but-documented scalar mappings
+    // ([[AvroConversions.toAvroSchema]]: Timestamp -> long epoch-millis,
+    // Short/Byte -> int): without these a round trip of any timestamped
+    // schema fails Catalyst's external-type check
+    case l: java.lang.Long if dt == org.apache.spark.sql.types.TimestampType =>
+      new java.sql.Timestamp(l)
+    case l: java.lang.Long if dt == org.apache.spark.sql.types.TimestampNTZType =>
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(l), java.time.ZoneOffset.UTC)
+    case i: java.lang.Integer if dt == org.apache.spark.sql.types.ShortType =>
+      i.shortValue()
+    case i: java.lang.Integer if dt == org.apache.spark.sql.types.ByteType =>
+      i.byteValue()
     case other => other
   }
 }

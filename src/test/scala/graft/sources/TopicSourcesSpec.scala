@@ -58,4 +58,39 @@ class TopicSourcesSpec extends SparkSpec {
     assert(bad.getAs[Boolean]("corrupt"))
     assert(bad.getAs[String]("remoteHost") == null)
   }
+
+  test("timestamped schema round-trips; corrupt frames decode to null records") {
+    // TimestampType maps to Avro long (epoch millis) on write — the source
+    // must invert it or Catalyst rejects the raw Long on decode
+    // the wire format is epoch-MILLIS by documented design, so sub-ms
+    // precision truncates on the wire: feed ms-truncated timestamps in
+    val withTs = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("p"), col("user_id")).as("partyId"),
+        col("event_id"),
+        timestamp_millis(unix_millis(col("ts").cast("timestamp"))).as("ts"))
+      .limit(20)
+    val frames = TopicSinks.kafkaFrame(withTs, "partyId")
+    val back = TopicSources.decodeKafkaFrame(frames, withTs.schema)
+      .select("record.*").orderBy("event_id")
+    assert(back.collect().toSeq === withTs.orderBy("event_id").collect().toSeq)
+    // a poison-pill value (garbage bytes) yields a null record, not a
+    // dead query wedged on its own checkpointed offset
+    val poison = Seq(("k".getBytes("UTF-8"), "not avro at all".getBytes("UTF-8")))
+      .toDF("key", "value")
+    val dec = TopicSources.decodeKafkaFrame(poison, withTs.schema)
+    assert(dec.count() === 1 && dec.filter(col("record").isNull).count() === 1)
+  }
+
+  test("a 304 (etag-suppressed) log line is flagged httpSuppressed") {
+    val qs = "p=0%3Ai0rjfnxd%3Aparty&e=ev2&t=pageView&c=i0rjfnxd&f=t&n=f&w=m8"
+    val line304 = s"""10.2.3.4 - - [12/Aug/2026:10:00:01 +0000] "GET /csc-event?$qs HTTP/1.1" 304 0 "-" "TestAgent/1.0""""
+    val line200 = s"""10.2.3.5 - - [12/Aug/2026:10:00:02 +0000] "GET /csc-event?$qs HTTP/1.1" 200 43 "-" "TestAgent/1.0""""
+    val df = AccessLogSource.decode(Seq(line304, line200).toDF("value"))
+    val byHost = df.select("remoteHost", "httpSuppressed")
+      .as[(String, Boolean)].collect().toMap
+    // the reference produced NO event for the 304 (duplicate re-issue) —
+    // consumers filter on the flag to avoid double-counting
+    assert(byHost("10.2.3.4") === true)
+    assert(byHost("10.2.3.5") === false)
+  }
 }
