@@ -1,6 +1,5 @@
 package graft.dsl
 
-import graft.functions.UserAgents
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

@@ -19,6 +19,11 @@ object DivolteId {
     * must be null-tolerant and exception-free. */
   def timestampOf(value: String): java.lang.Long = {
     if (value == null) return null
+    // split(":", 4) mirrors the reference's Guava Splitter.on(':').limit(4)
+    // EXACTLY — both keep trailing empty parts ("0:1b2m:" parses to 3 parts
+    // and is ACCEPTED with an empty id; "0:x:y:" makes 4 and is rejected).
+    // Do not "fix" this to Java's limit-0 split, which drops trailing
+    // empties and flips both classifications.
     val parts = value.split(":", 4)
     if (parts.length != 3 || parts(0) != "0") return null
     try java.lang.Long.valueOf(java.lang.Long.parseLong(parts(1), 36))

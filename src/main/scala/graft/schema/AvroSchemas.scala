@@ -28,14 +28,25 @@ object AvroSchemas {
     StructType(fields(schema).map(f => StructField(f.name, f.dataType, f.nullable)))
   }
 
-  def fields(record: Schema): Seq[Field] =
+  def fields(record: Schema): Seq[Field] = fields(record, Set.empty)
+
+  private def fields(record: Schema, seen: Set[String]): Seq[Field] = {
+    // SELF-referential records are legal Avro but have no finite StructType:
+    // reject them cleanly (the contract's IllegalArgumentException) instead
+    // of recursing RECORD -> UNION -> RECORD into a StackOverflowError
+    require(!seen.contains(record.getFullName),
+      s"recursive record schemas are not representable as StructType: ${record.getFullName}")
+    val seen2 = seen + record.getFullName
     record.getFields.asScala.toSeq.map { f =>
-      val (dt, nullable) = convert(f.schema())
+      val (dt, nullable) = convert(f.schema(), seen2)
       Field(f.name(), dt, nullable, defaultValue(f))
     }
+  }
 
   /** (sparkType, nullable). */
-  def convert(s: Schema): (DataType, Boolean) = s.getType match {
+  def convert(s: Schema): (DataType, Boolean) = convert(s, Set.empty)
+
+  private def convert(s: Schema, seen: Set[String]): (DataType, Boolean) = s.getType match {
     case Schema.Type.BOOLEAN => (BooleanType, false)
     case Schema.Type.INT     => (IntegerType, false)
     case Schema.Type.LONG    => (LongType, false)
@@ -46,18 +57,20 @@ object AvroSchemas {
     case Schema.Type.ENUM    => (StringType, false)
     case Schema.Type.FIXED   => (BinaryType, false)
     case Schema.Type.ARRAY   =>
-      val (elem, elemNullable) = convert(s.getElementType)
+      val (elem, elemNullable) = convert(s.getElementType, seen)
       (ArrayType(elem, containsNull = elemNullable), false)
     case Schema.Type.MAP     =>
-      val (v, vNullable) = convert(s.getValueType)
+      val (v, vNullable) = convert(s.getValueType, seen)
       (MapType(StringType, v, valueContainsNull = vNullable), false)
-    case Schema.Type.RECORD  => (toStructType(s), false)
+    case Schema.Type.RECORD  =>
+      (StructType(fields(s, seen).map(f =>
+        StructField(f.name, f.dataType, f.nullable))), false)
     case Schema.Type.UNION   =>
       val branches = s.getTypes.asScala.toSeq
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
       require(branches.size == 2 && nonNull.size == 1,
         s"only trivial [null, T] unions are supported, got: $s")
-      val (dt, _) = convert(nonNull.head)
+      val (dt, _) = convert(nonNull.head, seen)
       (dt, true)
     case Schema.Type.NULL    => (NullType, true)
   }

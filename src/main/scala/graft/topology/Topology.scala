@@ -26,12 +26,23 @@ final case class SinkSpec(name: String, mappings: Seq[String])
 
 final class Topology(mappings: Seq[MappingSpec], sinks: Seq[SinkSpec]) {
 
+  /** Reference semantics: a sink that names no mappings receives ALL of
+    * them (the unspecified-list default of the reference's config layer) —
+    * normalized BEFORE validation so one-schema-per-sink covers the
+    * defaulted set too, and apply() never reduces an empty list. */
+  private val normSinks: Seq[SinkSpec] = sinks.map(s =>
+    if (s.mappings.isEmpty) s.copy(mappings = mappings.map(_.name)) else s)
+
   // ---- startup validation (reference: ValidatedConfiguration fail-fast)
   {
     val mappingNames = mappings.map(_.name)
     require(mappingNames.distinct.size == mappingNames.size, "duplicate mapping names")
+    val sinkNames = sinks.map(_.name)
+    require(sinkNames.distinct.size == sinkNames.size,
+      s"duplicate sink names: ${sinkNames.diff(sinkNames.distinct).distinct}" +
+        " (toMap would silently drop a sink's mappings)")
     val known = mappingNames.toSet
-    sinks.foreach { s =>
+    normSinks.foreach { s =>
       val missing = s.mappings.filterNot(known)
       require(missing.isEmpty, s"sink '${s.name}' references unknown mappings: $missing")
       // one-schema-per-sink: all mappings feeding a sink must share a schema
@@ -53,18 +64,27 @@ final class Topology(mappings: Seq[MappingSpec], sinks: Seq[SinkSpec]) {
       // across the queries natively, so fan-out just reuses the plan
       name -> (if (sourceUses.getOrElse(name, 0) > 1 && !df.isStreaming) df.cache() else df)
     }
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val mapped: Map[String, DataFrame] = mappings.map { m =>
-      val in = m.sources.map(s => shared.getOrElse(s,
+      // reference default: a mapping that names no sources reads ALL of
+      // them; heterogeneous source shapes (browser vs JSON frames) union
+      // with allowMissingColumns — the mapping layer itself handles the
+      // missing sub-records (DefaultMapping's optCol)
+      val srcNames = if (m.sources.isEmpty) sources.keys.toSeq.sorted else m.sources
+      val in = srcNames.map(s => shared.getOrElse(s,
         throw new IllegalArgumentException(s"mapping '${m.name}' needs missing source '$s'")))
-        .reduce(_ unionByName _)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       var out = m.mapper(in)
+      // NULL flags (a source without the transport column) must KEEP the
+      // row: the reference's flags are primitive booleans that default
+      // false, and filter(!NULL) = filter(NULL) silently drops the row
       if (m.discardCorrupted && out.columns.contains("detectedCorruption"))
-        out = out.filter(!col("detectedCorruption"))
+        out = out.filter(!coalesce(col("detectedCorruption"), lit(false)))
       if (m.discardDuplicates && out.columns.contains("detectedDuplicate"))
-        out = out.filter(!col("detectedDuplicate"))
+        out = out.filter(!coalesce(col("detectedDuplicate"), lit(false)))
       m.name -> out
     }.toMap
-    sinks.map { s =>
+    normSinks.map { s =>
       s.name -> s.mappings.map(mapped).reduce(_ unionByName _)
     }.toMap
   }

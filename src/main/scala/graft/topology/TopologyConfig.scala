@@ -71,7 +71,9 @@ object Hocon {
       var acc: Value = Obj(Map.empty)
       skipBlank()
       while (!eof && !closer.contains(peek)) {
-        if (text.startsWith("include", i)) skipLine()
+        if (text.startsWith("include", i) &&
+            (i + 7 >= text.length || text(i + 7) == ' ' ||
+             text(i + 7) == '\t' || text(i + 7) == '"')) skipLine()
         else {
           val path = parsePath()
           require(path.nonEmpty, s"expected key at offset $i")
@@ -139,7 +141,12 @@ object Hocon {
       val items = scala.collection.mutable.ArrayBuffer.empty[Value]
       skipBlank()
       while (!eof && peek != ']') {
+        val before = i
         items += parseValue()
+        // fail fast instead of spinning: a value that consumed nothing
+        // (e.g. a stray '}' closing an unterminated array) would loop
+        // forever appending empty scalars
+        require(i > before, s"unterminated or malformed list at offset $i")
         skipBlank()
       }
       require(!eof, "unterminated list")
@@ -151,7 +158,21 @@ object Hocon {
       i += 1 // opening quote
       val sb = new StringBuilder
       while (!eof && peek != '"') {
-        if (peek == '\\' && i + 1 < text.length) { sb += text(i + 1); i += 2 }
+        if (peek == '\\' && i + 1 < text.length) {
+          // JSON/HOCON escapes — dropping the backslash and emitting the
+          // raw letter corrupted every \n/\t/\uXXXX in a quoted value
+          text(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case 'u' if i + 5 < text.length =>
+              sb += Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => sb += c; i += 2 // \" \\ \/ and any other passthrough
+          }
+        }
         else { sb += peek; i += 1 }
       }
       require(!eof, "unterminated string")

@@ -166,4 +166,22 @@ class TopologyConfigSpec extends SparkSpec {
     // the merged mapping kept its block-form fields
     assert(m.sources === Seq("browser") && m.sinks === Seq("hdfs"))
   }
+
+  test("hocon robustness: escapes, include word-boundary, malformed-list fail-fast") {
+    // JSON escapes in quoted values decode (the old parser mangled \t to 't')
+    val obj = Hocon.parse("""k = "a\tb\u0041"""" + "\n")
+    assert(obj.get("k") === Some(Hocon.Str("a\tbA")))
+    // a key merely STARTING with 'include' is a key, not an include line
+    val cfg = TopologyConfig.load(
+      """divolte {
+        |  sources { s1 { type = browser } }
+        |  mappings { include_me { sources = [s1] } }
+        |  sinks { k { mappings = [include_me] } }
+        |}""".stripMargin)
+    assert(cfg.mappings.map(_.name) === Seq("include_me"))
+    // an unterminated list closed by '}' fails fast instead of hanging
+    assertThrows[IllegalArgumentException] {
+      Hocon.parse("divolte { mappings.m.sources = [browser }")
+    }
+  }
 }

@@ -52,4 +52,39 @@ class TopologySpec extends SparkSpec {
       new Topology(Seq.empty, Seq(SinkSpec("s", Seq("ghost"))))
     }
   }
+
+  test("NULL discard flags keep the row; heterogeneous sources union by name") {
+    // a JSON-shaped source has no transport duplicate column -> the
+    // mapping surfaces detectedDuplicate = NULL; discard must treat NULL
+    // as false (the reference's primitive-boolean default), not drop ALL
+    val jsonish = Seq(("j1", false), ("j2", false))
+      .toDF("eventId", "detectedCorruption")
+      .withColumn("detectedDuplicate", lit(null).cast("boolean"))
+      .withColumn("bodyOversized", lit(false))
+    val browserish = Seq(("b1", false, false))
+      .toDF("eventId", "detectedCorruption", "detectedDuplicate")
+    val t = new Topology(
+      mappings = Seq(MappingSpec("m", Seq("browser", "json"), passThrough,
+        "schemaA", discardCorrupted = true, discardDuplicates = true)),
+      sinks = Seq(SinkSpec("hdfs", Seq("m"))))
+    val out = t(Map("browser" -> browserish, "json" -> jsonish))
+    // 1 browser + 2 json rows survive; the browser row's missing
+    // bodyOversized unions in as NULL rather than failing analysis
+    assert(out("hdfs").select("eventId").as[String].collect().sorted
+      === Array("b1", "j1", "j2"))
+  }
+
+  test("a sink naming no mappings defaults to all; duplicate sink names reject") {
+    val t = new Topology(
+      mappings = Seq(
+        MappingSpec("m1", Seq("browser"), passThrough, "schemaA"),
+        MappingSpec("m2", Seq("browser"), passThrough, "schemaA")),
+      sinks = Seq(SinkSpec("hdfs", Seq.empty)))
+    assert(t(Map("browser" -> events))("hdfs").count() === 6)
+    assertThrows[IllegalArgumentException] {
+      new Topology(
+        mappings = Seq(MappingSpec("m1", Seq("browser"), passThrough, "schemaA")),
+        sinks = Seq(SinkSpec("hdfs", Seq("m1")), SinkSpec("hdfs", Seq("m1"))))
+    }
+  }
 }
