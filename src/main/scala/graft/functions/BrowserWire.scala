@@ -64,7 +64,10 @@ object BrowserWire {
   /** Hot path: decode straight into a Catalyst InternalRow — skips the
     * reflective case-class serializer entirely (~3x on the decode stage). */
   def decodeInternal(qs: UTF8String): InternalRow = {
-    val d = decode(qs.toString)
+    // null qs (a frame with no query string at all) decodes like an
+    // unparseable one: corrupt-flagged, every field absent — the decoder
+    // is the null guard so the expression can stay non-nullable
+    val d = decode(if (qs == null) "" else qs.toString)
     def s(v: Option[String]): AnyRef = v.map(UTF8String.fromString).orNull
     def j(v: Option[_]): AnyRef = v.map(_.asInstanceOf[AnyRef]).orNull
     val b = d.browser

@@ -54,10 +54,20 @@ object Digests {
     md.digest()
   }
 
+  /** Per-thread initialized-Mac cache keyed by (algorithm, seed): JCE
+    * Mac.getInstance is a synchronized provider lookup and init() re-runs
+    * the key schedule — per-ROW cost on the hot digest path. doFinal()
+    * resets the Mac, so a cached instance is reusable indefinitely. */
+  private val macCache = ThreadLocal.withInitial[
+      java.util.HashMap[(String, String), Mac]](() => new java.util.HashMap)
+
   /** Seeded (HMAC) digest of the non-null pieces, in order. Never null. */
   def hmacDigest(algorithm: String, seed: String, pieces: Array[String]): Array[Byte] = {
-    val mac = Mac.getInstance(macAlgorithm(algorithm))
-    mac.init(deriveKey(algorithm, seed))
+    val mac = macCache.get().computeIfAbsent((algorithm, seed), { _ =>
+      val m = Mac.getInstance(macAlgorithm(algorithm))
+      m.init(deriveKey(algorithm, seed))
+      m
+    })
     var i = 0
     while (i < pieces.length) {
       if (pieces(i) != null) mac.update(pieces(i).getBytes(StandardCharsets.UTF_8))

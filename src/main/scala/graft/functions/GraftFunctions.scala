@@ -146,7 +146,15 @@ object GraftFunctions {
     * `,`, then `;`. Computed over the parsed multi-value map column. */
   def checksumCanonicalString(paramsMap: Column): Column = {
     val entries = map_entries(paramsMap) // array<struct<key,value:array<string>>>
-    val sortedE = array_sort(entries)    // struct sort: by first field (key)
+    // sort keys in UTF-16 code-unit order — the reference's Java string
+    // sort, which BrowserWire.decode also uses. A plain array_sort compares
+    // UTF8String bytes (code-POINT order), which disagrees whenever keys
+    // mix a supplementary char with a BMP char >= U+E000; encode(UTF-16BE)
+    // makes byte order equal code-unit order, keeping the two checksum
+    // paths bit-identical on any unicode key
+    val sortedK = array_sort(transform(entries, e =>
+      struct(encode(e.getField("key"), "UTF-16BE").as("sk"), e.as("e"))))
+    val sortedE = transform(sortedK, x => x.getField("e"))
     val nonChecksum = filter(sortedE, e => e.getField("key") =!= "x")
     val rendered = transform(nonChecksum, e =>
       concat(e.getField("key"), lit("="),
@@ -161,7 +169,9 @@ object GraftFunctions {
   def checksumMismatch(paramsMap: Column): Column = {
     val expected = base36ToLong(element_at(element_at(paramsMap, "x"), 1))
     val actual = murmur3Utf8(checksumCanonicalString(paramsMap)).cast("long")
-    !(expected <=> actual)
+    // a NULL map (nothing parsed at all) has no checksum: corrupt — the
+    // bare !(NULL <=> NULL) collapsed to false, the wrong verdict
+    when(paramsMap.isNull, lit(true)).otherwise(!(expected <=> actual))
   }
 
   // ------------------------------------------------------ absent-semantics
@@ -182,12 +192,13 @@ object GraftFunctions {
     * false (`DslRecordMapping.java:232-238`). */
   def toBooleanLenient(c: Column): Column = coalesce(lower(c) === "true", lit(false))
 
-  /** Full-string regex capture group with null (not "") on no-match —
-    * `regexp_extract` returns "" for misses (`SURVEY.md` §2B regex caveat). */
-  def matchGroup(c: Column, pattern: String, group: Int): Column = {
-    val anchored = s"^(?:$pattern)$$"
-    when(c.rlike(anchored), nullif(regexp_extract(c, anchored, group), lit("")))
-  }
+  /** Full-string regex capture group with EXACT matcher semantics
+    * (`SURVEY.md` §2B regex caveat): null on no-match or a
+    * non-participating group, the captured text — possibly "" — when the
+    * group matched. The old rlike + nullif(regexp_extract) formulation ran
+    * the regex twice AND collapsed a genuine empty capture to null. */
+  def matchGroup(c: Column, pattern: String, group: Int): Column =
+    column(RegexMatchGroup(expression(c), pattern, group))
 
   /** Named-group variant — the reference's `match(...).group("name")`
     * producer (`DslRecordMapping.java` matcher group(String)). Spark's
@@ -235,8 +246,17 @@ object GraftFunctions {
 
   /** Cookie value by name from a Cookie request header
     * (`DslRecordMapping.java:566-570` cookie(name) producer). */
-  def cookieValue(cookieHeader: Column, name: String): Column =
-    element_at(str_to_map(cookieHeader, lit(";\\s*"), lit("=")), name)
+  def cookieValue(cookieHeader: Column, name: String): Column = {
+    // FIRST matching cookie wins (the reference's cookie(name) producer);
+    // str_to_map would throw DUPLICATE_MAP_KEY under the default EXCEPTION
+    // dedup policy on the legal-and-common repeated-name header
+    val pairs = split(cookieHeader, ";\\s*")
+    val matching = filter(pairs, p =>
+      try_element_at(split(p, "=", 2), lit(1)) === name)
+    try_element_at(
+      transform(matching, p => try_element_at(split(p, "=", 2), lit(2))),
+      lit(1))
+  }
 
   /** Paths fully handled by Spark's codegen'd `get_json_object`: definite
     * dotted names and non-negative indexes only. */

@@ -32,16 +32,23 @@ object HeaderValues {
             i += 1; done = true
           case '"' =>
             i += 1
-            if (wsPending && piece.length > 0) piece.append(' ')
-            wsPending = false
-            // quoted-string: copy until closing quote, resolving \-escapes
+            // quoted-string: copy until closing quote, resolving \-escapes.
+            // The pending-whitespace flush is LAZY (before the first actual
+            // char): an empty "" must not flush — eager flushing left
+            // 'a "" b' with a double space and 'a ""' with a trailing one
             var closed = false
             while (i < n && !closed) {
               headerValue.charAt(i) match {
                 case '"' => i += 1; closed = true
-                case '\\' if i + 1 < n => piece.append(headerValue.charAt(i + 1)); i += 2
+                case '\\' if i + 1 < n =>
+                  if (wsPending && piece.length > 0) piece.append(' ')
+                  wsPending = false
+                  piece.append(headerValue.charAt(i + 1)); i += 2
                 case '\\' => i += 1
-                case c => piece.append(c); i += 1
+                case c =>
+                  if (wsPending && piece.length > 0) piece.append(' ')
+                  wsPending = false
+                  piece.append(c); i += 1
               }
             }
           case ' ' | '\t' =>

@@ -27,6 +27,9 @@ object QueryStrings {
         if (eq >= 0) add(segment.substring(0, eq), segment.substring(eq + 1))
         else add(segment, "")
       }
+      // NOTE: .toMap discards the LinkedHashMap's encounter order (the
+      // emitted Catalyst map is hash-ordered); consumers that need order
+      // re-sort (checksum canonicalization) or use splitHeaderValue
       result.view.mapValues(_.toSeq).toMap
     } catch {
       case _: IllegalArgumentException => Map.empty // malformed percent-escape

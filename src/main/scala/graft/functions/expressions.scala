@@ -146,12 +146,64 @@ case class DivolteIdTimestamp(child: Expression) extends StaticCallUnary {
 case class BrowserDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BrowserWire.schema
   override def nullable: Boolean = false
-  override def nullSafeEval(input: Any): Any =
-    BrowserWire.decodeInternal(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.BrowserWire.decodeInternal($c);")
+  // NOT nullSafeEval/nullSafeCodeGen: those short-circuit a null child to a
+  // null RESULT, which a nullable=false struct must never produce (codegen
+  // would even call decodeInternal with the slot's stale default). The
+  // decoder itself treats null as an unparseable (corrupt-flagged) frame.
+  override def eval(input: InternalRow): Any =
+    BrowserWire.decodeInternal(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val row = ctx.freshName("bwRow")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |InternalRow $row = graft.functions.BrowserWire.decodeInternal(
+        |  ${c.isNull} ? null : ${c.value});
+        """.stripMargin,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(row, dataType))
+  }
   override protected def withNewChildInternal(c: Expression): BrowserDecode = copy(c)
   override def prettyName: String = "browser_decode"
+}
+
+/** Full-string regex capture with EXACT java.util.regex semantics
+  * (reference `DslRecordMapping` match(...).group(...)): null when the
+  * whole pattern does not match OR the group did not participate, the
+  * group's text — possibly "" — when it did. `regexp_extract` can express
+  * neither distinction (it renders both misses and empty matches as ""),
+  * and this also replaces the rlike + regexp_extract DOUBLE regex run
+  * with one matcher call. */
+case class RegexMatchGroup(child: Expression, pattern: String, group: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  def evalOne(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val m = compiled.matcher(u.toString)
+    if (!m.matches() || group > m.groupCount()) null
+    else {
+      val g = m.group(group)
+      if (g == null) null else UTF8String.fromString(g)
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalOne(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rmg", this, classOf[RegexMatchGroup].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.evalOne($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): RegexMatchGroup =
+    copy(child = c)
+  override def prettyName: String = "regex_match_group"
 }
 
 /** User-agent classification struct (see [[UserAgents]]) — direct
@@ -361,7 +413,14 @@ case class EwmaFold(child: Expression) extends UnaryExpression with ExpectsInput
 case class DigestPieces(
     algorithm: String,
     seed: Option[String],
-    children: Seq[Expression]) extends Expression with CodegenFallback {
+    children: Seq[Expression]) extends Expression
+    with ImplicitCastInputTypes with CodegenFallback {
+  // every piece coerces to STRING at analysis time: eval's v.toString on a
+  // Catalyst-internal value (Int days-since-epoch for a date, UnsafeRow for
+  // a struct) would silently digest the internal rendering instead of the
+  // external one
+  override def inputTypes: Seq[DataType] =
+    Seq.fill(children.size)(StringType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def foldable: Boolean = children.forall(_.foldable)

@@ -79,4 +79,25 @@ class AbsentSemanticsSpec extends SparkSpec {
       .as[Int].collect()(0)
     assert(got === expected)
   }
+
+  test("matchGroup: a participating EMPTY capture is \"\" (present), not absent") {
+    import graft.functions.GraftFunctions.matchGroup
+    val df = Seq("prefix-", "prefix-aa", "nope").toDF("s")
+    val got = df.select(matchGroup(col("s"), "prefix-(a*)", 1))
+      .as[Option[String]].collect()
+    // java matcher semantics: group(1) on "prefix-" IS the empty string —
+    // the old nullif(regexp_extract) collapsed it to absent
+    assert(got.toSeq === Seq(Some(""), Some("aa"), None))
+    // a group in the unmatched alternation branch did not participate: null
+    val alt = Seq("b").toDF("s")
+      .select(matchGroup(col("s"), "(a)|b", 1)).as[Option[String]].collect()
+    assert(alt.toSeq === Seq(None))
+  }
+
+  test("checksumMismatch: a NULL params map is corrupt (absent checksum)") {
+    import graft.functions.GraftFunctions.checksumMismatch
+    val df = Seq("x").toDF("s").select(checksumMismatch(
+      lit(null).cast("map<string,array<string>>")).as("c"))
+    assert(df.as[Boolean].collect().toSeq === Seq(true))
+  }
 }

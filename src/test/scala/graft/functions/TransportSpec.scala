@@ -38,4 +38,14 @@ class TransportSpec extends SparkSpec {
     assert(r.getString(2) === "1.5")
     assert(r.isNullAt(3))
   }
+
+  test("cookieValue: duplicate cookie names take the FIRST, never throw") {
+    import graft.functions.GraftFunctions.cookieValue
+    // RFC 6265 allows the same name for different path/domain; str_to_map
+    // would throw DUPLICATE_MAP_KEY under the default EXCEPTION policy
+    val df = Seq("a=1; b=2; a=3").toDF("cookie")
+      .select(cookieValue(col("cookie"), "a").as("a"),
+        cookieValue(col("cookie"), "b").as("b"))
+    assert(df.as[(String, String)].collect().toSeq === Seq(("1", "2")))
+  }
 }
