@@ -135,6 +135,10 @@ object DocQueries {
     * one doc-grain rollup — alphabet-bounded fan-in per doc. */
   def charEntropy(spark: SparkSession, d: String): DataFrame =
     documents(spark, d)
+      // empty/null text has no characters: the oracle's unnest emits no
+      // rows for it, while Spark's split("", "") yields [""] and would
+      // produce an n=0 row the oracle does not have
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).as("n"),
         explode(split(col("text"), "")).as("ch"))
       .groupBy(col("doc_id"), col("n"), col("ch"))
@@ -210,12 +214,17 @@ object DocQueries {
     * `lang` labels don't correlate with its shared vocabulary) — which is
     * precisely the report that stops a bad filter from shipping. */
   def classifierEval(spark: SparkSession, d: String): DataFrame = {
-    val s = documents(spark, d)
-      .withColumn("__st", textStatsUdf(col("text")))
-      .select(
-        floor(col("__st.stopHits").cast("double") / col("__st.nTokens") * 1e6)
-          .cast("long").as("s6"),
-        (col("lang") === "en").cast("long").as("y"))
+    // the scored-rows scan feeds FOUR consumers (auc, best-threshold, ece,
+    // accuracy) — memo-cache it or each re-runs the per-row textStats UDF
+    // over the whole corpus (the tfidf-index measured pattern)
+    val s = MemoCache.getOrElseUpdate(spark, ("cls-scores", d))(
+      documents(spark, d)
+        .withColumn("__st", textStatsUdf(col("text")))
+        .select(
+          floor(col("__st.stopHits").cast("double") / col("__st.nTokens") * 1e6)
+            .cast("long").as("s6"),
+          (col("lang") === "en").cast("long").as("y"))
+        .cache())(_.unpersist(blocking = false))
     val byScore = s.groupBy(col("s6"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     val w = Window.orderBy(col("s6")).rowsBetween(Window.unboundedPreceding, -1)
@@ -356,23 +365,14 @@ object DocQueries {
     // exact Jaccard on the FULL (hashed) shingle sets of each candidate
     // pair — sets use the oracle-replicable md5-low-32 shingle hash (8-byte
     // keys shuffle/compare ~8x cheaper than shingle strings, and both
-    // engines hash identically, so even collisions agree bit-for-bit). Two
-    // interchangeable physical forms behind a size gate:
-    //  - corpus fits a broadcast: ship the sorted-set map once, merge-walk
-    //    per candidate with zero further shuffles (the
-    //    `array_intersect`/`array_union` formulation builds two hash sets
-    //    per pair and took 19s for 436k candidates at sf0.1; the merge walk
-    //    is <1s);
-    //  - corpus beyond broadcast: shuffle-join the candidate pairs against
-    //    the shingle table on d1 then d2 (each a plain keyed exchange that
-    //    scales with the candidate count, never all-pairs) and merge-walk
-    //    per joined row. Same arithmetic, bit-identical output
-    //    (DedupScaleSpec pins it).
-    val maxBroadcastDocs = spark.conf
-      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
-      .getOrElse(1L << 20)
-    if (docs.count() <= maxBroadcastDocs) verifyBroadcast(spark, docs, candidates)
-    else verifyJoin(docs, candidates)
+    // engines hash identically, so even collisions agree bit-for-bit).
+    // The broadcast-merge-walk vs candidate-join physical choice lives in
+    // [[scoredCandidatePairs]], shared with the containment operator.
+    scoredCandidatePairs(spark, docs, candidates)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
   }
 
   /** Candidate pairs from ONE shuffle: group the inverted index by shingle
@@ -416,31 +416,7 @@ object DocQueries {
     val docs = shingleDocs(spark, d).filter(size(col("sh")) > 0)
     val candidates = rareShingleCandidates(
       docs.select(col("doc_id"), explode(col("sh")).as("s")))
-    val maxBroadcastDocs = spark.conf
-      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
-      .getOrElse(1L << 20)
-    val scored =
-      if (docs.count() <= maxBroadcastDocs) {
-        val sortedSets = spark.sparkContext.broadcast(
-          docs.as[(Long, Array[Long])].collect().toMap)
-        candidates.as[(Long, Long)].mapPartitions { it =>
-          val m = sortedSets.value
-          it.map { case (d1, d2) =>
-            val a = m(d1); val b = m(d2)
-            (d1, d2, a.length, b.length,
-              sortedIntersectionSize(a, b).toLong)
-          }
-        }.toDF("d1", "d2", "n1", "n2", "inter")
-      } else {
-        val inter = udf((a: Seq[Long], b: Seq[Long]) =>
-          sortedIntersectionSize(a.toArray, b.toArray).toLong)
-        candidates
-          .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-          .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-          .select(col("d1"), col("d2"),
-            size(col("sh1")).as("n1"), size(col("sh2")).as("n2"),
-            inter(col("sh1"), col("sh2")).as("inter"))
-      }
+    val scored = scoredCandidatePairs(spark, docs, candidates)
     scored
       .select(
         when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_id"),
@@ -480,40 +456,54 @@ object DocQueries {
        |FROM sc
        |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) >= 0.8""".stripMargin
 
-  /** Broadcast-map merge-walk Jaccard verification (small-corpus path). */
-  private def verifyBroadcast(spark: SparkSession, docs: DataFrame,
-                              candidates: DataFrame): DataFrame = {
-    import spark.implicits._
-    val sortedSets = spark.sparkContext.broadcast(
-      docs.as[(Long, Array[Long])].collect().toMap) // hashes arrive pre-sorted
-    candidates.as[(Long, Long)].mapPartitions { it =>
-      val m = sortedSets.value
-      it.flatMap { case (d1, d2) =>
-        val a = m(d1)
-        val b = m(d2)
-        val inter = sortedIntersectionSize(a, b)
-        val jac = inter.toDouble / (a.length + b.length - inter)
-        if (jac >= 0.3) Some((d1, d2, inter.toLong, jac)) else None
-      }
-    }.toDF("d1", "d2", "inter", "jaccard")
+  /** Broadcast-or-join gate for the shingle-set verify paths: the corpus
+    * must fit the budget by BOTH doc count and estimated shingle BYTES
+    * (8 per hash) — a doc-count gate alone lets a long-document corpus
+    * broadcast multi-GB, the exact hazard fuzzyDedup's text gate closed.
+    * One agg action over the memo-cached shingle scan. */
+  private def shingleBroadcastable(spark: SparkSession, docs: DataFrame): Boolean = {
+    val maxDocs = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(1L << 20)
+    val maxBytes = spark.conf
+      .getOption("spark.graft.dedup.maxBroadcastBytes").map(_.toLong)
+      .getOrElse(128L << 20)
+    val st = docs
+      .agg(count(lit(1)), coalesce(sum(size(col("sh")).cast("long")), lit(0L)))
+      .head()
+    st.getLong(0) <= maxDocs && 8L * st.getLong(1) <= maxBytes
   }
 
-  /** Distributed Jaccard verification (corpus-scale path): candidates join
-    * the shingle table on each side, then a per-row merge walk. The double
-    * division repeats the broadcast path's `int.toDouble / int` exactly, so
-    * both paths agree bit-for-bit. */
-  private def verifyJoin(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val inter = udf((a: Seq[Long], b: Seq[Long]) =>
-      sortedIntersectionSize(a.toArray, b.toArray))
-    candidates
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .withColumn("inter", inter(col("sh1"), col("sh2")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .filter(col("jaccard") >= 0.3)
-      .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
-        col("jaccard"))
+  /** (d1, d2, n1, n2, inter) for every candidate pair — the verify core
+    * SHARED by the Jaccard and containment operators (one implementation,
+    * so a fix applies to both), behind [[shingleBroadcastable]]. The two
+    * physical forms produce bit-identical rows (DedupScaleSpec pins the
+    * oracled consumer). */
+  private def scoredCandidatePairs(spark: SparkSession, docs: DataFrame,
+                                   candidates: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (shingleBroadcastable(spark, docs)) {
+      val sortedSets = spark.sparkContext.broadcast(
+        docs.as[(Long, Array[Long])].collect().toMap) // hashes arrive pre-sorted
+      candidates.as[(Long, Long)].mapPartitions { it =>
+        val m = sortedSets.value
+        it.map { case (d1, d2) =>
+          val a = m(d1); val b = m(d2)
+          (d1, d2, a.length.toLong, b.length.toLong,
+            sortedIntersectionSize(a, b).toLong)
+        }
+      }.toDF("d1", "d2", "n1", "n2", "inter")
+    } else {
+      val inter = udf((a: Seq[Long], b: Seq[Long]) =>
+        sortedIntersectionSize(a.toArray, b.toArray).toLong)
+      candidates
+        .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(col("sh1")).cast("long").as("n1"),
+          size(col("sh2")).cast("long").as("n2"),
+          inter(col("sh1"), col("sh2")).as("inter"))
+    }
   }
 
   /** Merge-walk intersection size of two ascending-sorted hash arrays. */
@@ -582,9 +572,16 @@ object DocQueries {
       if (pairsDf.count() <= maxDriverPairs) {
         val pairs = pairsDf.as[(Long, Long)].collect()
         val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // ITERATIVE find + path compression: the recursive form built an
+        // O(n)-deep parent chain on a chain-shaped pair graph (pairs
+        // arriving (k, k+1) descending) and overflowed the driver stack
+        // during the final labeling pass — inside the gate this exists for
         def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
         }
         pairs.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
@@ -2951,7 +2948,7 @@ object DocQueries {
   def unigramTok(spark: SparkSession, d: String): DataFrame = {
     val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
       documents(spark, d)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .select(explode(toks(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
         .cache())(_.unpersist(blocking = false))
@@ -3095,7 +3092,7 @@ object DocQueries {
   def wordpieceTok(spark: SparkSession, d: String): DataFrame = {
     val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
       documents(spark, d)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .select(explode(toks(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
         .cache())(_.unpersist(blocking = false))
@@ -4084,7 +4081,7 @@ object DocQueries {
   def nbClassify(spark: SparkSession, d: String): DataFrame = {
     val tk = documents(spark, d)
       .select(col("doc_id"), col("lang"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(toks(col("text"))).as("w"))
     val train = tk.filter(col("doc_id") % 5 =!= 0)
     val test = tk.filter(col("doc_id") % 5 === 0)
     val cls = train.groupBy(col("lang").as("c"))
@@ -4163,7 +4160,7 @@ object DocQueries {
   def rakeKeywords(spark: SparkSession, d: String): DataFrame = {
     val tk = documents(spark, d)
       .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
       .withColumn("stop", col("w").isInCollection(RakeStop))
     val runs = tk
       .withColumn("run", sum(col("stop").cast("int"))
@@ -4368,7 +4365,7 @@ object DocQueries {
     * One row out. */
   def zipfFit(spark: SparkSession, d: String): DataFrame = {
     val counts = documents(spark, d)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
     val top = counts.orderBy(col("n").desc, col("w")).limit(1000)
       .withColumn("rank",
