@@ -57,9 +57,21 @@ object Digests {
   /** Per-thread initialized-Mac cache keyed by (algorithm, seed): JCE
     * Mac.getInstance is a synchronized provider lookup and init() re-runs
     * the key schedule — per-ROW cost on the hot digest path. doFinal()
-    * resets the Mac, so a cached instance is reusable indefinitely. */
+    * resets the Mac, so a cached instance is reusable indefinitely.
+    *
+    * Every current caller passes a plan-time-literal seed (the DSL compiles
+    * the mapping's seed string into the expression), so the key space is
+    * tiny; the LRU bound below is a belt-and-braces guard so a future
+    * per-row or high-cardinality seed degrades to cache misses instead of
+    * leaking Mac instances per executor thread. */
+  private final val MacCacheMax = 64
   private val macCache = ThreadLocal.withInitial[
-      java.util.HashMap[(String, String), Mac]](() => new java.util.HashMap)
+      java.util.LinkedHashMap[(String, String), Mac]](() =>
+    new java.util.LinkedHashMap[(String, String), Mac](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Mac]): Boolean =
+        size() > MacCacheMax
+    })
 
   /** Seeded (HMAC) digest of the non-null pieces, in order. Never null. */
   def hmacDigest(algorithm: String, seed: String, pieces: Array[String]): Array[Byte] = {

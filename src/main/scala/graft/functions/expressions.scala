@@ -180,13 +180,21 @@ case class BrowserDecode(child: Expression) extends UnaryExpression {
 case class RegexMatchGroup(child: Expression, pattern: String, group: Int)
     extends UnaryExpression with ExpectsInputTypes {
   @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+  // Fail at construction (= mapping-compile time) like the reference, where a
+  // typo'd index throws from Matcher.group(n) on the first event; silent
+  // all-null output would hide the config error. Null stays reserved for
+  // non-participating groups only.
+  require(
+    group >= 0 && group <= compiled.matcher("").groupCount(),
+    s"regex group $group out of range: pattern '$pattern' has " +
+      s"${compiled.matcher("").groupCount()} capture group(s)")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   def evalOne(u: UTF8String): UTF8String = {
     if (u == null) return null
     val m = compiled.matcher(u.toString)
-    if (!m.matches() || group > m.groupCount()) null
+    if (!m.matches()) null
     else {
       val g = m.group(group)
       if (g == null) null else UTF8String.fromString(g)

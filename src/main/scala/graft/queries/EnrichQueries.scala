@@ -162,14 +162,24 @@ object EnrichQueries {
     * .java:78-96`). */
   def geoMmdbRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val dimRows = geoDimFull(spark, d).collect().toSeq // 25 rows: model-sized
-    // per-process unique file (NOT a name keyed on the dataset): two
-    // concurrent runs over the same dataset would otherwise write and
-    // parse the same /tmp path mid-truncate; deleteOnExit bounds residue
-    val mmdbFile = java.io.File.createTempFile("graft-geo-", ".mmdb")
-    mmdbFile.deleteOnExit()
-    val mmdb = mmdbFile.getAbsolutePath
-    graft.sources.MaxMindDbWriter.write(dimRows, mmdb)
-    enrichFullWith(spark, d, graft.sources.MaxMindDb.cityDim(spark, mmdb))
+    // ONE per-process temp file, written and parsed under a lock: a fresh
+    // createTempFile per invocation would accumulate files AND deleteOnExit
+    // registry entries across a long bench session's cold/warm/retry loops,
+    // while an unlocked shared path would let two concurrent runs parse
+    // mid-truncate. cityDim reads the bytes eagerly on the driver, so the
+    // lock can be released as soon as it returns.
+    val dim = mmdbLock.synchronized {
+      graft.sources.MaxMindDbWriter.write(dimRows, mmdbScratch.getAbsolutePath)
+      graft.sources.MaxMindDb.cityDim(spark, mmdbScratch.getAbsolutePath)
+    }
+    enrichFullWith(spark, d, dim)
+  }
+
+  private val mmdbLock = new Object
+  private lazy val mmdbScratch: java.io.File = {
+    val f = java.io.File.createTempFile("graft-geo-", ".mmdb")
+    f.deleteOnExit()
+    f
   }
 
   val geoEnrichFullSql: String =

@@ -4515,8 +4515,28 @@ object EventQueries {
     * Scale: one day-grain map-side-combinable aggregation; the grid,
     * ranking and step-up all run on the (types × days) model-sized
     * table. */
-  private val FdrQNum = 1L
-  private val FdrQDen = 4L
+  private[graft] val FdrQNum = 1L
+  private[graft] val FdrQDen = 4L
+  // Documented operand bounds of the BH decision arithmetic (PropertySpec
+  // generates over exactly these): o <= FdrOMax events/cell, D <= FdrDMax
+  // days, m <= FdrMMax cells, t_total <= o*D. The rejection compare's right
+  // operand num*rank*FdrQNum maxes at (o*D)^2 * m * FdrQNum ≈ 8e18 at
+  // FdrQNum = 1 — already near the 9.2e18 signed-64 ceiling, so raising the
+  // q numerator (e.g. q = 3/10) would silently overflow INSIDE the
+  // documented range. These asserts fail at class-init instead.
+  private[graft] val FdrOMax = 100000L
+  private[graft] val FdrDMax = 400L
+  private[graft] val FdrMMax = 5000L
+  require(
+    BigInt(FdrOMax * FdrDMax).pow(2) * FdrMMax * FdrQNum <= Long.MaxValue,
+    s"BH rejection compare num*rank*FdrQNum overflows signed-64 at the " +
+      s"documented bounds (o<=$FdrOMax, D<=$FdrDMax, m<=$FdrMMax)")
+  require(
+    BigInt(FdrDMax) * (FdrOMax * FdrDMax) * FdrQDen * FdrMMax <= Long.MaxValue,
+    "BH rejection compare den*FdrQDen*m overflows signed-64 at the documented bounds")
+  require(
+    BigInt(FdrDMax) * (FdrOMax * FdrDMax) * 1000000L <= Long.MaxValue,
+    "BH staged-division rank key den*1e6 overflows signed-64 at the documented bounds")
 
   def fdrBh(spark: SparkSession, d: String): DataFrame = {
     val daily = ev(spark, d)

@@ -94,6 +94,21 @@ class AbsentSemanticsSpec extends SparkSpec {
     assert(alt.toSeq === Seq(None))
   }
 
+  test("matchGroup: out-of-range group index fails at construction, not as nulls") {
+    import graft.functions.GraftFunctions.matchGroup
+    // the reference throws from Matcher.group(n) on the first event; a
+    // typo'd index must fail at mapping-compile time, not yield all-null
+    val e = intercept[IllegalArgumentException](matchGroup(col("s"), "(a)(b)", 3))
+    assert(e.getMessage.contains("2 capture group"))
+    intercept[IllegalArgumentException](matchGroup(col("s"), "(a)", -1))
+    // boundary: group 0 (whole match) and the last group stay valid
+    val df = Seq("ab").toDF("s")
+    assert(df.select(matchGroup(col("s"), "(a)(b)", 2)).as[Option[String]]
+      .collect().toSeq === Seq(Some("b")))
+    assert(df.select(matchGroup(col("s"), "(a)(b)", 0)).as[Option[String]]
+      .collect().toSeq === Seq(Some("ab")))
+  }
+
   test("checksumMismatch: a NULL params map is corrupt (absent checksum)") {
     import graft.functions.GraftFunctions.checksumMismatch
     val df = Seq("x").toDF("s").select(checksumMismatch(

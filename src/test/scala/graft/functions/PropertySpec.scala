@@ -226,12 +226,15 @@ class PropertySpec extends AnyFunSuite {
   // BigInt replay, so a future widening of the inputs that silently
   // overflows the longs fails here before it corrupts a gate.
   test("BH cross-multiplied compare matches BigInt over the documented range") {
-    // o <= 1e5 events/cell, D <= 400 days, m <= 5000 cells, q = 1/4
+    // bounds + q derived from EventQueries' constants so a change to either
+    // re-runs the overflow check against the REAL operating parameters
+    import graft.queries.EventQueries.{FdrQNum => qN, FdrQDen => qD,
+      FdrOMax, FdrDMax, FdrMMax}
     val g = for {
-      o <- Gen.chooseNum(0L, 100000L)
-      dDays <- Gen.chooseNum(1L, 400L)
-      tTotal <- Gen.chooseNum(o, 40000000L) // type total >= the cell's own o
-      m <- Gen.chooseNum(1L, 5000L)
+      o <- Gen.chooseNum(0L, FdrOMax)
+      dDays <- Gen.chooseNum(1L, FdrDMax)
+      tTotal <- Gen.chooseNum(o, FdrOMax * FdrDMax) // type total >= the cell's own o
+      m <- Gen.chooseNum(1L, FdrMMax)
       k <- Gen.chooseNum(1L, m)
     } yield (o, dDays, tTotal, m, k)
     check(Prop.forAll(g) { case (o, dd, tt, m, k) =>
@@ -239,12 +242,12 @@ class PropertySpec extends AnyFunSuite {
       val num = dev * dev
       val den = dd * tt
       val longDecision =
-        if (num <= den) 4L * m <= k
-        else den * 4L * m <= num * k
+        if (num <= den) qD * m <= k * qN
+        else den * qD * m <= num * k * qN
       val (bN, bD) = (BigInt(o) * dd - tt, BigInt(dd) * tt)
       val bigDecision =
-        if (bN * bN <= bD) BigInt(4) * m <= BigInt(k)
-        else bD * 4 * m <= bN * bN * k
+        if (bN * bN <= bD) BigInt(qD) * m <= BigInt(k) * qN
+        else bD * qD * m <= bN * bN * k * qN
       // the staged-division rank key must ALSO match BigInt here — the
       // single multiply den*1e9 overflows at den > 9.2e9, inside this range
       val keyOk =
