@@ -3089,7 +3089,12 @@ object DocQueries {
     * shuffles. */
   private val WpVocabK = 48
 
-  def wordpieceTok(spark: SparkSession, d: String): DataFrame = {
+  /** The trained WordPiece vocabulary as a frame: (p, cont) with cont 0 =
+    * word-start piece class, 1 = continuation. Written to parquet, this is
+    * the publication format the streaming tokenize-at-ingest form
+    * ([[graft.streaming.Streams.wordpieceBatch]]) hot-loads via
+    * `RefreshableDim` — train here, publish, serve live. */
+  def wordpieceVocab(spark: SparkSession, d: String): DataFrame = {
     val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
       documents(spark, d)
         .select(explode(toks(col("text"))).as("word"))
@@ -3109,44 +3114,30 @@ object DocQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cont")).orderBy(col("c").desc, col("p"))))
       .filter(col("rk") <= WpVocabK).select(col("p"), col("cont"))
+    chars.union(multi)
+  }
+
+  def wordpieceTok(spark: SparkSession, d: String): DataFrame = {
+    val words = MemoCache.getOrElseUpdate(spark, ("uni-words", d))(
+      documents(spark, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+        .cache())(_.unpersist(blocking = false))
     // model-sized (2 alphabets + 2*WpVocabK): collect + broadcast, the
     // same intended shape as the unigram vocab
-    val vocab = chars.union(multi).collect()
+    val vocab = wordpieceVocab(spark, d).collect()
       .map(r => (r.getString(0), r.getInt(1)))
     val bcStart = spark.sparkContext.broadcast(
       vocab.collect { case (p, 0) => p }.toSet)
     val bcCont = spark.sparkContext.broadcast(
       vocab.collect { case (p, 1) => p }.toSet)
-    val encUdf = udf((word: String) => {
-      val start = bcStart.value
-      val cont = bcCont.value
-      // CODEPOINT offsets, not UTF-16 units: the vocabulary was built with
-      // Spark SQL length/substring (codepoint semantics), so the greedy
-      // walk must measure pieces the same way or supplementary characters
-      // (emoji etc.) silently shrink the match window and diverge from the
-      // oracle's enumeration (pinned by the non-BMP planted test)
-      val n = word.codePointCount(0, word.length)
-      val off = new Array[Int](n + 1)
-      var ci = 0; var cp = 0
-      while (cp < n) { off(cp) = ci; ci = word.offsetByCodePoints(ci, 1); cp += 1 }
-      off(n) = word.length
-      val sb = new StringBuilder
-      var pieces = 0
-      var pos = 0
-      while (pos < n) {
-        val set = if (pos == 0) start else cont
-        var l = math.min(UniMaxPiece, n - pos)
-        // l reaches 1 before the loop can fail: the single char at `pos`
-        // is in the positional alphabet by construction (vocab and words
-        // come from the same corpus)
-        while (l > 1 && !set.contains(word.substring(off(pos), off(pos + l)))) l -= 1
-        if (pos == 0) sb.append(word.substring(off(pos), off(pos + l)))
-        else sb.append(" ##").append(word.substring(off(pos), off(pos + l)))
-        pieces += 1
-        pos += l
-      }
-      (pieces, sb.toString)
-    })
+    // the greedy walk lives in graft.functions.WordPiece (codepoint-offset
+    // longest-match-first), shared verbatim with the streaming
+    // tokenize-at-ingest form so batch and live encoding can never drift
+    val encUdf = udf((word: String) =>
+      graft.functions.WordPiece.encodeGreedy(
+        word, bcStart.value, bcCont.value, UniMaxPiece))
     words
       .withColumn("e", encUdf(col("word")))
       .select(col("word"), col("freq"),

@@ -646,4 +646,77 @@ object Streams {
     val probe = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     batch.withColumn("maybe_contaminated", probe(col(fpCol)))
   }
+
+  /** Streaming WordPiece tokenize-at-ingest — the live form of
+    * [[graft.queries.DocQueries.wordpieceTok]]'s encode stage: a trained
+    * vocabulary published as parquet (p, cont) — the exact frame
+    * [[graft.queries.DocQueries.wordpieceVocab]] writes — is hot-loaded via
+    * [[graft.functions.RefreshableDim]], derived once per publication into
+    * two broadcast positional piece sets, and applied as ONE NARROW per-row
+    * pass per micro-batch (broadcast model + map: no shuffle, no streaming
+    * state, no watermark — the 100-TB ingest shape). A republished
+    * vocabulary is picked up at the next micro-batch boundary with no query
+    * restart; in-flight tasks keep the broadcast they started with.
+    *
+    * The greedy walk is [[graft.functions.WordPiece.encodeGreedy]] — the
+    * same code the oracled batch operator runs, so live and batch
+    * tokenization cannot drift. Output: input columns + n_words, n_pieces,
+    * and an order-sensitive md5 over the full piece stream. */
+  def wordpieceBatch(batch: DataFrame, vocabPath: String,
+                     textCol: String = "text",
+                     maxPiece: Int = 6): DataFrame = {
+    val spark = batch.sparkSession
+    val bc = graft.functions.RefreshableDim.derived(
+      spark, vocabPath, s"wp-vocab:$maxPiece") { dim =>
+      val vocab = dim.select(col("p"), col("cont")).collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+      spark.sparkContext.broadcast(
+        (vocab.collect { case (p, 0) => p }.toSet,
+         vocab.collect { case (p, 1) => p }.toSet))
+    } { stale =>
+      // unpersist (NOT destroy): see decontaminateBatch — an in-flight
+      // batch may still lazily read the superseded broadcast's value
+      try stale.unpersist(blocking = false) catch { case _: Exception => () }
+    }
+    val enc = udf((tk: Seq[String]) => {
+      if (tk == null) None
+      else {
+        val (start, cont) = bc.value
+        var pieces = 0
+        val segs = tk.iterator.filter(_.nonEmpty).map { w =>
+          val (n, seg) = graft.functions.WordPiece.encodeGreedy(w, start, cont, maxPiece)
+          pieces += n
+          seg
+        }.mkString(" ")
+        Some((pieces, org.apache.commons.codec.digest.DigestUtils.md5Hex(segs)))
+      }
+    })
+    val passThrough = batch.columns.map(col).toIndexedSeq
+    batch
+      .withColumn("__tk", split(trim(col(textCol)), graft.functions.MinHash.WsRe))
+      .withColumn("__e", enc(col("__tk")))
+      .select(passThrough ++ Seq(
+        size(col("__tk")).as("n_words"),
+        col("__e._1").as("n_pieces"),
+        col("__e._2").as("wp_md5")): _*)
+  }
+
+  /** Streaming BPE encode-at-ingest: the merge table published as parquet
+    * (rank, left, right) — [[graft.queries.DocQueries.bpeTrain]]'s frame —
+    * hot-loads via [[graft.functions.RefreshableDim]] into a broadcast rank
+    * map, then the batch applier [[graft.queries.DocQueries.bpeEncodeOn]]
+    * runs unchanged per micro-batch. Same shape and refresh semantics as
+    * [[wordpieceBatch]]. */
+  def bpeEncodeBatch(batch: DataFrame, mergesPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bc = graft.functions.RefreshableDim.derived(
+      spark, mergesPath, "bpe-merges") { dim =>
+      val rank = dim.select(col("left"), col("right"), col("rank")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      spark.sparkContext.broadcast(rank)
+    } { stale =>
+      try stale.unpersist(blocking = false) catch { case _: Exception => () }
+    }
+    graft.queries.DocQueries.bpeEncodeOn(batch, bc)
+  }
 }
