@@ -62,6 +62,32 @@ object GraftFunctions {
   def gearChunksRaw(text: Column): Column =
     column(GearChunksRawExpr(expression(text)))
 
+  /** One-pass whitespace-token statistics struct ([[TextStatsExpr]]):
+    * (nTokens, nTypes, stopHits, charSum). */
+  def textStats(text: Column, stopwords: Set[String]): Column =
+    column(TextStatsExpr(expression(text), stopwords))
+
+  /** BPE-encode a token array against a broadcast merge-rank map
+    * ([[BpeEncodeExpr]]): (nTokens, md5-of-symbol-stream). */
+  def bpeEncodeTokens(tokens: Column,
+      rank: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]]): Column =
+    column(BpeEncodeExpr(expression(tokens), rank))
+
+  /** Greedy WordPiece segmentation of one word ([[WordPieceEncodeExpr]]):
+    * (nPieces, "first ##rest" segmentation). `model` is the broadcast
+    * (start-piece set, continuation-piece set) pair. */
+  def wordpieceEncode(word: Column,
+      model: org.apache.spark.broadcast.Broadcast[(Set[String], Set[String])],
+      maxPiece: Int): Column =
+    column(WordPieceEncodeExpr(expression(word), model, maxPiece))
+
+  /** Greedy WordPiece over a whole token array ([[WordPieceEncodeAllExpr]]):
+    * (total nPieces, md5 over the piece stream); empty tokens skipped. */
+  def wordpieceEncodeAll(tokens: Column,
+      model: org.apache.spark.broadcast.Broadcast[(Set[String], Set[String])],
+      maxPiece: Int): Column =
+    column(WordPieceEncodeAllExpr(expression(tokens), model, maxPiece))
+
   /** Textbook Jaro-Winkler similarity, byte-level ([[JaroWinkler]] —
     * semantics pinned to DuckDB's native implementation for oracle parity). */
   def jaroWinkler(a: Column, b: Column): Column =

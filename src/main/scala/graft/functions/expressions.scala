@@ -4,7 +4,7 @@ import graft.model.DivolteId
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -570,4 +570,169 @@ case class GearChunksRawExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GearChunksRawExpr =
     copy(child = newChild)
   override def prettyName: String = "gear_chunks_raw"
+}
+
+/** All whitespace-token statistics in one pass ([[TextStats]]) — direct
+  * InternalRow construction replacing the former Scala UDF, so the
+  * quality/token-stat hot path (runs per DOCUMENT under half a dozen
+  * queries) stays inside whole-stage codegen without the udf
+  * encoder/CatalystTypeConverters round trip per row. The stopword set is
+  * a plan-time constant that ships with the serialized plan. */
+case class TextStatsExpr(child: Expression, stopwords: Set[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("nTokens", IntegerType, nullable = false),
+    StructField("nTypes", IntegerType, nullable = false),
+    StructField("stopHits", IntegerType, nullable = false),
+    StructField("charSum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  def evalOne(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = TextStats.compute(u.toString, stopwords)
+    if (s == null) null else InternalRow(s.nTokens, s.nTypes, s.stopHits, s.charSum)
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalOne(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tse", this, classOf[TextStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.evalOne($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "text_stats"
+}
+
+/** BPE inference over a token array: flat-encode every whitespace token
+  * with the broadcast merge-rank map ([[Bpe.encodeWord]]) and emit the
+  * symbol count plus an order-sensitive md5 over the full symbol stream.
+  * Replaces the Scala UDF on the per-document encode path (batch
+  * `bpeEncodeOn` and the streaming ingest form); the expression reads the
+  * ArrayData directly — no Seq[String] conversion per row — and holds the
+  * model through the Broadcast handle, so the plan stays small and
+  * executors fetch the rank map once. */
+case class BpeEncodeExpr(child: Expression,
+    rank: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("nTokens", IntegerType, nullable = false),
+    StructField("md5", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  def evalOne(a: ArrayData): InternalRow = {
+    if (a == null) return null
+    val r = rank.value
+    val sb = new java.lang.StringBuilder
+    var count = 0
+    var i = 0
+    while (i < a.numElements()) {
+      val syms = Bpe.encodeWord(a.getUTF8String(i).toString, r)
+      var j = 0
+      while (j < syms.length) {
+        if (count > 0) sb.append(' ')
+        sb.append(syms(j))
+        count += 1
+        j += 1
+      }
+      i += 1
+    }
+    InternalRow(count, UTF8String.fromString(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(sb.toString)))
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalOne(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.evalOne($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode"
+}
+
+/** Greedy WordPiece segmentation of ONE word ([[WordPiece.encodeGreedy]])
+  * against broadcast positional piece sets: (piece count, "first ##rest"
+  * segmentation). Replaces the word-grain Scala UDF in the oracled batch
+  * operator. */
+case class WordPieceEncodeExpr(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[(Set[String], Set[String])],
+    maxPiece: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("nPieces", IntegerType, nullable = false),
+    StructField("seg", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  def evalOne(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val (start, cont) = model.value
+    val (n, seg) = WordPiece.encodeGreedy(u.toString, start, cont, maxPiece)
+    InternalRow(n, UTF8String.fromString(seg))
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalOne(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpe", this, classOf[WordPieceEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.evalOne($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): WordPieceEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_encode"
+}
+
+/** Greedy WordPiece over a whole token ARRAY — the streaming
+  * tokenize-at-ingest form: total piece count + order-sensitive md5 over
+  * the full piece stream (empty tokens skipped, matching the batch
+  * applier's filter). Same broadcast model as [[WordPieceEncodeExpr]]. */
+case class WordPieceEncodeAllExpr(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[(Set[String], Set[String])],
+    maxPiece: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("nPieces", IntegerType, nullable = false),
+    StructField("md5", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  def evalOne(a: ArrayData): InternalRow = {
+    if (a == null) return null
+    val (s, c) = model.value
+    val sb = new java.lang.StringBuilder
+    var pieces = 0
+    var i = 0
+    var first = true
+    while (i < a.numElements()) {
+      val w = a.getUTF8String(i).toString
+      if (w.nonEmpty) {
+        val (n, seg) = WordPiece.encodeGreedy(w, s, c, maxPiece)
+        if (!first) sb.append(' ')
+        sb.append(seg)
+        pieces += n
+        first = false
+      }
+      i += 1
+    }
+    InternalRow(pieces, UTF8String.fromString(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(sb.toString)))
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalOne(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpa", this, classOf[WordPieceEncodeAllExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.evalOne($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): WordPieceEncodeAllExpr =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_encode_all"
 }

@@ -62,12 +62,12 @@ object DocQueries {
     * ([[graft.functions.TextStats]]) — the HOF formulation
     * (`filter`/`aggregate`/`array_distinct`) re-ran the regex split per
     * statistic because higher-order functions evaluate interpreted, outside
-    * both codegen and runtime subexpression elimination. The stats struct
-    * is computed in its own projection (a non-cheap UDF, so CollapseProject
-    * keeps it single-evaluation) and the derived ratios are plain codegen'd
-    * divisions of its fields. */
-  private val textStatsUdf =
-    udf((text: String) => graft.functions.TextStats.compute(text, stopwordSet))
+    * both codegen and runtime subexpression elimination. Since r10 a native
+    * expression ([[graft.functions.TextStatsExpr]]): direct InternalRow
+    * construction inside whole-stage codegen, no udf encoder round trip on
+    * this per-document path (r9 UDF-audit conversion). */
+  private def textStatsUdf(c: Column): Column =
+    graft.functions.GraftFunctions.textStats(c, stopwordSet)
 
   /** Token counting: whitespace tokens, distinct types, type/token ratio,
     * mean token length. Pure narrow stage. */
@@ -2736,31 +2736,24 @@ object DocQueries {
     * Exercised on a MemoryStream in StateSpec. */
   def bpeEncodeOn(docs: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
-      : DataFrame = {
-    val enc = udf((tk: Seq[String]) => {
-      if (tk == null) None
-      else {
-        val syms = tk.iterator.flatMap(w =>
-          graft.functions.Bpe.encodeWord(w, bc.value)).toArray
-        Some((syms.length,
-          org.apache.commons.codec.digest.DigestUtils.md5Hex(
-            syms.mkString(" "))))
-      }
-    })
+      : DataFrame =
+    // native expression ([[graft.functions.BpeEncodeExpr]]) since r10: the
+    // encode loop reads ArrayData in place inside whole-stage codegen — no
+    // per-row Seq[String] conversion (r9 UDF-audit conversion)
     docs
       .select(col("doc_id"), toks(col("text")).as("tk"),
         length(col("text")).as("n_chars_raw"))
-      .withColumn("e", enc(col("tk")))
+      .withColumn("e",
+        graft.functions.GraftFunctions.bpeEncodeTokens(col("tk"), bc))
       .select(
         col("doc_id"),
         size(col("tk")).as("n_words"),
-        col("e._1").as("n_bpe_tokens"),
+        col("e.nTokens").as("n_bpe_tokens"),
         // chars-per-BPE-token x1000 — the compression the merges bought
-        when(col("e._1") > 0,
-          floor(col("n_chars_raw") * lit(1000L) / col("e._1")).cast("long"))
+        when(col("e.nTokens") > 0,
+          floor(col("n_chars_raw") * lit(1000L) / col("e.nTokens")).cast("long"))
           .as("compression_milli"),
-        col("e._2").as("bpe_md5"))
-  }
+        col("e.md5").as("bpe_md5"))
 
   /** DuckDB replay of the FULL BPE merge loop — the piece that makes the
     * two BPE queries hash-checkable rather than rows-only: a single-row
@@ -3128,21 +3121,20 @@ object DocQueries {
     // same intended shape as the unigram vocab
     val vocab = wordpieceVocab(spark, d).collect()
       .map(r => (r.getString(0), r.getInt(1)))
-    val bcStart = spark.sparkContext.broadcast(
-      vocab.collect { case (p, 0) => p }.toSet)
-    val bcCont = spark.sparkContext.broadcast(
-      vocab.collect { case (p, 1) => p }.toSet)
+    val bcModel = spark.sparkContext.broadcast(
+      (vocab.collect { case (p, 0) => p }.toSet,
+       vocab.collect { case (p, 1) => p }.toSet))
     // the greedy walk lives in graft.functions.WordPiece (codepoint-offset
     // longest-match-first), shared verbatim with the streaming
-    // tokenize-at-ingest form so batch and live encoding can never drift
-    val encUdf = udf((word: String) =>
-      graft.functions.WordPiece.encodeGreedy(
-        word, bcStart.value, bcCont.value, UniMaxPiece))
+    // tokenize-at-ingest form so batch and live encoding can never drift;
+    // applied through the native WordPieceEncodeExpr (r9 UDF-audit
+    // conversion)
     words
-      .withColumn("e", encUdf(col("word")))
+      .withColumn("e", graft.functions.GraftFunctions.wordpieceEncode(
+        col("word"), bcModel, UniMaxPiece))
       .select(col("word"), col("freq"),
-        col("e._1").cast("int").as("n_pieces"),
-        col("e._2").as("seg"))
+        col("e.nPieces").cast("int").as("n_pieces"),
+        col("e.seg").as("seg"))
   }
 
   val wordpieceTokSql: String =

@@ -678,27 +678,15 @@ object Streams {
       // batch may still lazily read the superseded broadcast's value
       try stale.unpersist(blocking = false) catch { case _: Exception => () }
     }
-    val enc = udf((tk: Seq[String]) => {
-      if (tk == null) None
-      else {
-        val (start, cont) = bc.value
-        var pieces = 0
-        val segs = tk.iterator.filter(_.nonEmpty).map { w =>
-          val (n, seg) = graft.functions.WordPiece.encodeGreedy(w, start, cont, maxPiece)
-          pieces += n
-          seg
-        }.mkString(" ")
-        Some((pieces, org.apache.commons.codec.digest.DigestUtils.md5Hex(segs)))
-      }
-    })
     val passThrough = batch.columns.map(col).toIndexedSeq
     batch
       .withColumn("__tk", split(trim(col(textCol)), graft.functions.MinHash.WsRe))
-      .withColumn("__e", enc(col("__tk")))
+      .withColumn("__e", graft.functions.GraftFunctions.wordpieceEncodeAll(
+        col("__tk"), bc, maxPiece))
       .select(passThrough ++ Seq(
         size(col("__tk")).as("n_words"),
-        col("__e._1").as("n_pieces"),
-        col("__e._2").as("wp_md5")): _*)
+        col("__e.nPieces").as("n_pieces"),
+        col("__e.md5").as("wp_md5")): _*)
   }
 
   /** Streaming BPE encode-at-ingest: the merge table published as parquet
