@@ -3695,8 +3695,19 @@ object DocQueries {
     * vocabulary (see [[tfidfKnn]]). */
   private val TfidfDfCapFrac = 0.5
   private val TfidfCapMaxDropFrac = 0.2
-  /** Impact-pruning posting cap (absolute, per term) for [[tfidfKnnCapped]]. */
-  private val TfidfPostingCap = 1024
+  /** Impact-pruning posting cap for [[tfidfKnnCapped]]:
+    * max([[TfidfPostingCapMin]], n_docs / [[TfidfPostingCapDiv]]) — a
+    * FIXED cap is not scale-free, and the r10 x256 probe proved it: at
+    * 1.28M documents a hard 1024 cap pruned the mid-df terms through
+    * which replica-dense neighbors are reachable and the oracled recall
+    * honesty row collapsed to 0.194. Scaling the cap as a corpus FRACTION
+    * is the actual Anh-Moffat posture (keep the postings whose impact can
+    * still matter): candidate generation stays ~linear in corpus size —
+    * sub-linear per unit — instead of saturating into recall loss. At the
+    * oracle gate scales (500/5,000 docs) the floor binds, so gate hashes
+    * are unchanged. */
+  private val TfidfPostingCapMin = 1024
+  private val TfidfPostingCapDiv = 64L
 
   /** Sparse-vector similarity search: TF-IDF weighted cosine top-k over the
     * corpus vocabulary — the lexical analog of [[EmbeddingQueries.knnBrute]]
@@ -3858,11 +3869,16 @@ object DocQueries {
     * norms stay exact; a surviving pair's dot counts only unpruned
     * postings, which the oracle replays term-for-term. Recall cost vs the
     * exact ranking is the oracled [[tfidfRecall]] row (1.0 at the gate sf
-    * — no posting reaches 1024 in a 500-doc corpus; the cap exists for
-    * the corpus scale where posting lists outgrow it). */
+    * — no posting reaches the cap floor in a 500-doc corpus; the
+    * corpus-fraction cap exists for the scale where posting lists outgrow
+    * it — see [[TfidfPostingCapDiv]] for the x256 lesson). */
   def tfidfKnnCapped(spark: SparkSession, d: String): DataFrame = {
     val cap = spark.conf.getOption("spark.graft.tfidf.postingCap")
-      .map(_.toInt).getOrElse(TfidfPostingCap)
+      .map(_.toInt).getOrElse {
+        // one count job; parquet row-count metadata, no column scan
+        val nDocs = documents(spark, d).count()
+        math.max(TfidfPostingCapMin.toLong, nDocs / TfidfPostingCapDiv).toInt
+      }
     // eager eviction of superseded posting-cap variants (cap sweeps must
     // not accumulate abandoned cached tails — same policy as the index)
     MemoCache.evict(spark, {
@@ -3957,7 +3973,8 @@ object DocQueries {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY term
        |                ORDER BY w DESC, doc_id) AS prk
        |    FROM w)
-       |  WHERE prk <= $TfidfPostingCap)""".stripMargin
+       |  WHERE prk <= GREATEST($TfidfPostingCapMin,
+       |    (SELECT n_docs FROM n) // $TfidfPostingCapDiv))""".stripMargin
 
   val tfidfKnnSql: String =
     s"""WITH $tfidfBaseCtes,
