@@ -7,13 +7,14 @@ package graft
 class ContractSpec extends SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
-    // The ONLY queries allowed to ship without a SQL oracle: sequential-
-    // state algorithms DuckDB cannot replay (per-chunk gear-hash walk with
-    // min/max suppression; navigable-graph beam search). Each is pinned by
-    // a dedicated spec (GearChunkerSpec, HnswSpec) and — for HNSW — a
-    // flag-oracled measured-recall gate (emb_hnsw_recall). Anything else
-    // landing here is a regression, not a new category.
-    val specPinned = Set("doc_cdc_gear", "emb_hnsw_search")
+    // The ONLY query allowed to ship without a SQL oracle: the navigable-
+    // graph beam search, genuinely not SQL-replayable. It is pinned by
+    // HnswSpec, a flag-oracled measured-recall gate (emb_hnsw_recall) and
+    // the oracled integer-exact rerank (emb_hnsw_rerank). The gear chunker
+    // left this list in r10 — its suppressed walk is now replayed by a
+    // recursive-CTE oracle (doc_cdc_gear). Anything else landing here is a
+    // regression, not a new category.
+    val specPinned = Set("emb_hnsw_search")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o -- specPinned).isEmpty,
