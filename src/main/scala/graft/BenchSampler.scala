@@ -193,11 +193,17 @@ object BenchSampler {
     * (external load, GC storm, starvation, task stall) and budget remains,
     * re-sample keeping the FASTEST wall (contention only inflates). Returns
     * (bestSample, retries, dirtyReasonsOfBest). `budget` is decremented by
-    * retry wall seconds (shared across a run). */
+    * retry wall seconds (shared across a run). `chargeInitial` also debits
+    * the first sample — set it when the WHOLE call is discretionary (the
+    * end-of-run retime pass), so every timed second there is charged
+    * exactly once; the first-pass call leaves it false because its initial
+    * sample is the mandatory warm measurement, not budgeted retry work. */
   def steady(hostCores: Int, extThreshold: Double, minWall: Double,
-             maxRetries: Int, budget: AtomicLong)(work: => Unit)
+             maxRetries: Int, budget: AtomicLong,
+             chargeInitial: Boolean = false)(work: => Unit)
       : (Sample, Int, Seq[String]) = {
     var best = sample(hostCores)(work)
+    if (chargeInitial) budget.addAndGet(-math.max(0L, (best.wall * 1000).toLong))
     var reasons = dirtyReasons(best, extThreshold, minWall)
     var retries = 0
     while (best.wall >= 0 && reasons.nonEmpty && retries < maxRetries &&

@@ -25,6 +25,23 @@ object DocQueries {
   private def toks(c: Column): Column =
     split(trim(c), graft.functions.MinHash.WsRe)
 
+  /** Per-(session, dataset) document count, computed once — several
+    * operators size scale-dependent knobs (the tfidf posting cap) from it,
+    * and re-counting on every invocation is an extra Spark job even on a
+    * memo hit (the knob is part of the memo key, so it resolves before the
+    * lookup). Deliberately NOT in [[MemoCache]]: a long is too cheap to
+    * spend one of its 8 LRU slots on, and eviction churn there would force
+    * pointless recounts. Values are 8 bytes; stopped sessions are swept on
+    * insert. */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private def docCount(spark: SparkSession, d: String): Long = {
+    docCounts.keySet.removeIf(_._1.sparkContext.isStopped)
+    docCounts.computeIfAbsent((spark, d),
+      // parquet row-count metadata, no column scan
+      _ => java.lang.Long.valueOf(documents(spark, d).count())).longValue()
+  }
+
   /** English-marker stopwords shared by the quality and language-ID
     * operators (and their SQL oracles). */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -3873,10 +3890,13 @@ object DocQueries {
     * corpus-fraction cap exists for the scale where posting lists outgrow
     * it — see [[TfidfPostingCapDiv]] for the x256 lesson). */
   def tfidfKnnCapped(spark: SparkSession, d: String): DataFrame = {
+    // `spark.graft.tfidf.postingCap` is a DEV-ONLY override (cap sweeps,
+    // scale probes): the SQL oracle always replays the default
+    // GREATEST(floor, n_docs/div) formula, so an explicit value makes the
+    // two sides diverge by design — never set it on an oracle-gated run.
     val cap = spark.conf.getOption("spark.graft.tfidf.postingCap")
       .map(_.toInt).getOrElse {
-        // one count job; parquet row-count metadata, no column scan
-        val nDocs = documents(spark, d).count()
+        val nDocs = docCount(spark, d)
         math.max(TfidfPostingCapMin.toLong, nDocs / TfidfPostingCapDiv).toInt
       }
     // eager eviction of superseded posting-cap variants (cap sweeps must

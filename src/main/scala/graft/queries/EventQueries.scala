@@ -4291,6 +4291,37 @@ object EventQueries {
         .cache()
     })(_.unpersist(blocking = false))
 
+  /** Per-(session, dataset) distinct-item count of the capped interaction
+    * set — sizes the broadcast gate below without re-running the count on
+    * every invocation (it reads the memo-cached frame, so a recount is one
+    * cheap job, but the value is a static dataset property). Longs only;
+    * stopped sessions swept on insert — same shape as DocQueries' doc-count
+    * memo. */
+  private val itemCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private def cappedItemCount(spark: SparkSession, d: String): Long = {
+    itemCounts.keySet.removeIf(_._1.sparkContext.isStopped)
+    itemCounts.computeIfAbsent((spark, d),
+      _ => java.lang.Long.valueOf(cappedInteractions(spark, d)
+        .select(col("item")).distinct().count())).longValue()
+  }
+
+  /** Bytes-gated broadcast for the catalog-keyed dim frames ([[itemSim]]'s
+    * marginals, [[triangles]]' degree table): both are ≤ one fixed-width
+    * row per distinct item, so the gate is a row bound — default 2^22
+    * items ≈ 128 MB at ~32 B/row, the same budget the dedup family's
+    * bytes gate uses. Under the bound the dim broadcasts (BHJ,
+    * PlanSpec-asserted at fixture scale); above it the hint is dropped and
+    * the join falls back to a shuffle on the item key — an item catalog
+    * approaching driver memory at 100x must degrade to an exchange, not
+    * OOM the driver (the un-gated `broadcast(...)` forced exactly that). */
+  private def maybeBroadcastItemDim(spark: SparkSession, d: String,
+                                    dim: DataFrame): DataFrame = {
+    val maxItems = spark.conf.getOption("spark.graft.evt.maxBroadcastItems")
+      .map(_.toLong).getOrElse(1L << 22)
+    if (cappedItemCount(spark, d) <= maxItems) broadcast(dim) else dim
+  }
+
   /** Matching SQL: `ui0`/`ui` CTEs, shared by both oracles. */
   private val cappedUiCtes: String =
     s"""ui0 AS (SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
@@ -4314,8 +4345,10 @@ object EventQueries {
     val both = pairs.select(col("i"), col("j"), col("cooc"))
       .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
     val scored = both
-      .join(broadcast(marginals.select(col("item").as("i"), col("n_users").as("ni"))), "i")
-      .join(broadcast(marginals.select(col("item").as("j"), col("n_users").as("nj"))), "j")
+      .join(maybeBroadcastItemDim(spark, d,
+        marginals.select(col("item").as("i"), col("n_users").as("ni"))), "i")
+      .join(maybeBroadcastItemDim(spark, d,
+        marginals.select(col("item").as("j"), col("n_users").as("nj"))), "j")
       .select(col("i").as("item"), col("j").as("sim_item"), col("cooc"),
         round(col("cooc").cast("double") /
           (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))), 6)
@@ -4381,8 +4414,10 @@ object EventQueries {
     val deg = edges.select(col("i").as("v")).union(edges.select(col("j").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val oriented = edges
-      .join(broadcast(deg.select(col("v").as("i"), col("deg").as("di"))), "i")
-      .join(broadcast(deg.select(col("v").as("j"), col("deg").as("dj"))), "j")
+      .join(maybeBroadcastItemDim(spark, d,
+        deg.select(col("v").as("i"), col("deg").as("di"))), "i")
+      .join(maybeBroadcastItemDim(spark, d,
+        deg.select(col("v").as("j"), col("deg").as("dj"))), "j")
       .select(
         when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
           col("i")).otherwise(col("j")).as("src"),

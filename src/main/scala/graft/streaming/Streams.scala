@@ -684,7 +684,11 @@ object Streams {
       .withColumn("__e", graft.functions.GraftFunctions.wordpieceEncodeAll(
         col("__tk"), bc, maxPiece))
       .select(passThrough ++ Seq(
-        size(col("__tk")).as("n_words"),
+        // count NON-EMPTY tokens: split yields [""] for blank text (and ""
+        // edges around leading \t/\n), and the encoder skips empty tokens —
+        // n_words must agree with the piece stream (0 words → 0 pieces),
+        // not report the split artifact.
+        size(array_remove(col("__tk"), "")).as("n_words"),
         col("__e.nPieces").as("n_pieces"),
         col("__e.md5").as("wp_md5")): _*)
   }

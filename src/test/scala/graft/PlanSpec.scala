@@ -1035,4 +1035,37 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
+
+  test("item-dim broadcast gate: above the row bound the marginal/degree " +
+       "joins degrade to a shuffle exchange — never a nested loop, never a " +
+       "driver OOM path") {
+    // force the gate shut: every dim join must fall back to a non-broadcast
+    // equi-join (the 100x posture where the item catalog outgrows driver
+    // memory). AQE may still locally convert a tiny side at runtime, so the
+    // assertion targets the STATIC plan (pre-execution), where only our
+    // explicit hint could have forced a broadcast.
+    spark.conf.set("spark.graft.evt.maxBroadcastItems", "0")
+    try {
+      for (q <- Seq("evt_item_sim", "evt_triangles")) {
+        val df = graft.queries.EventQueries.queries(q)(spark, sf)
+        val nodes = planNodes(df)
+        assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+          s"$q: gated fallback must stay an equi-join")
+        assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+          s"$q: gated fallback must not cartesian")
+        // rows must be identical in either physical form (same query, same
+        // memoized interaction set)
+        val gated = df.collect().map(_.toString).sorted
+        assert(gated.nonEmpty, s"$q under the closed gate must still compute")
+        spark.conf.unset("spark.graft.evt.maxBroadcastItems")
+        val open = graft.queries.EventQueries.queries(q)(spark, sf)
+          .collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.evt.maxBroadcastItems", "0")
+        assert(gated.toSeq === open.toSeq,
+          s"$q: gate-open and gate-closed plans must produce identical rows")
+      }
+    } finally spark.conf.unset("spark.graft.evt.maxBroadcastItems")
+  }
 }
