@@ -9,11 +9,15 @@ class ContractSpec extends SparkSpec {
   test("every query has an oracle and every oracle has a query") {
     // The ONLY query allowed to ship without a SQL oracle: the navigable-
     // graph beam search, genuinely not SQL-replayable. It is pinned by
-    // HnswSpec, a flag-oracled measured-recall gate (emb_hnsw_recall) and
-    // the oracled integer-exact rerank (emb_hnsw_rerank). The gear chunker
-    // left this list in r10 — its suppressed walk is now replayed by a
-    // recursive-CTE oracle (doc_cdc_gear). Anything else landing here is a
-    // regression, not a new category.
+    // HnswPropertySpec (r11: the production walk property-checked against
+    // a naive reference interpreter of the paper's Algorithm 2+5 on
+    // random adversarial graphs, plus brute-force ground truth over the
+    // reachable component in the exhaustive-ef regime), HnswSpec's
+    // invariants, a flag-oracled measured-recall gate (emb_hnsw_recall)
+    // and the oracled integer-exact rerank (emb_hnsw_rerank). The gear
+    // chunker left this list in r10 — its suppressed walk is now replayed
+    // by a recursive-CTE oracle (doc_cdc_gear). Anything else landing here
+    // is a regression, not a new category.
     val specPinned = Set("emb_hnsw_search")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

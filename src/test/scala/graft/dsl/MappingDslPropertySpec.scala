@@ -39,6 +39,13 @@ class MappingDslPropertySpec extends SparkSpec {
   private case class CNot(c: CExp) extends CExp
   private case class CAnd(a: CExp, b: CExp) extends CExp // SQL 3VL &&
   private case class COr(a: CExp, b: CExp) extends CExp
+  // the reference's mapping-condition algebra (DslRecordMapping.java:
+  // 1148-1184, SURVEY §7.4): absent if EITHER side is absent — stricter
+  // than Kleene (absent AND false is absent, not false). Both algebras in
+  // one tree is the production shape: user conditions mix `and`/`or`
+  // producers with comparison operators that null-propagate SQL-style.
+  private case class CAndAbs(a: CExp, b: CExp) extends CExp
+  private case class COrAbs(a: CExp, b: CExp) extends CExp
 
   private sealed trait VExp
   private case class VCol(i: Int) extends VExp          // x_i: nullable int
@@ -61,6 +68,8 @@ class MappingDslPropertySpec extends SparkSpec {
     case CNot(a)    => !colC(a)
     case CAnd(a, b) => colC(a) && colC(b)
     case COr(a, b)  => colC(a) || colC(b)
+    case CAndAbs(a, b) => graft.functions.GraftFunctions.absentAnd(colC(a), colC(b))
+    case COrAbs(a, b)  => graft.functions.GraftFunctions.absentOr(colC(a), colC(b))
   }
   private def colV(v: VExp): Column = v match {
     case VCol(i)    => col(s"x$i")
@@ -95,6 +104,12 @@ class MappingDslPropertySpec extends SparkSpec {
       case (Some(false), Some(false))        => Some(false)
       case _                                 => None
     }
+    // absent-propagating: None dominates regardless of the other side —
+    // flatMap is exactly the reference's Optional.flatMap chain
+    case CAndAbs(a, b) =>
+      evalC(a, r).flatMap(x => evalC(b, r).map(y => x && y))
+    case COrAbs(a, b) =>
+      evalC(a, r).flatMap(x => evalC(b, r).map(y => x || y))
   }
   private def evalV(v: VExp, r: In): Option[Int] = v match {
     case VCol(i)    => r.x(i)
@@ -121,14 +136,16 @@ class MappingDslPropertySpec extends SparkSpec {
 
   // ------------------------------------------------------------ generators
   private def genC(rnd: Random, depth: Int): CExp =
-    rnd.nextInt(if (depth > 0) 7 else 4) match {
+    rnd.nextInt(if (depth > 0) 9 else 4) match {
       case 0 => CCol(rnd.nextInt(3))
       case 1 => CGt(rnd.nextInt(4), rnd.nextInt(5) - 2)
       case 2 => CLit(rnd.nextBoolean())
       case 3 => CNullLit
       case 4 => CNot(genC(rnd, depth - 1))
       case 5 => CAnd(genC(rnd, depth - 1), genC(rnd, depth - 1))
-      case _ => COr(genC(rnd, depth - 1), genC(rnd, depth - 1))
+      case 6 => COr(genC(rnd, depth - 1), genC(rnd, depth - 1))
+      case 7 => CAndAbs(genC(rnd, depth - 1), genC(rnd, depth - 1))
+      case _ => COrAbs(genC(rnd, depth - 1), genC(rnd, depth - 1))
     }
   private def genV(rnd: Random): VExp = rnd.nextInt(3) match {
     case 0 => VCol(rnd.nextInt(4))
