@@ -54,6 +54,60 @@ class EndToEndSpec extends SparkSpec {
     mapped.unpersist(); back.unpersist()
   }
 
+  test("tokenizer spine: train at batch → publish vocab parquet → stream " +
+       "ingest → streamed md5s equal md5s stitched from the oracled batch " +
+       "segmentation") {
+    import spark.implicits._
+    // TRAIN + PUBLISH: the corpus-trained WordPiece vocabulary, written as
+    // the parquet publication frame the streaming form hot-loads — the
+    // train→publish→serve loop of a production tokenize-at-ingest pipeline.
+    val vocabDir = tmp("e2e-wp") + "/vocab"
+    graft.queries.DocQueries.wordpieceVocab(spark, sf).repartition(1)
+      .write.mode("overwrite").parquet(vocabDir)
+    // Batch truth: word → segmentation from the ORACLED doc_wordpiece
+    // operator, stitched per document exactly as the stream encoder does
+    // (empty tokens skipped, segs space-joined, md5 over the full stream) —
+    // so the assertion chains the DuckDB-checked batch output to the
+    // streamed bytes with no shared encoder in the middle.
+    val seg = graft.queries.DocQueries.wordpieceTok(spark, sf)
+      .select("word", "seg").as[(String, String)].collect().toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val expect = docs.map { case (id, text) =>
+      val stream = graft.functions.MinHash.sqlToks(text)
+        .filter(_.nonEmpty).map(seg).mkString(" ")
+      id -> org.apache.commons.codec.digest.DigestUtils.md5Hex(stream)
+    }.toMap
+    // SERVE: the corpus arrives as a stream in two micro-batches (model
+    // reuse across batch boundaries, the production ingest shape).
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map.empty[Long, (Int, String)]
+    val q = input.toDF.toDF("doc_id", "text").writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        seen ++= graft.streaming.Streams.wordpieceBatch(batch, vocabDir)
+          .select("doc_id", "n_words", "wp_md5")
+          .as[(Long, Int, String)].collect()
+          .map(t => t._1 -> ((t._2, t._3)))
+        ()
+    }.start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(seen.size === docs.size)
+      docs.foreach { case (id, text) =>
+        assert(seen(id)._2 === expect(id), s"doc $id md5 diverged")
+        assert(seen(id)._1 ===
+          graft.functions.MinHash.sqlToks(text).count(_.nonEmpty),
+          s"doc $id n_words")
+      }
+    } finally {
+      q.stop()
+      graft.functions.RefreshableDim.invalidate(spark, vocabDir)
+    }
+  }
+
   test("streaming spine: checkpointed sink resumes exactly-once after kill/restart") {
     import spark.implicits._
     val in = tmp("spine-in"); val out = tmp("spine-out"); val cp = tmp("spine-cp")
