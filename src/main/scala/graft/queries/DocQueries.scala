@@ -5040,7 +5040,19 @@ object DocQueries {
     * every 3-token shingle is destroyed — are all missed (aggregate
     * recall 0.147). That is the intended shape: at production edit
     * budgets (K ~ 3-7% of length) the blocked path is near-complete and
-    * ~8x cheaper here; the loose-K tail belongs to the exact operator. */
+    * ~8x cheaper here; the loose-K tail belongs to the exact operator.
+    *
+    * At the scale where the exact comparison is uncomputable (x256 =
+    * 1.28M docs), recall is measured by PLANTED truth instead
+    * ([[graft.PlantedFuzzy]], `SCALE_PLANT_r11.json`): twins with exactly
+    * e substitutions in two edit distributions. Findings: no scale decay
+    * (the x256 scattered curve equals the x1 baseline at every e);
+    * recall rides the edit SHAPE, not the count (clustered/organic e=40
+    * reads 0.50 where scattered e=8 reads 0.07 — scattered single-char
+    * edits destroy one token's shingles each, the LSH-adversarial case);
+    * and even 1-edit twins are caught at ~0.87 — the 0.996 organic
+    * figure above reflects near-1-Jaccard organic pairs, not a
+    * near-perfect banding. */
   def fuzzyDedupBlocked(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
     val docs = documents(spark, d)
