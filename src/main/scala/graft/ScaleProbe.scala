@@ -38,7 +38,7 @@ object ScaleProbe {
   /** Bump when the generator below changes shape: the marker name carries
     * the version, so stale pre-change fixture dirs regenerate instead of
     * silently measuring against data the code no longer describes. */
-  private val GenVersion = 4
+  private val GenVersion = 5
 
   private def writeScaled(spark: SparkSession, sfDir: String, outDir: String,
                           k: Int): String = {
@@ -122,7 +122,24 @@ object ScaleProbe {
       .filter(col("rep") === 0 ||
         col("vec_id") >= graft.queries.EmbeddingQueries.NQueries) // one query set
       .withColumn("vec_id", col("vec_id") + lit(maxVec) * col("rep"))
-      .drop("rep")
+      // Replica vectors are NEW points on the same manifold, not clones
+      // (GenVersion 5): deterministic per-coordinate uniform jitter
+      // (hash-derived, ±0.25 against the unit norm → cos ≈ 0.6 to the
+      // source point), then re-normalize so the unit-norm property the
+      // quantizers assume survives. EXACT clones made every ANN recall
+      // row at x-scale a vec_id tie-break lottery — the true top-k was
+      // 255 identical copies of one vector and recall read exactly 0 or
+      // 1 per query (measured r11) — the embedding analog of the
+      // token-suffix perturbation documents get above.
+      .withColumn("__e", expr(
+        """transform(embedding, (x, j) -> cast(x +
+          |  0.25 * ((pmod(hash(vec_id, rep, j), 2001) - 1000) / 1000.0)
+          |  as float))""".stripMargin))
+      .withColumn("__n", expr(
+        "sqrt(aggregate(__e, cast(0.0 as double), (a, x) -> a + cast(x as double) * x))"))
+      .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+        .otherwise(expr("transform(__e, x -> cast(x / __n as float))")))
+      .drop("rep", "__e", "__n")
       .repartitionByRange(parts, col("vec_id"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     done.getParentFile.mkdirs(); done.createNewFile()

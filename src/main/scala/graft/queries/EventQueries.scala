@@ -4306,6 +4306,18 @@ object EventQueries {
         .select(col("item")).distinct().count())).longValue()
   }
 
+  /** Same memo for the distinct-user count [[triangles]] sizes its edge
+    * threshold from — one count job per (session, dataset), not per
+    * invocation. */
+  private val userCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private def cappedUserCount(spark: SparkSession, d: String): Long = {
+    userCounts.keySet.removeIf(_._1.sparkContext.isStopped)
+    userCounts.computeIfAbsent((spark, d),
+      _ => java.lang.Long.valueOf(cappedInteractions(spark, d)
+        .select(col("user_id")).distinct().count())).longValue()
+  }
+
   /** Bytes-gated broadcast for the catalog-keyed dim frames ([[itemSim]]'s
     * marginals, [[triangles]]' degree table): both are ≤ one fixed-width
     * row per distinct item, so the gate is a row bound — default 2^22
@@ -4397,7 +4409,7 @@ object EventQueries {
 
   def triangles(spark: SparkSession, d: String): DataFrame = {
     val ui = cappedInteractions(spark, d)
-    val nUsers = ui.select(col("user_id")).distinct().count()
+    val nUsers = cappedUserCount(spark, d)
     // undirected edge list (i < j), threshold relative to corpus size;
     // MemoCache-bounded like every reused intermediate (raw .cache()
     // accumulation across a 233-query session measured as GC storms)
