@@ -842,7 +842,36 @@ object EmbeddingQueries {
     * recall — measured at sf0.001: trunc 8/cand 25 -> 0.18, 16/50 -> 0.54,
     * 32/50 -> 0.74. A prefix-trained embedder moves these numbers to ~1. */
   private val TruncDim = 32
+  /** Rerank-pool floor; the effective pool is corpus-scaled — see
+    * [[coarsePoolOf]]. */
   private val CoarseK = 50
+  private val CoarseKDiv = 10L
+
+  /** Per-(session, dataset) embedding count — sizes the rerank pools
+    * below once per dataset instead of per invocation (the same memo
+    * shape as DocQueries' doc count). */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private def embCount(spark: SparkSession, d: String): Long = {
+    embCounts.keySet.removeIf(_._1.sparkContext.isStopped)
+    embCounts.computeIfAbsent((spark, d),
+      _ => java.lang.Long.valueOf(embeddings(spark, d).count())).longValue()
+  }
+
+  /** Effective rerank-pool size: max(floor, n / div) — a FIXED pool is
+    * not scale-free (the r10 tfidf-cap lesson, re-learned on the v5
+    * distinct-replica fixture: emb_prefix_recall read 0.04 and
+    * emb_bq_rerank_recall 0.20 at x256 because 50/100-candidate pools
+    * tuned at 500 vectors were asked to bridge a 0.5M corpus where the
+    * true top-5 sit far deeper in the coarse ranking). The floor binds at
+    * every oracle-gate scale, so gate hashes are unchanged; the oracles
+    * replay the same GREATEST-over-count formula. The honest scale
+    * statement matches tfidf's: a recall-preserving shortlist under a
+    * fixed-resolution coarse pass grows ~linearly with the corpus — the
+    * pool's job is bounding the constant, not buying sub-linear recall. */
+  private def coarsePoolOf(spark: SparkSession, d: String,
+                           floor: Int, div: Long): Int =
+    math.max(floor.toLong, embCount(spark, d) / div).toInt
 
   /** Two-stage retrieval (truncate-then-rerank, the Matryoshka/PQ-refine
     * serving pattern): a coarse pass scores only the first [[TruncDim]] of
@@ -881,7 +910,8 @@ object EmbeddingQueries {
             (sqrt(col("norm2_8").cast("double")) * sqrt(col("q_norm2_8").cast("double"))), 6))
         .otherwise(lit(-2.0)))
       .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= CoarseK)
+      .filter(col("crk") <=
+        coarsePoolOf(spark, d, CoarseK, CoarseKDiv))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     coarse
@@ -920,7 +950,8 @@ object EmbeddingQueries {
        |     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |                 ORDER BY coarse_cos DESC, vec_id) AS crk
        |     FROM coarse)
-       |   WHERE crk <= $CoarseK),
+       |   WHERE crk <= GREATEST($CoarseK,
+       |     (SELECT COUNT(*) FROM embeddings) // $CoarseKDiv)),
        | s AS (SELECT q_id, vec_id,
        |         ROUND(CAST((SELECT SUM(emb[i] * q_emb[i]) FROM idx) AS DOUBLE)
        |           / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(q_norm2 AS DOUBLE))), 6)
@@ -1595,7 +1626,10 @@ object EmbeddingQueries {
 
   lazy val bqRecallSql: String = recallSqlAgainst(bqSearchSql)
 
-  private val BqShortlist = 100 // 20x K, 2.5% of the sf0.01 corpus
+  // floor 100 = 20x K (2.5% of the sf0.01 corpus); effective shortlist is
+  // corpus-scaled via [[coarsePoolOf]] (n/40 keeps the documented 2.5%)
+  private val BqShortlist = 100
+  private val BqShortlistDiv = 40L
 
   /** BQ as production uses it — a two-stage scan: the 8-byte Hamming scan
     * shortlists [[BqShortlist]] candidates per query (the cheap pass over
@@ -1621,7 +1655,8 @@ object EmbeddingQueries {
         (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast("int"))
       .withColumn("hrk", row_number().over(wHam))
-      .filter(col("hrk") <= BqShortlist)
+      .filter(col("hrk") <=
+        coarsePoolOf(spark, d, BqShortlist, BqShortlistDiv))
       .select(col("q_id"), col("vec_id"))
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
@@ -1642,7 +1677,9 @@ object EmbeddingQueries {
 
   val bqRerankSql: String =
     s"""$bqHammingRankedSql,
-       | sl AS (SELECT q_id, vec_id FROM hranked WHERE rk <= $BqShortlist),
+       | sl AS (SELECT q_id, vec_id FROM hranked
+       |        WHERE rk <= GREATEST($BqShortlist,
+       |          (SELECT COUNT(*) FROM embeddings) // $BqShortlistDiv)),
        | idx AS (SELECT unnest(generate_series(1, $Dim)) AS i),
        | e AS (SELECT vec_id,
        |         list_transform(embedding,
