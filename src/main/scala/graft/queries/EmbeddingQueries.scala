@@ -2455,8 +2455,11 @@ object EmbeddingQueries {
     * `HnswSpec` pins the exact recall values. Measured at the defaults:
     * 1.0 at sf0.001–sf0.01 AND at the x16 scaled fixture (80k vectors,
     * where the (m=8, ef=64) starting parameters read 0.62 — the honest
-    * number that set the recall-first defaults above). The 0.9 floor is
-    * the operating guarantee, not the measurement. */
+    * number that set the recall-first defaults above); at x256 (509k
+    * distinct-replica vectors, r11 `SCALE_ANN_r11.json`) the gate still
+    * holds with the same parameters — the only ANN path here whose
+    * shipped knobs survive 256x unchanged. The 0.9 floor is the
+    * operating guarantee, not the measurement. */
   def hnswRecall(spark: SparkSession, d: String): DataFrame = {
     val truth = knnBrute(spark, d).select(col("q_id"), col("vec_id"))
     val got = hnswSearch(spark, d)
