@@ -168,11 +168,11 @@ object Bench {
             f" -> ${bestWarm.wall}%.2f" +
             (if (bestReasons.nonEmpty) s" still-dirty=${bestReasons.mkString("+")}"
              else " clean"))
-          // the retime sample doubles as the cold floor when cold was dirty
+          // the retime sample doubles as the cold floor when cold was
+          // dirty; `rs` IS dirtyReasons(s, ...) for this exact sample —
+          // recomputing it would silently drift if steady's criteria change
           val (cr, crr) =
-            if (needCold && s.wall >= 0)
-              (Some(s), BenchSampler.dirtyReasons(s, extThreshold, minRetimeSec))
-            else (None, Nil)
+            if (needCold && s.wall >= 0) (Some(s), rs) else (None, Nil)
           name -> Q(q.cold, q.coldReasons, bestWarm, q.retries + r + 1,
             bestReasons, eorRetimed = true, cr, crr)
         } else {
@@ -183,8 +183,11 @@ object Bench {
           System.err.println(f"[bench] $name EOR cold floor: cold=${q.cold.wall}%.2f" +
             f" floor=${s.wall}%.2f" +
             (if (crr.nonEmpty) s" still-dirty=${crr.mkString("+")}" else " clean"))
+          // eorRetimed stays FALSE: that flag stamps the WARM quadruple,
+          // and this branch never re-timed the warm sample — the cold
+          // floor's own evidence is the floor_w field in cold_quality
           name -> Q(q.cold, q.coldReasons, q.warm, q.retries, q.reasons,
-            eorRetimed = true, Some(s).filter(_.wall >= 0), crr)
+            eorRetimed = false, Some(s).filter(_.wall >= 0), crr)
         }
       }
     }

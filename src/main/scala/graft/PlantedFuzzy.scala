@@ -132,7 +132,10 @@ object PlantedFuzzy {
     * distance. Idempotent via a done-marker. */
   def plantDocuments(spark: SparkSession, srcDir: String, outDir: String,
                      everyN: Long = 64L): Unit = {
-    val done = new java.io.File(s"$outDir/_planted_v$PlantVersion")
+    // the marker carries everyN: re-running the same outDir with a
+    // different plant density must regenerate, not silently measure the
+    // stale fixture under a fresh label (ScaleProbe's marker policy)
+    val done = new java.io.File(s"$outDir/_planted_v${PlantVersion}_n$everyN")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val twinOffset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L

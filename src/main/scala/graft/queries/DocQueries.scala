@@ -25,22 +25,15 @@ object DocQueries {
   private def toks(c: Column): Column =
     split(trim(c), graft.functions.MinHash.WsRe)
 
-  /** Per-(session, dataset) document count, computed once — several
-    * operators size scale-dependent knobs (the tfidf posting cap) from it,
-    * and re-counting on every invocation is an extra Spark job even on a
-    * memo hit (the knob is part of the memo key, so it resolves before the
-    * lookup). Deliberately NOT in [[MemoCache]]: a long is too cheap to
-    * spend one of its 8 LRU slots on, and eviction churn there would force
-    * pointless recounts. Values are 8 bytes; stopped sessions are swept on
-    * insert. */
-  private val docCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
-  private def docCount(spark: SparkSession, d: String): Long = {
-    docCounts.keySet.removeIf(_._1.sparkContext.isStopped)
-    docCounts.computeIfAbsent((spark, d),
-      // parquet row-count metadata, no column scan
-      _ => java.lang.Long.valueOf(documents(spark, d).count())).longValue()
-  }
+  /** Per-(session, dataset) document count, computed once ([[CountMemo]])
+    * — several operators size scale-dependent knobs (the tfidf posting
+    * cap) from it, and re-counting on every invocation is an extra Spark
+    * job even on a memo hit (the knob is part of the memo key, so it
+    * resolves before the lookup). Parquet row-count metadata, no column
+    * scan. */
+  private def docCount(spark: SparkSession, d: String): Long =
+    CountMemo.getOrCompute(spark, ("doc-count", d))(
+      documents(spark, d).count())
 
   /** English-marker stopwords shared by the quality and language-ID
     * operators (and their SQL oracles). */

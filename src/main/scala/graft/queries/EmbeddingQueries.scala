@@ -45,12 +45,13 @@ object EmbeddingQueries {
   private def dotScaled(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dotLongArrays(a, b)
 
-  /** Corpus row count, memoized per (session, dataset): the size-gate and
-    * √n-cell-count reads would otherwise launch a Spark job on every
-    * DataFrame CONSTRUCTION (including explain-only paths). */
+  /** Corpus row count, memoized per (session, dataset) in [[CountMemo]]
+    * (a long must not burn a MemoCache LRU slot): the size-gate,
+    * √n-cell-count and rerank-pool reads would otherwise launch a Spark
+    * job on every DataFrame CONSTRUCTION (including explain-only paths). */
   private def embeddingCount(spark: SparkSession, d: String): Long =
-    MemoCache.getOrElseUpdate(spark, ("emb-count", d))(
-      embeddings(spark, d).count())(_ => ())
+    CountMemo.getOrCompute(spark, ("emb-count", d))(
+      embeddings(spark, d).count())
 
   /** Per-label integer centroids as (cell, cemb, cnorm2) — the coarse-cell
     * build shared VERBATIM by [[annIvf]], [[ivfpqSearch]] and [[semDedup]]
@@ -847,17 +848,6 @@ object EmbeddingQueries {
   private val CoarseK = 50
   private val CoarseKDiv = 10L
 
-  /** Per-(session, dataset) embedding count — sizes the rerank pools
-    * below once per dataset instead of per invocation (the same memo
-    * shape as DocQueries' doc count). */
-  private val embCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
-  private def embCount(spark: SparkSession, d: String): Long = {
-    embCounts.keySet.removeIf(_._1.sparkContext.isStopped)
-    embCounts.computeIfAbsent((spark, d),
-      _ => java.lang.Long.valueOf(embeddings(spark, d).count())).longValue()
-  }
-
   /** Effective rerank-pool size: max(floor, n / div) — a FIXED pool is
     * not scale-free (the r10 tfidf-cap lesson, re-learned on the v5
     * distinct-replica fixture: emb_prefix_recall read 0.04 and
@@ -871,7 +861,7 @@ object EmbeddingQueries {
     * pool's job is bounding the constant, not buying sub-linear recall. */
   private def coarsePoolOf(spark: SparkSession, d: String,
                            floor: Int, div: Long): Int =
-    math.max(floor.toLong, embCount(spark, d) / div).toInt
+    math.max(floor.toLong, embeddingCount(spark, d) / div).toInt
 
   /** Two-stage retrieval (truncate-then-rerank, the Matryoshka/PQ-refine
     * serving pattern): a coarse pass scores only the first [[TruncDim]] of

@@ -4292,31 +4292,20 @@ object EventQueries {
     })(_.unpersist(blocking = false))
 
   /** Per-(session, dataset) distinct-item count of the capped interaction
-    * set — sizes the broadcast gate below without re-running the count on
-    * every invocation (it reads the memo-cached frame, so a recount is one
-    * cheap job, but the value is a static dataset property). Longs only;
-    * stopped sessions swept on insert — same shape as DocQueries' doc-count
-    * memo. */
-  private val itemCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
-  private def cappedItemCount(spark: SparkSession, d: String): Long = {
-    itemCounts.keySet.removeIf(_._1.sparkContext.isStopped)
-    itemCounts.computeIfAbsent((spark, d),
-      _ => java.lang.Long.valueOf(cappedInteractions(spark, d)
-        .select(col("item")).distinct().count())).longValue()
-  }
+    * set ([[CountMemo]]) — sizes the broadcast gate below without
+    * re-running the count on every invocation (it reads the memo-cached
+    * frame, so a recount is one cheap job, but the value is a static
+    * dataset property). */
+  private def cappedItemCount(spark: SparkSession, d: String): Long =
+    CountMemo.getOrCompute(spark, ("capped-items", d))(
+      cappedInteractions(spark, d).select(col("item")).distinct().count())
 
   /** Same memo for the distinct-user count [[triangles]] sizes its edge
     * threshold from — one count job per (session, dataset), not per
     * invocation. */
-  private val userCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
-  private def cappedUserCount(spark: SparkSession, d: String): Long = {
-    userCounts.keySet.removeIf(_._1.sparkContext.isStopped)
-    userCounts.computeIfAbsent((spark, d),
-      _ => java.lang.Long.valueOf(cappedInteractions(spark, d)
-        .select(col("user_id")).distinct().count())).longValue()
-  }
+  private def cappedUserCount(spark: SparkSession, d: String): Long =
+    CountMemo.getOrCompute(spark, ("capped-users", d))(
+      cappedInteractions(spark, d).select(col("user_id")).distinct().count())
 
   /** Bytes-gated broadcast for the catalog-keyed dim frames ([[itemSim]]'s
     * marginals, [[triangles]]' degree table): both are ≤ one fixed-width

@@ -120,3 +120,20 @@ private[graft] object MemoCache {
 
   private[graft] def size: Int = synchronized(entries.size())
 }
+
+/** Per-(session, key) memo for cheap SCALAR counts (corpus row counts,
+  * distinct-key counts) that size operator knobs — broadcast gates,
+  * posting caps, rerank pools. Deliberately NOT [[MemoCache]]: a long is
+  * too cheap to spend one of its 8 LRU slots on, and eviction churn there
+  * would force pointless recount jobs. Values are 8 bytes; stopped
+  * sessions are swept on insert. One definition — the sweep/locking
+  * logic previously lived in four per-file copies. */
+private[graft] object CountMemo {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), java.lang.Long]
+  def getOrCompute(spark: SparkSession, key: Any)(compute: => Long): Long = {
+    counts.keySet.removeIf(_._1.sparkContext.isStopped)
+    counts.computeIfAbsent((spark, key),
+      _ => java.lang.Long.valueOf(compute)).longValue()
+  }
+}
