@@ -40,7 +40,8 @@ object BenchSampler {
       taskCpuSec: Double, // sum of Spark task CPU (executorCpuTime) landed in the interval
       gcMs: Long,         // collector time over the interval
       memoHits: Long = 0L,   // MemoCache lookups served from cache this interval
-      memoMisses: Long = 0L) { // MemoCache lookups that recomputed this interval
+      memoMisses: Long = 0L, // MemoCache lookups that recomputed this interval
+      jitMs: Long = 0L) { // JIT compilation time over the interval (whole JVM)
     def selfRatio: Double = if (wall > 0) selfCpuSec / wall else -1.0
     /** Memo provenance of this sample: "hit" = every query-layer memo lookup
       * was cache-resident (the number measures the consumer side of a
@@ -82,6 +83,23 @@ object BenchSampler {
     out.toSeq
   }
 
+  /** [[dirtyReasons]] plus the COLD-only criterion (r11 demerit #2): a
+    * cold sample whose GC exceeds 15% of a non-trivial wall is under
+    * JVM-wide allocation/compile pressure that the ext/starved/stalled
+    * detectors cannot see (doc_typo_pairs: 23.6 s cold stamped clean with
+    * gc at 22% of wall vs a 3.2 s idle cold). Warm adjudication keeps the
+    * 50% gcStorm bar — steady-state churn legitimately carries moderate
+    * GC, and warm dirt already triggers in-loop retries; a cold flagged
+    * here just earns its end-of-run floor. The 1 s wall floor keeps
+    * sub-second colds (where a single young-gen pause is a large
+    * fraction) out of the net. */
+  def coldDirtyReasons(s: Sample, extThreshold: Double, minWall: Double): Seq[String] = {
+    val base = dirtyReasons(s, extThreshold, minWall)
+    if (s.wall >= 1.0 && !s.gcStorm && s.gcMs > (s.wall * 150).toLong)
+      base :+ "gcfrac"
+    else base
+  }
+
   // ------------------------------------------------------------- counters
 
   def gcMillis(): Long =
@@ -108,6 +126,15 @@ object BenchSampler {
         cols.sum - idle
       } finally f.close()
     } catch { case _: Throwable => -1L }
+
+  /** Total JIT compilation time; -1 when the JVM doesn't expose it. A big
+    * delta on a COLD sample is legitimate codegen cost; published per cold
+    * sample so a consumer can separate compile pressure from contention. */
+  def jitMillis(): Long = {
+    val b = ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported) b.getTotalCompilationTime
+    else -1L
+  }
 
   def processCpuNanos(): Long =
     ManagementFactory.getOperatingSystemMXBean match {
@@ -163,6 +190,7 @@ object BenchSampler {
     val tr0 = taskRunMs.get(); val tc0 = taskCpuNs.get()
     val (mh0, mm0) = graft.queries.MemoCache.lookupCounts
     val g0 = gcMillis()
+    val jit0 = jitMillis()
     val t0 = System.nanoTime()
     try {
       work
@@ -181,7 +209,8 @@ object BenchSampler {
         }
       Sample(wall, ext, selfSec,
         (taskRunMs.get() - tr0) / 1e3, (taskCpuNs.get() - tc0) / 1e9,
-        gcMillis() - g0, mh1 - mh0, mm1 - mm0)
+        gcMillis() - g0, mh1 - mh0, mm1 - mm0,
+        { val j = jitMillis(); if (j < 0 || jit0 < 0) -1L else j - jit0 })
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] query failed: $e")

@@ -132,6 +132,12 @@ object PlantedFuzzy {
     * distance. Idempotent via a done-marker. */
   def plantDocuments(spark: SparkSession, srcDir: String, outDir: String,
                      everyN: Long = 64L): Unit = {
+    // outDir == srcDir would have mode("overwrite") truncate the input
+    // mid-read (the write plan lazily scans srcDir) and corrupt the
+    // source fixture — fail fast on the canonical paths
+    require(new java.io.File(outDir).getCanonicalPath !=
+        new java.io.File(srcDir).getCanonicalPath,
+      s"plant outDir must differ from srcDir (both are $srcDir)")
     // the marker carries everyN: re-running the same outDir with a
     // different plant density must regenerate, not silently measure the
     // stale fixture under a fresh label (ScaleProbe's marker policy)
@@ -173,6 +179,12 @@ object PlantedFuzzy {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     done.getParentFile.mkdirs()
     done.createNewFile(): Unit
+    // outDir's contents just changed: cached scalar counts keyed on this
+    // dir would silently size caps/pools from the pre-write corpus
+    graft.queries.CountMemo.evict {
+      case (_, dir: String) => dir == outDir
+      case _ => false
+    }
   }
 
   /** Per-(edit budget, edit distribution) recall of the blocked operator
@@ -226,6 +238,16 @@ object PlantedFuzzy {
       extThreshold = 0.15, minWall = 0.3, maxRetries = 3, budget)(once())
     val buckets = measure(spark, outDir).collect()
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    // candidate-volume log: what each blocker contributes and what the
+    // union costs the verify — the "growth bounded and logged" record
+    // for the LSH ∪ CDC candidate set
+    val diag = graft.queries.DocQueries.fuzzyBlockedDiag(spark, outDir).head()
+    val diagJson =
+      s""""cand_lsh":${diag.getAs[Long]("lsh_pairs")},""" +
+        s""""cand_cdc":${diag.getAs[Long]("cdc_pairs")},""" +
+        s""""cand_union":${diag.getAs[Long]("union_pairs")},""" +
+        s""""cdc_hot_keys_dropped":${diag.getAs[Long]("hot_keys_dropped")},""" +
+        s""""cdc_cap":${diag.getAs[Long]("cdc_cap")}"""
     val bucketJson = buckets.map { r =>
       s""""e${r.getAs[Int]("e")}_${r.getAs[String]("mode")}":""" +
         s"""{"planted":${r.getAs[Long]("n_planted")},""" +
@@ -254,7 +276,7 @@ object PlantedFuzzy {
         f""""recall_clustered_near":${mode("clustered", near = true)}%.4f,""" +
         f""""recall_scattered":${mode("scattered", near = false)}%.4f,""" +
         f""""recall_scattered_near":${mode("scattered", near = true)}%.4f,""" +
-        s""""planted_pairs":$allP,"blocked_probe":{$quality}}""")
+        s""""planted_pairs":$allP,$diagJson,"blocked_probe":{$quality}}""")
     spark.stop()
   }
 }

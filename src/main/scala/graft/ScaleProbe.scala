@@ -143,6 +143,12 @@ object ScaleProbe {
       .repartitionByRange(parts, col("vec_id"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     done.getParentFile.mkdirs(); done.createNewFile()
+    // the dir's contents just changed: drop any scalar counts memoized
+    // against it in this session (they size caps/pools/broadcast gates)
+    graft.queries.CountMemo.evict {
+      case (_, d: String) => d == dir
+      case _ => false
+    }
     dir
   }
 

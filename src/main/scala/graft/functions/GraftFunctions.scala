@@ -62,6 +62,11 @@ object GraftFunctions {
   def gearChunksRaw(text: Column): Column =
     column(GearChunksRawExpr(expression(text)))
 
+  /** Two-pass gear-chunk BLOCKING keys for fuzzy dedup — see
+    * [[GearChunker.blockKeys]]. */
+  def gearBlockKeys(text: Column): Column =
+    column(GearBlockKeysExpr(expression(text)))
+
   /** One-pass whitespace-token statistics struct ([[TextStatsExpr]]):
     * (nTokens, nTypes, stopHits, charSum). */
   def textStats(text: Column, stopwords: Set[String]): Column =

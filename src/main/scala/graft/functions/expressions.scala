@@ -549,6 +549,24 @@ case class GearChunksExpr(child: Expression)
   override def prettyName: String = "gear_chunks"
 }
 
+/** [[GearChunker.blockKeys]] — the two-pass fuzzy-BLOCKING chunk walk:
+  * text → array of distinct 64-bit chunk-content keys (pass-2 keys tagged
+  * by XOR so the passes' buckets stay disjoint). CodegenFallback for the
+  * same reason as [[GearChunksExpr]]. */
+case class GearBlockKeysExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(GearChunker.blockKeys(input.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(newChild: Expression): GearBlockKeysExpr =
+    copy(child = newChild)
+  override def prettyName: String = "gear_block_keys"
+}
+
 /** [[GearChunker.rawChunks]] — the suppression-free, restart-free gear walk
   * whose boundary math a SQL engine can replay exactly (see the Scaladoc
   * there): text → array of (start, len) codepoint spans. */

@@ -5016,57 +5016,113 @@ object DocQueries {
       |WHERE levenshtein(a.text, b.text) <= 40""".stripMargin
 
   /** The PRODUCTION-scale fuzzy dedup: candidates = MinHash-LSH band
-    * collisions ([[minhashBands]], the persisted-signature path) further
-    * cut by the length bound, then the threshold-levenshtein verify. Where
-    * [[fuzzyDedup]]'s single length key is provably complete but
+    * collisions ([[minhashBands]], the persisted-signature path) UNIONED
+    * with gear-chunk content-key collisions ([[fuzzyCandCdc]]), both cut
+    * by the length bound, then the shared threshold-levenshtein verify.
+    * Where [[fuzzyDedup]]'s single length key is provably complete but
     * quadratic-ish on corpora with tight length distributions, this
-    * composite is O(docs x bands) — the same shape that makes
-    * [[minhashLsh]] 100-TB-safe — at the price of LSH misses near the
-    * similarity threshold. Precision stays 1 (every emitted pair passed
-    * the exact verify); the recall give-up is MEASURED, not assumed:
-    * [[fuzzyRecall]] scores this operator against the exact one, and its
-    * oracle replays LSH's misses rather than wishing them away.
+    * composite is O(docs x (bands + chunks)) — the same shape that makes
+    * [[minhashLsh]] 100-TB-safe. Precision stays 1 (every emitted pair
+    * passed the exact verify); recall is MEASURED, not assumed:
+    * [[fuzzyRecall]] scores this operator against the exact one with an
+    * oracle that replays both blockers' misses, and at scales where the
+    * exact join is uncomputable the planted-truth probe
+    * ([[graft.PlantedFuzzy]]) measures recall by (edit budget, edit
+    * shape).
     *
-    * Measured at sf0.1 (K=40, ~300-char docs): 255/256 of the pairs with
-    * dist <= 20 (the genuine near-duplicate regime) are caught; the 1477
-    * barely-under-K pairs at dist 21-40 — ~13% edit budget, where nearly
-    * every 3-token shingle is destroyed — are all missed (aggregate
-    * recall 0.147). That is the intended shape: at production edit
-    * budgets (K ~ 3-7% of length) the blocked path is near-complete and
-    * ~8x cheaper here; the loose-K tail belongs to the exact operator.
-    *
-    * At the scale where the exact comparison is uncomputable (x256 =
-    * 1.28M docs), recall is measured by PLANTED truth instead
-    * ([[graft.PlantedFuzzy]], `SCALE_PLANT_r11.json`): twins with exactly
-    * e substitutions in two edit distributions. Findings: no scale decay
-    * (the x256 scattered curve equals the x1 baseline at every e);
-    * recall rides the edit SHAPE, not the count (clustered/organic e=40
-    * reads 0.50 where scattered e=8 reads 0.07 — scattered single-char
-    * edits destroy one token's shingles each, the LSH-adversarial case);
-    * and even 1-edit twins are caught at ~0.87 — the 0.996 organic
-    * figure above reflects near-1-Jaccard organic pairs, not a
-    * near-perfect banding. */
-  def fuzzyDedupBlocked(spark: SparkSession, d: String): DataFrame = {
-    val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    * Why two blockers: they fail on OPPOSITE edit shapes. Shingle-LSH
+    * survives clustered/organic edits (a rewritten span touches few
+    * tokens) but collapses under scattered single-character edits — each
+    * edit destroys its own token's ~3 shingles, and the r11 planted probe
+    * measured the consequence at production budgets: e=4 scattered
+    * recall 0.32, e=8 recall 0.07, at both x1 and x256
+    * (`SCALE_PLANT_r11.json`). Content-defined chunk boundaries
+    * re-synchronize within one 18-byte context window of an edit, so a
+    * scattered edit dirties only the chunk it lands in and the remaining
+    * ~14 chunks per pass stay shared blocking keys; two independent gear
+    * tables make a miss require every chunk of both walks to catch an
+    * edit. The r12 re-run of the SAME x256 planted fixture measures the
+    * union (`SCALE_PLANT_r12.json`; per-bucket numbers there), and the
+    * probe logs candidate volume per blocker (lsh/cdc/union pair counts,
+    * hot keys dropped) so the growth the union buys recall with is on
+    * the record, bounded by the df cap ([[cdcBlockCap]]). */
+  /** MinHash-LSH band-collision candidates with the length bound riding
+    * the candidate join as a residual on the hash join (n_chars travels
+    * with the band keys): |len(a)-len(b)| > K pairs can never verify
+    * (lev >= |len diff|), and dropping them HERE — before the distinct and
+    * the two text-fetch joins — cuts the dominant cost in hot LSH buckets,
+    * where pair volume is quadratic in bucket size. */
+  private def fuzzyCandLsh(spark: SparkSession, d: String, k: Int): DataFrame = {
     val docs = documents(spark, d)
-      .select(col("doc_id"), col("text"), col("n_chars"),
+      .select(col("doc_id"), col("n_chars"),
         shinglesUdf(col("text")).as("sh"), minhashSigUdf(col("text")).as("sig"))
       .filter(size(col("sh")) > 0)
-    // The length bound rides the candidate join as a residual on the hash
-    // join (n_chars travels with the band keys): |len(a)-len(b)| > K pairs
-    // can never verify (lev >= |len diff|), and dropping them HERE — before
-    // the distinct and the two text-fetch joins — cuts the dominant cost in
-    // hot LSH buckets, where pair volume is quadratic in bucket size.
     val bands = minhashBands(docs, carry = Seq("n_chars"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= k)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Hot-key ceiling for the gear-chunk blocking pass: chunk keys shared
+    * by more documents are dropped from candidate generation — a chunk
+    * that frequent is corpus boilerplate, not a near-duplicate signal, and
+    * its bucket alone would emit O(df²) pairs. Corpus-scaled with a
+    * gate-binding floor (the max(floor, n/div) pattern every approximate
+    * knob here follows); the SQL oracle replays the same formula, and the
+    * planted probe measures what the cap costs at the scale it binds. */
+  private def cdcBlockCap(nDocs: Long): Long = math.max(64L, nDocs / 1024L)
+
+  /** (doc_id, n_chars, chunk key) rows of the two-pass gear BLOCKING walk
+    * ([[graft.functions.GearChunker.blockKeys]]) — keys are distinct per
+    * document by construction. */
+  private def cdcBlockKeys(spark: SparkSession, d: String): DataFrame =
+    fuzzyDocs(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(graft.functions.GraftFunctions.gearBlockKeys(col("text")))
+          .as("ck"))
+
+  /** Gear-chunk (CDC) blocking candidates — the complement of
+    * [[fuzzyCandLsh]] for SCATTERED edits. Shingle-LSH is brittle exactly
+    * there (each scattered single-character edit destroys its own token's
+    * ~3 shingles; measured recall 0.32 at e=4 / 0.07 at e=8 on the r11
+    * planted probe), while content-defined chunk boundaries re-synchronize
+    * within one 18-byte context window of an edit, so a scattered edit
+    * dirties only the chunk it lands in and the remaining chunks are
+    * shared byte-identical blocking keys. Two independent gear tables run
+    * the same walk (~14 chunks/pass on ~300-char text), so a pair is
+    * missed only when every chunk of BOTH walks catches an edit;
+    * df-capped ([[cdcBlockCap]]) so corpus-boilerplate chunks never emit
+    * quadratic buckets; the |len diff| <= K residual rides the key join
+    * exactly as on the LSH side. Indel robustness comes from the same
+    * boundary locality: chunks outside an insertion/deletion's context
+    * window keep their content and keys. */
+  private def fuzzyCandCdc(spark: SparkSession, d: String, k: Int): DataFrame = {
+    val cap = cdcBlockCap(docCount(spark, d))
+    val keys = cdcBlockKeys(spark, d)
+    val kept = keys.groupBy(col("ck"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("ck"))
+    // the df aggregate and the self-join share the ck partitioning — one
+    // shuffle of the key table feeds both
+    val kk = keys.join(kept, "ck")
+    kk.as("a").join(kk.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= k)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  def fuzzyDedupBlocked(spark: SparkSession, d: String): DataFrame = {
+    val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    val base = fuzzyDocs(spark, d)
+    val cand = fuzzyCandLsh(spark, d, k)
+      .union(fuzzyCandCdc(spark, d, k))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.GraftFunctions
           .levenshteinBounded(col("ta"), col("tb"), k)
@@ -5074,12 +5130,111 @@ object DocQueries {
       .filter(col("dist") >= 0)
   }
 
+  /** One-row candidate-volume diagnostic for the planted probe: how many
+    * pairs each blocker contributes, the union (what the verify actually
+    * pays), and what the hot-key cap dropped — the "growth bounded and
+    * logged" half of the scattered-recall fix. Probe-only (not in the
+    * gate's query map). */
+  private[graft] def fuzzyBlockedDiag(spark: SparkSession, d: String): DataFrame = {
+    val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    val cap = cdcBlockCap(docCount(spark, d))
+    val lsh = fuzzyCandLsh(spark, d, k).distinct()
+      .agg(count(lit(1)).cast("long").as("lsh_pairs"))
+    val cdc = fuzzyCandCdc(spark, d, k).distinct()
+      .agg(count(lit(1)).cast("long").as("cdc_pairs"))
+    val uni = fuzzyCandLsh(spark, d, k).union(fuzzyCandCdc(spark, d, k))
+      .distinct().agg(count(lit(1)).cast("long").as("union_pairs"))
+    val hot = cdcBlockKeys(spark, d).groupBy(col("ck"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("hot_keys_dropped"))
+    lsh.crossJoin(cdc).crossJoin(uni).crossJoin(hot)
+      .withColumn("cdc_cap", lit(cap))
+  }
+
+  /** One pass of the fuzzy-blocking gear walk replayed in DuckDB —
+    * [[cdcGearSql]]'s closed-form chunk-by-chunk recursion with the
+    * BLOCKING constants (mask bits 8/11/14/17 → 18-byte window, sums mod
+    * 2^18; MinLen 8; MaxLen 64) and the pass's own gear table. Produces
+    * `${p}keys(doc_id, ck)` where ck = FNV-1a 64 of the chunk bytes,
+    * XOR `tag` when nonzero (the pass-2 bucket separator). */
+  private def gearBlockKeysCtes(p: String, tableLow18: Array[Long],
+                                tag: Long): String = {
+    val fnvExpr =
+      s"""CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+         |       THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT)""".stripMargin
+    val keyExpr = if (tag == 0L) fnvExpr else s"xor($fnvExpr, $tag)"
+    s"""${p}gl AS (SELECT ${tableLow18.mkString("[", ",", "]")} AS g),
+       | ${p}t AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |       FROM documents WHERE n_chars > 0),
+       | ${p}bl AS (SELECT doc_id, n, hx,
+       |     list_transform(generate_series(1, CAST(n AS INT)),
+       |       j -> CAST(('0x' || substr(hx, 2*j - 1, 2)) AS BIGINT)) AS bs
+       |   FROM ${p}t),
+       | ${p}arr AS (SELECT doc_id, n, i,
+       |     list_transform(generate_series(0, CAST(least(17, i - 1) AS INT)),
+       |       k -> (g[bs[CAST(i - k AS INT)] + 1] * (CAST(1 AS BIGINT) << k)) % 262144) AS a
+       |   FROM ${p}bl, ${p}gl, (SELECT unnest(generate_series(1, CAST(n AS INT))) AS i)),
+       | ${p}cand AS (SELECT doc_id, n, i, w
+       |   FROM ${p}arr, (SELECT unnest(generate_series(8, 18)) AS w) ws
+       |   WHERE w <= i
+       |     AND (CAST(list_sum(a[1:CAST(w AS INT)]) AS BIGINT) % 262144 & ${graft.functions.GearChunker.BlockMask}) = 0),
+       | ${p}chunks AS (
+       |   SELECT doc_id, n, CAST(0 AS BIGINT) AS s,
+       |     LEAST(COALESCE((SELECT MIN(c.i) FROM ${p}cand c
+       |         WHERE c.doc_id = t.doc_id AND c.i < t.n AND c.i <= 63
+       |           AND ((c.w = 18 AND c.i >= 18) OR (c.w < 18 AND c.w = c.i))),
+       |       9223372036854775807), CAST(64 AS BIGINT), n) AS e
+       |   FROM ${p}t t
+       |   UNION ALL
+       |   SELECT doc_id, n, e AS s,
+       |     LEAST(COALESCE((SELECT MIN(c.i) FROM ${p}cand c
+       |         WHERE c.doc_id = ch.doc_id AND c.i < ch.n AND c.i <= ch.e + 63
+       |           AND ((c.w = 18 AND c.i >= ch.e + 18)
+       |             OR (c.w < 18 AND c.w = c.i - ch.e))),
+       |       9223372036854775807), ch.e + 64, n) AS e
+       |   FROM ${p}chunks ch WHERE e < n),
+       | ${p}keys AS (SELECT q.doc_id, $keyExpr AS ck
+       |   FROM (SELECT ch.doc_id, list_reduce(
+       |       list_prepend(14695981039346656037::HUGEINT,
+       |         list_transform(generate_series(CAST(ch.s + 1 AS INT), CAST(ch.e AS INT)),
+       |           j -> CAST(CAST(('0x' || substr(bl.hx, 2*j - 1, 2)) AS BIGINT) AS HUGEINT))),
+       |       (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+       |         % 18446744073709551616::HUGEINT) AS f
+       |     FROM ${p}chunks ch JOIN ${p}bl bl ON ch.doc_id = bl.doc_id) q)""".stripMargin
+  }
+
+  /** The LSH candidate CTEs plus the gear-blocking pass replays and their
+    * union — `allcand(d1, d2)` is exactly [[fuzzyDedupBlocked]]'s
+    * candidate set (band collisions ∪ df-capped chunk-key collisions,
+    * both under the |len diff| <= K residual). Opens its own
+    * `WITH RECURSIVE` (the chunk walks recurse); shared by the
+    * blocked-fuzzy oracles. */
+  private lazy val fuzzyBlockedCandCtes: String = {
+    val (t1, t2) = graft.functions.GearChunker.blockTablesLow18
+    s"""WITH RECURSIVE ${lshCandCtes.stripPrefix("WITH ")},
+       | ${gearBlockKeysCtes("g1", t1, 0L)},
+       | ${gearBlockKeysCtes("g2", t2, graft.functions.GearChunker.BlockSeed2Tag)},
+       | ck_all AS (SELECT DISTINCT doc_id, ck FROM
+       |   (SELECT * FROM g1keys UNION ALL SELECT * FROM g2keys)),
+       | ck_kept AS (SELECT ck FROM ck_all GROUP BY ck
+       |   HAVING COUNT(*) <= GREATEST(64, (SELECT COUNT(*) FROM documents) // 1024)),
+       | cdc_cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM ck_all a JOIN ck_kept kk ON a.ck = kk.ck
+       |        JOIN ck_all b ON a.ck = b.ck AND a.doc_id < b.doc_id
+       |        JOIN documents da ON a.doc_id = da.doc_id
+       |        JOIN documents db ON b.doc_id = db.doc_id
+       |   WHERE abs(da.n_chars - db.n_chars) <= 40),
+       | allcand AS (SELECT DISTINCT d1, d2 FROM
+       |   (SELECT d1, d2 FROM cand UNION ALL SELECT d1, d2 FROM cdc_cand))""".stripMargin
+  }
+
   val fuzzyDedupBlockedSql: String =
-    s"""$lshCandCtes
-       |SELECT cand.d1 AS doc_a, cand.d2 AS doc_b,
+    s"""$fuzzyBlockedCandCtes
+       |SELECT allcand.d1 AS doc_a, allcand.d2 AS doc_b,
        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-       |FROM cand JOIN documents a ON cand.d1 = a.doc_id
-       |          JOIN documents b ON cand.d2 = b.doc_id
+       |FROM allcand JOIN documents a ON allcand.d1 = a.doc_id
+       |             JOIN documents b ON allcand.d2 = b.doc_id
        |WHERE abs(a.n_chars - b.n_chars) <= 40
        |  AND levenshtein(a.text, b.text) <= 40""".stripMargin
 
@@ -5100,11 +5255,11 @@ object DocQueries {
   }
 
   val fuzzyRecallSql: String =
-    s"""$lshCandCtes,
+    s"""$fuzzyBlockedCandCtes,
        | blocked AS (
-       |   SELECT cand.d1, cand.d2
-       |   FROM cand JOIN documents a ON cand.d1 = a.doc_id
-       |             JOIN documents b ON cand.d2 = b.doc_id
+       |   SELECT allcand.d1, allcand.d2
+       |   FROM allcand JOIN documents a ON allcand.d1 = a.doc_id
+       |                JOIN documents b ON allcand.d2 = b.doc_id
        |   WHERE abs(a.n_chars - b.n_chars) <= 40
        |     AND levenshtein(a.text, b.text) <= 40),
        | exact AS (

@@ -133,7 +133,24 @@ private[graft] object CountMemo {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), java.lang.Long]
   def getOrCompute(spark: SparkSession, key: Any)(compute: => Long): Long = {
     counts.keySet.removeIf(_._1.sparkContext.isStopped)
-    counts.computeIfAbsent((spark, key),
-      _ => java.lang.Long.valueOf(compute)).longValue()
+    val k = (spark, key)
+    val hit = counts.get(k)
+    if (hit != null) hit.longValue()
+    else {
+      // compute OUTSIDE the map's bin lock: a Spark count job inside
+      // computeIfAbsent would block concurrent first accesses on the same
+      // stripe for the job's duration and throw on reentrant lookups; a
+      // rare duplicate count under a race is cheaper than either.
+      val v = java.lang.Long.valueOf(compute)
+      val prev = counts.putIfAbsent(k, v)
+      (if (prev != null) prev else v).longValue()
+    }
   }
+
+  /** Drop cached counts whose key matches — REQUIRED whenever a dataset
+    * dir is rewritten in-session (fixture regeneration, plant writes): a
+    * stale count silently sizes posting caps, rerank pools and broadcast
+    * gates, and `MemoCache.evict` does not touch this store. */
+  def evict(matches: Any => Boolean): Unit =
+    counts.keySet.removeIf(e => matches(e._2)): Unit
 }

@@ -12,7 +12,11 @@ class ContractSpec extends SparkSpec {
     // HnswPropertySpec (r11: the production walk property-checked against
     // a naive reference interpreter of the paper's Algorithm 2+5 on
     // random adversarial graphs, plus brute-force ground truth over the
-    // reachable component in the exhaustive-ef regime), HnswSpec's
+    // reachable component in the exhaustive-ef regime),
+    // HnswBuildPropertySpec (r12: the CONSTRUCTION — level derivation,
+    // entry point, full per-level adjacency — property-checked the same
+    // way against a naive Algorithm 1/3 + Mmax-prune interpreter, so a
+    // build bug can no longer hide as recall drift), HnswSpec's
     // invariants, a flag-oracled measured-recall gate (emb_hnsw_recall)
     // and the oracled integer-exact rerank (emb_hnsw_rerank). The gear
     // chunker left this list in r10 — its suppressed walk is now replayed

@@ -89,6 +89,71 @@ class GearChunkerSpec extends SparkSpec {
     assert(ch.dropRight(1).map(c => c._1 + c._2).toSeq === expected)
   }
 
+  test("blockKeys: independent two-pass replay, tags, and edge shapes") {
+    val text = "the scattered edit blocking walk runs two independent gear tables " * 12
+    val bytes = text.getBytes("UTF-8")
+    // naive re-derivation: run the documented parameterized walk per table,
+    // fnv each span, tag pass 2, dedupe preserving first-seen order
+    def walk(table: Array[Long]): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var (h, start) = (0L, 0)
+      for (i <- bytes.indices) {
+        h = (h << 1) + table(bytes(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= GearChunker.BlockMinLen &&
+              (h & GearChunker.BlockMask) == 0L && i != bytes.length - 1) ||
+            len == GearChunker.BlockMaxLen) {
+          out += ((start, len)); start = i + 1; h = 0L
+        }
+      }
+      if (start < bytes.length) out += ((start, bytes.length - start))
+      out.toSeq
+    }
+    val expected = scala.collection.mutable.LinkedHashSet.empty[Long]
+    walk(GearChunker.gearTable).foreach { case (s, l) =>
+      expected += GearChunker.fnv64(bytes, s, s + l)
+    }
+    walk(GearChunker.gearTable2).foreach { case (s, l) =>
+      expected += (GearChunker.fnv64(bytes, s, s + l) ^ GearChunker.BlockSeed2Tag)
+    }
+    val got = GearChunker.blockKeys(UTF8String.fromString(text))
+    assert(got.toSeq === expected.toSeq)
+    // both walks tile with the blocking bounds
+    for (t <- Seq(GearChunker.gearTable, GearChunker.gearTable2)) {
+      val ch = walk(t)
+      assert(ch.map(_._2).sum === bytes.length)
+      ch.dropRight(1).foreach(c => assert(
+        c._2 >= GearChunker.BlockMinLen && c._2 <= GearChunker.BlockMaxLen))
+    }
+    // gear2 is its own md5 derivation, disjoint from pass 1's table
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("gear2:0".getBytes("UTF-8"))
+    var h2 = 0L
+    (0 until 8).foreach(j => h2 = (h2 << 8) | (d(j) & 0xffL))
+    assert(GearChunker.gearTable2(0) === h2)
+    assert(GearChunker.gearTable2.toSeq !== GearChunker.gearTable.toSeq)
+    // edges: empty text → no keys; sub-MinLen text → one chunk per pass,
+    // two keys kept apart by the pass-2 tag
+    assert(GearChunker.blockKeys(UTF8String.fromString("")).isEmpty)
+    val tiny = GearChunker.blockKeys(UTF8String.fromString("abc"))
+    assert(tiny.length === 2 && (tiny(0) ^ tiny(1)) === GearChunker.BlockSeed2Tag)
+  }
+
+  test("blockKeys: a scattered single-character edit preserves most keys") {
+    // non-repeating tokens: a repeated phrase would leave the edited
+    // chunk's CONTENT alive elsewhere in the key set and mask the change
+    val text = (0 until 80).map(i => s"token${i}word$i").mkString(" ")
+    val base = GearChunker.blockKeys(UTF8String.fromString(text)).toSet
+    // one substitution mid-document: every chunk not containing the edit
+    // (or a boundary inside its context window) keeps its key — the
+    // pigeonhole complement to shingle destruction
+    val edited = text.updated(text.length / 2, 'Q')
+    val kept = GearChunker.blockKeys(UTF8String.fromString(edited)).count(base)
+    assert(kept >= base.size - 6,
+      s"a single edit should dirty at most ~2 chunks per pass, kept $kept/${base.size}")
+    assert(kept < base.size, "the edited chunk's key must change")
+  }
+
   test("doc_cdc_gear: the expression path matches the JVM function per doc") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.queries.DocQueries.cdcGear(spark, sf)

@@ -89,4 +89,39 @@ class FuzzyPlantSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Int]("e"), r.getAs[String]("mode"))).toSet
       === byKey.keySet)
   }
+
+  test("scattered-edit pigeonhole: gear block keys survive scattered " +
+       "substitutions that destroy the shingle bands") {
+    // deterministic (md5-driven perturb, fixed corpus): over every sf0.001
+    // document, a scattered e-substitution twin must share >= 1 blocking
+    // chunk key with its source at high rate — the signal fuzzyCandCdc
+    // joins on, and exactly where the r11 probe measured shingle-LSH at
+    // 0.32 (e4) / 0.07 (e8)
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.length >= 40)
+    for ((e, minFrac) <- Seq(4 -> 0.85, 8 -> 0.7)) {
+      val hits = docs.count { case (id, text) =>
+        val twin = PlantedFuzzy.perturb(text, e, id, clustered = false)
+        val a = graft.functions.GearChunker
+          .blockKeys(UTF8String.fromString(text)).toSet
+        graft.functions.GearChunker
+          .blockKeys(UTF8String.fromString(twin)).exists(a)
+      }
+      assert(hits >= (docs.length * minFrac).toInt,
+        s"e=$e scattered: only $hits/${docs.length} twins share a chunk key")
+    }
+  }
+
+  test("fuzzyBlockedDiag: union bounded by the parts, cap follows the " +
+       "corpus-scaled formula") {
+    val r = DocQueries.fuzzyBlockedDiag(spark, sf).head()
+    val (lsh, cdc, uni) = (r.getAs[Long]("lsh_pairs"),
+      r.getAs[Long]("cdc_pairs"), r.getAs[Long]("union_pairs"))
+    assert(uni >= math.max(lsh, cdc) && uni <= lsh + cdc)
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("cdc_cap") === math.max(64L, n / 1024L))
+    assert(r.getAs[Long]("hot_keys_dropped") >= 0L)
+  }
 }
