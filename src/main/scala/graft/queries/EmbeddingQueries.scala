@@ -682,7 +682,17 @@ object EmbeddingQueries {
     * [[Dim]] dims) vs the full-dimension exact top-K — the evaluation that
     * quantifies the Matryoshka/dimension-reduction serving trade before
     * [[annRerank]] commits to a truncation width. Same brute scan shape
-    * with a shorter vector; the recall join is corpus-size-independent. */
+    * with a shorter vector; the recall join is corpus-size-independent.
+    *
+    * Choosing the coarse pass (measured, `SCALE_ANN_r12.json`): prefix
+    * truncation assumes the embedder concentrates similarity in the
+    * leading dims (Matryoshka training) — on a spectrum-weighted fixture
+    * matching that premise it reads 0.92/0.88 recall at x1/x256, while on
+    * an isotropic fixture it degrades to prefilter-only (0.04 regardless
+    * of pool depth). The sign-bit BQ coarse pass is the mirror image:
+    * 0.82 isotropic but 0.34 concentrated (tail-dim sign bits are
+    * noise-dominated when energy lives in the head). Pick by the
+    * embedder's energy spectrum; this recall row is the guardrail. */
   def prefixRecall(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
       .select(col("vec_id"), slice(scaled(col("embedding")), 1, TruncDim).as("emb"))
