@@ -246,6 +246,7 @@ object PlantedFuzzy {
       s""""cand_lsh":${diag.getAs[Long]("lsh_pairs")},""" +
         s""""cand_cdc":${diag.getAs[Long]("cdc_pairs")},""" +
         s""""cand_union":${diag.getAs[Long]("union_pairs")},""" +
+        s""""l1_survivors":${diag.getAs[Long]("l1_survivors")},""" +
         s""""cdc_hot_keys_dropped":${diag.getAs[Long]("hot_keys_dropped")},""" +
         s""""cdc_cap":${diag.getAs[Long]("cdc_cap")}"""
     val bucketJson = buckets.map { r =>

@@ -42,6 +42,15 @@ object GraftFunctions {
   def levenshteinBounded(a: Column, b: Column, k: Int): Column =
     column(LevenshteinBounded(expression(a), expression(b), k))
 
+  /** 64-bucket saturated code-point histogram ([[CharHist]]) — the
+    * per-document half of the sound fuzzy-verify prune. */
+  def charHist64(c: Column): Column = column(CharHist64Expr(expression(c)))
+
+  /** L1 distance between two [[charHist64]] histograms; `l1 <= 2k` is a
+    * necessary condition for `levenshteinBounded(a, b, k) >= 0`. */
+  def histL1(a: Column, b: Column): Column =
+    column(HistL1Expr(expression(a), expression(b)))
+
   /** Quantile estimate from a [[TDigest]] digest column. */
   def tdigestQuantile(digest: Column, q: Double): Column =
     column(TDigestQuantileExpr(expression(digest), q))

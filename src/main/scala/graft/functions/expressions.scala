@@ -482,6 +482,42 @@ case class LevenshteinBounded(left: Expression, right: Expression, threshold: In
   override def prettyName: String = "levenshtein_bounded"
 }
 
+/** 64-bucket saturated code-point histogram ([[CharHist.hist]]) — the
+  * per-document half of the sound fuzzy-dedup pre-verify prune
+  * (`L1 <= 2 * lev`; see [[CharHist]] for the bound). Computed once per
+  * document, 64 bytes of shuffle payload vs the ~300-byte text it lets
+  * candidate pairs avoid fetching. Codegen'd as one static call. */
+case class CharHist64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    CharHist.hist(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharHist.hist($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharHist64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "char_hist64"
+}
+
+/** L1 distance between two [[CharHist64Expr]] histograms — the per-pair
+  * half of the prune. Runs on the candidate join BEFORE the text fetch
+  * and the banded DP; 64 byte-compares per pair against the DP's
+  * O(len × band) cells. Codegen'd as one static call. */
+case class HistL1Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CharHist.l1(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.CharHist.l1($l, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistL1Expr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hist_l1"
+}
+
 /** Quantile estimate from a [[TDigest]] digest column (flat sorted
   * (mean, weight) pairs). Runs on |groups| rows post-aggregation, never on
   * the fact table — CodegenFallback costs nothing here. */

@@ -5120,7 +5120,24 @@ object DocQueries {
     val cand = fuzzyCandLsh(spark, d, k)
       .union(fuzzyCandCdc(spark, d, k))
       .distinct()
-    cand
+    // Sound pre-verify prune (see [[graft.functions.CharHist]]): L1 of the
+    // 64-byte code-point histograms is <= 2 * lev, so `l1 > 2k` pairs can
+    // never verify and are dropped BEFORE the text fetch — the candidate
+    // join ships 64-byte histograms instead of ~300-byte texts, and only
+    // survivors pay the second join + banded DP. On the replica-dense
+    // scale fixture the CDC blocker's chunk-key collisions are dominated
+    // by cross-replica pairs whose token perturbations sit far above k:
+    // exactly the shape this bound prunes. Results are provably unchanged
+    // (pure necessary-condition filter), so the SQL oracle models the
+    // candidate set and the DP only.
+    val hists = base.select(col("doc_id"),
+      graft.functions.GraftFunctions.charHist64(col("text")).as("h"))
+    val pruned = cand
+      .join(hists.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(hists.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(graft.functions.GraftFunctions.histL1(col("ha"), col("hb")) <= 2 * k)
+      .select(col("doc_a"), col("doc_b"))
+    pruned
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -5147,7 +5164,18 @@ object DocQueries {
     val hot = cdcBlockKeys(spark, d).groupBy(col("ck"))
       .agg(count(lit(1)).as("df")).filter(col("df") > cap)
       .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("hot_keys_dropped"))
-    lsh.crossJoin(cdc).crossJoin(uni).crossJoin(hot)
+    // what the histogram prune leaves for the text fetch + DP — the
+    // denominator that makes the union volume a blocking statistic rather
+    // than a verify cost
+    val hists = fuzzyDocs(spark, d).select(col("doc_id"),
+      graft.functions.GraftFunctions.charHist64(col("text")).as("h"))
+    val survivors = fuzzyCandLsh(spark, d, k).union(fuzzyCandCdc(spark, d, k))
+      .distinct()
+      .join(hists.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(hists.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(graft.functions.GraftFunctions.histL1(col("ha"), col("hb")) <= 2 * k)
+      .agg(count(lit(1)).cast("long").as("l1_survivors"))
+    lsh.crossJoin(cdc).crossJoin(uni).crossJoin(hot).crossJoin(survivors)
       .withColumn("cdc_cap", lit(cap))
   }
 
