@@ -4959,9 +4959,15 @@ object DocQueries {
     // warehouse scale the scan already yields >= parallelism splits and
     // this branch never fires.
     val par = spark.sparkContext.defaultParallelism
-    val probe = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // Per-doc 64-byte histograms ride both join sides so the sound
+    // L1 <= 2*lev prune ([[graft.functions.CharHist]]) can reject in-band
+    // pairs before the banded DP — computed once per doc row, not per
+    // pair, and counted into the broadcast-bytes estimate below.
+    val docsH = docs.withColumn("h",
+      graft.functions.GraftFunctions.charHist64(col("text")))
+    val probe = if (docsH.rdd.getNumPartitions < par) docsH.repartition(par) else docsH
     val left = probe.withColumn("band", expr(s"n_chars DIV $k"))
-    val right = docs
+    val right = docsH
       .withColumn("band", explode(array(expr(s"n_chars DIV $k - 1"),
         expr(s"n_chars DIV $k"), expr(s"n_chars DIV $k + 1"))))
     val cond = col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id")
@@ -4988,7 +4994,9 @@ object DocQueries {
       .head()
     val (nDocs, textBytes) = (stats.getLong(0), stats.getLong(1))
     val joined =
-      if (nDocs <= maxBroadcastDocs && 3L * textBytes <= maxBroadcastBytes)
+      // the +64/doc term charges the histogram column the build side now carries
+      if (nDocs <= maxBroadcastDocs &&
+          3L * (textBytes + 64L * nDocs) <= maxBroadcastBytes)
         left.as("a").join(broadcast(right.as("b")), cond)
       else {
         val sl = left.withColumn("salt", pmod(hash(col("doc_id")), lit(par)))
@@ -4998,6 +5006,9 @@ object DocQueries {
       }
     joined
       .filter(abs(col("a.n_chars") - col("b.n_chars")) <= k)
+      // sound prune before the DP: L1 > 2k pairs can never verify
+      .filter(graft.functions.GraftFunctions
+        .histL1(col("a.h"), col("b.h")) <= 2 * k)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.GraftFunctions
           .levenshteinBounded(col("a.text"), col("b.text"), k)
