@@ -5004,11 +5004,14 @@ object DocQueries {
           explode(sequence(lit(0), lit(par - 1))))
         sl.as("a").join(sr.as("b"), cond && col("a.salt") === col("b.salt"))
       }
-    joined
-      .filter(abs(col("a.n_chars") - col("b.n_chars")) <= k)
-      // sound prune before the DP: L1 > 2k pairs can never verify
-      .filter(graft.functions.GraftFunctions
-        .histL1(col("a.h"), col("b.h")) <= 2 * k)
+    val banded = joined.filter(abs(col("a.n_chars") - col("b.n_chars")) <= k)
+    // sound prune before the DP: L1 > 2k pairs can never verify. The
+    // toggle exists for A/B measurement only — both settings produce
+    // identical rows (CharHistSpec pins the bound), measured at x16:
+    // see README's fuzzy section.
+    (if (histPruneOn(spark)) banded.filter(graft.functions.GraftFunctions
+       .histL1(col("a.h"), col("b.h")) <= 2 * k)
+     else banded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.GraftFunctions
           .levenshteinBounded(col("a.text"), col("b.text"), k)
@@ -5085,6 +5088,12 @@ object DocQueries {
     * planted probe measures what the cap costs at the scale it binds. */
   private def cdcBlockCap(nDocs: Long): Long = math.max(64L, nDocs / 1024L)
 
+  /** The CharHist L1 prune is result-neutral (sound necessary condition,
+    * [[graft.functions.CharHist]]); this toggle exists so its cost/benefit
+    * stays A/B-measurable, not because any setting changes answers. */
+  private def histPruneOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.fuzzy.histPrune").forall(_.toBoolean)
+
   /** (doc_id, n_chars, chunk key) rows of the two-pass gear BLOCKING walk
     * ([[graft.functions.GearChunker.blockKeys]]) — keys are distinct per
     * document by construction. */
@@ -5143,11 +5152,13 @@ object DocQueries {
     // candidate set and the DP only.
     val hists = base.select(col("doc_id"),
       graft.functions.GraftFunctions.charHist64(col("text")).as("h"))
-    val pruned = cand
-      .join(hists.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
-      .join(hists.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
-      .filter(graft.functions.GraftFunctions.histL1(col("ha"), col("hb")) <= 2 * k)
-      .select(col("doc_a"), col("doc_b"))
+    val pruned =
+      if (!histPruneOn(spark)) cand
+      else cand
+        .join(hists.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+        .join(hists.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+        .filter(graft.functions.GraftFunctions.histL1(col("ha"), col("hb")) <= 2 * k)
+        .select(col("doc_a"), col("doc_b"))
     pruned
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
