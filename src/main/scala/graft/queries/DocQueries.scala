@@ -4812,34 +4812,59 @@ object DocQueries {
     * symbol df-ranked for prefix filtering — shared by [[vocabLink]] and
     * [[typoPairs]]. Columns: w, len, g (symbol), rnk (1 = globally rarest
     * symbol of the phrase). */
-  private def phraseSymbols(spark: SparkSession, d: String): DataFrame = {
-    val vocab = documents(spark, d)
-      .select(explode(shingles3Udf(lower(col("text")))).as("w"))
-      .filter(col("w").rlike("^[a-z ]{6,}$"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(1500)
-      .select(col("w"), length(col("w")).as("len"), charSymsUdf(col("w")).as("s"))
-    val ex = vocab.select(col("w"), col("len"), explode(col("s")).as("g"))
-    val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    ex.join(dfTab, "g").select(col("w"), col("g"), col("len"),
-      row_number().over(Window.partitionBy("w")
-        .orderBy(col("df"), col("g"))).as("rnk"))
-  }
+  private def phraseSymbols(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("phrase-symbols", d)) {
+      // The vocab build (corpus scan + shingle explode + count + top-1500)
+      // is the only corpus-sized work here, and the UNCACHED plan recomputed
+      // it up to four times per consumer: `ex` and `dfTab` both read
+      // `vocab`, and both consumers self-join the result (Spark reuses
+      // identical Exchanges, not TakeOrdered subtrees). Cache the build
+      // while ranking, materialize the ~|vocab|*len ranked table ONCE, and
+      // hand every consumer (and both sides of their self-joins) the
+      // in-memory relation. The transient vocab cache is dropped as soon as
+      // the ranked table is resident — lineage stays intact, so a lost
+      // cache partition recomputes from parquet.
+      val vocab = documents(spark, d)
+        .select(explode(shingles3Udf(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z ]{6,}$"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(1500)
+        .select(col("w"), length(col("w")).as("len"), charSymsUdf(col("w")).as("s"))
+        .cache()
+      val ex = vocab.select(col("w"), col("len"), explode(col("s")).as("g"))
+      val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(dfTab, "g").select(col("w"), col("g"), col("len"),
+        row_number().over(Window.partitionBy("w")
+          .orderBy(col("df"), col("g"))).as("rnk"))
+        .cache()
+      ranked.count()
+      vocab.unpersist(blocking = false)
+      ranked
+    }(_.unpersist(blocking = false))
 
   def vocabLink(spark: SparkSession, d: String): DataFrame = {
     val ranked = phraseSymbols(spark, d)
     val pref = ranked.filter(col("rnk") <= col("len") - expr("(7*len + 9) DIV 10") + 1)
-    val cand = pref.as("a").join(pref.as("b"),
+    // Probe side spread to the core count: the memoized symbol table is one
+    // AQE-coalesced partition, which would run the whole O(pairs) JW verify
+    // serially under the broadcast join. The verify predicate is written
+    // INTO the join condition, LAST — left as a post-distinct filter the
+    // optimizer pushes it into the join ahead of the cheap conjuncts
+    // (measured plan: `jw > θ AND w1 < w2 AND len-band`), paying the O(n*m)
+    // metric on pairs the ordering tests would have rejected for free.
+    val par = spark.sparkContext.defaultParallelism
+    val cand = pref.repartition(par).as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.w") < col("b.w") &&
           least(col("a.len"), col("b.len")) * 10 >=
             greatest(col("a.len"), col("b.len")) * 7 &&
-          lit(1) + least(col("a.len") - col("a.rnk"), col("b.len") - col("b.rnk")) >=
+          (lit(1) + least(col("a.len") - col("a.rnk"), col("b.len") - col("b.rnk")) >=
             greatest(expr("(17 * least(a.len, b.len) + 19) DIV 20"),
-                     expr("(7 * greatest(a.len, b.len) + 9) DIV 10")))
+                     expr("(7 * greatest(a.len, b.len) + 9) DIV 10"))) &&
+          graft.functions.GraftFunctions.jaroWinkler(col("a.w"), col("b.w")) >
+            0.9399999990)
       .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
     cand
       .withColumn("jw", graft.functions.GraftFunctions.jaroWinkler(col("w1"), col("w2")))
-      .filter(col("jw") > 0.9399999990)
       .select(col("w1"), col("w2"), col("jw"))
   }
 
@@ -4885,14 +4910,22 @@ object DocQueries {
   def typoPairs(spark: SparkSession, d: String): DataFrame = {
     val ranked = phraseSymbols(spark, d)
     val pref = ranked.filter(col("rnk") <= 4)
-    val cand = pref.as("a").join(pref.as("b"),
+    // Same two verify-cost fixes as [[vocabLink]]: probe side spread to the
+    // core count (the memoized table is one coalesced partition), and the
+    // DL predicate written into the join condition LAST so the cheap
+    // `w1 < w2` / length-band conjuncts short-circuit before the O(n*m) DP
+    // (the post-distinct filter formulation gets pushed into the join
+    // AHEAD of them). Output rows are identical: the verify is the same
+    // necessary-and-sufficient predicate either side of the distinct.
+    val par = spark.sparkContext.defaultParallelism
+    val cand = pref.repartition(par).as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.w") < col("b.w") &&
-          abs(col("a.len") - col("b.len")) <= 2)
+          abs(col("a.len") - col("b.len")) <= 2 &&
+          graft.functions.GraftFunctions.damerauLevenshtein(col("a.w"), col("b.w")) <= 2)
       .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
     cand
       .withColumn("dist",
         graft.functions.GraftFunctions.damerauLevenshtein(col("w1"), col("w2")))
-      .filter(col("dist") <= 2)
       .select(col("w1"), col("w2"), col("dist"))
   }
 
