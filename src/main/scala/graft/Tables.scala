@@ -31,9 +31,24 @@ object Tables {
     * tokenize/score work is what parallelism buys. Dimension tables are
     * broadcast-destined (`broadcast(customer)` etc.): an exchange beneath a
     * BroadcastExchange adds a shuffle stage for zero gain, so they always
-    * keep the raw scan. */
-  private val FactTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
+    * keep the raw scan.
+    *
+    * Each fact table rebalances by HASH on its natural key, not round-robin:
+    * a keyless `repartition(n)` first sorts its input locally
+    * (`spark.sql.execution.sortBeforeRepartition`, on since SPARK-23207 so
+    * retried tasks reproduce their row-to-partition assignment) — and the
+    * single-row-group fixture scan is ONE task, so that sort of the whole
+    * table ran serially at the head of every fact query. Hash partitioning
+    * is deterministic per row (retry-safe with no sort), and the output
+    * partitioning is REUSABLE: joins and aggregations keyed on the same
+    * column skip their own exchange (lineitem⋈orders on orderkey, per-user
+    * windows over events), which round-robin output never satisfies. */
+  private val FactTables = Map(
+    "lineitem"   -> "l_orderkey",
+    "orders"     -> "o_orderkey",
+    "events"     -> "user_id",
+    "documents"  -> "doc_id",
+    "embeddings" -> "vec_id")
 
   /** Small single-file (single-row-group) parquet can't split at scan time
     * — the whole table becomes ONE task and a 32-core local run executes
@@ -44,7 +59,8 @@ object Tables {
     * and ≥ 4 target splits. Outside the gate the DataFrame is returned
     * untouched, so warehouse-scale plans never carry the extra exchange.
     * Disable explicitly with `spark.graft.rebalanceInput=false`. */
-  private def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def rebalanced(spark: SparkSession, df: DataFrame,
+                         key: String): DataFrame = {
     if (spark.conf.getOption("spark.graft.rebalanceInput").contains("false")) return df
     val files = df.inputFiles
     val sizes = files.flatMap { f =>
@@ -59,13 +75,13 @@ object Tables {
     val target = math.min(spark.sparkContext.defaultParallelism.toLong,
       (bytes + SplitHintBytes - 1) / SplitHintBytes).toInt
     if (bytes <= RebalanceMaxBytes && target >= RebalanceMinParts &&
-        files.length < target) df.repartition(target)
+        files.length < target) df.repartition(target, col(key))
     else df
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (FactTables(name)) rebalanced(spark, df) else df
+    FactTables.get(name).map(rebalanced(spark, df, _)).getOrElse(df)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")

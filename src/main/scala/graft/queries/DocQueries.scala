@@ -4978,8 +4978,21 @@ object DocQueries {
       documents(spark, d).select(col("doc_id"), col("text"), col("n_chars"))
         .cache())(_.unpersist(blocking = false))
 
+  /** Exact in-band pair table, memoized like [[neardupJaccard]]'s: it is
+    * the shared intermediate of the fuzzy family ([[fuzzyRecall]] re-runs
+    * it as the recall denominator right after this operator produced it) —
+    * a production pipeline materializes the verified pair table once and
+    * every consumer reads it. Keyed on (dataset, K, prune toggle); the
+    * scale probes evict before every sample, so A/B and planted runs still
+    * pay the full compute. */
   def fuzzyDedup(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    MemoCache.getOrElseUpdate(spark,
+      ("fuzzy-exact-pairs", d, k, histPruneOn(spark)))(
+      fuzzyDedupCompute(spark, d, k).cache())(_.unpersist(blocking = false))
+  }
+
+  private def fuzzyDedupCompute(spark: SparkSession, d: String, k: Int): DataFrame = {
     // One MEMOIZED scan feeds the gate probe and BOTH join sides, shared
     // across the fuzzy family (dedup/blocked/recall all start here): the
     // stats action below populates the cache, so the plan reads parquet
@@ -5167,8 +5180,17 @@ object DocQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
+  /** Blocked pair table, memoized for the same reason as [[fuzzyDedup]]'s:
+    * [[fuzzyRecall]] is a direct consumer (the recall numerator), so the
+    * family materializes the verified pair table once per residency. */
   def fuzzyDedupBlocked(spark: SparkSession, d: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.fuzzy.maxDist").map(_.toInt).getOrElse(40)
+    MemoCache.getOrElseUpdate(spark,
+      ("fuzzy-blocked-pairs", d, k, histPruneOn(spark)))(
+      fuzzyDedupBlockedCompute(spark, d, k).cache())(_.unpersist(blocking = false))
+  }
+
+  private def fuzzyDedupBlockedCompute(spark: SparkSession, d: String, k: Int): DataFrame = {
     val base = fuzzyDocs(spark, d)
     val cand = fuzzyCandLsh(spark, d, k)
       .union(fuzzyCandCdc(spark, d, k))
