@@ -70,7 +70,15 @@ object EmbeddingQueries {
   /** Brute-force cosine top-k: decimal-exact dot/norms, cosine rounded to 6
     * decimals (then ranked with a vec_id tie-break) so Spark and DuckDB rank
     * identically. Queries are broadcast; one pass over the corpus. */
-  def knnBrute(spark: SparkSession, d: String): DataFrame = {
+  /** Exact top-K is the TRUTH side of every recall/rank evaluation in this
+    * family — nine consumers re-ran the full brute-force scan per query.
+    * Memoized (queries x K rows) like the other shared indexes; cold pays
+    * one build, every evaluation reads the in-memory table. */
+  def knnBrute(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("knn-brute", d))(
+      knnBruteCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def knnBruteCompute(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .withColumn("norm2", dotScaled(col("emb"), col("emb")))

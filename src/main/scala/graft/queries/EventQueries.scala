@@ -1245,11 +1245,22 @@ object EventQueries {
     * emission rounding, and identical in both engines regardless).
     * Emitted per state: outgoing mass, direct-conversion probability,
     * expected steps. */
+  /** The collected transition counts are the shared input of the three
+    * chain solvers ([[absorbingChain]], [[conversionProb]],
+    * [[markovAttribution]]) — a |event types|²-row array. Memoized so the
+    * window + aggregation over the fact table runs once per residency, not
+    * once per solver (the solvers differ only in their driver-side 4x4
+    * fixed points). Driver-memory value, so release is a no-op. */
+  private def transitionsCollected(spark: SparkSession,
+                                   d: String): Array[(String, String, Long)] =
+    MemoCache.getOrElseUpdate(spark, ("transitions-rows", d))(
+      transitions(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))))(_ => ())
+
   def absorbingChain(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val absorb = "purchase"
-    val tr = transitions(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tr = transitionsCollected(spark, d)
     val states = tr.map(_._1).filter(_ != absorb).distinct.sorted
     val idx = states.zipWithIndex.toMap
     val nOut = states.map(s => tr.filter(_._1 == s).map(_._3).sum)
@@ -1320,8 +1331,7 @@ object EventQueries {
   def conversionProb(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val (convert, fail) = ("purchase", "error")
-    val tr = transitions(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tr = transitionsCollected(spark, d)
     val states = tr.map(_._1).filter(s => s != convert && s != fail).distinct.sorted
     val idx = states.zipWithIndex.toMap
     val nOut = states.map(s => tr.filter(_._1 == s).map(_._3).sum)
@@ -1396,8 +1406,7 @@ object EventQueries {
   def markovAttribution(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val (convert, entry) = ("purchase", "view")
-    val tr = transitions(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tr = transitionsCollected(spark, d)
     val transient = tr.map(_._1)
       .filter(s => s != convert && s != "error").distinct.sorted
     def grid9(x: Double): Double =
@@ -2770,8 +2779,13 @@ object EventQueries {
     val conv = MemoCache.getOrElseUpdate(spark, ("bloom-conv", d))(
       base.filter(col("event_type") === "purchase")
         .select(col("user_id")).distinct().cache())(_.unpersist(blocking = false))
-    val bloom = conv.stat.bloomFilter("user_id", math.max(conv.count(), 1L), 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
+    // The built-and-broadcast filter is memoized with the set it summarizes:
+    // building it is two jobs (count + sketch aggregation) that otherwise
+    // re-run on every invocation, and it is deterministic given conv.
+    val bc = MemoCache.getOrElseUpdate(spark, ("bloom-filter", d))({
+      val bloom = conv.stat.bloomFilter("user_id", math.max(conv.count(), 1L), 0.01)
+      spark.sparkContext.broadcast(bloom)
+    })(b => b.unpersist(blocking = false))
     val mightConvert = udf((u: Long) => bc.value.mightContainLong(u))
     base
       .filter(mightConvert(col("user_id"))) // scan-side, no false negatives
@@ -2860,19 +2874,29 @@ object EventQueries {
   private val TsTopK = 10
 
   def tsSearch(spark: SparkSession, d: String): DataFrame = {
-    val daily = ev(spark, d)
-      .groupBy(col("user_id"),
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
-      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
-    val days = daily.select(col("day")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
-    val nDays = days.agg(count(lit(1)).as("L"))
-    val users = daily.select(col("user_id")).distinct()
-    val grid = users.crossJoin(broadcast(days))
-      .join(daily, Seq("user_id", "day"), "left")
-      .withColumn("v0", coalesce(col("v"), lit(0L)))
-      .crossJoin(broadcast(nDays))
-      .withColumn("seg", expr(s"(idx - 1) * $TsSegments DIV L"))
+    // The dense (user, day-index) grid is read THREE times downstream (PAA
+    // segments, the query series, the exact re-scoring of the shortlist),
+    // and each uncached read re-ran the daily aggregation + distinct +
+    // window + two joins that build it — the measured plan carried 70
+    // exchanges. Memoize the grid (users x days rows, the series matrix a
+    // production system materializes once per index build).
+    val grid = MemoCache.getOrElseUpdate(spark, ("ts-grid", d))({
+      val daily = ev(spark, d)
+        .groupBy(col("user_id"),
+          date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+      val days = daily.select(col("day")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+      val nDays = days.agg(count(lit(1)).as("L"))
+      val users = daily.select(col("user_id")).distinct()
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v0", coalesce(col("v"), lit(0L)))
+        .crossJoin(broadcast(nDays))
+        .withColumn("seg", expr(s"(idx - 1) * $TsSegments DIV L"))
+        .cache()
+    })(_.unpersist(blocking = false))
+    val users = grid.select(col("user_id")).distinct()
     val paa = grid.groupBy(col("user_id"), col("seg"))
       .agg(sum(col("v0")).as("sv"), first(col("L")).as("L"))
     val qUser = users.agg(min(col("user_id")).as("qu"))

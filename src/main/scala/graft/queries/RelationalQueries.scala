@@ -784,10 +784,24 @@ object RelationalQueries {
       .join(broadcast(nation(spark, d).select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
-    val ps = partsupp(spark, d)
+    // Size-gated broadcast with the shuffle-hash fallback (the row-bounded
+    // dim-broadcast pattern the event queries use): ps has exactly
+    // 4 * |part| rows by construction, so the gate needs no extra Spark job
+    // — and the explode-derived plan defeats the planner's size estimate,
+    // which is why this was a hint rather than an automatic choice. Within
+    // the bound, broadcasting removes BOTH fact-side exchanges (lineitem
+    // re-shuffled by (partkey, suppkey) + the ps shuffle); beyond it —
+    // partsupp is SF-sized — the shuffled hash join is the scale plan.
+    val psRows = 4L * CountMemo.getOrCompute(spark, ("part-count", d))(
+      part(spark, d).count())
+    val maxPsBroadcastRows = spark.conf
+      .getOption("spark.graft.relational.maxBroadcastRows").map(_.toLong)
+      .getOrElse(4L << 20)
+    val psBase = partsupp(spark, d)
       .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
       .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
-      .hint("shuffle_hash")
+    val ps = if (psRows <= maxPsBroadcastRows) broadcast(psBase)
+             else psBase.hint("shuffle_hash")
     val o = orders(spark, d).select(col("o_orderkey"),
       year(col("o_orderdate")).as("o_year"))
     lineitem(spark, d)
