@@ -4358,15 +4358,26 @@ object EventQueries {
        |                      ORDER BY cnt DESC, item) AS rk FROM ui0)
        |        WHERE rk <= $ItemSimUserCap)""".stripMargin
 
+  /** The co-occurrence pair aggregation (capped-ui self-join + (i,j)
+    * count) is the data-scale stage of BOTH [[itemSim]] and [[triangles]]
+    * — memoized once; itemSim reads it whole, triangles filters it to its
+    * edge threshold. Catalog-pair-sized (≤ items²/2 rows). */
+  private def coocPairs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("ui-cooc", d))({
+      val ui = cappedInteractions(spark, d)
+      ui.as("a")
+        .join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).cast("long").as("cooc"))
+        .cache()
+    })(_.unpersist(blocking = false))
+
   def itemSim(spark: SparkSession, d: String): DataFrame = {
     val ui = cappedInteractions(spark, d)
     val marginals = ui.groupBy(col("item"))
       .agg(count(lit(1)).cast("long").as("n_users"))
-    val pairs = ui.as("a")
-      .join(ui.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-      .agg(count(lit(1)).cast("long").as("cooc"))
+    val pairs = coocPairs(spark, d)
     val both = pairs.select(col("i"), col("j"), col("cooc"))
       .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
     val scored = both
@@ -4421,17 +4432,12 @@ object EventQueries {
   private val TriangleMinCoocPct = 25 // edge iff cooc*100 >= pct*n_users
 
   def triangles(spark: SparkSession, d: String): DataFrame = {
-    val ui = cappedInteractions(spark, d)
     val nUsers = cappedUserCount(spark, d)
     // undirected edge list (i < j), threshold relative to corpus size;
     // MemoCache-bounded like every reused intermediate (raw .cache()
     // accumulation across a 233-query session measured as GC storms)
     val edges = MemoCache.getOrElseUpdate(spark, ("tri-edges", d))(
-      ui.as("a")
-        .join(ui.as("b"),
-          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-        .agg(count(lit(1)).as("cooc"))
+      coocPairs(spark, d)
         .filter(col("cooc") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
         .select(col("i"), col("j"))
         .cache())(_.unpersist(blocking = false))

@@ -507,36 +507,49 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
   }
 
-  test("q9: one fact scan; dims broadcast; partsupp is NEVER a broadcast " +
-      "build side (fact-scale: ~8B rows at 100x) — it shuffle-hash joins") {
-    val df = RelationalQueries.q9(spark, sf)
-    val nodes = planNodes(df)
-    val bhj = nodes.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-    assert(bhj >= 3, s"part/supplier/nation sides must broadcast, got $bhj")
-    // The partsupp derivation is q9's only explode (GenerateExec). Walk every
-    // broadcast exchange's subtree: none may contain it — a plan that
-    // broadcasts the derived partsupp OOMs the driver at warehouse scale.
+  test("q9: one fact scan; dims broadcast; partsupp broadcast is ROW-GATED " +
+      "(fact-scale: ~8B rows at 100x must fall back to the shuffled hash join)") {
     def subtree(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => subtree(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => subtree(q.plan)
       case other => other +: other.children.flatMap(subtree)
     }
-    val broadcastsGenerate = nodes.exists {
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-        subtree(b).exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
-      case _ => false
-    }
-    assert(!broadcastsGenerate, "partsupp must never be a broadcast build side")
-    assert(nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
-      "fact x partsupp must be a shuffled hash join on the composite key")
+    // OPEN gate (fixture scale: 4*|part| rows sit far under the default
+    // bound): ps broadcasts — no fact-side exchange on (partkey, suppkey).
+    val df = RelationalQueries.q9(spark, sf)
+    val nodes = planNodes(df)
+    val bhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 4, s"part/supplier/nation/ps sides must broadcast, got $bhj")
     val factScans = nodes.count {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
       case _ => false
     }
     assert(factScans === 1, s"fact table must be scanned once, got $factScans")
+    // CLOSED gate (warehouse scale): the derived partsupp — q9's only
+    // explode (GenerateExec) — must NEVER ride a BroadcastExchange (that
+    // OOMs the driver at ~8B rows); the join degrades to the shuffled hash
+    // join, and both physical forms produce identical rows.
+    spark.conf.set("spark.graft.relational.maxBroadcastRows", "0")
+    try {
+      val closed = RelationalQueries.q9(spark, sf)
+      val cn = planNodes(closed)
+      val broadcastsGenerate = cn.exists {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          subtree(b).exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+        case _ => false
+      }
+      assert(!broadcastsGenerate,
+        "closed gate: partsupp must never be a broadcast build side")
+      assert(cn.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+        "closed gate: fact x partsupp must be a shuffled hash join")
+      val open = df.collect().map(_.toString).sorted
+      val clos = closed.collect().map(_.toString).sorted
+      assert(open.sameElements(clos),
+        "gate setting must not change q9's rows")
+    } finally spark.conf.unset("spark.graft.relational.maxBroadcastRows")
   }
 
   test("q20: qualification ends in a semi-join; no cartesian") {
