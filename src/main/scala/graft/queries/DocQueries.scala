@@ -1640,11 +1640,15 @@ object DocQueries {
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), (a, b) -> struct(a AS w1, b AS w2))"))
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= CollocMinCount)
+    // ONE bigram pass: the unfiltered (w1, w2) counts yield both the
+    // frequent-pair table and the total bigram mass (sum of group counts ==
+    // count of instances), where counting `bigrams` separately re-ran the
+    // tokenize + explode a second time.
+    val bcAll = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bc = bcAll.filter(col("c12") >= CollocMinCount)
     val uc = tk.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val totals = bigrams.agg(count(lit(1)).as("nb"))
+    val totals = bcAll.agg(sum(col("c12")).as("nb"))
     val scored = bc
       .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
@@ -4092,9 +4096,15 @@ object DocQueries {
     * and a per-doc argmax window finish it. Every stage is linear in
     * token postings. */
   def nbClassify(spark: SparkSession, d: String): DataFrame = {
-    val tk = documents(spark, d)
-      .select(col("doc_id"), col("lang"),
-        explode(toks(col("text"))).as("w"))
+    // The exploded token table feeds FIVE consumers (class stats, doc
+    // total, vocab size, word counts, the test side) — uncached, each
+    // re-ran the tokenize + explode. Memoized like the other shared token
+    // projections (uni-words, shingle-docs).
+    val tk = MemoCache.getOrElseUpdate(spark, ("nb-tokens", d))(
+      documents(spark, d)
+        .select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("w"))
+        .cache())(_.unpersist(blocking = false))
     val train = tk.filter(col("doc_id") % 5 =!= 0)
     val test = tk.filter(col("doc_id") % 5 === 0)
     val cls = train.groupBy(col("lang").as("c"))
@@ -5611,7 +5621,17 @@ object DocQueries {
     * positions ever reaches an exchange (boundaries collapse to an array
     * in the same projection); the only wide op downstream is whatever the
     * caller aggregates on chunk_hash. */
-  def cdcChunks(spark: SparkSession, d: String): DataFrame = {
+  /** Memoized: the boundary expression evaluates one md5 per character
+    * position per document (the oracle-replicable rolling-hash stand-in) —
+    * the most expensive per-row expression in the doc family — and
+    * [[cdcRatio]] consumes the chunk table twice (total + unique
+    * aggregates). The cached table is chunk-grain (hash + offsets, no
+    * text). */
+  def cdcChunks(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("cdc-chunks", d))(
+      cdcChunksCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def cdcChunksCompute(spark: SparkSession, d: String): DataFrame = {
     val bounds = expr(
       s"""concat(array(0L),
          |  IF(n_chars < ${CdcWin}L, CAST(array() AS ARRAY<BIGINT>),

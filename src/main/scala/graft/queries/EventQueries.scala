@@ -2326,7 +2326,8 @@ object EventQueries {
     * the shared base of [[dailyRollupApprox]] and [[rollingDistinct]] —
     * build registers from the data ONCE, then every aggregate (daily, any
     * sliding horizon) re-merges the sketch-sized table, never the data. */
-  private def hllRegs(base: DataFrame): DataFrame = {
+  private def hllRegs(base: DataFrame,
+                      extraKeys: Seq[String] = Nil): DataFrame = {
     val uidMd5 = md5(col("user_id").cast("string"))
     val lo = conv(substring(uidMd5, 25, 8), 16, 10).cast("long")
     val hi = conv(substring(uidMd5, 17, 8), 16, 10).cast("long")
@@ -2335,7 +2336,7 @@ object EventQueries {
     base
       .withColumn("bucket", lo.bitwiseAND(lit((HllM - 1).toLong)))
       .withColumn("r", r)
-      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .groupBy((Seq("day", "event_type") ++ extraKeys :+ "bucket").map(col): _*)
       .agg(max(col("r")).as("rmax"))
   }
 
@@ -3034,21 +3035,27 @@ object EventQueries {
     * Scale: both legs partial-aggregate; the merge unions STATE tables
     * (days x types x buckets rows), never events. */
   def incrementalRollup(spark: SparkSession, d: String): DataFrame = {
+    // The per-leg STATES are grouped out of ONE scan (leg = the snapshot/
+    // delta split key) instead of two filtered scans per state kind — the
+    // previous base/delta formulation scanned events four times (counts x2,
+    // registers x2). The merge algebra is unchanged and still exercised on
+    // real per-leg state rows: grouping by leg then merging is row-for-row
+    // the union-of-two-legs merge (count/sum/min/max add or re-extremize,
+    // register max is associative), which the direct-recompute oracle
+    // continues to prove.
     val all = ev(spark, d).select(
       date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
       col("event_type"), col("user_id"),
       floor(col("value") * 1000).cast("long").as("v"),
-      col("event_id"))
-    val base = all.filter(col("event_id") % 5 =!= 0)
-    val delta = all.filter(col("event_id") % 5 === 0)
-    def counts(df: DataFrame): DataFrame = df.groupBy("day", "event_type")
+      (col("event_id") % 5 === 0).as("leg"))
+    val legCounts = all.groupBy("day", "event_type", "leg")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val mergedCounts = counts(base).unionByName(counts(delta))
+    val mergedCounts = legCounts
       .groupBy("day", "event_type")
       .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_scaled"),
         min(col("mn")).as("min_scaled"), max(col("mx")).as("max_scaled"))
-    val mergedRegs = hllRegs(base).unionByName(hllRegs(delta))
+    val mergedRegs = hllRegs(all, Seq("leg"))
       .groupBy("day", "event_type", "bucket").agg(max(col("rmax")).as("rmax"))
     mergedCounts
       .join(hllEstimate(mergedRegs, Seq("day", "event_type")),

@@ -1007,9 +1007,25 @@ object RelationalQueries {
     // output set identical; at warehouse scale the probe side arrives
     // multi-partition and the exchange coalesces away under AQE.
     val probes = cust.repartition(spark.sparkContext.defaultParallelism)
-    val pairs = probes.join(broadcast(reg),
+    // Sound pre-compare prune: only dl <= 2 pairs can reach score >= 9
+    // (dl >= 3 scores at most -12 + 6 = -6), and every Damerau-Levenshtein
+    // op moves the byte multiset's symmetric difference by <= 2
+    // (transposition by 0 — the same metric fact [[graft.queries
+    // .DocQueries.typoPairs]]' blocking rests on), so
+    // histL1 > 4 or |len diff| > 2 pairs provably cannot survive and skip
+    // the O(n*m) DP entirely (~64 int ops instead of a ~400-cell DP + two
+    // array allocations per non-matching pair — the overwhelming majority
+    // of the block fan-out). CharHistSpec pins the DL bound on randomized
+    // edit pairs.
+    val pairs = probes
+      .withColumn("h", graft.functions.GraftFunctions.charHist64(col("c_name")))
+      .join(broadcast(reg
+          .withColumn("reg_h",
+            graft.functions.GraftFunctions.charHist64(col("reg_name")))),
         col("c_nationkey") === col("reg_nation") &&
-          col("c_mktsegment") === col("reg_segment"))
+          col("c_mktsegment") === col("reg_segment") &&
+          abs(length(col("c_name")) - length(col("reg_name"))) <= 2 &&
+          graft.functions.GraftFunctions.histL1(col("h"), col("reg_h")) <= 4)
       .select(col("c_custkey").as("cust_a"), col("reg_key").as("cust_b"),
         graft.functions.GraftFunctions
           .damerauLevenshtein(col("c_name"), col("reg_name"))

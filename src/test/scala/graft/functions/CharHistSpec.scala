@@ -74,6 +74,33 @@ class CharHistSpec extends AnyFunSuite {
     }
   }
 
+  test("L1 <= 2 * DAMERAU-lev (transpositions move the multiset by 0) — " +
+      "the record-link prune's bound, incl. transposition-heavy pairs") {
+    def swapEdit(s: String, ops: Int, alphabet: String): String = {
+      val sb = new StringBuilder(s)
+      (0 until ops).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 if sb.length >= 2 => // transpose adjacent
+            val i = rnd.nextInt(sb.length - 1)
+            val c = sb.charAt(i); sb.setCharAt(i, sb.charAt(i + 1)); sb.setCharAt(i + 1, c)
+          case 1 if sb.nonEmpty =>
+            sb.setCharAt(rnd.nextInt(sb.length), alphabet(rnd.nextInt(alphabet.length)))
+          case 2 if sb.nonEmpty =>
+            sb.deleteCharAt(rnd.nextInt(sb.length)): Unit
+          case _ =>
+            sb.insert(rnd.nextInt(sb.length + 1), alphabet(rnd.nextInt(alphabet.length))): Unit
+        }
+      }
+      sb.toString
+    }
+    for (_ <- 1 to 300) {
+      val a = randText(10 + rnd.nextInt(40), "abcdefghij#0123 ")
+      val b = swapEdit(a, rnd.nextInt(8), "abcdefghij#0123 ")
+      val d = DamerauLev.distance(UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(l1(a, b) <= 2 * d, s"DL bound violated: l1=${l1(a, b)} dl=$d a='$a' b='$b'")
+    }
+  }
+
   test("astral code points count once (surrogate pairs are one edit unit)") {
     val grin = new String(Character.toChars(0x1F600))
     assert(l1(grin * 3, grin * 3) == 0)
