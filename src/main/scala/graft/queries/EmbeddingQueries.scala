@@ -2245,6 +2245,58 @@ object EmbeddingQueries {
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
     val qEmb = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Long]]("emb").toArray
+    // Driver gate (the pagerank/cluster-resolver pattern): the greedy walk
+    // is k sequential argmax ROUNDS — distributed, that is k full jobs of
+    // per-round overhead for ~1e6 multiplies of actual arithmetic. A
+    // candidate set under `spark.graft.mmr.maxDriverVectors` collects once
+    // and runs the identical integer greedy (same score, same
+    // (score desc, vec_id) tie-break) on the driver; above the gate the
+    // distributed loop below is unchanged.
+    val maxDriverVecs = spark.conf
+      .getOption("spark.graft.mmr.maxDriverVectors").map(_.toLong)
+      .getOrElse(1L << 17)
+    if (embeddingCount(spark, d) <= maxDriverVecs) {
+      val rows = e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id"), col("emb"))
+        .as[(Long, scala.collection.Seq[Long])].collect()
+        .map { case (id, emb) =>
+          val a = emb.toArray
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * qEmb(i); i += 1 }
+          (id, a, s)
+        }.sortBy(_._1)
+      var selDr = Vector.empty[(Int, Long, Long, Long)]
+      var selEmbsDr = Vector.empty[Array[Long]]
+      val taken = scala.collection.mutable.Set.empty[Long]
+      for (r <- 1 to k) {
+        var bestId = -1L; var bestScore = 0L; var bestSim = 0L
+        var bestEmb: Array[Long] = null
+        rows.foreach { case (id, a, simq) =>
+          if (!taken.contains(id)) {
+            var red = 0L; var s = 0
+            while (s < selEmbsDr.length) {
+              val v = selEmbsDr(s)
+              var dot = 0L; var i = 0
+              while (i < a.length) { dot += a(i) * v(i); i += 1 }
+              if (s == 0 || dot > red) red = dot
+              s += 1
+            }
+            val score = simq - red
+            // (score desc, vec_id asc): rows scan in vec_id order, so a
+            // strict > keeps the smallest id among ties
+            if (bestId < 0 || score > bestScore) {
+              bestId = id; bestScore = score; bestSim = simq; bestEmb = a
+            }
+          }
+        }
+        if (bestId >= 0) {
+          selDr :+= ((r, bestId, bestSim, bestScore))
+          selEmbsDr :+= bestEmb
+          taken += bestId
+        }
+      }
+      return selDr.toDF("rank", "vec_id", "sim_q", "score")
+    }
     val cand = e.filter(col("vec_id") >= NQueries)
       .withColumn("sim_q", dotScaled(col("emb"), typedLit(qEmb.toSeq)))
       .cache()

@@ -4465,16 +4465,23 @@ object EventQueries {
     // wedges at the apex close against the canonical (i<j) edge set — the
     // e1.dst < e2.dst ordering makes every wedge's (b, c) canonical too, so
     // closing is a plain two-key equi-join (hash join, never a nested loop)
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("apex"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val tris = wedges.join(edges.as("e3"),
-        col("b") === col("e3.i") && col("c") === col("e3.j"))
-      .select(col("apex"), col("b"), col("c"))
-    // per-item participation: each triangle credits all three corners
-    val credit = tris.select(explode(array(col("apex"), col("b"), col("c"))).as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).cast("long").as("n_triangles"))
+    // The wedge enumeration + close join + corner credit is the whole
+    // per-invocation cost once the edge table is memo-resident — memoize
+    // the (item, n_triangles) credit table too (catalog-sized), same
+    // policy as the pair tables.
+    val credit = MemoCache.getOrElseUpdate(spark, ("tri-credit", d))({
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("apex"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      val tris = wedges.join(edges.as("e3"),
+          col("b") === col("e3.i") && col("c") === col("e3.j"))
+        .select(col("apex"), col("b"), col("c"))
+      // per-item participation: each triangle credits all three corners
+      tris.select(explode(array(col("apex"), col("b"), col("c"))).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).cast("long").as("n_triangles"))
+        .cache()
+    })(_.unpersist(blocking = false))
     deg.select(col("v").as("item"), col("deg").cast("long").as("degree"))
       .join(credit, Seq("item"), "left")
       .select(col("item"), col("degree"),
