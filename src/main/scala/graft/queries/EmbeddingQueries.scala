@@ -419,7 +419,14 @@ object EmbeddingQueries {
     * cosine on candidates only. Every step (md5 planes, integer sign dots,
     * xor probes, int cosine) is deterministic and SQL-expressible, so this
     * approximate operator carries a full hash-checked DuckDB oracle. */
-  def annLsh(spark: SparkSession, d: String): DataFrame = {
+  def annLsh(spark: SparkSession, d: String): DataFrame =
+    // per-query top-K result table (queries x K rows): memoized like
+    // [[knnBrute]] — the recall/rank evaluations re-ran the whole search
+    // per consumer otherwise
+    MemoCache.getOrElseUpdate(spark, ("ann-lsh", d))(
+      annLshCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def annLshCompute(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
       .select(col("vec_id"), scaled(col("embedding")).as("emb"))
       .withColumn("bucket", lshKeyInt(col("emb")))
@@ -1095,7 +1102,14 @@ object EmbeddingQueries {
     * shape, not correctness), which keeps every dot product integer-exact —
     * cell assignment, probe ranking, and final cosines are all bit-stable
     * across engines, so this approximate operator has a full DuckDB oracle. */
-  def annIvf(spark: SparkSession, d: String): DataFrame = {
+  def annIvf(spark: SparkSession, d: String): DataFrame =
+    // per-query top-K result table (queries x K rows): memoized like
+    // [[knnBrute]] — the recall/rank evaluations re-ran the whole search
+    // per consumer otherwise
+    MemoCache.getOrElseUpdate(spark, ("ann-ivf", d))(
+      annIvfCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def annIvfCompute(spark: SparkSession, d: String): DataFrame = {
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
@@ -1314,7 +1328,14 @@ object EmbeddingQueries {
     * rows); the codes table is ~32× smaller than the embeddings and is the
     * only thing scanned per query. Every step is integer-exact, so the
     * whole approximate index has a full DuckDB oracle. */
-  def ivfpqSearch(spark: SparkSession, d: String): DataFrame = {
+  def ivfpqSearch(spark: SparkSession, d: String): DataFrame =
+    // per-query top-K result table (queries x K rows): memoized like
+    // [[knnBrute]] — the recall/rank evaluations re-ran the whole search
+    // per consumer otherwise
+    MemoCache.getOrElseUpdate(spark, ("ivfpq-search", d))(
+      ivfpqSearchCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def ivfpqSearchCompute(spark: SparkSession, d: String): DataFrame = {
     val eRaw = embeddings(spark, d)
       .select(col("vec_id"), col("label"), scaled(col("embedding")).as("emb"))
     val e = eRaw.drop("label")
@@ -1586,7 +1607,14 @@ object EmbeddingQueries {
     * Queries broadcast; per-query window top-K on integer distance with
     * the vec_id tie-break (Hamming ties are COMMON — 65 possible values —
     * so the deterministic tie-break is what makes the output hashable). */
-  def bqSearch(spark: SparkSession, d: String): DataFrame = {
+  def bqSearch(spark: SparkSession, d: String): DataFrame =
+    // per-query top-K result table (queries x K rows): memoized like
+    // [[knnBrute]] — the recall/rank evaluations re-ran the whole search
+    // per consumer otherwise
+    MemoCache.getOrElseUpdate(spark, ("bq-search", d))(
+      bqSearchCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def bqSearchCompute(spark: SparkSession, d: String): DataFrame = {
     val codes = bqCodes(spark, d)
     val q = codes.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"),
@@ -1650,7 +1678,14 @@ object EmbeddingQueries {
     * back onto the corpus for the float fetch, so the full-precision table
     * NEVER shuffles ([[annRerank]]'s invariant, reached through the BQ
     * scan instead of an LSH index). */
-  def bqRerank(spark: SparkSession, d: String): DataFrame = {
+  def bqRerank(spark: SparkSession, d: String): DataFrame =
+    // per-query top-K result table (queries x K rows): memoized like
+    // [[knnBrute]] — the recall/rank evaluations re-ran the whole search
+    // per consumer otherwise
+    MemoCache.getOrElseUpdate(spark, ("bq-rerank", d))(
+      bqRerankCompute(spark, d).cache())(_.unpersist(blocking = false))
+
+  private def bqRerankCompute(spark: SparkSession, d: String): DataFrame = {
     val codes = bqCodes(spark, d)
     val q = codes.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"),
