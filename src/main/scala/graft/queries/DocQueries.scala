@@ -1813,11 +1813,16 @@ object DocQueries {
 
   def bm25(spark: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    val base = documents(spark, d).select(
-      col("doc_id") +: size(t).as("dl") +:
-        Bm25Terms.zipWithIndex.map { case (term, i) =>
-          size(filter(t, x => x === term)).cast("long").as(s"tf$i")
-        }: _*)
+    // Memoized: the per-term tf projection re-runs the tokenizer once per
+    // filter lambda (projection collapse inlines `t` into every use), and
+    // the frame is consumed twice (corpus stats + the scored scan).
+    val base = MemoCache.getOrElseUpdate(spark, ("bm25-base", d))(
+      documents(spark, d).select(
+        col("doc_id") +: size(t).as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (term, i) =>
+            size(filter(t, x => x === term)).cast("long").as(s"tf$i")
+          }: _*)
+        .cache())(_.unpersist(blocking = false))
     // one-row corpus statistics: broadcast back over the scan
     val statCols =
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:

@@ -48,18 +48,23 @@ object EventQueries {
     * INCLUDING the exact-boundary case: Spark merges sessions whose ranges
     * touch (an event at exactly prev+gap stays in the session — pinned by
     * PipelineSpec's boundary test), and `exactly-gap` is not `> gap`. */
-  private def sessioned(spark: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ms"), col("event_id"))
-    ev(spark, d)
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
-      .withColumn("new_s",
-        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
-          .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(byUser))
-      .drop("new_s")
-  }
+  /** Memoized: the per-user sessionization window is the shared prefix of
+    * the session family, and [[sessionFunnel]] alone reads it three times
+    * (stage table + two stage joins). */
+  private def sessioned(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("sessioned", d))({
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      ev(spark, d)
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+        .withColumn("new_s",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs, 1)
+            .when(lag(col("ts_ms"), 1).over(byUser).isNull, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(byUser))
+        .drop("new_s")
+        .cache()
+    })(_.unpersist(blocking = false))
 
   /** The matching SQL CTE chain (`flagged` → `s` with user_id/ts_ms/
     * event_id/event_type/sid) for oracles over [[sessioned]]. */
@@ -1036,6 +1041,9 @@ object EventQueries {
         sum(when(col("t_ms") < col("mid_ms"), spend).otherwise(0L)).as("x"),
         sum(when(col("t_ms") >= col("mid_ms"), spend).otherwise(0L)).as("y"))
       .withColumn("arm", arm)
+      // localCheckpoint: the per-user table feeds both the global moment
+      // aggregate and the per-arm rollup — one events pass instead of two
+      .localCheckpoint()
     val g = perUser.agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
@@ -4540,6 +4548,8 @@ object EventQueries {
           .cast("long"), lit(7L)).as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).cast("long").as("n_xy"))
+      // localCheckpoint: read four times (marginals x2, total, the join)
+      .localCheckpoint()
     val nx = cells.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_x"))
     val ny = cells.groupBy(col("dow")).agg(sum(col("n_xy")).as("n_y"))
     val tot = cells.agg(sum(col("n_xy")).as("n"))
@@ -4620,11 +4630,16 @@ object EventQueries {
     "BH staged-division rank key den*1e6 overflows signed-64 at the documented bounds")
 
   def fdrBh(spark: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the model-sized (type, day) count grid is read four
+    // times below (types, days, day count, the grid join) — one events
+    // pass instead of four, without spending a memo slot on a per-query
+    // scratch table
     val daily = ev(spark, d)
       .groupBy(col("event_type"),
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"))
       .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint()
     val types = daily.select(col("event_type")).distinct()
     val days = daily.select(col("day_num")).distinct()
     val nDays = days.agg(count(lit(1)).as("n_days"))
