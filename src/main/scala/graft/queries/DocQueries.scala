@@ -365,25 +365,34 @@ object DocQueries {
         .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
         .cache())(_.unpersist(blocking = false))
 
-  private[graft] def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(spark, d)
-    // NOT repartitioned before the explode: measured 6.2s -> 6.8s cold
-    // (the extra exchange's planning/codegen outweighs parallelizing the
-    // index build; the groupBy's own exchange already spreads the reduce)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val candidates = rareShingleCandidates(ex)
-    // exact Jaccard on the FULL (hashed) shingle sets of each candidate
-    // pair — sets use the oracle-replicable md5-low-32 shingle hash (8-byte
-    // keys shuffle/compare ~8x cheaper than shingle strings, and both
-    // engines hash identically, so even collisions agree bit-for-bit).
-    // The broadcast-merge-walk vs candidate-join physical choice lives in
-    // [[scoredCandidatePairs]], shared with the containment operator.
-    scoredCandidatePairs(spark, docs, candidates)
+  /** The verified (d1, d2, n1, n2, inter) candidate-pair table, memoized:
+    * the Jaccard dedup and the containment operator run the IDENTICAL
+    * candidate generation + merge-walk verify (empty shingle sets never
+    * reach the exploded index, so containment's size(sh)>0 pre-filter was
+    * value-neutral), and each previously rebuilt it per family. One build,
+    * both consumers project/filter the cached rows. */
+  private def scoredPairs(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("scored-pairs", d))({
+      val docs = shingleDocs(spark, d)
+      // NOT repartitioned before the explode: measured 6.2s -> 6.8s cold
+      // (the extra exchange's planning/codegen outweighs parallelizing the
+      // index build; the groupBy's own exchange already spreads the reduce)
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      // verify on the FULL (hashed) shingle sets of each candidate pair —
+      // sets use the oracle-replicable md5-low-32 shingle hash (8-byte
+      // keys shuffle/compare ~8x cheaper than shingle strings, and both
+      // engines hash identically, so even collisions agree bit-for-bit).
+      // The broadcast-merge-walk vs candidate-join physical choice lives
+      // in [[scoredCandidatePairs]].
+      scoredCandidatePairs(spark, docs, rareShingleCandidates(ex)).cache()
+    })(_.unpersist(blocking = false))
+
+  private[graft] def neardupJaccardCompute(spark: SparkSession, d: String): DataFrame =
+    scoredPairs(spark, d)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.3)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
-  }
 
   /** Candidate pairs from ONE shuffle: group the inverted index by shingle
     * into posting lists, keep the rare ones (2..DfCap docs), emit all
@@ -422,12 +431,9 @@ object DocQueries {
     * under the gate) or two keyed joins against the shingle table, never
     * all-pairs. */
   def containment(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val docs = shingleDocs(spark, d).filter(size(col("sh")) > 0)
-    val candidates = rareShingleCandidates(
-      docs.select(col("doc_id"), explode(col("sh")).as("s")))
-    val scored = scoredCandidatePairs(spark, docs, candidates)
-    scored
+    // same memoized candidate+verify table as the Jaccard operator — only
+    // the orientation/threshold readout below differs
+    scoredPairs(spark, d)
       .select(
         when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_id"),
         when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container_id"),

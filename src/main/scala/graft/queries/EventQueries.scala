@@ -333,11 +333,17 @@ object EventQueries {
     * Nothing global-sorts. */
   def winsorized(spark: SparkSession, d: String): DataFrame = {
     val arm = abArm
+    // localCheckpoint the user-grain table (the fdr_bh/mutual_info/cuped
+    // pattern): the CDF branch and the final clamp join both read it, and
+    // uncheckpointed each re-ran the events scan + per-user aggregate —
+    // one fact pass per invocation instead of two. Model-sized (one row
+    // per user), per-invocation scratch, deliberately NOT MemoCache.
     val perUser = ev(spark, d)
       .groupBy(col("user_id"))
       .agg(coalesce(sum(when(col("event_type") === "purchase",
         floor(col("value") * 1000).cast("long"))), lit(0L)).as("rev"))
       .withColumn("arm", arm)
+      .localCheckpoint()
     val cum = perUser.groupBy(col("arm"), col("rev"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
@@ -2906,20 +2912,28 @@ object EventQueries {
         .withColumn("seg", expr(s"(idx - 1) * $TsSegments DIV L"))
         .cache()
     })(_.unpersist(blocking = false))
-    val users = grid.select(col("user_id")).distinct()
-    val paa = grid.groupBy(col("user_id"), col("seg"))
-      .agg(sum(col("v0")).as("sv"), first(col("L")).as("L"))
-    val qUser = users.agg(min(col("user_id")).as("qu"))
-    val qPaa = paa.crossJoin(broadcast(qUser)).filter(col("user_id") === col("qu"))
-      .select(col("seg"), col("sv").as("qsv"), col("qu"))
-    val lb = paa.join(broadcast(qPaa), "seg")
-      .filter(col("user_id") =!= col("qu"))
+    // The PAA sketch (users x TsSegments rows) is the index a production
+    // deployment materializes once next to the grid; per invocation it was
+    // aggregated from the grid TWICE (query-side and corpus-side of the
+    // lower-bound join). Memoized like the grid. The probe user is a
+    // one-row min over the cached grid — resolved once (CountMemo) and
+    // inlined as a literal, which replaces two crossJoin(broadcast(qUser))
+    // subtree builds per invocation with pushed-down filters.
+    val paa = MemoCache.getOrElseUpdate(spark, ("ts-paa", d))(
+      grid.groupBy(col("user_id"), col("seg"))
+        .agg(sum(col("v0")).as("sv"), first(col("L")).as("L"))
+        .cache())(_.unpersist(blocking = false))
+    val qu = CountMemo.getOrCompute(spark, ("ts-qu", d))(
+      grid.agg(min(col("user_id"))).head().getLong(0))
+    val qPaa = paa.filter(col("user_id") === qu)
+      .select(col("seg"), col("sv").as("qsv"))
+    val lb = paa.filter(col("user_id") =!= qu)
+      .join(broadcast(qPaa), "seg")
       .groupBy(col("user_id"))
       .agg(sum((col("sv") - col("qsv")) * (col("sv") - col("qsv"))).as("lb_scaled"),
         first(col("L")).as("L"))
     val shortlist = lb.orderBy(col("lb_scaled"), col("user_id")).limit(TsShortlist)
-    val qSeries = grid.crossJoin(broadcast(qUser))
-      .filter(col("user_id") === col("qu"))
+    val qSeries = grid.filter(col("user_id") === qu)
       .select(col("idx"), col("v0").as("qv"))
     val exact = grid.join(broadcast(shortlist.select(col("user_id"), col("lb_scaled"))), "user_id")
       .join(broadcast(qSeries), "idx")

@@ -529,20 +529,26 @@ object RelationalQueries {
   /** TPC-H Q17-style small-quantity revenue (adapted: brand + size stands
     * in for the missing container). "Below half the part's average
     * quantity" is decided integer-exactly: qty < sum/(2*cnt) ⟺
-    * 2*qty*cnt < sum, so no double average ever exists. The per-part
-    * aggregate is the only extra exchange; the filtered part dim
-    * broadcasts into both the aggregate and the probe side. */
+    * 2*qty*cnt < sum, so no double average ever exists.
+    *
+    * ONE lineitem pass: the per-part average and the probe read the same
+    * brand-filtered rows, so the aggregate-then-rejoin formulation scanned
+    * lineitem twice (the column-pruned scans differ, so neither the scan
+    * nor its exchange dedup via ReuseExchange — the r12 before-plan shows
+    * both subtrees executing). A window over l_partkey computes the same
+    * (sum_qty, cnt) on the selective post-broadcast-join slice and shuffles
+    * only that slice — at warehouse scale one full fact scan replaces two,
+    * the new exchange carrying just the brand's rows. */
   def q17(spark: SparkSession, d: String): DataFrame = {
     val p = part(spark, d)
       .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
       .select("p_partkey")
-    val perPart = lineitem(spark, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_partkey").as("agg_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_partkey"))
     lineitem(spark, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+      .withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .filter(dec(col("l_quantity")) * 2 * col("cnt") < col("sum_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
   }

@@ -465,13 +465,24 @@ class PlanSpec extends SparkSpec {
       "the one-row max must broadcast onto the aggregate")
   }
 
-  test("q17: part filter pushed to the dim scan; per-part aggregate broadcasts") {
+  test("q17: part filter pushed to the dim scan; ONE fact scan with a " +
+       "per-part window — the aggregate-and-rejoin form scanned lineitem twice") {
     val df = RelationalQueries.q17(spark, sf)
     val p = plan(df)
     assert(p.contains("EqualTo(p_brand,Brand#3)"), "brand filter must reach the part scan")
-    val bhj = planNodes(df).count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-    assert(bhj >= 2, s"filtered part + per-part aggregate must broadcast, got $bhj")
+    val nodes = planNodes(df)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "filtered part dim must broadcast")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "per-part avg must be a window over the joined slice, not a second scan")
+    val factScans = nodes.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(factScans === 1, s"exactly one lineitem scan, got $factScans")
   }
 
   test("q19: brand IN-list pushed to the part scan; single fact scan") {
