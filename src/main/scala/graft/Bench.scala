@@ -68,6 +68,10 @@ object Bench {
     // experiment knob: measure AQE's per-query replan overhead on tiny data
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
+    // A/B experiments without recompiling (BenchOne's knob, same syntax):
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — dev-only, the driver never sets it
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     // Evidence of where shuffle/spill land and whether that disk has headroom:
     // a bench run against a nearly-full or slow scratch dir is not comparable.
     val localDir = spark.conf.getOption("spark.local.dir")

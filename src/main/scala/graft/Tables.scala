@@ -84,7 +84,22 @@ object Tables {
     FactTables.get(name).map(rebalanced(spark, df, _)).getOrElse(df)
   }
 
+  /** Fact scan WITHOUT the fixture rebalance — for queries whose first
+    * shuffle is NOT keyed on the table's natural key (a different-key
+    * aggregate, a broadcast-join + scalar-agg pipeline, a window on
+    * another column): there the keyed rebalance can never be reused as
+    * the query's own exchange, so it is a pure extra full-table shuffle
+    * at the head of the plan. Queries whose first exchange IS on the
+    * natural key (lineitem⋈orders on orderkey, per-user event windows)
+    * keep [[table]] — for them the rebalance is that exchange, moved
+    * before the scan where it also parallelizes decode. A/B per query at
+    * sf0.1 backs each call site (OPTIMIZATION_r12.md). */
+  def tableRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def lineitemRaw(s: SparkSession, d: String): DataFrame = tableRaw(s, d, "lineitem")
+  def ordersRaw(s: SparkSession, d: String): DataFrame  = tableRaw(s, d, "orders")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
@@ -95,8 +110,14 @@ object Tables {
     * raw nanos long (`spark.sql.legacy.parquet.nanosAsLong` — set by
     * [[graft.GraftSession]]). Normalize here: `ts` becomes a us-precision
     * TIMESTAMP_NTZ, and the raw nanos stay available as `ts_ns`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsFrom(table(s, d, "events"))
+
+  /** [[tableRaw]] variant of [[events]] — same ts normalization. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame =
+    eventsFrom(tableRaw(s, d, "events"))
+
+  private def eventsFrom(raw: DataFrame): DataFrame = {
     raw.schema("ts").dataType match {
       case LongType =>
         // integer DIV: ns -> us must not round-trip through double

@@ -2997,23 +2997,35 @@ object EventQueries {
     * the same aggregation via min(struct(-count, key)), no second pass,
     * no window. */
   def skewReport(spark: SparkSession, d: String): DataFrame = {
+    // Group on the NATIVE key and cast to string only at the per-GROUP
+    // grain (guide: shuffle narrower types): the old per-ROW cast
+    // stringified every fact row before the partial aggregate — ~1.5M
+    // long→string renders and a string-keyed hash aggregate where a long
+    // one does. The top-key tie-break stays the STRING min (the cast sits
+    // inside the min(struct) argument), so rows are bit-identical to the
+    // oracle's CAST(key AS VARCHAR) formulation.
     def one(df: DataFrame, tbl: String, key: String): DataFrame =
-      df.select(col(key).cast("string").as("k")).filter(col("k").isNotNull)
+      df.select(col(key).as("k")).filter(col("k").isNotNull)
         .groupBy("k").agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
           max(col("c")).as("max_cnt"),
-          min(struct((-col("c")).as("nc"), col("k").as("kk")))
+          min(struct((-col("c")).as("nc"), col("k").cast("string").as("kk")))
             .getField("kk").as("top_key"))
         .select(lit(tbl).as("tbl"), lit(key).as("key"),
           col("n_rows"), col("n_keys"), col("max_cnt"),
           round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
             .as("skew"),
           col("top_key"))
-    one(ev(spark, d), "events", "user_id")
-      .unionByName(one(ev(spark, d), "events", "event_type"))
-      .unionByName(one(lineitem(spark, d), "lineitem", "l_orderkey"))
-      .unionByName(one(lineitem(spark, d), "lineitem", "l_suppkey"))
-      .unionByName(one(orders(spark, d), "orders", "o_custkey"))
+    // RAW scans (no fixture rebalance): each branch is one reductive
+    // aggregation whose partial-agg collapses the stream before any
+    // exchange, so the keyed rebalance was a pure extra full-table shuffle
+    // per branch — five of them. BenchOne A/B at sf0.1: 2.6 -> 1.3 s warm,
+    // self-CPU 10.4 -> 4.8 s.
+    one(eventsRaw(spark, d), "events", "user_id")
+      .unionByName(one(eventsRaw(spark, d), "events", "event_type"))
+      .unionByName(one(lineitemRaw(spark, d), "lineitem", "l_orderkey"))
+      .unionByName(one(lineitemRaw(spark, d), "lineitem", "l_suppkey"))
+      .unionByName(one(ordersRaw(spark, d), "orders", "o_custkey"))
   }
 
   val skewReportSql: String = {

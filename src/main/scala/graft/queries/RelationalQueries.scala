@@ -311,7 +311,7 @@ object RelationalQueries {
     * parquet scan as PushedFilters; output is a single row — zero shuffle
     * beyond the final partial-agg gather. */
   def q6(spark: SparkSession, d: String): DataFrame =
-    lineitem(spark, d)
+    lineitemRaw(spark, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount").between(0.05, 0.07) &&
@@ -499,7 +499,7 @@ object RelationalQueries {
     * single-partition window — supplier cardinality is unbounded at
     * warehouse scale). Exact decimal revenue makes "equals max" stable. */
   def q15(spark: SparkSession, d: String): DataFrame = {
-    val rev = lineitem(spark, d)
+    val rev = lineitemRaw(spark, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
@@ -544,7 +544,7 @@ object RelationalQueries {
       .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
       .select("p_partkey")
     val w = Window.partitionBy(col("l_partkey"))
-    lineitem(spark, d)
+    lineitemRaw(spark, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
@@ -667,7 +667,7 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
     val avgRow = c.filter(col("bal") > 0)
       .agg(sum(col("bal")).as("sum_bal"), count(lit(1)).as("cnt_bal"))
-    val recent = orders(spark, d)
+    val recent = ordersRaw(spark, d)
       .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
       .select("o_custkey")
     c.join(broadcast(avgRow))
