@@ -69,8 +69,12 @@ object Bench {
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
     // A/B experiments without recompiling (BenchOne's knob, same syntax):
-    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — dev-only, the driver never sets it
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains("="))
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — dev-only, the driver never sets it.
+    // The applied string is stamped into the artifact (extra_conf below) so
+    // an A/B run stays distinguishable from a clean run when re-adjudicated
+    // offline.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+    extraConf.foreach(_.split(';').filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     // Evidence of where shuffle/spill land and whether that disk has headroom:
     // a bench run against a nearly-full or slow scratch dir is not comparable.
@@ -330,6 +334,7 @@ object Bench {
       s""""n_cold_contaminated":$nColdDirty""",
       s""""retry_budget_left_ms":${retryBudget.get()}""",
       loadGateJson,
+      s""""extra_conf":${extraConf.map(jstr).getOrElse("null")}""",
       s""""local_dir":${jstr(localDir)}""",
       s""""local_dir_free_bytes":$localFree""",
       s""""heap_max_bytes":${rt.maxMemory}""",
@@ -384,7 +389,13 @@ object Bench {
       s""""loadavg_end":[${val l = loadAvg(); if (l.isEmpty) "" else l}]""",
       s""""full_artifact":${jstr(outPath)}""",
       s""""queries":${topColdN(10)}""",
-      s""""queries_warm":${topWarmN(12)}"""
+      s""""queries_warm":${topWarmN(12)}""",
+      // ALL per-query cold/warm walls (additive — PERF's round-over-round
+      // geomean previously saw only the intersection of two top-10 lists,
+      // i.e. ~2 queries; ~8 KB each, well within one stdout line)
+      s""""queries_all":${obj(_.cold.wall)}""",
+      s""""queries_warm_all":${obj(_.warm.wall)}""",
+      s""""extra_conf":${extraConf.map(jstr).getOrElse("null")}"""
     ).mkString("{", ",", "}")
     println(compact)
     spark.stop()

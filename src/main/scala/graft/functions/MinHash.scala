@@ -78,6 +78,33 @@ object MinHash {
     h
   }
 
+  /** 52-bit md5 prefix window (hex chars 20..32, 1-based): the low nibble
+    * of digest byte 9 followed by bytes 10..15 — ≡ DuckDB
+    * `('0x'||substr(md5(s),20,13))::UBIGINT`. The same window the hashed
+    * set-similarity shingles use; factored here so token-level users (the
+    * tfidf index) share one definition. */
+  def md5Mid52(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    var v = bytes(9) & 0xFL
+    var i = 10
+    while (i < 16) { v = (v << 8) | (bytes(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Per-token [[md5Mid52]] hashes, MULTIPLICITY-PRESERVING (term
+    * frequency counts token repeats) — ≡ DuckDB
+    * `list_transform(tk, g -> CAST(('0x'||substr(md5(g),20,13))::UBIGINT AS BIGINT))`
+    * over `string_split_regex(trim(text), '\s+')`. */
+  def tokenHashes52(text: String): Array[Long] = {
+    val tokens = sqlToks(text)
+    val out = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) { out(i) = md5Mid52(tokens(i)); i += 1 }
+    out
+  }
+
   @inline private def permMin(sig: Array[Long], m: Long, k: Int): Unit = {
     var i = 0
     while (i < k) {

@@ -350,8 +350,10 @@ object DocQueries {
     * stage closes over a fresh lambda per call, which never canonicalizes
     * equal.) */
   def neardupJaccard(spark: SparkSession, d: String): DataFrame =
-    MemoCache.getOrElseUpdate(spark, ("neardup-pairs", d))(
-      neardupJaccardCompute(spark, d).cache())(_.unpersist(blocking = false))
+    // NOT separately memoized/cached: this is a cheap filter/projection
+    // over the already-memoized [[scoredPairs]] table — a second cached
+    // copy duplicated near-identical rows across two of the LRU slots.
+    neardupJaccardCompute(spark, d)
 
   /** The (doc_id, hashed-shingle-set) scan, memoized: the Jaccard dedup,
     * containment, and their consumers all start from this projection, and
@@ -371,7 +373,7 @@ object DocQueries {
     * reach the exploded index, so containment's size(sh)>0 pre-filter was
     * value-neutral), and each previously rebuilt it per family. One build,
     * both consumers project/filter the cached rows. */
-  private def scoredPairs(spark: SparkSession, d: String): DataFrame =
+  private[queries] def scoredPairs(spark: SparkSession, d: String): DataFrame =
     MemoCache.getOrElseUpdate(spark, ("scored-pairs", d))({
       val docs = shingleDocs(spark, d)
       // NOT repartitioned before the explode: measured 6.2s -> 6.8s cold
@@ -2107,26 +2109,51 @@ object DocQueries {
     * entries (`spark.graft.lm.vocabCap`) before broadcast, then a narrow
     * per-row fold in token order (order-deterministic double sum, so the
     * DuckDB oracle hash-matches). */
-  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+  /** Top-`cap` (count DESC, key ASC) counts of `ex`'s exploded `g` column,
+    * collected — the shared model-build shape of the bigram-LM family. */
+  private def topCounts(spark: SparkSession, ex: DataFrame,
+                        cap: Int): Map[String, Long] = {
     import spark.implicits._
+    ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(cap)
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** Exploded "w1 w2" bigram instances, ONE tokenize per document: the
+    * previous `transform(sequence(...), i -> concat(element_at(tk, i), ...))`
+    * column re-evaluated the regex tokenizer inside the un-codegen'd HOF
+    * lambda for every `element_at` reference (2x per token position — the
+    * same pathology [[shingles3Udf]] documents); projecting `tk` first and
+    * zip_with'ing two slices (the [[collocations]] shape) binds the
+    * tokenizer output once per row. Empty/one-token docs yield empty
+    * slices, so no `when` guard is needed. */
+  private def bigramInstances(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(toks(col("text")).as("tk"))
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("g"))
+
+  /** The capped bigram count model, memoized ONCE for the family:
+    * [[bigramLm]] and [[knBigram]] both previously ran the identical
+    * explode + count + TakeOrdered + collect as part of their own model
+    * builds. Driver-side map only (release is a no-op — no cluster
+    * storage; bounded by `cap`). */
+  private def bigramCounts(spark: SparkSession, d: String,
+                           cap: Int): Map[String, Long] =
+    MemoCache.getOrElseUpdate(spark, ("bigram-counts", d, cap))(
+      topCounts(spark, bigramInstances(spark, d), cap))(_ => ())
+
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
       .map(_.toInt).getOrElse(VocabCap)
     val tk = toks(col("text"))
-    val bigrams = when(size(tk) >= 2,
-        transform(sequence(lit(1), size(tk) - 1),
-          i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    def topCounts(df: DataFrame): Map[String, Long] = df
-      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("g")).limit(cap)
-      .as[(String, Long)].collect().toMap
     // the two model builds memoize once per (session, dataset, cap);
     // repeated invocations only pay the fold
     val (bg, ug) = MemoCache.getOrElseUpdate(spark, ("bigram-lm", d, cap))((
-      spark.sparkContext.broadcast(topCounts(
-        documents(spark, d).select(explode(bigrams).as("g")))),
-      spark.sparkContext.broadcast(topCounts(
-        documents(spark, d).select(explode(tk).as("g"))))))(
+      spark.sparkContext.broadcast(bigramCounts(spark, d, cap)),
+      spark.sparkContext.broadcast(topCounts(spark,
+        documents(spark, d).select(explode(tk).as("g")), cap))))(
       v => { v._1.unpersist(blocking = false); v._2.unpersist(blocking = false) })
     val nllUdf = udf((t: Seq[String]) => {
       if (t == null || t.length < 2) None
@@ -2183,20 +2210,14 @@ object DocQueries {
     * narrow in-order per-row fold. The DuckDB oracle replays the same
     * arithmetic expression-for-expression, so doubles agree bit-for-bit. */
   def knBigram(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val cap = spark.conf.getOption("spark.graft.lm.vocabCap")
       .map(_.toInt).getOrElse(VocabCap)
     val tk = toks(col("text"))
-    val bigrams = when(size(tk) >= 2,
-        transform(sequence(lit(1), size(tk) - 1),
-          i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val model = MemoCache.getOrElseUpdate(spark, ("kn-bigram", d, cap))({
-      val bc: Map[String, Long] = documents(spark, d)
-        .select(explode(bigrams).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("g")).limit(cap)
-        .as[(String, Long)].collect().toMap
+      // the SAME capped bigram count table [[bigramLm]] scores against —
+      // shared via [[bigramCounts]] instead of re-running the explode +
+      // count + TakeOrdered + collect per family member
+      val bc: Map[String, Long] = bigramCounts(spark, d, cap)
       // context totals / follower fan-out / continuation counts are pure
       // functions of the (capped) model — derive once on the driver
       val ctx = bc.groupMapReduce(_._1.split(" ", 2)(0))(_._2)(_ + _)
@@ -3822,8 +3843,16 @@ object DocQueries {
     })
     MemoCache.getOrElseUpdate(spark, ("tfidf-index", d, (capConf, dropMax)))({
       val docs = documents(spark, d)
+      // Terms enter the index as 52-bit md5-prefix HASHES (longs), not
+      // strings: no tfidf output carries a term, so every term-keyed
+      // exchange (the (doc_id, term) tf aggregate, the df aggregate, the
+      // posting⋈df join, the broadcast probe vectors) moves/compares 8-byte
+      // keys instead of token strings — the same oracle-replayable
+      // `('0x'||substr(md5(g),20,13))::UBIGINT` window the hashed setsim
+      // index uses, so a collision merges the same tokens in both engines
+      // and parity stays bit-exact (guide §2.3: narrower shuffle keys).
       val postings = docs
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .select(col("doc_id"), explode(toksHash52Udf(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       // document frequencies via two-phase aggregation (map-side partial
@@ -3951,10 +3980,20 @@ object DocQueries {
       .withColumn("ok", col("recall") >= 0.9)
   }
 
+  /** JVM-side twin of the oracle's hashed-token unnest below — see the
+    * tfidfIndex comment; multiplicity-preserving (tf counts repeats). */
+  private val toksHash52Udf = udf((text: String) =>
+    if (text == null) Array.empty[Long]
+    else graft.functions.MinHash.tokenHashes52(text))
+
   private val tfidfBaseCtes: String =
     s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |           FROM documents),
-       | p AS (SELECT doc_id, unnest(tk) AS term FROM t),
+       | -- tokens hashed to the 52-bit md5 prefix window, replaying the
+       | -- Spark index's long term keys (collisions merge identically)
+       | p AS (SELECT doc_id, unnest(list_transform(tk,
+       |         g -> CAST(('0x' || substr(md5(g), 20, 13))::UBIGINT AS BIGINT)))
+       |         AS term FROM t),
        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        |        FROM p GROUP BY 1, 2),
        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
@@ -4534,18 +4573,26 @@ object DocQueries {
     * threshold p/q: rarest-first prefix posting-list join (see
     * [[setsimJoin]] for the completeness argument). Element-type agnostic
     * (works on any array column with distinct elements). */
-  private def prefixCandidates(docs: DataFrame, p: Int, q: Int,
-                               dfCap: Long = 0L): DataFrame = {
+  /** The df-ranked inverted index (doc_id, g, n, df, rnk) of `docs` — the
+    * shared data-scale prefix of candidate generation: the explode, the df
+    * aggregation and the per-doc rank window do not depend on the
+    * threshold p/q or the df cap (those are filters over this table), so
+    * one build serves the exact AND the capped joins. */
+  private def rankedIndex(docs: DataFrame): DataFrame = {
     // n rides the explode (it's just size(s)) — a count-over-partition
     // window here would add a second WindowExec over the full inverted
     // index for a value the array already knows
     val ex = docs.select(col("doc_id"), size(col("s")).as("n"),
       explode(col("s")).as("g"))
     val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfTab, "g")
+    ex.join(dfTab, "g")
       .select(col("doc_id"), col("g"), col("n"), col("df"),
         row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("df"), col("g"))).as("rnk"))
+  }
+
+  private def prefixCandidates(ranked: DataFrame, p: Int, q: Int,
+                               dfCap: Long = 0L): DataFrame = {
     // dfCap > 0: corpus-dense tokens stop GENERATING candidates (their
     // posting lists would each contribute O(df²) pairs); they keep their
     // prefix positions and still count in the verify, so the only recall
@@ -4615,12 +4662,31 @@ object DocQueries {
       .filter(col("inter") * q >= col("uni") * p)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
 
+  /** The hashed ranked index, memoized — ONE candidate-generation build
+    * shared by [[setsimJoin]] and [[setsimJoinCapped]] (bench-adjacent
+    * family members previously each built their own explode + df count +
+    * rank window, and the exact join's copy moved ~20-byte shingle STRINGS
+    * through all three exchanges; the hashed index moves 8-byte longs —
+    * guide §2.3). Sound for the exact join because candidate generation
+    * only needs COMPLETENESS: a collision merges shingles, which can only
+    * RAISE a pair's hashed Jaccard above its string Jaccard (intersections
+    * grow, unions shrink), so every pair passing the string-set threshold
+    * is found on the hashed index too — and any total order over the
+    * hashed elements satisfies the AllPairs prefix theorem. The verify
+    * stays exact on the STRING sets, so false candidates are dropped and
+    * the output is byte-identical to the string-indexed build. */
+  private def setsimRankedHashed(spark: SparkSession, d: String): DataFrame =
+    MemoCache.getOrElseUpdate(spark, ("setsim-ranked", d))(
+      rankedIndex(setsimDocsHashed(spark, d)).cache())(
+      _.unpersist(blocking = false))
+
   def setsimJoin(spark: SparkSession, d: String): DataFrame = {
     val p = spark.conf.getOption("spark.graft.setsim.p").map(_.toInt).getOrElse(3)
     val q = spark.conf.getOption("spark.graft.setsim.q").map(_.toInt).getOrElse(5)
     MemoCache.getOrElseUpdate(spark, ("setsim-pairs", d, p, q))({
       val docs = setsimDocs(spark, d)
-      setsimVerified(docs, prefixCandidates(docs, p, q), p, q).cache()
+      setsimVerified(docs,
+        prefixCandidates(setsimRankedHashed(spark, d), p, q), p, q).cache()
     })(_.unpersist(blocking = false))
   }
 
@@ -4651,7 +4717,8 @@ object DocQueries {
     val cap = spark.conf.getOption("spark.graft.setsim.dfcap").map(_.toLong).getOrElse(32L)
     MemoCache.getOrElseUpdate(spark, ("setsim-pairs-capped", d, p, q, cap))({
       val docs = setsimDocsHashed(spark, d)
-      setsimVerified(docs, prefixCandidates(docs, p, q, cap), p, q).cache()
+      setsimVerified(docs,
+        prefixCandidates(setsimRankedHashed(spark, d), p, q, cap), p, q).cache()
     })(_.unpersist(blocking = false))
   }
 

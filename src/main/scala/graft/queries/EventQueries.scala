@@ -2923,8 +2923,30 @@ object EventQueries {
       grid.groupBy(col("user_id"), col("seg"))
         .agg(sum(col("v0")).as("sv"), first(col("L")).as("L"))
         .cache())(_.unpersist(blocking = false))
+    // Empty-events guard: min() over an empty grid is NULL and getLong
+    // would NPE (the old join-based probe resolution degraded gracefully);
+    // an empty corpus has no probe user, so the result is simply no rows.
+    // Long.MinValue marks "no user" (ids are parquet longs; the fixture
+    // generator never emits it) so the CountMemo slot stays a plain long.
     val qu = CountMemo.getOrCompute(spark, ("ts-qu", d))(
-      grid.agg(min(col("user_id"))).head().getLong(0))
+      grid.agg(min(col("user_id"))).head() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      })
+    if (qu == Long.MinValue)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sqdist",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lb_scaled",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lb_ok",
+            org.apache.spark.sql.types.BooleanType))))
     val qPaa = paa.filter(col("user_id") === qu)
       .select(col("seg"), col("sv").as("qsv"))
     val lb = paa.filter(col("user_id") =!= qu)
@@ -4477,12 +4499,31 @@ object EventQueries {
     val nUsers = cappedUserCount(spark, d)
     // undirected edge list (i < j), threshold relative to corpus size;
     // MemoCache-bounded like every reused intermediate (raw .cache()
-    // accumulation across a 233-query session measured as GC storms)
-    val edges = MemoCache.getOrElseUpdate(spark, ("tri-edges", d))(
-      coocPairs(spark, d)
+    // accumulation across a 233-query session measured as GC storms).
+    //
+    // Built from its OWN endpoint-pruned pair aggregation rather than by
+    // filtering [[coocPairs]]: cooc(i,j) = |U_i ∩ U_j| <= min(|U_i|, |U_j|),
+    // so an edge (cooc·100 >= pct·nUsers) needs BOTH endpoints to satisfy
+    // n_v·100 >= pct·nUsers — filtering the interaction set to those few
+    // corpus-hot items BEFORE the per-user self-join kills the item-pair
+    // fan-out below the pair exchange (guide §2.3 aggregate/filter before
+    // you shuffle). itemSim's unfiltered [[coocPairs]] memo is untouched;
+    // a triangles-only cold no longer pays the full catalog-pair build.
+    val edges = MemoCache.getOrElseUpdate(spark, ("tri-edges", d))({
+      val ui = cappedInteractions(spark, d)
+      val hot = ui.groupBy(col("item")).agg(count(lit(1)).as("nv"))
+        .filter(col("nv") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
+        .select(col("item"))
+      val uiHot = ui.join(maybeBroadcastItemDim(spark, d, hot), "item")
+      uiHot.as("a")
+        .join(uiHot.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).cast("long").as("cooc"))
         .filter(col("cooc") * 100 >= lit(TriangleMinCoocPct) * lit(nUsers))
         .select(col("i"), col("j"))
-        .cache())(_.unpersist(blocking = false))
+        .cache()
+    })(_.unpersist(blocking = false))
     // degree-orientation: rank vertices by (degree, id); orient low → high
     val deg = edges.select(col("i").as("v")).union(edges.select(col("j").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -202,13 +202,23 @@ object RelationalQueries {
     * The zero bucket cannot be produced by any inner-join formulation —
     * it is the classic "count absent children" outer-join shape. */
   def q13(spark: SparkSession, d: String): DataFrame = {
-    val o = orders(spark, d)
+    // Orders pre-aggregate per customer BEFORE the outer join (guide §2.3
+    // aggregate-before-you-shuffle): the join-then-group form shuffled
+    // every joined order row on c_custkey; the per-custkey counts combine
+    // map-side, so the exchange moves <= one row per (custkey, map split)
+    // and the post-join group-by-custkey disappears. o_orderkey is never
+    // null, so count(o_orderkey) per customer == the pre-agg count, with
+    // order-less customers restored by coalesce(.., 0) — same rows.
+    // raw scan: the first shuffle here is the o_custkey aggregate, so the
+    // o_orderkey-keyed fixture rebalance can never be reused (tableRaw
+    // opt-out pattern)
+    val perCust = ordersRaw(spark, d)
       .filter(!col("o_orderpriority").startsWith("1-URGENT"))
-      .select("o_orderkey", "o_custkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
     customer(spark, d).select("c_custkey")
-      .join(o, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
   }
@@ -445,7 +455,10 @@ object RelationalQueries {
     * two-branch conditional-SUM shape of the original. One orderkey join
     * (both sides fact-sized → legitimate shuffle), then a 5-row group. */
   def q12(spark: SparkSession, d: String): DataFrame = {
-    val o = orders(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    // raw scan: this side rides a BroadcastExchange, so the fixture
+    // rebalance was a full-table shuffle feeding a broadcast — pure waste
+    // (the tableRaw opt-out pattern; q6/q15/q17/q22 precedent)
+    val o = ordersRaw(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
     lineitem(spark, d).select("l_orderkey", "l_shipdate")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -1023,6 +1036,19 @@ object RelationalQueries {
     // array allocations per non-matching pair — the overwhelming majority
     // of the block fan-out). CharHistSpec pins the DL bound on randomized
     // edit pairs.
+    // The score threshold is written INTO the join condition, LAST, with a
+    // SINGLE DL call (`score >= 9` ⇔ `dl <= (bal_agree ? 2 : 1)`): left as
+    // a post-join filter, Catalyst pushed it into the join AHEAD of the
+    // prunes as a 3x-repeated `CASE damerau... CASE damerau...` conjunct —
+    // the measured plan ran up to three O(n·m) DPs per blocked pair before
+    // the ~64-int-op histogram check ever fired (15.9 self-CPU-s at sf0.1;
+    // the doc_typo_pairs r12 lesson). Conjuncts in an explicit join
+    // condition keep their written cheap→expensive order. Survivors
+    // (decision-sized, not block-sized) recompute dl once in the output
+    // projection.
+    val dlCond = graft.functions.GraftFunctions
+      .damerauLevenshtein(col("c_name"), col("reg_name")) <=
+        when(col("c_acctbal") === col("reg_bal"), 2).otherwise(1)
     val pairs = probes
       .withColumn("h", graft.functions.GraftFunctions.charHist64(col("c_name")))
       .join(broadcast(reg
@@ -1031,7 +1057,8 @@ object RelationalQueries {
         col("c_nationkey") === col("reg_nation") &&
           col("c_mktsegment") === col("reg_segment") &&
           abs(length(col("c_name")) - length(col("reg_name"))) <= 2 &&
-          graft.functions.GraftFunctions.histL1(col("h"), col("reg_h")) <= 4)
+          graft.functions.GraftFunctions.histL1(col("h"), col("reg_h")) <= 4 &&
+          dlCond)
       .select(col("c_custkey").as("cust_a"), col("reg_key").as("cust_b"),
         graft.functions.GraftFunctions
           .damerauLevenshtein(col("c_name"), col("reg_name"))
@@ -1042,7 +1069,6 @@ object RelationalQueries {
         (when(col("dl") === 0, 24).when(col("dl") === 1, 16)
           .when(col("dl") === 2, 4).otherwise(-12) +
           when(col("bal_agree"), 6).otherwise(-3)).cast("int"))
-      .filter(col("score") >= 9)
       .select(col("cust_a"), col("cust_b"), col("dl"), col("bal_agree"),
         col("score"),
         when(col("score") >= 21, "match").otherwise("review").as("decision"),

